@@ -1,0 +1,147 @@
+"""Catalog layer — the ``ClickHouseBuilder``/``ClickHouseCatalogBuilder`` analog.
+
+The reference registers remote ClickHouse databases/tables as a DataFusion
+catalog ``clickhouse.<db>.<table>`` (src/providers/catalog.rs:21-148,
+src/builders.rs:221-344).  Here the Spark session catalog is authoritative:
+databases are real session-catalog databases and tables are parquet-backed
+catalog tables (full Catalyst pushdown + stats), addressed as ``db.table``.
+The engine's SQL front door additionally accepts the reference's 3-part
+spelling ``clickhouse.db.table`` and strips the virtual catalog prefix
+(mirror of src/analyzer/function_pushdown.rs:460-473).
+
+Differences vs the reference, by design (SURVEY §3.4):
+- no passive-refresh dance — the session catalog is always in sync; ``refresh``
+  exists for parity and refreshes cached file listings/statistics;
+- ``drop_table`` drops the catalog entry (and for parity with the remote DROP
+  issued by the reference's deregister, src/providers/catalog.rs:202-240, it
+  is idempotent via IF EXISTS).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+DEFAULT_CATALOG = "clickhouse"  # virtual prefix, stripped by the SQL front door
+
+# Spark's parquet reader rejects TIMESTAMP(NANOS) columns (PARQUET_TYPE_ILLEGAL).
+# The driver's `events` table carries a ns timestamp, so we rewrite affected
+# files once (ns → us, value-preserving for these data) into a local cache.
+_TDCACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".tdcache")
+
+
+def resolve_parquet_path(path: str) -> str:
+    """Return a Spark-readable path for a parquet file, converting
+    nanosecond-precision timestamps to microseconds via a cached rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    needs_fix = any(
+        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema)
+    if not needs_fix:
+        return path
+    tag = os.path.basename(os.path.dirname(os.path.abspath(path)))
+    out = os.path.join(_TDCACHE, tag, os.path.basename(path))
+    if not (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(path)):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tbl = pq.read_table(path)
+        fields = [
+            pa.field(f.name, pa.timestamp("us", f.type.tz))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns" else f
+            for f in tbl.schema
+        ]
+        # allow_time_truncation: sub-microsecond precision is dropped; oracle
+        # queries must not compare raw ns timestamps (truncate in both engines).
+        import pyarrow.compute as pc
+
+        cols = [
+            pc.cast(tbl.column(f.name),
+                    options=pc.CastOptions(f.type, allow_time_truncate=True))
+            for f in fields
+        ]
+        pq.write_table(pa.Table.from_arrays(cols, schema=pa.schema(fields)), out)
+    return out
+
+
+class ClickHouseCatalog:
+    def __init__(self, spark: SparkSession, catalog_name: str = DEFAULT_CATALOG):
+        self.spark = spark
+        self.name = catalog_name
+
+    # -- DDL ---------------------------------------------------------------
+    def create_database(self, db: str) -> None:
+        """Reference: src/utils/create.rs:17-40 (CREATE DATABASE, default no-op)."""
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+
+    def drop_database(self, db: str, cascade: bool = True) -> None:
+        self.spark.sql(
+            f"DROP DATABASE IF EXISTS `{db}` {'CASCADE' if cascade else ''}")
+
+    def register_parquet_table(self, db: str, table: str, path: str) -> None:
+        """Register one parquet file/dir as an external catalog table."""
+        self.create_database(db)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` USING parquet "
+            f"LOCATION '{path}'")
+
+    def register_parquet_dir(self, sf_dir: str, db: str = "main",
+                             tables: tuple[str, ...] | None = None) -> list[str]:
+        """Register every ``<sf_dir>/<name>.parquet`` as ``db.name``."""
+        found = []
+        names = tables or tuple(
+            f[:-8] for f in sorted(os.listdir(sf_dir)) if f.endswith(".parquet"))
+        for t in names:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_parquet_table(db, t, resolve_parquet_path(p))
+                found.append(t)
+        return found
+
+    def register_existing_table(self, name: str, name_as: str,
+                                db: str = "main") -> None:
+        """Alias an existing table (reference src/builders.rs:409-436)."""
+        if not self.table_exists(db, name):
+            raise ValueError(f"table {db}.{name} does not exist")
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW `{db}`.`{name_as}` AS "
+            f"SELECT * FROM `{db}`.`{name}`")
+
+    def drop_table(self, db: str, table: str, if_exists: bool = True) -> None:
+        """Reference: src/providers/catalog.rs:202-240 (DROP TABLE IF EXISTS)."""
+        ie = "IF EXISTS " if if_exists else ""
+        self.spark.sql(f"DROP TABLE {ie}`{db}`.`{table}`")
+
+    # -- listing / refresh (src/providers/catalog.rs:54-200) ---------------
+    def schema_names(self) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    def table_names(self, db: str) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables(db)]
+
+    def table_exists(self, db: str, table: str) -> bool:
+        return self.spark.catalog.tableExists(f"`{db}`.`{table}`")
+
+    def refresh_catalog(self, db: str | None = None) -> None:
+        for d in ([db] if db else self.schema_names()):
+            for t in self.table_names(d):
+                self.spark.sql(f"REFRESH TABLE `{d}`.`{t}`")
+
+    # -- reads -------------------------------------------------------------
+    def table(self, db: str, table: str) -> DataFrame:
+        return self.spark.table(f"`{db}`.`{table}`")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's testdata parquet as bare-name temp views
+    (``region`` .. ``embeddings``), matching the DuckDB oracle's view names."""
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(resolve_parquet_path(p)).createOrReplaceTempView(t)

@@ -1,0 +1,376 @@
+"""ClickHouse → Spark SQL scalar-function translation registry.
+
+Every ClickHouse function exercised by the reference's tests/README resolves
+here (reference README.md:178-222, tests/e2e.rs passim, src/udfs/eval.rs:478):
+``exp abs pow mod upper lower concat length toString sigmoid base64Encode
+splitByChar arrayJoin arrayMap arrayFilter arrayExists`` — plus a broad set of
+common ClickHouse names so user queries keep working.
+
+Each non-higher-order entry is ``fn(args: list[str]) -> str`` taking
+already-translated argument SQL fragments and returning a Spark SQL fragment.
+Higher-order functions (lambda forms) are listed in :data:`HOF_TRANSLATORS`
+and handled by the rewriter, which parses ``$x`` placeholders.
+
+Unknown names raise :class:`UnknownClickHouseFunction` at rewrite time with
+the supported-name list — the eager analog of the reference's
+``PlaceholderUDF`` fallback (src/udfs/placeholder.rs:22-74): the reference
+defers the error to the remote server; we have no remote server, so we error
+at analysis with a clear message.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+Translator = Callable[[list[str]], str]
+
+
+class UnknownClickHouseFunction(ValueError):
+    """A ClickHouse function name with no Spark translation."""
+
+    def __init__(self, name: str):
+        super().__init__(
+            f"unknown ClickHouse function {name!r}; supported: "
+            + ", ".join(sorted(set(SCALAR_TRANSLATORS) | HOF_NAMES)))
+        self.name = name
+
+
+def _passthrough(spark_name: str) -> Translator:
+    return lambda args: f"{spark_name}({', '.join(args)})"
+
+
+def _binop(op: str) -> Translator:
+    return lambda args: f"(({args[0]}) {op} ({args[1]}))"
+
+
+def _cast_to(ddl: str) -> Translator:
+    return lambda args: f"CAST({args[0]} AS {ddl})"
+
+
+def _sigmoid(args: list[str]) -> str:
+    return f"(1.0 / (1.0 + exp(-({args[0]}))))"
+
+
+def _split_by_char(args: list[str]) -> str:
+    # splitByChar(sep, s) → split(s, quoted-literal-sep). ClickHouse requires a
+    # constant single-char separator; Spark split takes a regex, so escape it.
+    sep, s = args[0], args[1]
+    if sep.startswith("'") and sep.endswith("'"):
+        lit = sep[1:-1]
+        escaped = "".join("\\\\" + c if c in r".^$*+?()[]{}|\\" else c for c in lit)
+        return f"split({s}, '{escaped}', -1)"
+    # Non-literal separator: quote regex metachars at runtime via literal escape.
+    return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'), -1)"
+
+
+def _modulo(args: list[str]) -> str:
+    # ClickHouse mod/% keeps the dividend's sign — same as Spark's MOD.
+    return f"(({args[0]}) % ({args[1]}))"
+
+
+def _multi_if(args: list[str]) -> str:
+    # multiIf(c1, v1, c2, v2, ..., else) → CASE WHEN chain.
+    if len(args) % 2 == 0 or len(args) < 3:
+        raise ValueError("multiIf needs odd number of args: cond,val,...,else")
+    parts = ["CASE"]
+    for i in range(0, len(args) - 1, 2):
+        parts.append(f"WHEN ({args[i]}) THEN ({args[i + 1]})")
+    parts.append(f"ELSE ({args[-1]}) END")
+    return " ".join(parts)
+
+
+def _array_literal(args: list[str]) -> str:
+    return f"array({', '.join(args)})"
+
+
+def _count_substrings(args: list[str]) -> str:
+    # countSubstrings(haystack, needle): occurrences of a literal needle.
+    h, n = args[0], args[1]
+    return (f"(CASE WHEN length({n}) = 0 THEN 0 ELSE "
+            f"CAST((length({h}) - length(replace({h}, {n}, ''))) / length({n}) AS BIGINT) END)")
+
+
+SCALAR_TRANSLATORS: dict[str, Translator] = {
+    # --- math -----------------------------------------------------------
+    "exp": _passthrough("exp"),
+    "abs": _passthrough("abs"),
+    "pow": _passthrough("power"),
+    "power": _passthrough("power"),
+    "mod": _modulo,
+    "modulo": _modulo,
+    "intdiv": lambda a: f"CAST(floor(({a[0]}) / ({a[1]})) AS BIGINT)",
+    "intdivorzero": lambda a: (f"(CASE WHEN ({a[1]}) = 0 THEN 0 "
+                               f"ELSE CAST(floor(({a[0]}) / ({a[1]})) AS BIGINT) END)"),
+    "plus": _binop("+"),
+    "minus": _binop("-"),
+    "multiply": _binop("*"),
+    "divide": _binop("/"),
+    "negate": lambda a: f"(-({a[0]}))",
+    "sqrt": _passthrough("sqrt"),
+    "cbrt": _passthrough("cbrt"),
+    "ln": _passthrough("ln"),
+    "log": _passthrough("ln"),        # ClickHouse log == natural log
+    "log2": _passthrough("log2"),
+    "log10": _passthrough("log10"),
+    "log1p": _passthrough("log1p"),
+    "expm1": _passthrough("expm1"),
+    "exp2": lambda a: f"power(2, {a[0]})",
+    "exp10": lambda a: f"power(10, {a[0]})",
+    "sigmoid": _sigmoid,
+    "round": _passthrough("round"),
+    "floor": _passthrough("floor"),
+    "ceil": _passthrough("ceil"),
+    "ceiling": _passthrough("ceil"),
+    "trunc": _passthrough("trunc"),
+    "truncate": _passthrough("trunc"),
+    "sign": _passthrough("sign"),
+    "sin": _passthrough("sin"),
+    "cos": _passthrough("cos"),
+    "tan": _passthrough("tan"),
+    "asin": _passthrough("asin"),
+    "acos": _passthrough("acos"),
+    "atan": _passthrough("atan"),
+    "atan2": _passthrough("atan2"),
+    "sinh": _passthrough("sinh"),
+    "cosh": _passthrough("cosh"),
+    "tanh": _passthrough("tanh"),
+    "pi": _passthrough("pi"),
+    "e": lambda a: "exp(1)",
+    "greatest": _passthrough("greatest"),
+    "least": _passthrough("least"),
+    "rand": _passthrough("rand"),
+    "randcanonical": _passthrough("rand"),
+    # --- comparison / conditional --------------------------------------
+    "if": lambda a: f"(CASE WHEN ({a[0]}) THEN ({a[1]}) ELSE ({a[2]}) END)",
+    "multiif": _multi_if,
+    "coalesce": _passthrough("coalesce"),
+    "ifnull": _passthrough("ifnull"),
+    "nullif": _passthrough("nullif"),
+    "isnull": lambda a: f"(({a[0]}) IS NULL)",
+    "isnotnull": lambda a: f"(({a[0]}) IS NOT NULL)",
+    "assumenotnull": lambda a: a[0],
+    "equals": _binop("="),
+    "notequals": _binop("<>"),
+    "greater": _binop(">"),
+    "greaterorequals": _binop(">="),
+    "less": _binop("<"),
+    "lessorequals": _binop("<="),
+    "and": _binop("AND"),
+    "or": _binop("OR"),
+    "not": lambda a: f"(NOT ({a[0]}))",
+    # --- strings --------------------------------------------------------
+    "upper": _passthrough("upper"),
+    "ucase": _passthrough("upper"),
+    "upperutf8": _passthrough("upper"),
+    "lower": _passthrough("lower"),
+    "lcase": _passthrough("lower"),
+    "lowerutf8": _passthrough("lower"),
+    "concat": _passthrough("concat"),
+    "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
+    "length": _passthrough("length"),
+    "lengthutf8": _passthrough("length"),
+    "char_length": _passthrough("char_length"),
+    "character_length": _passthrough("char_length"),
+    "empty": lambda a: f"(length({a[0]}) = 0)",
+    "notempty": lambda a: f"(length({a[0]}) > 0)",
+    "tostring": _cast_to("STRING"),
+    "substring": _passthrough("substring"),
+    "substr": _passthrough("substring"),
+    "left": _passthrough("left"),
+    "right": _passthrough("right"),
+    "trim": _passthrough("trim"),
+    "trimleft": _passthrough("ltrim"),
+    "trimright": _passthrough("rtrim"),
+    "trimboth": _passthrough("trim"),
+    "reverse": _passthrough("reverse"),
+    "reverseutf8": _passthrough("reverse"),
+    "repeat": _passthrough("repeat"),
+    "leftpad": _passthrough("lpad"),
+    "lpad": _passthrough("lpad"),
+    "rightpad": _passthrough("rpad"),
+    "rpad": _passthrough("rpad"),
+    "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceone": lambda a: (f"(CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN "
+                             f"concat(substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1), {a[2]}, "
+                             f"substring({a[0]}, instr({a[0]}, {a[1]}) + length({a[1]}))) "
+                             f"ELSE {a[0]} END)"),
+    "replaceregexpall": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "position": lambda a: f"instr({a[0]}, {a[1]})",
+    "locate": lambda a: f"instr({a[0]}, {a[1]})",
+    "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    "match": lambda a: f"(({a[0]}) RLIKE ({a[1]}))",
+    "like": _binop("LIKE"),
+    "notlike": lambda a: f"(NOT (({a[0]}) LIKE ({a[1]})))",
+    "ilike": lambda a: f"(lower({a[0]}) LIKE lower({a[1]}))",
+    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
+    "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    "startswith": _passthrough("startswith"),
+    "endswith": _passthrough("endswith"),
+    "countsubstrings": _count_substrings,
+    "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "hex": _passthrough("hex"),
+    "unhex": _passthrough("unhex"),
+    "md5": lambda a: f"md5(CAST({a[0]} AS BINARY))",
+    "sha256": lambda a: f"sha2(CAST({a[0]} AS BINARY), 256)",
+    "siphash64": lambda a: f"xxhash64({', '.join(a)})",  # stable 64-bit hash stand-in
+    "cityhash64": lambda a: f"xxhash64({', '.join(a)})",
+    "xxhash64": _passthrough("xxhash64"),
+    "splitbychar": _split_by_char,
+    "splitbystring": lambda a: _split_by_char(a),
+    "format": _passthrough("format_string"),
+    "tolowcardinality": lambda a: a[0],
+    # --- type conversion ------------------------------------------------
+    "toint8": _cast_to("TINYINT"),
+    "toint16": _cast_to("SMALLINT"),
+    "toint32": _cast_to("INT"),
+    "toint64": _cast_to("BIGINT"),
+    "touint8": _cast_to("SMALLINT"),
+    "touint16": _cast_to("INT"),
+    "touint32": _cast_to("BIGINT"),
+    "touint64": _cast_to("BIGINT"),
+    "tofloat32": _cast_to("FLOAT"),
+    "tofloat64": _cast_to("DOUBLE"),
+    "todate": _cast_to("DATE"),
+    "todatetime": _cast_to("TIMESTAMP"),
+    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1] if len(a) > 1 else 4}))",
+    # --- date/time ------------------------------------------------------
+    "now": _passthrough("current_timestamp"),
+    "today": _passthrough("current_date"),
+    "toyear": _passthrough("year"),
+    "tomonth": _passthrough("month"),
+    "todayofmonth": _passthrough("dayofmonth"),
+    "todayofweek": _passthrough("dayofweek"),
+    "todayofyear": _passthrough("dayofyear"),
+    "tohour": _passthrough("hour"),
+    "tominute": _passthrough("minute"),
+    "tosecond": _passthrough("second"),
+    "tostartofmonth": lambda a: f"trunc({a[0]}, 'MM')",
+    "tostartofyear": lambda a: f"trunc({a[0]}, 'YYYY')",
+    "tostartofday": lambda a: f"date_trunc('DAY', {a[0]})",
+    "tostartofhour": lambda a: f"date_trunc('HOUR', {a[0]})",
+    "tostartofminute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+    "tounixtimestamp": lambda a: f"unix_timestamp({a[0]})",
+    "fromunixtimestamp": lambda a: f"from_unixtime({a[0]})",
+    "adddays": lambda a: f"date_add({a[0]}, {a[1]})",
+    "subtractdays": lambda a: f"date_sub({a[0]}, {a[1]})",
+    "datediff": lambda a: f"datediff({a[2]}, {a[1]})" if len(a) == 3 else f"datediff({a[0]}, {a[1]})",
+    "formatdatetime": lambda a: f"date_format({a[0]}, {a[1]})",
+    # --- arrays (non-lambda) -------------------------------------------
+    "array": _array_literal,
+    "arrayconcat": _passthrough("concat"),
+    "arraylength": _passthrough("size"),
+    "arrayelement": lambda a: f"element_at({a[0]}, {a[1]})",
+    "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
+    "arraydistinct": _passthrough("array_distinct"),
+    "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
+    "arraysort": _passthrough("array_sort"),
+    "arrayreversesort": lambda a: f"reverse(array_sort({a[0]}))",
+    "arrayreverse": _passthrough("reverse"),
+    "arrayslice": lambda a: f"slice({', '.join(a)})",
+    "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arraypopback": lambda a: f"slice({a[0]}, 1, size({a[0]}) - 1)",
+    "arraypopfront": lambda a: f"slice({a[0]}, 2, size({a[0]}) - 1)",
+    "arrayflatten": _passthrough("flatten"),
+    "flatten": _passthrough("flatten"),
+    "arrayzip": _passthrough("arrays_zip"),
+    "arrayintersect": _passthrough("array_intersect"),
+    "arrayunion": _passthrough("array_union"),
+    "arraystringconcat": lambda a: "array_join({}, {})".format(
+        a[0], a[1] if len(a) > 1 else "''"),
+    "arraymin": _passthrough("array_min"),
+    "arraymax": _passthrough("array_max"),
+    "arrayavg": lambda a: (f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) "
+                           f"/ size({a[0]}))"),
+    "emptyarraystring": lambda a: "CAST(array() AS ARRAY<STRING>)",
+    "range": _passthrough("sequence"),
+    "arrayenumerate": lambda a: f"sequence(1, size({a[0]}))",
+    "tuple": lambda a: f"struct({', '.join(a)})",
+    # --- aggregates usable inside ch() in agg position ------------------
+    "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "avgif": lambda a: f"avg(CASE WHEN ({a[1]}) THEN ({a[0]}) END)",
+    "sumif": lambda a: f"sum(CASE WHEN ({a[1]}) THEN ({a[0]}) END)",
+    "countif": lambda a: f"count(CASE WHEN ({a[0]}) THEN 1 END)",
+    "quantile": lambda a: f"percentile_approx({a[1]}, {a[0]})" if len(a) == 2 else f"percentile_approx({a[0]}, 0.5)",
+    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "any": _passthrough("first"),
+    "anylast": _passthrough("last"),
+    "argmax": lambda a: f"max_by({a[0]}, {a[1]})",
+    "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
+    "grouparray": lambda a: f"collect_list({a[0]})",
+    "groupuniqarray": lambda a: f"collect_set({a[0]})",
+}
+
+
+# Higher-order (lambda) functions: handled by the rewriter, which parses
+# `$x [, $y]` placeholders, a body expression, then one array arg per
+# placeholder (reference src/udfs/apply.rs:26-283 syntax).
+# Value: fn(placeholders: list[str], body_sql: str, arrays: list[str]) -> str.
+def _hof_array_map(ph: list[str], body: str, arrays: list[str]) -> str:
+    if len(ph) == 1:
+        return f"transform({arrays[0]}, {ph[0]} -> {body})"
+    if len(ph) == 2:
+        return f"zip_with({arrays[0]}, {arrays[1]}, ({ph[0]}, {ph[1]}) -> {body})"
+    raise ValueError("arrayMap supports 1 or 2 lambda parameters")
+
+
+def _hof_single(spark_name: str):
+    def tr(ph: list[str], body: str, arrays: list[str]) -> str:
+        if len(ph) != 1:
+            raise ValueError(f"{spark_name} takes exactly one lambda parameter")
+        return f"{spark_name}({arrays[0]}, {ph[0]} -> {body})"
+    return tr
+
+
+def _hof_array_first(ph: list[str], body: str, arrays: list[str]) -> str:
+    return f"element_at(filter({arrays[0]}, {ph[0]} -> {body}), 1)"
+
+
+def _hof_array_count(ph: list[str], body: str, arrays: list[str]) -> str:
+    return f"size(filter({arrays[0]}, {ph[0]} -> {body}))"
+
+
+def _hof_array_sum(ph: list[str], body: str, arrays: list[str]) -> str:
+    return (f"aggregate({arrays[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, {ph[0]}) -> acc + ({body}))")
+
+
+def _hof_array_sort_by(ph: list[str], body: str, arrays: list[str]) -> str:
+    inner = f"transform({arrays[0]}, {ph[0]} -> struct(({body}) AS k, {ph[0]} AS v))"
+    return f"transform(array_sort({inner}), s -> s.v)"
+
+
+HOF_TRANSLATORS = {
+    "arraymap": _hof_array_map,
+    "arrayfilter": _hof_single("filter"),
+    "arrayexists": _hof_single("exists"),
+    "arrayall": _hof_single("forall"),
+    "arrayfirst": _hof_array_first,
+    "arraycount": _hof_array_count,
+    "arraysum": _hof_array_sum,
+    "arraysortby": _hof_array_sort_by,
+}
+HOF_NAMES = set(HOF_TRANSLATORS)
+
+# Functions that expand rows (generators). `CAST` must wrap their *argument*,
+# not the call itself (Spark requires generators at the top of a projection).
+GENERATOR_TRANSLATORS = {
+    "arrayjoin": "explode",
+}
+
+
+def translate_scalar(name: str, args: list[str]) -> str:
+    """Translate one non-HOF ClickHouse call; raise if unknown."""
+    key = name.lower()
+    fn = SCALAR_TRANSLATORS.get(key)
+    if fn is None:
+        raise UnknownClickHouseFunction(name)
+    return fn(args)
+
+
+def is_known(name: str) -> bool:
+    key = name.lower()
+    return key in SCALAR_TRANSLATORS or key in HOF_TRANSLATORS or key in GENERATOR_TRANSLATORS

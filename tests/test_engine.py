@@ -1,0 +1,80 @@
+"""Phase-0 e2e: catalog registration + flagship query through the engine.
+
+Mirrors the shape of the reference's e2e builder/provider suites
+(tests/e2e.rs: test suites `builder`, `providers`) against the driver's
+testdata instead of a live ClickHouse container.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_catalog_registration(engine):
+    assert "main" in engine.catalog.schema_names()
+    names = set(engine.catalog.table_names("main"))
+    assert {"orders", "customer", "lineitem"} <= names
+    assert engine.catalog.table_exists("main", "orders")
+    assert not engine.catalog.table_exists("main", "no_such_table")
+
+
+def test_flagship_query(engine):
+    df = engine.sql("""
+        SELECT c.c_name AS c_name, count(*) AS order_count
+        FROM clickhouse.main.orders o
+        JOIN clickhouse.main.customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name
+        ORDER BY order_count DESC, c_name
+        LIMIT 10
+    """)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["order_count"] >= rows[-1]["order_count"]
+    assert set(df.columns) == {"c_name", "order_count"}
+
+
+def test_ch_function_in_query(engine):
+    df = engine.sql("""
+        SELECT o_orderkey,
+               clickhouse(exp(o_totalprice / 100000.0), 'Float64') AS e,
+               clickhouse(upper(o_orderpriority), 'Utf8') AS pri
+        FROM clickhouse.main.orders
+        WHERE o_orderkey <= 10
+    """)
+    rows = df.collect()
+    assert all(r["e"] > 0 for r in rows)
+    assert all(r["pri"] == r["pri"].upper() for r in rows)
+    assert dict(df.dtypes)["e"] == "double"
+    assert dict(df.dtypes)["pri"] == "string"
+
+
+def test_table_accessor(engine):
+    df = engine.table("clickhouse.main.region")
+    assert df.count() == 5
+    df2 = engine.table("main.region")
+    assert df2.count() == 5
+
+
+def test_register_existing_table_alias(engine):
+    # reference src/builders.rs:409-436
+    engine.catalog.register_existing_table("region", "region_alias", db="main")
+    assert engine.sql("SELECT count(*) AS n FROM clickhouse.main.region_alias") \
+        .collect()[0]["n"] == 5
+    with pytest.raises(ValueError):
+        engine.catalog.register_existing_table("nope", "x", db="main")
+
+
+def test_filter_pushdown_in_plan(engine):
+    """The reference pushes filters into the remote scan (src/sql.rs:215-228);
+    Catalyst must push ours into the parquet scan."""
+    df = engine.sql(
+        "SELECT o_orderkey FROM clickhouse.main.orders WHERE o_orderkey = 42")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_projection_pruning_in_plan(engine):
+    df = engine.sql("SELECT o_orderkey FROM clickhouse.main.orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema should carry only the projected column
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1]
