@@ -1,0 +1,966 @@
+"""The engine's query inventory — every operator from SURVEY.md §2 expressed
+Spark-first, each paired with ANSI-SQL oracle text that DuckDB runs on the
+same parquet tables (the driver's correctness gate).
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash of column-name-sorted results):
+- every computed column is aliased identically in Spark and oracle SQL;
+- double aggregates are ROUNDed on both sides (sum→2dp, avg/ratio→4dp) so
+  floating summation order cannot flip the hash;
+- integer aggregates are CAST to BIGINT in the oracle (DuckDB sums to
+  HUGEINT, Spark to BIGINT);
+- raw timestamps are never returned — formatted to strings or truncated
+  (testdata `events.ts` is ns-precision in parquet, us in Spark);
+- ORDER BY appears only with LIMIT (top-k), always with a total tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_datafusion_spark.catalog import register_testdata_views, resolve_parquet_path
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def qdef(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = QueryDef(name, fn, oracle, tags)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(resolve_parquet_path(f"{sf_dir}/{name}.parquet"))
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Engine over bare-name temp views (ch-function surface queries)."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    register_testdata_views(spark, sf_dir)
+    return ClickHouseSparkEngine(spark)
+
+
+R2 = lambda c: F.round(c, 2)  # noqa: E731
+R4 = lambda c: F.round(c, 4)  # noqa: E731
+
+
+def dsum(col, nd: int = 2):
+    """Deterministic rounded sum of a double column/expression.
+
+    Floating-point summation is order-dependent, and Spark's partial
+    aggregation order differs from DuckDB's — rounding alone leaves a
+    knife-edge. Casting each row to DECIMAL(28,4) first makes the sum exact
+    and associative, hence hash-stable across engines at any scale.
+    Oracle-side equivalent: ROUND(CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE), nd).
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    # round the exact decimal (ties away from zero in both engines), THEN cast:
+    # an exact sum of 4dp decimals can land exactly on a 2dp half-way point,
+    # which double rounding would resolve differently per engine.
+    return F.round(F.sum(c.cast("decimal(28,4)")), nd).cast("double")
+
+
+def davg(col):
+    """Deterministic 4dp average.
+
+    ``round(double, 4)`` differs between Spark (shortest-string HALF_UP) and
+    DuckDB (scaled rint) on exact half-way ties — and exact ties are common
+    because counts are often powers of two. Instead: u = exact integer sum in
+    1e-4 units (via decimal), then FLOOR(u/cnt + 0.5)/1e4. Every step is an
+    IEEE-defined double op on exactly representable inputs, so both engines
+    produce identical bits.
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    u = (F.sum(c.cast("decimal(28,4)")) * 10000).cast("bigint").cast("double")
+    cnt = F.count(c)
+    return F.floor(u / cnt + F.lit(0.5)) / F.lit(10000.0)
+
+
+def OSUM(x: str, nd: int = 2) -> str:
+    return f"CAST(ROUND(sum(CAST({x} AS DECIMAL(28,4))), {nd}) AS DOUBLE)"
+
+
+def OAVG(x: str, nd: int = 4) -> str:
+    assert nd == 4, "davg is fixed at 4dp"
+    return (f"FLOOR(CAST(CAST(sum(CAST({x} AS DECIMAL(28,4))) * 10000 AS BIGINT) "
+            f"AS DOUBLE) / count({x}) + 0.5) / 10000.0")
+
+
+def DEC(col: str, p: int = 12, s: int = 2):
+    """Cast a clean-2dp input column to decimal for exact arithmetic.
+
+    Casting *computed* doubles to decimal is NOT cross-engine stable (Spark
+    converts via shortest decimal string, DuckDB via scaled rounding; products
+    of 2dp values whose true value ends in ...5 at the cut digit disagree).
+    Casting the raw 2dp inputs is unambiguous; all downstream arithmetic stays
+    in decimal and is exact.
+    """
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def dsum_exact(col, nd: int = 2):
+    """Rounded sum of an already-exact decimal expression."""
+    return F.round(F.sum(col), nd).cast("double")
+
+
+# =========================================================================
+# §2.2 Projections / filters / predicates
+# =========================================================================
+
+@qdef("p1_project_arith",
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_extendedprice * 2, 2) AS price2,
+                upper(l_returnflag) AS rf
+         FROM lineitem WHERE l_orderkey <= 100""",
+      tags=("P1",))
+def p1(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_orderkey") <= 100)
+            .select("l_orderkey", "l_linenumber",
+                    R2(F.col("l_extendedprice") * 2).alias("price2"),
+                    F.upper("l_returnflag").alias("rf")))
+
+
+@qdef("p2_filter_compound",
+      """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+         FROM orders
+         WHERE (o_totalprice > 100000 AND o_orderstatus = 'O')
+            OR o_orderpriority = '1-URGENT'""",
+      tags=("P2",))
+def p2(spark, sf):
+    o = t(spark, sf, "orders")
+    return (o.filter(((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+                     | (F.col("o_orderpriority") == "1-URGENT"))
+            .select("o_orderkey", "o_orderstatus", R2("o_totalprice").alias("price")))
+
+
+@qdef("p4_case_when",
+      f"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     ELSE 'large' END AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                {OSUM('o_totalprice')} AS total
+         FROM orders GROUP BY 1""",
+      tags=("P4",))
+def p4(spark, sf):
+    o = t(spark, sf, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 50000, "small")
+              .when(F.col("o_totalprice") < 150000, "medium")
+              .otherwise("large"))
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total")))
+
+
+@qdef("p5_in_list",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority""",
+      tags=("P5",))
+def p5(spark, sf):
+    o = t(spark, sf, "orders")
+    return (o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
+
+
+@qdef("p6_scalar_literals",
+      """SELECT CAST(abs(-2) AS BIGINT) AS a, upper('spark') AS u,
+                ROUND(exp(1), 4) AS e""",
+      tags=("P6",))
+def p6(spark, sf):
+    return spark.range(1).select(
+        F.abs(F.lit(-2)).cast("bigint").alias("a"),
+        F.upper(F.lit("spark")).alias("u"),
+        R4(F.exp(F.lit(1))).alias("e"))
+
+
+# =========================================================================
+# §2.3 Joins
+# =========================================================================
+
+@qdef("j1_inner_join",
+      f"""SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+                {OSUM('o.o_totalprice')} AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment""",
+      tags=("J1",))
+def j1(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+            .groupBy(c.c_mktsegment.alias("segment"))
+            .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total")))
+
+
+@qdef("j2_left_join",
+      """SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_custkey""",
+      tags=("J2",))
+def j2(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+            .groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@qdef("j3_right_join",
+      """SELECT n.n_name AS nation, CAST(count(c.c_custkey) AS BIGINT) AS n_cust
+         FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""",
+      tags=("J3",))
+def j3(spark, sf):
+    c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
+    return (c.join(n, c.c_nationkey == n.n_nationkey, "right")
+            .groupBy(n.n_name.alias("nation"))
+            .agg(F.count("c_custkey").alias("n_cust")))
+
+
+@qdef("j3b_full_outer",
+      """WITH big AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                      FROM orders GROUP BY o_custkey HAVING count(*) > 12),
+            rich AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+                     FROM customer WHERE c_acctbal > 9000)
+         SELECT coalesce(b.o_custkey, r.c_custkey) AS custkey, b.n, r.bal
+         FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey""",
+      tags=("J3",))
+def j3b(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    big = (o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+           .filter(F.col("n") > 12))
+    rich = (c.filter(F.col("c_acctbal") > 9000)
+            .select("c_custkey", R2("c_acctbal").alias("bal")))
+    return (big.join(rich, big.o_custkey == rich.c_custkey, "full")
+            .select(F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+                    "n", "bal"))
+
+
+@qdef("j4_self_join",
+      """SELECT l1.l_orderkey, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey
+          AND l1.l_linenumber < l2.l_linenumber
+         GROUP BY l1.l_orderkey""",
+      tags=("J4",))
+def j4(spark, sf):
+    li = t(spark, sf, "lineitem")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    return (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                    & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")))
+            .groupBy(F.col("l1.l_orderkey").alias("l_orderkey"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+@qdef("j5_multiway",
+      f"""SELECT r.r_name AS region, n.n_name AS nation,
+                CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+                {OSUM('o.o_totalprice')} AS total
+         FROM region r
+         JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY r.r_name, n.n_name""",
+      tags=("J5",))
+def j5(spark, sf):
+    r, n = t(spark, sf, "region"), t(spark, sf, "nation")
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(r.r_name.alias("region"), n.n_name.alias("nation"))
+            .agg(F.countDistinct("o_orderkey").alias("n_orders"),
+                 dsum("o_totalprice").alias("total")))
+
+
+@qdef("j6_join_group_having",
+      f"""SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n,
+                {OAVG('o.o_totalprice')} AS avg_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_custkey
+         HAVING count(*) >= 10""",
+      tags=("J6",))
+def j6(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n"), davg("o_totalprice").alias("avg_price"))
+            .filter(F.col("n") >= 10))
+
+
+@qdef("j7_derived_table",
+      f"""SELECT c.c_mktsegment AS segment,
+                {OAVG('t.n')} AS avg_orders_per_cust
+         FROM customer c
+         JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY o_custkey) t
+           ON t.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment""",
+      tags=("J7",))
+def j7(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    sub = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (c.join(sub, sub.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(davg("n").alias("avg_orders_per_cust")))
+
+
+@qdef("j8_semi_join",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""",
+      tags=("J-ext",))
+def j8(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    big = o.filter(F.col("o_totalprice") > 200000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@qdef("j9_anti_join",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+      tags=("J-ext",))
+def j9(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# =========================================================================
+# §2.4 Aggregations
+# =========================================================================
+
+@qdef("a1_counts",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(l_returnflag) AS BIGINT) AS n_flags,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem""",
+      tags=("A1", "A6"))
+def a1(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.agg(F.count("*").alias("n_rows"),
+                  F.count("l_returnflag").alias("n_flags"),
+                  F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+@qdef("a2_sum_avg_min_max",
+      f"""SELECT {OSUM('l_quantity')} AS sum_qty,
+                {OAVG('l_extendedprice')} AS avg_price,
+                ROUND(min(l_discount), 2) AS min_disc,
+                ROUND(max(l_tax), 2) AS max_tax
+         FROM lineitem""",
+      tags=("A2",))
+def a2(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.agg(dsum("l_quantity").alias("sum_qty"),
+                  davg("l_extendedprice").alias("avg_price"),
+                  R2(F.min("l_discount")).alias("min_disc"),
+                  R2(F.max("l_tax")).alias("max_tax"))
+
+
+@qdef("a4_group_by_multi",
+      f"""SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                {OSUM('l_quantity')} AS sum_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+      tags=("A4",))
+def a4(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")))
+
+
+@qdef("a5_having",
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_partkey HAVING count(*) > 5""",
+      tags=("A5",))
+def a5(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 5))
+
+
+@qdef("a6_count_distinct_grouped",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM lineitem GROUP BY l_returnflag""",
+      tags=("A6",))
+def a6(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts")))
+
+
+@qdef("a9_string_agg",
+      """SELECT c_mktsegment,
+                string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c_mktsegment""",
+      tags=("A9",))
+def a9(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",")
+                 .alias("priorities")))
+
+
+@qdef("a10_rollup",
+      f"""SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                {OSUM('l_extendedprice')} AS total
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+      tags=("A10",))
+def a10(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total")))
+
+
+@qdef("a10b_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+      tags=("A10",))
+def a10b(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# =========================================================================
+# §2.5 Window functions
+# =========================================================================
+
+@qdef("w1_running_total",
+      """SELECT o_custkey, o_orderkey,
+                ROUND(sum(o_totalprice) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM orders WHERE o_custkey <= 50""",
+      tags=("W1",))
+def w1(spark, sf):
+    o = t(spark, sf, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (o.filter(F.col("o_custkey") <= 50)
+            .select("o_custkey", "o_orderkey",
+                    R2(F.sum("o_totalprice").over(w)).alias("running")))
+
+
+@qdef("w2_share_of_total",
+      """SELECT o_orderkey,
+                ROUND(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                                          OVER () AS DOUBLE), 6) AS share
+         FROM orders WHERE o_orderkey <= 500""",
+      tags=("W2",))
+def w2(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.partitionBy()
+    total = F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double")
+    return (o.filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey",
+                    F.round(F.col("o_totalprice") / total, 6).alias("share")))
+
+
+@qdef("w3_rank_rownum",
+      """SELECT c_mktsegment, c_custkey,
+                CAST(rank() OVER w AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                CAST(row_number() OVER w AS BIGINT) AS rn
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""",
+      tags=("W3",))
+def w3(spark, sf):
+    c = t(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select("c_mktsegment", "c_custkey",
+                    F.rank().over(w).cast("bigint").alias("rnk"),
+                    F.dense_rank().over(w).cast("bigint").alias("drnk"),
+                    F.row_number().over(w).cast("bigint").alias("rn"))
+
+
+@qdef("w5_moving_avg",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                ROUND(avg(l_extendedprice) OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+         FROM lineitem WHERE l_suppkey <= 3""",
+      tags=("W5",))
+def w5(spark, sf):
+    li = t(spark, sf, "lineitem")
+    w = (W.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(-2, W.currentRow))
+    return (li.filter(F.col("l_suppkey") <= 3)
+            .select("l_suppkey", "l_orderkey", "l_linenumber",
+                    R4(F.avg("l_extendedprice").over(w)).alias("mavg")))
+
+
+@qdef("w6_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+                ROUND(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+         FROM orders WHERE o_custkey <= 30""",
+      tags=("W-ext",))
+def w6(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.filter(F.col("o_custkey") <= 30)
+            .select("o_custkey", "o_orderkey",
+                    R2(F.col("o_totalprice")
+                       - F.lag("o_totalprice", 1, 0.0).over(w)).alias("delta")))
+
+
+# =========================================================================
+# §2.6 Sorts / limits / set ops / CTEs / subqueries
+# =========================================================================
+
+@qdef("o1_orderby_nulls_last",
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'P' THEN NULL
+                     ELSE ROUND(o_totalprice, 2) END AS p
+         FROM orders
+         ORDER BY p DESC NULLS LAST, o_orderkey
+         LIMIT 20""",
+      tags=("O1",))
+def o1(spark, sf):
+    o = t(spark, sf, "orders")
+    p = F.when(F.col("o_orderstatus") == "P", None).otherwise(R2("o_totalprice"))
+    return (o.select("o_orderkey", p.alias("p"))
+            .orderBy(F.col("p").desc_nulls_last(), "o_orderkey")
+            .limit(20))
+
+
+@qdef("o2_topk",
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+      tags=("O2",))
+def o2(spark, sf):
+    o = t(spark, sf, "orders")
+    return (o.select("o_orderkey", R2("o_totalprice").alias("price"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10))
+
+
+@qdef("o3_union_all",
+      """SELECT o_orderkey AS k, 'big' AS src FROM orders WHERE o_totalprice > 250000
+         UNION ALL
+         SELECT o_orderkey AS k, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'""",
+      tags=("O3",))
+def o3(spark, sf):
+    o = t(spark, sf, "orders")
+    a = (o.filter(F.col("o_totalprice") > 250000)
+         .select(F.col("o_orderkey").alias("k"), F.lit("big").alias("src")))
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_orderkey").alias("k"), F.lit("urgent").alias("src")))
+    return a.unionAll(b)
+
+
+@qdef("o4_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+      tags=("O4",))
+def o4(spark, sf):
+    o = t(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@qdef("o4b_except",
+      """SELECT c_custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders""",
+      tags=("O4",))
+def o4b(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (c.select("c_custkey")
+            .exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct())
+
+
+@qdef("o5_cte",
+      """WITH seg_stats AS (
+           SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_cust
+           FROM customer GROUP BY c_mktsegment
+         ), seg_orders AS (
+           SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment
+         )
+         SELECT s.seg, s.n_cust, so.n_orders,
+                FLOOR(CAST(so.n_orders AS DOUBLE) * 10000 / s.n_cust + 0.5)
+                  / 10000.0 AS orders_per_cust
+         FROM seg_stats s JOIN seg_orders so ON s.seg = so.seg""",
+      tags=("O5",))
+def o5(spark, sf):
+    register_testdata_views(spark, sf)
+    return spark.sql("""
+        WITH seg_stats AS (
+          SELECT c_mktsegment AS seg, count(*) AS n_cust
+          FROM customer GROUP BY c_mktsegment
+        ), seg_orders AS (
+          SELECT c.c_mktsegment AS seg, count(*) AS n_orders
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment
+        )
+        SELECT s.seg, s.n_cust, so.n_orders,
+               CAST(FLOOR(CAST(so.n_orders AS DOUBLE) * 10000 / s.n_cust + 0.5)
+                    AS DOUBLE) / 10000 AS orders_per_cust
+        FROM seg_stats s JOIN seg_orders so ON s.seg = so.seg""")
+
+
+@qdef("o7_correlated_scalar_subquery",
+      """SELECT c_custkey,
+                CAST((SELECT count(*) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+         FROM customer c WHERE c_custkey <= 100""",
+      tags=("O7",))
+def o7(spark, sf):
+    register_testdata_views(spark, sf)
+    return spark.sql("""
+        SELECT c_custkey,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM customer c WHERE c_custkey <= 100""")
+
+
+@qdef("o8_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+      tags=("O8",))
+def o8(spark, sf):
+    return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@qdef("o9_explode_unnest",
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+         GROUP BY w""",
+      tags=("O9",))
+def o9(spark, sf):
+    p = t(spark, sf, "part")
+    return (p.select(F.explode(F.split("p_name", " ")).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
+# =========================================================================
+# §2.7 ClickHouse function surface (through the engine's SQL front door)
+# =========================================================================
+
+@qdef("f1_ch_math",
+      """SELECT o_orderkey,
+                ROUND(exp(o_totalprice / 500000), 6) AS e,
+                ROUND(abs(o_totalprice - 100000), 2) AS a,
+                ROUND(power(o_totalprice / 100000, 2), 6) AS p,
+                CAST(o_orderkey % 7 AS BIGINT) AS m
+         FROM orders WHERE o_orderkey <= 200""",
+      tags=("F1",))
+def f1(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderkey,
+               round(clickhouse(exp(o_totalprice / 500000), 'Float64'), 6) AS e,
+               round(clickhouse(abs(o_totalprice - 100000), 'Float64'), 2) AS a,
+               round(clickhouse(pow(o_totalprice / 100000, 2), 'Float64'), 6) AS p,
+               clickhouse(mod(o_orderkey, 7), 'Int64') AS m
+        FROM orders WHERE o_orderkey <= 200""")
+
+
+@qdef("f2_ch_string",
+      """SELECT p_partkey,
+                upper(p_name) AS un, lower(p_brand) AS lb,
+                p_type || '/' || p_brand AS cat,
+                CAST(length(p_name) AS INT) AS len,
+                CAST(p_partkey AS VARCHAR) AS pk_str
+         FROM part WHERE p_partkey <= 100""",
+      tags=("F1",))
+def f2(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT p_partkey,
+               clickhouse(upper(p_name), 'Utf8') AS un,
+               clickhouse(lower(p_brand), 'Utf8') AS lb,
+               clickhouse(concat(p_type, '/', p_brand), 'Utf8') AS cat,
+               clickhouse(length(p_name), 'Int32') AS len,
+               clickhouse(toString(p_partkey), 'Utf8') AS pk_str
+        FROM part WHERE p_partkey <= 100""")
+
+
+@qdef("f3_ch_sigmoid_b64",
+      """SELECT s_suppkey,
+                ROUND(1.0 / (1.0 + exp(-(s_acctbal / 1000))), 6) AS sig,
+                base64(s_name::BLOB) AS b64
+         FROM supplier""",
+      tags=("F1",))
+def f3(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT s_suppkey,
+               round(clickhouse(sigmoid(s_acctbal / 1000), 'Float64'), 6) AS sig,
+               clickhouse(`base64Encode`(s_name), 'Utf8') AS b64
+        FROM supplier""")
+
+
+@qdef("f4_ch_lambda_map",
+      """SELECT p_partkey,
+                list_transform(string_split(p_name, ' '), x -> x || '_p') AS words
+         FROM part WHERE p_partkey <= 50""",
+      tags=("F3",))
+def f4(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT p_partkey,
+               clickhouse(`arrayMap`($x, concat($x, '_p'), splitByChar(' ', p_name)),
+                          'List(Utf8)') AS words
+        FROM part WHERE p_partkey <= 50""")
+
+
+@qdef("f5_ch_lambda_filter_exists",
+      """SELECT p_partkey,
+                list_filter(string_split(p_name, ' '), x -> length(x) > 5) AS long_words,
+                CAST(length(list_filter(string_split(p_name, ' '), x -> x = 'green')) > 0
+                     AS BOOLEAN) AS has_green
+         FROM part WHERE p_partkey <= 50""",
+      tags=("F3",))
+def f5(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT p_partkey,
+               clickhouse(`arrayFilter`($x, length($x) > 5, splitByChar(' ', p_name)),
+                          'List(Utf8)') AS long_words,
+               clickhouse(`arrayExists`($x, $x = 'green', splitByChar(' ', p_name)),
+                          'Boolean') AS has_green
+        FROM part WHERE p_partkey <= 50""")
+
+
+@qdef("f6_ch_array_join",
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w
+               FROM part) GROUP BY w""",
+      tags=("F3",))
+def f6(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT word, count(*) AS n FROM (
+          SELECT p_partkey,
+                 clickhouse(`arrayJoin`(splitByChar(' ', p_type)), 'Utf8') AS word
+          FROM part
+        ) GROUP BY word""")
+
+
+@qdef("f7_ch_eval",
+      """SELECT c_custkey,
+                ROUND(exp(c_acctbal / 10000), 6) AS e,
+                upper(c_name) AS un
+         FROM customer WHERE c_custkey <= 100""",
+      tags=("F2",))
+def f7(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT c_custkey,
+               round(clickhouse_eval('exp(c_acctbal / 10000)', 'Float64'), 6) AS e,
+               clickhouse_eval('upper(c_name)', 'Utf8') AS un
+        FROM customer WHERE c_custkey <= 100""")
+
+
+@qdef("f8_ch_case_udf",
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 150000 THEN upper(o_orderpriority)
+                     ELSE lower(o_orderpriority) END AS pri
+         FROM orders WHERE o_orderkey <= 300""",
+      tags=("P4", "F1"))
+def f8(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 150000
+                    THEN clickhouse(upper(o_orderpriority), 'Utf8')
+                    ELSE clickhouse(lower(o_orderpriority), 'Utf8') END AS pri
+        FROM orders WHERE o_orderkey <= 300""")
+
+
+# =========================================================================
+# TPC-H-style headline queries (bench set)
+# =========================================================================
+
+@qdef("q1_pricing_summary",
+      f"""SELECT l_returnflag, l_linestatus,
+                {OSUM('l_quantity')} AS sum_qty,
+                {OSUM('l_extendedprice')} AS sum_base_price,
+                CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                     AS DOUBLE) AS sum_disc_price,
+                CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                               * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                     AS DOUBLE) AS sum_charge,
+                {OAVG('l_quantity')} AS avg_qty,
+                {OAVG('l_extendedprice')} AS avg_price,
+                {OAVG('l_discount')} AS avg_disc,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+      tags=("bench", "A2", "A3", "A4"))
+def q1(spark, sf):
+    li = t(spark, sf, "lineitem")
+    disc_price = DEC("l_extendedprice", 14, 2) * (F.lit(1) - DEC("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1) + DEC("l_tax", 4, 2))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 dsum_exact(disc_price).alias("sum_disc_price"),
+                 dsum_exact(charge).alias("sum_charge"),
+                 davg("l_quantity").alias("avg_qty"),
+                 davg("l_extendedprice").alias("avg_price"),
+                 davg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@qdef("q3_shipping_priority",
+      """SELECT o.o_orderkey,
+                CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                     AS DOUBLE) AS revenue,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o.o_orderkey, o.o_orderdate
+         ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+      tags=("bench", "J6"))
+def q3(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(dsum_exact(DEC("l_extendedprice", 14, 2)
+                            * (F.lit(1) - DEC("l_discount", 4, 2)))
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+            .orderBy(F.col("revenue").desc(), "o_orderkey").limit(10))
+
+
+@qdef("q5_region_revenue",
+      """SELECT n.n_name AS nation,
+                CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                     AS DOUBLE) AS revenue
+         FROM region r
+         JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN supplier s ON s.s_nationkey = n.n_nationkey
+         JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY n.n_name""",
+      tags=("bench", "J5"))
+def q5(spark, sf):
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n, s = t(spark, sf, "nation"), t(spark, sf, "supplier")
+    li, o = t(spark, sf, "lineitem"), t(spark, sf, "orders")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(dsum_exact(DEC("l_extendedprice", 14, 2)
+                            * (F.lit(1) - DEC("l_discount", 4, 2)))
+                 .alias("revenue")))
+
+
+@qdef("q6_forecast_revenue",
+      """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * CAST(l_discount AS DECIMAL(4,2))), 2)
+                     AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+      tags=("bench",))
+def q6(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                      & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(dsum_exact(DEC("l_extendedprice", 14, 2) * DEC("l_discount", 4, 2))
+                 .alias("revenue")))
+
+
+@qdef("flagship_top_customers",
+      """SELECT c.c_name, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_name
+         ORDER BY order_count DESC, c.c_name LIMIT 10""",
+      tags=("bench", "flagship"))
+def flagship(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_name").agg(F.count("*").alias("order_count"))
+            .orderBy(F.col("order_count").desc(), "c_name").limit(10))
+
+
+# =========================================================================
+# events (batch analytics over the stream-shaped table)
+# =========================================================================
+
+@qdef("e1_hourly_rollup",
+      f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                {OSUM('value')} AS total
+         FROM events GROUP BY 1, 2""",
+      tags=("events",))
+def e1(spark, sf):
+    ev = t(spark, sf, "events")
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+                .alias("hour"),
+                "event_type")
+            .agg(F.count("*").alias("n"), dsum("value").alias("total")))
+
+
+@qdef("e2_user_activity",
+      f"""SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                {OAVG('value')} AS avg_value
+         FROM events GROUP BY user_id""",
+      tags=("events",))
+def e2(spark, sf):
+    ev = t(spark, sf, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 davg("value").alias("avg_value")))
+
+
+def get_queries():
+    return {name: qd.spark_fn for name, qd in QUERIES.items()}
+
+
+def get_oracles():
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle}
