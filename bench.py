@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Methodology mirrors the reference's benchmark harness shape
+(/root/reference/examples/10_large_scale.rs:253-276 — multiple iterations,
+best-of reporting) applied to the query set instead of inserts: per query,
+ITERS timed runs (default 2) after one warm-up of the session, report the
+minimum (steady-state) per query and their sum as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "flagship_top_customers",
+    "j5_multiway",
+    "a4_group_by_multi",
+    "w3_rank_rownum",
+    "o9_explode_unnest",
+    "j4_self_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+
+    from clickhouse_datafusion_spark.queries import QUERIES
+    from clickhouse_datafusion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM/codegen/parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+    QUERIES["flagship_top_customers"].spark_fn(spark, sf_dir).collect()
+
+    extra = [q for q in os.environ.get("BENCH_EXTRA", "").split(",") if q]
+    names = [n for n in BENCH_QUERIES + extra if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].spark_fn
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_query_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()
