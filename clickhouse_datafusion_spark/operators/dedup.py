@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of this module is 100 TB, not 500 rows):
+
+- **exact**: hash-groupBy on a 64-bit content hash. One shuffle keyed by the
+  hash — uniformly distributed, skew-free by construction. Never shuffles the
+  document body: only (hash, doc_id) pairs move.
+- **MinHash+LSH**: per-row signature computation is a pure projection
+  (codegen, no Python); banding explodes each doc into ``n_bands`` rows and
+  groups by (band, band-signature). Candidate verification compares full
+  signatures only within buckets. Network traffic is O(rows × bands × 8 B),
+  independent of document size.
+- **SimHash**: 64-bit signature via bit-majority of word hashes — again a
+  pure projection; near-dup = signatures equal in all but ≤ k bits, found by
+  grouping on ``n_tables`` masked sub-signatures (same banding trick).
+- **n-gram Jaccard**: exact pairwise similarity — O(pairs); used as the
+  *verifier* behind LSH candidates, or standalone at small scale. The
+  shingle→doc join is the shuffle; shingle frequency skew is the risk, so
+  ``max_shingle_freq`` drops stop-shingles (a standard skew guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: (content hash, keeper id, copy count).
+
+    Uses md5 (oracle-matchable); swap for xxhash64 at production scale.
+    """
+    return (df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+            .groupBy("h")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id row per distinct content."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def word_ngrams(col, n: int = 3):
+    """Distinct word n-grams of a text column (array<string>).
+
+    Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down*, so a
+    doc with fewer than n words must short-circuit to an empty array.
+    """
+    ws = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]))
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
+    """array<bigint> MinHash signature over word n-grams.
+
+    Hash family: xxhash64(gram, seed=i) via salt concat — JVM-side, no UDF.
+    """
+    grams = word_ngrams(col, ngram)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(F.concat(g, F.lit("#"), i)))))
+
+
+def minhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 32,
+                       bands: int = 8, ngram: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding, scored by estimated
+    Jaccard (fraction of agreeing MinHashes), filtered at ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), n_hashes, ngram).alias("sig"))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                .alias("bsig")))).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                      lambda x, y: x == y),
+                           lambda e: e))
+           / F.size(F.col("sig_a")))
+    return (pairs.select("id_a", "id_b",
+                         (F.floor(est * 10000 + F.lit(0.5)) / F.lit(10000.0))
+                         .alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(col, bits: int = 64):
+    """64-bit SimHash: bit b set iff the b-th bit of word-hashes wins the
+    majority vote across words (pure array ops, codegen-friendly).
+
+    Bit positions are Python-side constants (shiftleft/shiftright take
+    literal shift amounts), so this expands to a wide but flat expression.
+    """
+    ws = F.split(col, " ")
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    n = F.size(ws)
+    sig = F.lit(0).cast("bigint")
+
+    def bit_pred(b: int):
+        # single-parameter lambda: PySpark treats a 2-arg lambda as
+        # (element, index), so the bit position must be closed over.
+        return lambda h: F.getbit(h, F.lit(b)) == 1
+
+    for b in range(bits):
+        vote = F.size(F.filter(hashes, bit_pred(b)))
+        weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
+        sig = sig + F.when(vote * 2 > n, F.lit(weight).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      n_tables: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
+
+    Pigeonhole banding: split 64 bits into n_tables blocks; any pair within
+    distance < n_tables agrees on ≥1 block → group by block value.
+    """
+    block = 64 // n_tables
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_col(F.col(text_col)).alias("sh"))
+    banded = sh.select("id", "sh", F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("tbl"),
+            F.shiftright(F.col("sh"), i * block)
+            .bitwiseAND(F.lit((1 << block) - 1)).alias("key"))
+        for i in range(n_tables)])).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (LSH verifier / small-scale standalone)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.2,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for every co-shingled pair.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    (stop-shingle skew guard — at scale a handful of ubiquitous shingles
+    would otherwise create a quadratic hot bucket).
+    """
+    grams = (df.select(F.col(id_col).alias("id"),
+                       word_ngrams(F.col(text_col), n).alias("grams"))
+             .select("id", F.size("grams").alias("n_grams"),
+                     F.explode("grams").alias("g")))
+    if max_shingle_freq:
+        freq = grams.groupBy("g").agg(F.count("*").alias("df_"))
+        grams = (grams.join(freq, "g")
+                 .filter(F.col("df_") <= max_shingle_freq).drop("df_"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("i")))
+    jac = (F.floor(F.col("i") * 10000 / (F.col("na") + F.col("nb") - F.col("i"))
+                   + F.lit(0.5)) / F.lit(10000.0))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

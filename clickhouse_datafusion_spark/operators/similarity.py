@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``   — exact brute-force top-k against a query vector: a pure
+  projection + TakeOrderedAndProject. At 100 TB this is a full scan but with
+  NO shuffle (per-partition top-k then driver-side merge of k·partitions
+  rows); bandwidth-bound and embarrassingly parallel.
+- ``pairwise_cosine_dups`` — exact near-duplicate pairs above a cosine
+  threshold (quadratic; use on blocked/bucketed subsets).
+- ``lsh_ann_topk``  — the scale path: random-hyperplane LSH. Signatures are
+  deterministic (seeded hyperplanes), bucketing turns the quadratic pair
+  space into per-bucket probes. Recall is tunable via n_planes/n_tables:
+  defaults (8×8) give ~99% recall at cos ≥ 0.95 (near-dup retrieval, the
+  primary use-case); low-similarity neighbors are not concentrated in any
+  bucket structure and need the exact path.
+
+Dot products use ``zip_with`` + left-to-right ``aggregate`` in double
+precision — bit-identical to a sequential C loop, which keeps the DuckDB
+oracle exact (same accumulation order).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Returns (id, cos) rounded to 4dp with a deterministic id tiebreak.
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    c = cosine(_as_double(vec_col), q)
+    return (df.select(F.col(id_col),
+                      (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .orderBy(F.col("cos").desc(), id_col)
+            .limit(k))
+
+
+def pairwise_cosine_dups(df: DataFrame, threshold: float = 0.9,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Exact embedding near-dup pairs (cos ≥ threshold), id_a < id_b."""
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+                  norm(_as_double(vec_col)).alias("nrm"))
+    a, b = v.alias("a"), v.alias("b")
+    c = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a bigint bit pattern."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec, F.lit(p).cast("array<double>")) >= 0,
+                     F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseXOR(bit)
+    return sig
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 8, n_tables: int = 8,
+                 dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate top-k: probe only rows sharing an LSH bucket with the
+    query in ≥1 of ``n_tables`` tables, then exact-rank the candidates.
+
+    At scale, write-side: persist bucket ids as a column (partition/bucket
+    the table by them); read-side: this becomes a partition-pruned scan of
+    ~n_tables buckets instead of a full sweep.
+    """
+    dim = dim or len(query_vec)
+    cands = None
+    v = _as_double(vec_col)
+    for t_i in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t_i)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+                qsig |= 1 << i
+        hit = df.filter(lsh_signature(v, planes) == qsig)
+        cands = hit if cands is None else cands.unionAll(hit)
+    cands = cands.dropDuplicates([id_col])
+    q = F.lit(query_vec).cast("array<double>")
+    c = cosine(_as_double(vec_col), q)
+    return (cands.select(F.col(id_col),
+                         (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .orderBy(F.col("cos").desc(), id_col)
+            .limit(k))
+
+
+def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
+                         left_vec: str = "embedding", right_vec: str = "embedding",
+                         left_id: str = "vec_id", right_id: str = "vec_id") -> DataFrame:
+    """k nearest right-rows for every left-row (broadcast the smaller side).
+
+    Exact kNN join: at scale broadcast ``right`` when it fits (<~1 GB),
+    else fall back to LSH-bucketed join.
+    """
+    from pyspark.sql import Window as W
+
+    r = F.broadcast(right.select(F.col(right_id).alias("rid"),
+                                 _as_double(right_vec).alias("rv")))
+    l_ = left.select(F.col(left_id).alias("lid"), _as_double(left_vec).alias("lv"))
+    c = cosine(F.col("lv"), F.col("rv"))
+    w = W.partitionBy("lid").orderBy(F.col("cos").desc(), "rid")
+    return (l_.join(r, F.col("lid") != F.col("rid"))
+            .select("lid", "rid",
+                    (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

@@ -1,0 +1,114 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure ``pyspark.sql.functions`` compositions — no Python UDFs — so they
+run inside whole-stage codegen and scale linearly with input splits: a scan →
+project pipeline with zero shuffles. At 100 TB these are embarrassingly
+parallel; the only tuning knob is input split size
+(``spark.sql.files.maxPartitionBytes``).
+
+Every operator has an exact SQL twin (see queries.py) so the DuckDB oracle
+can hash-check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small function-word profiles per language. Counting is done with
+# multiplicity (filter + contains, not set-intersect) so Spark and the SQL
+# oracle agree exactly.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "en", "que"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "du", "dans", "que"),
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ("on", "as", "with", "at", "by", "from")
+
+# 2^31 - 1; the polynomial hash stays oracle-expressible (DuckDB list_reduce).
+# Production fingerprint at 100 TB should use xxhash64(text) (64-bit, faster);
+# this rolling form exists to mirror streaming/rolling fingerprints and to be
+# exactly reproducible in ANSI SQL.
+FP_MOD = 2_147_483_647
+FP_BASE = 31
+
+
+def words(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count_cols(text_col: str = "text") -> list[Column]:
+    """Whitespace tokens, regex (BPE-ish boundary) tokens, and a chars/4
+    BPE-budget estimate."""
+    c = F.col(text_col)
+    return [
+        F.size(F.split(c, " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+        .cast("bigint").alias("re_tokens"),
+        F.ceil(F.length(c) / 4.0).cast("bigint").alias("bpe_budget"),
+    ]
+
+
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """Length/stopword/alpha statistics and a blended quality score."""
+    c = F.col(text_col)
+    ws = words(text_col)
+    n_words = F.size(ws)
+    stop_hits = F.size(F.filter(
+        ws, lambda w: w.isin(*EN_STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    mean_wlen = (F.length(c) - (n_words - 1)) / n_words
+    stop_ratio = F.floor(stop_hits * 10000 / n_words + F.lit(0.5)) / F.lit(10000.0)
+    alpha_ratio = F.floor(alpha_chars * 10000 / F.length(c) + F.lit(0.5)) / F.lit(10000.0)
+    score = F.floor(
+        (F.least(n_words / F.lit(200.0), F.lit(1.0)) * 40
+         + alpha_ratio * 40
+         + F.least(stop_ratio * 4, F.lit(1.0)) * 20) * 100 + F.lit(0.5)) / F.lit(100.0)
+    return [
+        F.length(c).cast("bigint").alias("n_chars_m"),
+        n_words.cast("bigint").alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality"),
+    ]
+
+
+def lang_score(text_col: str, lang: str) -> Column:
+    profile = LANG_PROFILES[lang]
+    return F.size(F.filter(words(text_col), lambda w: w.isin(*profile)))
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """n-gram/function-word heuristic language ID with deterministic
+    tie-breaking (alphabetical on equal score; 'und' when no hits)."""
+    scores = {lg: lang_score(text_col, lg) for lg in sorted(LANG_PROFILES)}
+    m = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lg in reversed(sorted(scores)):  # build CASE chain, first lang wins ties
+        out = F.when((m > 0) & (scores[lg] == m), lg).otherwise(out)
+    return out
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Rolling polynomial hash over characters, mod 2^31-1 (oracle-exact)."""
+    chars = F.split(F.col(text_col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.coalesce(F.ascii(ch), F.lit(0))) % FP_MOD,
+    ).alias("fp")
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: tokens + quality + language + fingerprint."""
+    return df.select(
+        "*",
+        *token_count_cols(text_col),
+        *quality_cols(text_col),
+        lang_id_col(text_col).alias("lang_pred"),
+        fingerprint_col(text_col),
+    )

@@ -958,6 +958,222 @@ def e2(spark, sf):
                  davg("value").alias("avg_value")))
 
 
+# =========================================================================
+# Pipeline operators: text analysis (operators/text.py)
+# =========================================================================
+
+_STOP_SQL = "['the','a','and','of','to','in','is','that','it','for','on','as','with','at','by','from']"
+_PROF_SQL = {
+    "de": "['der','die','das','und','ist','nicht','mit','ein','zu','von']",
+    "en": "['the','a','and','of','to','in','is','that','it','for']",
+    "es": "['el','la','los','y','es','un','una','de','en','que']",
+    "fr": "['le','la','les','et','est','un','une','du','dans','que']",
+}
+
+
+@qdef("t1_token_counts",
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+                CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_budget
+         FROM documents""",
+      tags=("pipeline", "text"))
+def t1_tokens(spark, sf):
+    from clickhouse_datafusion_spark.operators.text import token_count_cols
+
+    return t(spark, sf, "documents").select("doc_id", *token_count_cols("text"))
+
+
+@qdef("t2_quality_scores",
+      f"""WITH d AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> list_contains({_STOP_SQL}, w))) AS stop_hits,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+            FROM documents)
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_m,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 FLOOR(stop_hits * 10000 / n_words + 0.5) / 10000.0 AS stop_ratio,
+                 FLOOR(alpha_chars * 10000 / length(text) + 0.5) / 10000.0 AS alpha_ratio,
+                 FLOOR((least(n_words / 200.0, 1.0) * 40
+                        + (FLOOR(alpha_chars * 10000 / length(text) + 0.5) / 10000.0) * 40
+                        + least((FLOOR(stop_hits * 10000 / n_words + 0.5) / 10000.0) * 4, 1.0) * 20)
+                       * 100 + 0.5) / 100.0 AS quality
+          FROM d""",
+      tags=("pipeline", "text"))
+def t2_quality(spark, sf):
+    from clickhouse_datafusion_spark.operators.text import quality_cols
+
+    return t(spark, sf, "documents").select("doc_id", *quality_cols("text"))
+
+
+@qdef("t3_lang_id",
+      f"""WITH s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['de']}, w))) AS s_de,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['en']}, w))) AS s_en,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['es']}, w))) AS s_es,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['fr']}, w))) AS s_fr
+            FROM documents)
+          SELECT doc_id, lang,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM s""",
+      tags=("pipeline", "text"))
+def t3_lang(spark, sf):
+    from clickhouse_datafusion_spark.operators.text import lang_id_col
+
+    return (t(spark, sf, "documents")
+            .select("doc_id", "lang", lang_id_col("text").alias("lang_pred")))
+
+
+@qdef("t4_doc_fingerprint",
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+         FROM documents""",
+      tags=("pipeline", "text"))
+def t4_fp(spark, sf):
+    from clickhouse_datafusion_spark.operators.text import fingerprint_col
+
+    return t(spark, sf, "documents").select("doc_id", fingerprint_col("text"))
+
+
+# =========================================================================
+# Pipeline operators: dedup (operators/dedup.py)
+# =========================================================================
+
+@qdef("d1_exact_dedup_groups",
+      """SELECT md5(text) AS h,
+                CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+      tags=("pipeline", "dedup"))
+def d1_exact(spark, sf):
+    from clickhouse_datafusion_spark.operators.dedup import exact_groups
+
+    return exact_groups(t(spark, sf, "documents"))
+
+
+@qdef("d2_ngram_jaccard_pairs",
+      """WITH g AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+          e AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gr FROM g)
+          SELECT a.id AS id_a, b.id AS id_b,
+                 FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
+                   / 10000.0 AS jaccard
+          FROM e a JOIN e b ON a.gr = b.gr AND a.id < b.id
+          GROUP BY a.id, b.id, a.n_grams, b.n_grams
+          HAVING FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
+                   / 10000.0 >= 0.1""",
+      tags=("pipeline", "dedup"))
+def d2_jaccard(spark, sf):
+    from clickhouse_datafusion_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.1)
+
+
+@qdef("d3_minhash_lsh_candidates", None, tags=("pipeline", "dedup"))
+def d3_minhash(spark, sf):
+    """MinHash+LSH near-dup candidates — hash family (xxhash64) is
+    Spark-specific, so this is a rows-only check; tests validate its recall
+    against the exact d2 pairs."""
+    from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(t(spark, sf, "documents"), threshold=0.3)
+
+
+@qdef("d4_simhash_near_dups", None, tags=("pipeline", "dedup"))
+def d4_simhash(spark, sf):
+    from clickhouse_datafusion_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(t(spark, sf, "documents"), max_hamming=8)
+
+
+@qdef("d5_embedding_dup_pairs",
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.id AS id_a, b.id AS id_b,
+                FLOOR(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                      * 10000 + 0.5) / 10000.0 AS cos
+         FROM v a JOIN v b ON a.id < b.id
+         WHERE FLOOR(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     * 10000 + 0.5) / 10000.0 >= 0.8""",
+      tags=("pipeline", "dedup"))
+def d5_embdup(spark, sf):
+    from clickhouse_datafusion_spark.operators.similarity import pairwise_cosine_dups
+
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return pairwise_cosine_dups(emb, threshold=0.8)
+
+
+# =========================================================================
+# Pipeline operators: similarity search (operators/similarity.py)
+# =========================================================================
+
+@qdef("s1_cosine_topk",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qv, qv)))
+                      * 10000 + 0.5) / 10000.0 AS cos
+         FROM embeddings, q
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+      tags=("pipeline", "similarity"))
+def s1_topk(spark, sf):
+    from clickhouse_datafusion_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk(emb, qvec, k=10)
+
+
+@qdef("s2_lsh_ann_topk", None, tags=("pipeline", "similarity"))
+def s2_ann(spark, sf):
+    """Approximate NN via random-hyperplane LSH — rows-only check; tests
+    measure recall vs the exact s1 ranking."""
+    from clickhouse_datafusion_spark.operators.similarity import lsh_ann_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return lsh_ann_topk(emb, qvec, k=10)
+
+
+# =========================================================================
+# Pipeline operators: multimodal plumbing (operators/multimodal.py)
+# =========================================================================
+
+@qdef("m1_multimodal_features", None, tags=("pipeline", "multimodal"))
+def m1_media(spark, sf):
+    """Binary-payload plumbing + Arrow-batched (stub) decode — rows-only."""
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        decode_features, documents_as_media)
+
+    media = documents_as_media(t(spark, sf, "documents"))
+    feats = decode_features(media)
+    return feats.select("media_id", F.col("meta.kind").alias("kind"),
+                        F.size("features").alias("dim"),
+                        F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
 def get_queries():
     return {name: qd.spark_fn for name, qd in QUERIES.items()}
 

@@ -1,0 +1,177 @@
+"""Behavioral tests for the pipeline operators (dedup/similarity/text/
+multimodal) beyond the oracle hash checks: recall of approximate methods
+against exact ones, invariance properties, and Arrow plumbing shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+
+    return spark.read.parquet(resolve_parquet_path(f"{SF_SMOKE}/documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+# -- dedup -----------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    from clickhouse_datafusion_spark.operators.dedup import drop_exact_dups, exact_groups
+
+    planted = docs.limit(20)
+    with_dups = docs.unionAll(planted.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    groups = exact_groups(with_dups)
+    n_dup_groups = groups.filter(F.col("n_copies") > 1).count()
+    assert n_dup_groups == 20
+    kept = drop_exact_dups(with_dups)
+    assert kept.count() == docs.count()
+    # keeper is always the minimum id (original, not planted copy)
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_recall_against_exact_jaccard(spark, docs):
+    """LSH candidates at threshold .5 must contain every exact pair with
+    jaccard ≥ .7 (high-sim pairs are what LSH must not miss)."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        minhash_candidates, ngram_jaccard_pairs)
+
+    planted = (docs.limit(10)
+               .withColumn("doc_id", F.col("doc_id") + 500_000))  # identical copies
+    corpus = docs.unionAll(planted)
+    exact = {(r.id_a, r.id_b)
+             for r in ngram_jaccard_pairs(corpus, threshold=0.7).collect()}
+    cands = {(r.id_a, r.id_b)
+             for r in minhash_candidates(corpus, threshold=0.5).collect()}
+    assert len(exact) >= 10
+    missed = exact - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_identical_and_perturbed(spark, docs):
+    from clickhouse_datafusion_spark.operators.dedup import simhash_col
+
+    two = docs.limit(1).select(
+        simhash_col(F.col("text")).alias("a"),
+        simhash_col(F.concat(F.col("text"), F.lit(" extra word"))).alias("b"),
+        simhash_col(F.reverse(F.col("text"))).alias("c"))
+    r = two.first()
+    assert r.a is not None
+    ham_ab = bin((r.a ^ r.b) & ((1 << 64) - 1)).count("1")
+    assert ham_ab <= 16  # small perturbation → small Hamming distance
+
+
+def test_simhash_near_dups_on_planted(spark, docs):
+    from clickhouse_datafusion_spark.operators.dedup import simhash_near_dups
+
+    planted = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 900_000)
+    corpus = docs.unionAll(planted)
+    pairs = simhash_near_dups(corpus, max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(float(i), float(i + 900_000)) for i in range(5)}
+    assert {(a, b) for a, b in found
+            if b - a == 900_000} >= {(i, i + 900_000) for i in range(5)}, found
+
+
+# -- similarity ------------------------------------------------------------
+
+def test_lsh_ann_recall_on_near_dups(spark, emb):
+    """Plant 9 slightly-perturbed copies of the query vector (cos ≈ 0.99);
+    LSH ANN must recall them — that's the near-dup retrieval contract.
+    (The synthetic embeddings are near-random: natural 'neighbors' sit at
+    cos ≈ 0.3, which no bucketed ANN can concentrate; the exact path covers
+    that regime.)"""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        cosine_topk, lsh_ann_topk)
+
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = spark.createDataFrame(
+        [(100_000 + i, [v + 0.01 * ((i + j) % 3) for j, v in enumerate(qvec)], 0)
+         for i in range(9)],
+        "vec_id bigint, embedding array<float>, label int")
+    corpus = emb.unionByName(planted)
+    exact = [r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()]
+    approx = [r.vec_id for r in lsh_ann_topk(corpus, qvec, k=10).collect()]
+    assert exact[0] == 0  # query vector is its own nearest
+    assert set(exact) == set(approx), (exact, approx)
+
+
+def test_knn_join_shape(spark, emb):
+    from clickhouse_datafusion_spark.operators.similarity import brute_force_knn_join
+
+    left = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_knn_join(left, emb, k=3)
+    rows = out.collect()
+    assert len(rows) == 15  # 5 lefts × k
+    assert all(r.lid != r.rid for r in rows)
+
+
+# -- text ------------------------------------------------------------------
+
+def test_analyze_one_pass(spark, docs):
+    from clickhouse_datafusion_spark.operators.text import analyze
+
+    out = analyze(docs.limit(50))
+    r = out.first()
+    assert r.ws_tokens > 0 and r.re_tokens >= r.ws_tokens - 1
+    assert 0.0 <= r.quality <= 100.0
+    assert r.lang_pred in ("de", "en", "es", "fr", "und")
+    assert 0 <= r.fp < 2_147_483_647
+
+
+def test_fingerprint_is_content_hash(spark, docs):
+    from clickhouse_datafusion_spark.operators.text import fingerprint_col
+
+    a = docs.select(F.col("doc_id"), fingerprint_col("text"))
+    b = docs.select(F.col("doc_id"), fingerprint_col("text"))
+    assert a.exceptAll(b).count() == 0  # deterministic
+    n_distinct = a.select("fp").distinct().count()
+    assert n_distinct >= docs.count() * 0.99  # 31-bit space, 500 docs: no collisions
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_multimodal_plumbing(spark, docs):
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        FEATURE_DIM, decode_features, documents_as_media, frame_sample_stub,
+        resize_stub)
+
+    media = documents_as_media(docs.limit(30))
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+
+    resized = resize_stub(media, 224, 224)
+    r = resized.first()
+    assert (r.meta.width, r.meta.height) == (224, 224)
+
+    vids = media.withColumn(
+        "meta", F.struct(F.lit("video").alias("kind"), F.lit("video/mp4").alias("mime"),
+                         F.lit(None).cast("int").alias("width"),
+                         F.lit(None).cast("int").alias("height"),
+                         F.lit(3500).cast("long").alias("duration_ms")))
+    frames = frame_sample_stub(vids, every_ms=1000)
+    per_media = frames.groupBy("media_id").count().first()
+    assert per_media["count"] == 3
+
+
+def test_multimodal_strict_mode_raises(spark, docs):
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        decode_features, documents_as_media)
+
+    media = documents_as_media(docs.limit(2))
+    with pytest.raises(Exception, match="(?i)codec|notimplemented"):
+        decode_features(media, strict=True).collect()
