@@ -118,6 +118,54 @@ class ClickHouseCatalog:
         ie = "IF EXISTS " if if_exists else ""
         self.spark.sql(f"DROP TABLE {ie}`{db}`.`{table}`")
 
+    def create_table(self, db: str, table: str, schema_ddl: str,
+                     engine: str = "MergeTree",
+                     order_by: list[str] | None = None,
+                     primary_keys: list[str] | None = None,
+                     partition_by: str | None = None,
+                     ttl: str | None = None,
+                     defaults: dict[str, str] | None = None,
+                     if_not_exists: bool = True) -> None:
+        """CREATE TABLE with the reference's CreateOptions surface
+        (src/utils/params.rs:42-69, src/utils/create.rs:48-82).
+
+        ClickHouse-physical knobs (engine, order_by, primary_keys, sampling,
+        ttl) have no Spark execution meaning — they are recorded as
+        TBLPROPERTIES for round-tripping; ``partition_by`` maps to real
+        Spark partitioning; ``defaults`` become column DEFAULTs.
+        """
+        self.create_database(db)
+        cols = [c.strip() for c in schema_ddl.split(",")]
+        if defaults:
+            cols = [
+                f"{c} DEFAULT {defaults[c.split()[0]]}"
+                if c.split()[0] in defaults else c
+                for c in cols
+            ]
+        # Spark normalizes parquet-table schemas to nullable, dropping NOT
+        # NULL; record the constraint as a property so the strict sink
+        # (sink.py) can enforce it at write time like the reference does.
+        not_null = [c.split()[0] for c in cols if "NOT NULL" in c.upper()]
+        props = {"clickhouse.engine": engine}
+        if not_null:
+            props["clickhouse.not_null"] = ",".join(not_null)
+        if order_by:
+            props["clickhouse.order_by"] = ",".join(order_by)
+        if primary_keys:
+            props["clickhouse.primary_keys"] = ",".join(primary_keys)
+        if ttl:
+            props["clickhouse.ttl"] = ttl
+        props_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        part = f"PARTITIONED BY ({partition_by}) " if partition_by else ""
+        self.spark.sql(
+            f"CREATE TABLE {ine}`{db}`.`{table}` ({', '.join(cols)}) "
+            f"USING parquet {part}TBLPROPERTIES ({props_sql})")
+
+    def table_properties(self, db: str, table: str) -> dict[str, str]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES `{db}`.`{table}`").collect()
+        return {r["key"]: r["value"] for r in rows}
+
     # -- listing / refresh (src/providers/catalog.rs:54-200) ---------------
     def schema_names(self) -> list[str]:
         return [d.name for d in self.spark.catalog.listDatabases()]
@@ -130,8 +178,11 @@ class ClickHouseCatalog:
 
     def refresh_catalog(self, db: str | None = None) -> None:
         for d in ([db] if db else self.schema_names()):
-            for t in self.table_names(d):
-                self.spark.sql(f"REFRESH TABLE `{d}`.`{t}`")
+            for t in self.spark.catalog.listTables(d):
+                # listTables includes session temp views (e.g. streaming
+                # memory sinks) — only file-backed tables are refreshable
+                if t.tableType in ("MANAGED", "EXTERNAL"):
+                    self.spark.sql(f"REFRESH TABLE `{d}`.`{t.name}`")
 
     # -- reads -------------------------------------------------------------
     def table(self, db: str, table: str) -> DataFrame:

@@ -1174,6 +1174,32 @@ def m1_media(spark, sf):
                         F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+# =========================================================================
+# Structured Streaming (beyond-parity; rows-only check — stateful streaming
+# is not SQL-expressible for the oracle)
+# =========================================================================
+
+@qdef("st1_streaming_tumbling", None, tags=("streaming",))
+def st1_stream(spark, sf):
+    """File-replay the events table through a watermarked tumbling-window
+    streaming aggregation into a memory sink; returns the closed windows."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, tumbling_counts)
+
+    d = tempfile.mkdtemp(prefix="st1_events_")
+    shutil.copy(resolve_parquet_path(f"{sf}/events.parquet"),
+                f"{d}/events.parquet")
+    stream = tumbling_counts(read_events_stream(spark, d))
+    out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type", "n", F.round("total", 2).alias("total"))
+
+
 def get_queries():
     return {name: qd.spark_fn for name, qd in QUERIES.items()}
 

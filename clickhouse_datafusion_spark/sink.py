@@ -57,9 +57,26 @@ def validate_schema(df: DataFrame, target_schema: T.StructType) -> None:
                 f"{sf.dataType.simpleString()}, table {tf.dataType.simpleString()}")
 
 
-def validate_no_nulls(df: DataFrame, target_schema: T.StructType) -> None:
+def _not_null_columns(spark: SparkSession, table: str,
+                      target_schema: T.StructType) -> list[str]:
+    """NOT NULL columns of a table: schema flags plus the
+    ``clickhouse.not_null`` property (Spark drops NOT NULL from parquet
+    catalog-table schemas, so catalog.create_table records it there)."""
+    cols = [f.name for f in target_schema.fields if not f.nullable]
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        cols += [c for c in props.get("clickhouse.not_null", "").split(",") if c]
+    except Exception:
+        pass
+    return sorted(set(cols))
+
+
+def validate_no_nulls(df: DataFrame, target_schema: T.StructType,
+                      non_nullable: list[str] | None = None) -> None:
     """Data-level nullability validation (reference src/sink.rs:143-176)."""
-    non_nullable = [f.name for f in target_schema.fields if not f.nullable]
+    if non_nullable is None:
+        non_nullable = [f.name for f in target_schema.fields if not f.nullable]
     present = {f.name.lower() for f in df.schema.fields}
     checks = [f for f in non_nullable if f.lower() in present]
     if not checks:
@@ -84,7 +101,8 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str,
             "src/providers/table.rs:148-152)")
     target_schema = spark.table(table).schema
     validate_schema(df, target_schema)
-    validate_no_nulls(df, target_schema)
+    validate_no_nulls(df, target_schema,
+                      _not_null_columns(spark, table, target_schema))
     n = df.count()
     # Reorder columns by name to match the table; one writer task per
     # concurrency slot (reference buffer_unordered(write_concurrency)).

@@ -1,0 +1,23 @@
+"""Structured Streaming extensions over event streams.
+
+The reference is bounded-only (Boundedness::Bounded, reference
+src/sql.rs:308) — streaming is a beyond-parity extension (SURVEY §2.10, §7):
+watermarked tumbling/sliding/session windows and custom stateful operators
+over the ``events`` fixture shape.
+"""
+
+from clickhouse_datafusion_spark.streaming.events import (
+    read_events_stream,
+    tumbling_counts,
+    sliding_value_sums,
+    session_windows,
+    run_to_memory_sink,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_value_sums",
+    "session_windows",
+    "run_to_memory_sink",
+]

@@ -1,0 +1,108 @@
+"""Streaming operators over the events table shape
+(event_id, ts, user_id, event_type, value, props).
+
+Local testing replays the parquet fixture through a file streaming source
+into a memory sink (``processAllAvailable`` drives it synchronously); the
+same code targets Kafka/real sources unchanged because the transformations
+are source-agnostic.
+
+Scale notes: watermark + windowed aggs are Spark's incremental stateful
+operators — state is partitioned by group key in the state store and pruned
+by the watermark, so memory is bounded by (open windows × keys), not stream
+length. Session windows use the built-in ``session_window`` (gap-merged
+state), and the custom stateful path uses ``applyInPandasWithState`` with an
+explicit per-key state schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, path_dir: str,
+                       max_files_per_trigger: int = 1):
+    """File-replay streaming source over a directory of events parquet."""
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path_dir))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "event_type", "n", "total"))
+
+
+def sliding_value_sums(events: DataFrame, window: str = "2 hours",
+                       slide: str = "1 hour",
+                       watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window value sums per user."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide), "user_id")
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("window.start").alias("w_start"), "user_id", "total"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (built-in session_window state)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+            .select(F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end"),
+                    "user_id", "n_events", "total"))
+
+
+def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (explicit state schema, Append mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id bigint, n_events bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [total]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", "NoTimeout"))
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str,
+                       output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion into an in-memory table and
+    return the batch result (test/dev harness)."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

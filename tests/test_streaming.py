@@ -1,0 +1,94 @@
+"""Structured Streaming smoke tests: replay the events fixture through a
+file source → windowed aggs → memory sink, and cross-check totals against
+the same aggregation run in batch mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+from clickhouse_datafusion_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_windows,
+    sliding_value_sums,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Directory with the events parquet split into a few files (so
+    maxFilesPerTrigger yields multiple micro-batches)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    for i in range(3):
+        shutil.copy(src, d / f"part_{i}.parquet")
+    # 3 identical files = 3x the data; totals scale by 3 vs batch
+    return str(d)
+
+
+def test_tumbling_window_matches_batch(spark, events_dir):
+    # all files in one micro-batch: every watermark-closed window saw the
+    # full data, so closed windows must equal the batch aggregation exactly
+    # (with 1-file triggers, later copies would correctly be dropped as
+    # late data — covered by the subset assertion below anyway)
+    stream = tumbling_counts(
+        read_events_stream(spark, events_dir, max_files_per_trigger=3))
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name)
+    got = {(r.w_start, r.event_type): (r.n, r.total) for r in out.collect()}
+    assert got, "no windows emitted"
+
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+    want = {(r["window"].start, r.event_type): (r.n, r.total)
+            for r in batch.collect()}
+    # append mode emits only watermark-closed windows → subset of batch
+    assert set(got) <= set(want)
+    assert len(got) >= len(want) // 2
+    for k, (n, total) in got.items():
+        assert want[k][0] == n
+        assert abs(want[k][1] - total) < 1e-6
+
+
+def test_sliding_and_session_windows_run(spark, events_dir):
+    out1 = run_to_memory_sink(
+        sliding_value_sums(read_events_stream(spark, events_dir)),
+        f"s_{uuid.uuid4().hex[:8]}")
+    assert out1.count() > 0
+    out2 = run_to_memory_sink(
+        session_windows(read_events_stream(spark, events_dir)),
+        f"sess_{uuid.uuid4().hex[:8]}")
+    rows = out2.collect()
+    assert rows and all(r.s_end >= r.s_start for r in rows)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    from clickhouse_datafusion_spark.streaming.events import (
+        running_user_totals_stateful)
+
+    stream = running_user_totals_stateful(read_events_stream(spark, events_dir))
+    out = run_to_memory_sink(stream, f"st_{uuid.uuid4().hex[:8]}")
+    rows = out.collect()
+    assert rows
+    # final state per user must equal the batch totals
+    final = {}
+    for r in rows:  # later batches append updated rows; keep max n
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total)
+    batch = {r.user_id: (r.n, r.total) for r in
+             spark.read.parquet(events_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+             .collect()}
+    assert set(final) == set(batch)
+    for uid, (n, total) in final.items():
+        assert batch[uid][0] == n and abs(batch[uid][1] - total) < 1e-6

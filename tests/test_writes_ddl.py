@@ -1,0 +1,142 @@
+"""Writes + DDL suite — mirrors the reference's e2e write suites
+(tests/e2e.rs: insert, parallel_writes, insert_metrics, drop_table,
+sink_write_all; tests/e2e.rs:1590-1650 schema-error cases; e2e.rs:2041-2142
+parallel-write correctness).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_datafusion_spark.sink import (
+    OverwriteNotSupported,
+    SchemaValidationError,
+    insert_into,
+    run_insert_sql,
+)
+
+
+@pytest.fixture()
+def tbl(spark, engine):
+    """A fresh managed parquet table per test (unique name avoids
+    LOCATION_ALREADY_EXISTS from prior crashed runs)."""
+    short = f"w_{uuid.uuid4().hex[:10]}"
+    name = f"main.{short}"
+    engine.catalog.create_table(
+        "main", short, "id BIGINT NOT NULL, name STRING, val DOUBLE")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_insert_values_returns_count(engine, tbl):
+    # reference: INSERT returns a one-row count batch (examples/03_joins.rs:79-81)
+    res = engine.sql(f"INSERT INTO clickhouse.{tbl} VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert res.columns == ["count"]
+    assert res.collect()[0]["count"] == 2
+
+
+def test_insert_select_returns_count(spark, engine, tbl):
+    res = engine.sql(
+        f"INSERT INTO {tbl} "
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM clickhouse.main.orders WHERE o_orderkey <= 100")
+    n = res.collect()[0]["count"]
+    assert n == spark.table(tbl).count() and n > 0
+
+
+def test_insert_df_parallel_write_correctness(spark, tbl):
+    # reference: 5,000 rows, COUNT and SUM verified (e2e.rs:2041-2142)
+    src = spark.range(5000).select(
+        F.col("id").cast("bigint"),
+        F.concat(F.lit("row"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("val"))
+    res = insert_into(spark, src, tbl, write_concurrency=4)
+    assert res.collect()[0]["count"] == 5000
+    agg = spark.table(tbl).agg(
+        F.count("*").alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert agg["n"] == 5000 and agg["s"] == 5000 * 4999 // 2
+
+
+def test_write_concurrency_partitions(spark, tbl):
+    # write_concurrency=N → N writer tasks → N output files (buffer_unordered analog)
+    src = spark.range(1000).select(
+        F.col("id"), F.lit("x").alias("name"), F.lit(0.0).alias("val"))
+    insert_into(spark, src, tbl, write_concurrency=8)
+    loc = [r["col_name"] == "Location" and r["data_type"] or None
+           for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()]
+    files = spark.table(tbl).inputFiles()
+    assert len(files) == 8
+
+
+def test_overwrite_rejected(spark, tbl):
+    src = spark.range(1).select(F.col("id"), F.lit("x").alias("name"),
+                                F.lit(0.0).alias("val"))
+    with pytest.raises(OverwriteNotSupported):
+        insert_into(spark, src, tbl, overwrite=True)
+
+
+def test_schema_error_categories(spark, tbl):
+    # four distinct error categories (reference src/sink.rs:46-81)
+    with pytest.raises(SchemaValidationError, match="field count"):
+        insert_into(spark, spark.range(1).select("id"), tbl)
+    with pytest.raises(SchemaValidationError, match="missing field"):
+        insert_into(spark, spark.range(1).select(
+            "id", F.lit("x").alias("wrong"), F.lit(0.0).alias("val")), tbl)
+    with pytest.raises(SchemaValidationError, match="type mismatch"):
+        insert_into(spark, spark.range(1).select(
+            "id", F.lit("x").alias("name"), F.lit(1).alias("val")), tbl)
+    with pytest.raises(SchemaValidationError, match="nullability"):
+        insert_into(spark, spark.range(1).select(
+            F.lit(None).cast("bigint").alias("id"),
+            F.lit("x").alias("name"), F.lit(0.0).alias("val")), tbl)
+
+
+def test_create_table_with_options(spark, engine):
+    # reference: CreateOptions{engine, order_by, primary_keys, ttl, defaults}
+    # (src/utils/params.rs:42-69, table_factory.rs:216-275)
+    cat = engine.catalog
+    name = f"opt_{uuid.uuid4().hex[:10]}"
+    cat.create_table(
+        "main", name,
+        "id INT NOT NULL, name STRING NOT NULL, score DOUBLE",
+        engine="MergeTree", order_by=["id", "name"], primary_keys=["id"],
+        ttl="30 DAYS", defaults={"name": "'Unknown'"})
+    props = cat.table_properties("main", name)
+    assert props["clickhouse.engine"] == "MergeTree"
+    assert props["clickhouse.order_by"] == "id,name"
+    assert props["clickhouse.ttl"] == "30 DAYS"
+    # column default applies on INSERT without the column
+    spark.sql(f"INSERT INTO main.{name} (id, score) VALUES (1, 2.0)")
+    assert spark.table(f"main.{name}").first()["name"] == "Unknown"
+    cat.drop_table("main", name)
+
+
+def test_drop_table_semantics(spark, engine):
+    # reference: deregister issues DROP TABLE IF EXISTS (catalog.rs:202-240)
+    cat = engine.catalog
+    name = f"drop_{uuid.uuid4().hex[:10]}"
+    spark.sql(f"CREATE TABLE main.{name} (id INT) USING parquet")
+    assert cat.table_exists("main", name)
+    cat.drop_table("main", name)
+    assert not cat.table_exists("main", name)
+    cat.drop_table("main", name, if_exists=True)  # idempotent
+    with pytest.raises(Exception):
+        cat.drop_table("main", name, if_exists=False)
+
+
+def test_catalog_listing_refresh(spark, engine):
+    cat = engine.catalog
+    assert "main" in cat.schema_names()
+    assert "orders" in cat.table_names("main")
+    cat.refresh_catalog("main")  # no-throw
+
+
+def test_insert_sql_count_parse(spark):
+    from clickhouse_datafusion_spark.sink import _parse_insert_target
+
+    assert _parse_insert_target("INSERT INTO main.t VALUES (1)") == "main.t"
+    assert _parse_insert_target("INSERT INTO TABLE main.t SELECT 1") == "main.t"
+    assert _parse_insert_target("insert into `main`.`t`(a,b) values (1,2)") == "main.t"
