@@ -31,6 +31,44 @@ BENCH_QUERIES = [
 ]
 
 
+def insert_benchmark(spark, rows: int, workers: int, iters: int) -> dict:
+    """Insert-throughput harness mirroring the reference methodology
+    (examples/10_large_scale.rs:71-101, 253-276): rows/sec over ≥3
+    iterations, outlier-stripped average plus best-of; schema
+    Int32/UInt64(→bigint)/Float64/Utf8; write_concurrency → workers."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.sink import insert_into
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bench")
+    src = (spark.range(rows)
+           .select(F.col("id").cast("int").alias("c_int32"),
+                   (F.col("id") * 7).cast("bigint").alias("c_uint64"),
+                   (F.col("id") * 1.5).alias("c_float64"),
+                   F.concat(F.lit("val_"), F.col("id")).alias("c_utf8"))
+           .cache())
+    src.count()  # materialize the source outside the timed region
+    rates = []
+    for _ in range(iters):
+        name = f"bench.ins_{uuid.uuid4().hex[:10]}"
+        spark.sql(f"CREATE TABLE {name} (c_int32 INT, c_uint64 BIGINT, "
+                  f"c_float64 DOUBLE, c_utf8 STRING) USING parquet")
+        t0 = time.perf_counter()
+        insert_into(spark, src, name, write_concurrency=workers)
+        rates.append(rows / (time.perf_counter() - t0))
+        spark.sql(f"DROP TABLE {name}")
+    src.unpersist()
+    stripped = sorted(rates)[1:-1] if len(rates) >= 3 else rates
+    return {
+        "rows": rows,
+        "workers": workers,
+        "rows_per_sec_avg": round(sum(stripped) / len(stripped)),
+        "rows_per_sec_best": round(max(rates)),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("BENCH_ITERS", "2"))
@@ -57,14 +95,20 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    result = {
         "metric": "headline_query_total_sec",
-        "value": total,
+        "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-    }))
+    }
+    if os.environ.get("BENCH_INSERT", "1") != "0":
+        result["insert"] = insert_benchmark(
+            spark,
+            rows=int(os.environ.get("BENCH_INSERT_ROWS", "1000000")),
+            workers=int(os.environ.get("BENCH_INSERT_WORKERS", "16")),
+            iters=int(os.environ.get("BENCH_INSERT_ITERS", "3")))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -37,14 +37,24 @@ _TDCACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 def resolve_parquet_path(path: str) -> str:
     """Return a Spark-readable path for a parquet file, converting
-    nanosecond-precision timestamps to microseconds via a cached rewrite."""
+    nanosecond-precision timestamps to microseconds and re-chunking large
+    single-row-group files via a cached rewrite.
+
+    Spark parallelizes parquet scans at row-group granularity: the driver's
+    600k-row single-group lineitem pins every scan to ONE task regardless of
+    core count. Real 100 TB data has millions of row groups; re-chunking
+    restores the layout the engine is designed for (one-time, cached, the
+    read-only originals are untouched)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)
-    needs_fix = any(
+    pf = pq.ParquetFile(path)
+    has_ns = any(
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema)
-    if not needs_fix:
+    needs_chunks = (pf.num_row_groups == 1
+                    and pf.metadata.num_rows >= 100_000)
+    if not (has_ns or needs_chunks):
         return path
     tag = os.path.basename(os.path.dirname(os.path.abspath(path)))
     out = os.path.join(_TDCACHE, tag, os.path.basename(path))
@@ -66,7 +76,9 @@ def resolve_parquet_path(path: str) -> str:
                     options=pc.CastOptions(f.type, allow_time_truncate=True))
             for f in fields
         ]
-        pq.write_table(pa.Table.from_arrays(cols, schema=pa.schema(fields)), out)
+        fixed = pa.Table.from_arrays(cols, schema=pa.schema(fields))
+        pq.write_table(fixed, out,
+                       row_group_size=max(fixed.num_rows // 32, 16_384))
     return out
 
 

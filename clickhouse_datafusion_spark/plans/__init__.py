@@ -1,0 +1,17 @@
+from clickhouse_datafusion_spark.plans.explain import (
+    executed_plan,
+    plan_report,
+    assert_pushed_filters,
+    assert_pruned_schema,
+    assert_broadcast_join,
+    assert_no_cartesian,
+)
+
+__all__ = [
+    "executed_plan",
+    "plan_report",
+    "assert_pushed_filters",
+    "assert_pruned_schema",
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+]

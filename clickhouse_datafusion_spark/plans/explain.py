@@ -1,0 +1,91 @@
+"""Plan inspection — the engine's EXPLAIN surface (SURVEY O10) plus
+plan-quality assertions used by tests and the bench harness.
+
+The reference exposes EXPLAIN/EXPLAIN ANALYZE with output_rows metrics
+(reference tests/e2e.rs:2184-2208, src/sink.rs:100-114). Spark's equivalents
+are ``df.explain`` and the executed-plan string; these helpers make the
+properties we care about at scale assertable:
+
+- filters reached the parquet scan (PushedFilters),
+- scans read only projected columns (ReadSchema),
+- small dimensions broadcast instead of shuffling,
+- no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame, execute: bool = False) -> str:
+    """Physical plan string. With AQE, codegen spans and final join
+    strategies only appear after execution — pass ``execute=True`` to run
+    the query first and read the final adaptive plan."""
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+
+
+def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
+    """Summary of scale-relevant plan features."""
+    p = executed_plan(df, execute=execute)
+    return {
+        "exchanges": p.count("Exchange"),
+        "broadcasts": p.count("BroadcastExchange"),
+        "shuffles": p.count("Exchange hashpartitioning")
+        + p.count("Exchange rangepartitioning"),
+        "has_pushed_filters": "PushedFilters: [" in p
+        and "PushedFilters: []" not in p,
+        "cartesian": "CartesianProduct" in p,
+        # codegen spans appear as "WholeStageCodegen (n)" in formatted mode
+        # and as "*(n) " operator prefixes in tree strings
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", p)))
+        or p.count("WholeStageCodegen"),
+        "sorts": p.count("Sort "),
+    }
+
+
+class PlanAssertionError(AssertionError):
+    pass
+
+
+def assert_pushed_filters(df: DataFrame, *cols: str) -> None:
+    """Assert at least one data filter is pushed into a scan (and mentions
+    each given column)."""
+    p = executed_plan(df)
+    segs = [s.split("]")[0] for s in p.split("PushedFilters: [")[1:]]
+    pushed = ",".join(segs)
+    if not any(s.strip() for s in segs):
+        raise PlanAssertionError(f"no pushed filters in plan:\n{p[:2000]}")
+    for c in cols:
+        if c not in pushed:
+            raise PlanAssertionError(f"filter on {c} not pushed: [{pushed}]")
+
+
+def assert_pruned_schema(df: DataFrame, forbidden_col: str) -> None:
+    """Assert a column was pruned from every scan's ReadSchema."""
+    p = executed_plan(df)
+    for seg in p.split("ReadSchema: ")[1:]:
+        schema_line = seg.split("\n")[0]
+        if forbidden_col in schema_line:
+            raise PlanAssertionError(
+                f"column {forbidden_col} not pruned: {schema_line}")
+
+
+def assert_broadcast_join(df: DataFrame, min_broadcasts: int = 1) -> None:
+    p = executed_plan(df)
+    n = p.count("BroadcastExchange")
+    if n < min_broadcasts:
+        raise PlanAssertionError(
+            f"expected ≥{min_broadcasts} broadcast joins, found {n}:\n{p[:2000]}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    if "CartesianProduct" in executed_plan(df):
+        raise PlanAssertionError("plan contains a cartesian product")

@@ -792,6 +792,160 @@ def f8(spark, sf):
         FROM orders WHERE o_orderkey <= 300""")
 
 
+@qdef("f9_ch_group_by_udf",
+      """SELECT CAST(power(o_orderkey % 10, 2) AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1""",
+      tags=("F1", "A7"))
+def f9(spark, sf):
+    # reference: GROUP BY clickhouse(pow(id,2),'Int32')
+    # (src/analyzer/function_pushdown.rs:1357-1389 test_complex_agg)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT clickhouse(pow(mod(o_orderkey, 10), 2), 'Int64') AS k,
+               count(*) AS n
+        FROM orders GROUP BY clickhouse(pow(mod(o_orderkey, 10), 2), 'Int64')""")
+
+
+@qdef("f10_ch_having_udf",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_custkey
+         HAVING abs(max(o_totalprice) - 150000) > 100000""",
+      tags=("A5", "F1"))
+def f10(spark, sf):
+    # reference: HAVING clickhouse(abs(...),'Int64') > 0 (tests/e2e.rs:2001-2013)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_custkey, count(*) AS n
+        FROM orders GROUP BY o_custkey
+        HAVING clickhouse(abs(max(o_totalprice) - 150000), 'Float64') > 100000""")
+
+
+@qdef("f11_ch_window_over_udf",
+      """SELECT o_orderkey,
+                CAST(rank() OVER (ORDER BY exp(o_totalprice / 500000) DESC,
+                                  o_orderkey) AS BIGINT) AS rnk
+         FROM orders WHERE o_orderkey <= 100""",
+      tags=("W4", "F1"))
+def f11(spark, sf):
+    # reference: window ordered by remote-UDF result (tests/e2e.rs:935-950)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderkey,
+               CAST(rank() OVER (ORDER BY clickhouse(exp(o_totalprice / 500000),
+                                          'Float64') DESC, o_orderkey) AS BIGINT) AS rnk
+        FROM orders WHERE o_orderkey <= 100""")
+
+
+@qdef("f12_ch_union_branches",
+      """SELECT upper(o_orderstatus) AS s, o_orderkey AS k FROM orders WHERE o_orderkey <= 50
+         UNION ALL
+         SELECT lower(o_orderpriority) AS s, o_orderkey AS k FROM orders WHERE o_orderkey > 2950""",
+      tags=("O3", "F1"))
+def f12(spark, sf):
+    # reference: UNION ALL with per-branch UDFs
+    # (src/analyzer/function_pushdown.rs:1391-1425)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT clickhouse(upper(o_orderstatus), 'Utf8') AS s, o_orderkey AS k
+        FROM orders WHERE o_orderkey <= 50
+        UNION ALL
+        SELECT clickhouse(lower(o_orderpriority), 'Utf8') AS s, o_orderkey AS k
+        FROM orders WHERE o_orderkey > 2950""")
+
+
+@qdef("f13_ch_cte_cross_ref",
+      """WITH flags AS (
+           SELECT l_orderkey, upper(l_returnflag) AS rf FROM lineitem
+         ), agg AS (
+           SELECT rf, CAST(count(*) AS BIGINT) AS n FROM flags GROUP BY rf
+         )
+         SELECT a.rf, a.n FROM agg a JOIN (SELECT DISTINCT rf FROM flags) f
+           ON a.rf = f.rf""",
+      tags=("O5", "F1"))
+def f13(spark, sf):
+    # reference: cross-referencing CTEs with UDFs (tests/e2e.rs:869-889)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        WITH flags AS (
+          SELECT l_orderkey, clickhouse(upper(l_returnflag), 'Utf8') AS rf
+          FROM lineitem
+        ), agg AS (
+          SELECT rf, count(*) AS n FROM flags GROUP BY rf
+        )
+        SELECT a.rf, a.n FROM agg a JOIN (SELECT DISTINCT rf FROM flags) f
+          ON a.rf = f.rf""")
+
+
+@qdef("f14_ch_udf_join_side",
+      """SELECT c.c_custkey, t.e
+         FROM customer c
+         JOIN (SELECT o_custkey, ROUND(exp(max(o_totalprice) / 500000), 6) AS e
+               FROM orders GROUP BY o_custkey) t
+           ON t.o_custkey = c.c_custkey
+         WHERE c.c_custkey <= 50""",
+      tags=("J9", "F1"))
+def f14(spark, sf):
+    # reference: UDF routed to one join side
+    # (src/analyzer/function_pushdown.rs:1308-1352 test_disjoint_tables)
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT c.c_custkey, t.e
+        FROM customer c
+        JOIN (SELECT o_custkey,
+                     round(clickhouse(exp(max(o_totalprice) / 500000), 'Float64'), 6) AS e
+              FROM orders GROUP BY o_custkey) t
+          ON t.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 50""")
+
+
+@qdef("f15_ch_indeterminate_join",
+      """SELECT CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT p.o_orderkey + p2.o_orderkey AS s
+               FROM orders p JOIN orders p2 ON p.o_orderkey = p2.o_orderkey
+               WHERE p.o_orderkey <= 100)
+         WHERE s > 0""",
+      tags=("J10", "F1"))
+def f15(spark, sf):
+    # reference ERRORS by design on a UDF spanning both join sides
+    # (tests/e2e.rs:1296-1312); our engine computes it natively — documented
+    # improvement (SURVEY J10 divergence).
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT count(*) AS n
+        FROM (SELECT clickhouse(plus(p.o_orderkey, p2.o_orderkey), 'Int64') AS s
+              FROM orders p JOIN orders p2 ON p.o_orderkey = p2.o_orderkey
+              WHERE p.o_orderkey <= 100)
+        WHERE s > 0""")
+
+
+# =========================================================================
+# Federation parity: in-memory + parquet sources in one plan (SURVEY S16-S19)
+# =========================================================================
+
+@qdef("fed1_memory_join_parquet",
+      """SELECT seg.segment_name AS segment_name,
+                CAST(count(*) AS BIGINT) AS n_cust
+         FROM customer c
+         JOIN (SELECT 'BUILDING' AS c_mktsegment, 'construction' AS segment_name
+               UNION ALL SELECT 'AUTOMOBILE', 'cars'
+               UNION ALL SELECT 'MACHINERY', 'industrial') seg
+           ON c.c_mktsegment = seg.c_mktsegment
+         GROUP BY seg.segment_name""",
+      tags=("S16", "S17", "J5"))
+def fed1(spark, sf):
+    # reference: memory ⋈ clickhouse federation joins (tests/e2e.rs:724-745);
+    # in Spark every source is a DataFrame, so this is free — an in-memory
+    # VALUES relation joined against the parquet-backed table.
+    c = t(spark, sf, "customer")
+    seg = spark.createDataFrame(
+        [("BUILDING", "construction"), ("AUTOMOBILE", "cars"),
+         ("MACHINERY", "industrial")],
+        "c_mktsegment string, segment_name string")
+    return (c.join(F.broadcast(seg), "c_mktsegment")
+            .groupBy("segment_name").agg(F.count("*").alias("n_cust")))
+
+
 # =========================================================================
 # TPC-H-style headline queries (bench set)
 # =========================================================================

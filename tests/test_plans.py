@@ -1,0 +1,79 @@
+"""Plan-quality gates for the headline queries: the properties that decide
+whether a plan survives a 100×–1000× scale-up — pushdown, pruning,
+broadcasts, no cartesian products, codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_datafusion_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_schema,
+    assert_pushed_filters,
+    plan_report,
+)
+from clickhouse_datafusion_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def q(name, spark):
+    return QUERIES[name].spark_fn(spark, SF_SMOKE)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = q("q6_forecast_revenue", spark)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q1_schema_pruned(spark):
+    # q1 reads 7 of 11 lineitem columns; keys not referenced must be pruned
+    df = q("q1_pricing_summary", spark)
+    assert_pruned_schema(df, "l_partkey")
+    assert_pruned_schema(df, "l_suppkey")
+
+
+def test_q3_broadcasts_customer(spark):
+    df = q("q3_shipping_priority", spark)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    # region/nation/supplier are tiny: all three must broadcast, leaving the
+    # lineitem⋈orders join as the only shuffle join
+    df = q("q5_region_revenue", spark)
+    assert_broadcast_join(df, 3)
+    assert_no_cartesian(df)
+
+
+def test_flagship_single_shuffle_agg(spark):
+    df = q("flagship_top_customers", spark)
+    rep = plan_report(df)
+    assert rep["broadcasts"] >= 1
+    # partial agg + broadcast join: at most 2 hash-shuffles (agg + none for join)
+    assert rep["shuffles"] <= 2, rep
+    assert not rep["cartesian"]
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "j5_multiway", "a4_group_by_multi",
+    "j1_inner_join", "e2_user_activity"])
+def test_headliners_codegen_and_no_cartesian(spark, name):
+    rep = plan_report(q(name, spark), execute=True)
+    assert rep["codegen_stages"] >= 1, rep
+    assert not rep["cartesian"], rep
+
+
+def test_dedup_exact_single_shuffle(spark):
+    rep = plan_report(q("d1_exact_dedup_groups", spark))
+    # hash-groupBy dedup must be exactly one shuffle (partial+final agg)
+    assert rep["shuffles"] <= 1, rep
+
+
+def test_topk_uses_take_ordered(spark):
+    from clickhouse_datafusion_spark.plans.explain import executed_plan
+
+    p = executed_plan(q("o2_topk", spark))
+    assert "TakeOrderedAndProject" in p  # no global sort for ORDER BY+LIMIT
