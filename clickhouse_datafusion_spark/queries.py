@@ -1113,6 +1113,107 @@ def e2(spark, sf):
 
 
 # =========================================================================
+# Engine extensions: as-of / range joins, JSON, recursive CTE, pivot
+# =========================================================================
+
+@qdef("x1_asof_join",
+      """SELECT a.event_id, b.event_id AS event_id_r, b.value AS value_r
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+           ON a.user_id = b.user_id AND a.ts >= b.ts""",
+      tags=("asof", "ext"))
+def x1_asof(spark, sf):
+    """Most recent 'view' before each 'click' per user — union + running-last
+    window (one shuffle, no quadratic theta join); oracle is DuckDB's native
+    ASOF JOIN."""
+    from clickhouse_datafusion_spark.operators.asof import asof_join
+
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "event_id_r", F.col("value_r"))
+
+
+@qdef("x2_range_join",
+      """SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_following
+         FROM (SELECT * FROM events WHERE event_type = 'signup') a
+         LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+         GROUP BY a.event_id""",
+      tags=("range", "ext"))
+def x2_range(spark, sf):
+    from clickhouse_datafusion_spark.operators.asof import range_join
+
+    ev = t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = range_join(
+        signups, ev.withColumnRenamed("event_id", "r_event_id"),
+        on="user_id", left_ts="ts", right_ts="ts",
+        lower=F.expr("INTERVAL 1 MICROSECOND"),  # strictly after
+        upper=F.expr("INTERVAL 7 DAYS"), how="left")
+    return (joined.groupBy(F.col("l.event_id").alias("event_id"))
+            .agg(F.count(F.col("r.r_event_id")).alias("n_following")))
+
+
+@qdef("x3_json_extract",
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                     THEN 'high' ELSE 'low' END AS bucket
+         FROM events WHERE event_id <= 200""",
+      tags=("json", "ext"))
+def x3_json(spark, sf):
+    ev = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.filter(F.col("event_id") <= 200)
+            .select("event_id", k.alias("k"),
+                    F.when(k >= 50, "high").otherwise("low").alias("bucket")))
+
+
+@qdef("x4_recursive_cte_date_spine",
+      """WITH RECURSIVE m(mon) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL SELECT CAST(mon + INTERVAL 1 MONTH AS DATE)
+           FROM m WHERE mon < DATE '2001-08-01'
+         )
+         SELECT strftime(mon, '%Y-%m') AS month,
+                CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+         FROM m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = mon
+         GROUP BY mon""",
+      tags=("O5", "ext"))
+def x4_rcte(spark, sf):
+    # Spark 4 recursive CTE (SURVEY O5 flags the reference planner's
+    # recursive worktable support, src/context.rs:441-444)
+    register_testdata_views(spark, sf)
+    return spark.sql("""
+        WITH RECURSIVE m(mon) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT add_months(mon, 1) FROM m WHERE mon < DATE '2001-08-01'
+        )
+        SELECT date_format(mon, 'yyyy-MM') AS month,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM m LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = mon
+        GROUP BY mon""")
+
+
+@qdef("x5_pivot",
+      """SELECT o_orderpriority,
+                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS st_o,
+                CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS st_f,
+                CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS st_p
+         FROM orders GROUP BY o_orderpriority""",
+      tags=("pivot", "ext"))
+def x5_pivot(spark, sf):
+    o = t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"]).count()
+            .na.fill(0)
+            .withColumnsRenamed({"O": "st_o", "F": "st_f", "P": "st_p"}))
+
+
+# =========================================================================
 # Pipeline operators: text analysis (operators/text.py)
 # =========================================================================
 
