@@ -27,15 +27,26 @@ from clickhouse_datafusion_spark.functions.rewrite import rewrite_sql
 
 
 class ClickHouseSparkEngine:
-    def __init__(self, spark: SparkSession, catalog_name: str = DEFAULT_CATALOG):
+    def __init__(self, spark: SparkSession, catalog_name: str = DEFAULT_CATALOG,
+                 coercion: bool = False):
+        """``coercion=True`` is the analog of the reference's
+        ``ClickHouseBuilder::with_coercion`` (src/builders.rs:128-135):
+        declared-type mismatches coerce to NULL (TRY_CAST) instead of
+        erroring."""
         self.spark = spark
         self.catalog = ClickHouseCatalog(spark, catalog_name)
         self._catalog_names = {catalog_name.lower()}
+        self.coercion = coercion
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
         """Expose the SQL rewrite (for tests / EXPLAIN of the rewritten text)."""
-        return rewrite_sql(query, self._catalog_names)
+        return rewrite_sql(query, self._catalog_names, coercion=self.coercion)
+
+    def register_udf(self, name: str, fn, return_type) -> None:
+        """Session-scoped scalar UDF registration (reference
+        src/context.rs:98-99 register_udf passthrough)."""
+        self.spark.udf.register(name, fn, return_type)
 
     def sql(self, query: str) -> DataFrame:
         rewritten = self.rewrite(query)

@@ -68,6 +68,16 @@ def _modulo(args: list[str]) -> str:
     return f"(({args[0]}) % ({args[1]}))"
 
 
+def _truncate(args: list[str]) -> str:
+    # ClickHouse trunc(x[, n]) truncates toward zero (Spark's `trunc` is
+    # date-only). sign-aware floor of the scaled value.
+    x = args[0]
+    if len(args) == 1:
+        return f"(sign({x}) * floor(abs({x})))"
+    n = args[1]
+    return (f"(sign({x}) * floor(abs({x}) * power(10, {n})) / power(10, {n}))")
+
+
 def _multi_if(args: list[str]) -> str:
     # multiIf(c1, v1, c2, v2, ..., else) → CASE WHEN chain.
     if len(args) % 2 == 0 or len(args) < 3:
@@ -121,8 +131,8 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "floor": _passthrough("floor"),
     "ceil": _passthrough("ceil"),
     "ceiling": _passthrough("ceil"),
-    "trunc": _passthrough("trunc"),
-    "truncate": _passthrough("trunc"),
+    "trunc": lambda a: _truncate(a),
+    "truncate": lambda a: _truncate(a),
     "sign": _passthrough("sign"),
     "sin": _passthrough("sin"),
     "cos": _passthrough("cos"),

@@ -289,16 +289,19 @@ def _rewrite_eval_call(toks: list[Tok], open_paren: int,
     return _finish_ch(res, ddl), j
 
 
+_CAST_MODE = "CAST"  # set per-rewrite; TRY_CAST in coercion mode
+
+
 def _finish_ch(res: _ChResult, ddl: str | None) -> str:
     if res.generator is not None:
         if ddl is None:
             return f"{res.generator}({res.generator_arg})"
         # CAST must wrap the generator's *argument*: declared 'Utf8' is the
         # element type produced per row (reference: arrayJoin returns rows of T).
-        return f"{res.generator}(CAST({res.generator_arg} AS ARRAY<{ddl}>))"
+        return f"{res.generator}({_CAST_MODE}({res.generator_arg} AS ARRAY<{ddl}>))"
     if ddl is None:
         return f"({res.sql})"
-    return f"CAST(({res.sql}) AS {ddl})"
+    return f"{_CAST_MODE}(({res.sql}) AS {ddl})"
 
 
 def _translate_ch_expr(toks: list[Tok], catalog_names: set[str]) -> _ChResult:
@@ -417,12 +420,24 @@ def _translate_hof(name: str, args: list[list[Tok]],
 # Public API
 # --------------------------------------------------------------------------
 
-def rewrite_sql(sql: str, catalog_names: set[str] | None = None) -> str:
+def rewrite_sql(sql: str, catalog_names: set[str] | None = None,
+                coercion: bool = False) -> str:
     """Rewrite ClickHouse-surface SQL into plain Spark SQL.
 
     - lowers ``clickhouse()/ch()/clickhouse_eval()/apply()/lambda()`` calls
       into native Spark expressions with explicit ``CAST`` to declared types;
-    - strips virtual catalog prefixes from 3-part table names.
+    - strips virtual catalog prefixes from 3-part table names;
+    - ``coercion=True`` emits ``TRY_CAST`` instead of ``CAST`` for declared
+      types: mismatched values become NULL instead of erroring — the analog
+      of the reference's opt-in per-batch schema coercion
+      (src/stream.rs:45-78, enabled via ClickHouseBuilder::with_coercion,
+      src/builders.rs:128-135).
     """
+    global _CAST_MODE
     names = {n.lower() for n in (catalog_names or {"clickhouse"})}
-    return _emit_tokens(tokenize(sql), names)
+    prev = _CAST_MODE
+    _CAST_MODE = "TRY_CAST" if coercion else "CAST"
+    try:
+        return _emit_tokens(tokenize(sql), names)
+    finally:
+        _CAST_MODE = prev

@@ -119,6 +119,41 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_clusters: int = 16, n_probe: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + probe the
+    ``n_probe`` centroids nearest to the query, exact-rank within them.
+
+    The index (cluster assignment) is built here for self-containment; at
+    production scale build it once, persist ``cluster_id`` as a partition
+    column, and this becomes a partition-pruned scan of n_probe/n_clusters
+    of the data. Uses pyspark.ml KMeans (distributed, deterministic seed).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_fv", array_to_vector(_as_double(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_fv",
+                   predictionCol="_cluster").fit(feat)
+    assigned = model.transform(feat)
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(c: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(c, query_vec))
+
+    probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
+    q = F.lit(query_vec).cast("array<double>")
+    c = cosine(_as_double(vec_col), q)
+    return (assigned.filter(F.col("_cluster").isin(probe))
+            .select(F.col(id_col),
+                    (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .orderBy(F.col("cos").desc(), id_col)
+            .limit(k))
+
+
 def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                          left_vec: str = "embedding", right_vec: str = "embedding",
                          left_id: str = "vec_id", right_id: str = "vec_id") -> DataFrame:

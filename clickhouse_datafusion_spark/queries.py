@@ -1400,6 +1400,18 @@ def s1_topk(spark, sf):
     return cosine_topk(emb, qvec, k=10)
 
 
+@qdef("s3_ivf_ann_topk", None, tags=("pipeline", "similarity"))
+def s3_ivf(spark, sf):
+    """IVF ANN (k-means coarse quantizer, n_probe nearest cells) — rows-only
+    check; tests measure recall on planted near-dups."""
+    from clickhouse_datafusion_spark.operators.similarity import ivf_ann_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_ann_topk(emb, qvec, k=10)
+
+
 @qdef("s2_lsh_ann_topk", None, tags=("pipeline", "similarity"))
 def s2_ann(spark, sf):
     """Approximate NN via random-hyperplane LSH — rows-only check; tests

@@ -1,0 +1,91 @@
+"""Data-layout features that carry the 100 TB story: partition pruning,
+bucketed co-located joins, metadata-only COUNT(*), and IVF ANN's
+partitionable index.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_datafusion_spark.plans.explain import executed_plan
+from tests.conftest import SF_SMOKE
+
+
+def test_partition_pruning(spark, views):
+    """A year-partitioned table + year filter must show PartitionFilters and
+    scan only matching partitions."""
+    name = f"part_{uuid.uuid4().hex[:8]}"
+    (spark.table("orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .write.partitionBy("o_year").saveAsTable(name))
+    try:
+        df = spark.table(name).filter(F.col("o_year") == 1996) \
+            .select("o_orderkey")
+        p = executed_plan(df)
+        assert "PartitionFilters: [" in p and "o_year" in p.split(
+            "PartitionFilters")[1][:120]
+        years = [r.o_year for r in
+                 spark.table(name).filter(F.col("o_year") == 1996)
+                 .select("o_year").distinct().collect()]
+        assert years == [1996]
+        # pruned scan reads strictly fewer files than the full table
+        full = spark.table(name).inputFiles()
+        pruned = spark.table(name).filter(F.col("o_year") == 1996).inputFiles()
+        assert len(pruned) < len(full)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_no_shuffle(spark, views):
+    """bucketBy on the join key co-locates both sides: the join plan must
+    contain NO hash-partitioning exchange (the 100 TB co-located join)."""
+    a = f"ba_{uuid.uuid4().hex[:8]}"
+    b = f"bb_{uuid.uuid4().hex[:8]}"
+    (spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(a))
+    (spark.table("lineitem").select("l_orderkey", "l_quantity")
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(b))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = (spark.table(a).join(spark.table(b),
+                                  F.col("o_orderkey") == F.col("l_orderkey"))
+              .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q")))
+        p = executed_plan(df)
+        join_seg = p.split("SortMergeJoin")[0]
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in join_seg, p[:3000]
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_count_star_empty_projection(spark, views):
+    """S3: COUNT(*) never reads data columns — ReadSchema is empty struct."""
+    df = spark.table("lineitem").groupBy().count()
+    p = executed_plan(df)
+    seg = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert seg.strip().rstrip(",") == "struct<>", seg
+
+
+def test_ivf_ann_recall_on_planted(spark):
+    from clickhouse_datafusion_spark.operators.similarity import (
+        cosine_topk, ivf_ann_topk)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = spark.createDataFrame(
+        [(200_000 + i, [v + 0.005 * ((i + j) % 3) for j, v in enumerate(qvec)], 0)
+         for i in range(9)],
+        "vec_id bigint, embedding array<float>, label int")
+    corpus = emb.unionByName(planted)
+    exact = [r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()]
+    approx = [r.vec_id for r in ivf_ann_topk(corpus, qvec, k=10).collect()]
+    # near-identical vectors land in the query's own cluster → full recall
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 9, (exact, approx)
