@@ -174,6 +174,24 @@ class ClickHouseCatalog:
             f"CREATE TABLE {ine}`{db}`.`{table}` ({', '.join(cols)}) "
             f"USING parquet {part}TBLPROPERTIES ({props_sql})")
 
+    def register_native_table(self, db_or_name: str, table: str | None,
+                              path: str) -> None:
+        """Register a ``clickhouse_native`` table (the Python DataSource
+        connector) as a queryable temp view.
+
+        Spark does not forward storage options of catalog tables to Python
+        data source readers (the DDL `USING clickhouse_native` path loses
+        the location), so the connector is surfaced through the reader API.
+        Name resolves as ``<db>_<table>`` or just ``db_or_name`` when
+        ``table`` is None.
+        """
+        from clickhouse_datafusion_spark.sources import register_clickhouse_source
+
+        register_clickhouse_source(self.spark)
+        name = f"{db_or_name}_{table}" if table else db_or_name
+        (self.spark.read.format("clickhouse_native").option("path", path)
+         .load().createOrReplaceTempView(name))
+
     def table_properties(self, db: str, table: str) -> dict[str, str]:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES `{db}`.`{table}`").collect()
         return {r["key"]: r["value"] for r in rows}

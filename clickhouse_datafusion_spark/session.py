@@ -43,6 +43,9 @@ def get_spark(app_name: str = "clickhouse_datafusion_spark",
         # Spark default is case-insensitive resolution which is a superset — keep
         # default (insensitive) so ANSI SQL corpora run unchanged.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Python DataSource filter pushdown (the clickhouse_native connector
+        # implements pushFilters; off by default in Spark 4)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

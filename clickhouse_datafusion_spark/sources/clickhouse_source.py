@@ -1,0 +1,248 @@
+"""``clickhouse_native`` — a Spark Python DataSource playing the role of the
+reference's ClickHouse TableProvider (reference src/sql.rs:63-239,
+src/providers/table.rs, src/connection.rs):
+
+- **schema discovery at registration** — read from the table's storage
+  footer, like ``SqlTable::try_new`` fetching the remote schema
+  (src/sql.rs:92-100);
+- **filter pushdown** — ``pushFilters`` accepts the comparison/null/IN
+  predicates it can evaluate and returns the rest to Spark, the exact
+  protocol of ``supports_filters_pushdown`` Exact/Unsupported
+  (src/sql.rs:215-228);
+- **partitioned scans** — one input partition per parquet row group (the
+  reference's remote scans are a single partition, src/sql.rs:304-309 — a
+  documented limitation; this connector parallelizes instead);
+- **append writer** with overwrite rejection (src/providers/table.rs:148-152)
+  writing one part file per task (write concurrency = task parallelism,
+  the ``buffer_unordered`` analog, src/sink.rs:206).
+
+Table layout: a directory of parquet part files (``part_*.parquet``) — the
+MergeTree-part analog. There is no live ClickHouse server in this
+environment; the storage substrate is parquet while the *connector
+machinery* (schema/pushdown/partitions/write path) is the real deliverable
+and would retarget to a ClickHouse wire protocol by swapping the I/O layer.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+
+FORMAT_NAME = "clickhouse_native"
+
+
+def _table_files(path: str) -> list[str]:
+    if path.startswith("file:"):  # SQL DDL hands the location as a URI
+        path = path[len("file:"):]
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
+
+
+@dataclass
+class _RowGroupPartition(InputPartition):
+    file: str
+    row_group: int
+
+
+def _filter_to_arrow(f: Filter):
+    """Translate a Spark DSv2 filter to a pyarrow compute expression.
+    Returns None for shapes we don't support (nested columns, exotic ops)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds  # noqa: F401  (ensures expression support)
+
+    def col(f_):
+        if len(f_.attribute) != 1:
+            return None
+        return pc.field(f_.attribute[0])
+
+    if isinstance(f, EqualTo):
+        c = col(f)
+        return None if c is None else c == f.value
+    if isinstance(f, GreaterThan):
+        c = col(f)
+        return None if c is None else c > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        c = col(f)
+        return None if c is None else c >= f.value
+    if isinstance(f, LessThan):
+        c = col(f)
+        return None if c is None else c < f.value
+    if isinstance(f, LessThanOrEqual):
+        c = col(f)
+        return None if c is None else c <= f.value
+    if isinstance(f, In):
+        c = col(f)
+        return None if c is None else c.isin(list(f.value))
+    if isinstance(f, IsNotNull):
+        c = col(f)
+        return None if c is None else c.is_valid()
+    if isinstance(f, IsNull):
+        c = col(f)
+        return None if c is None else ~c.is_valid()
+    return None
+
+
+class ClickHouseNativeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("location")
+        if not self.path:
+            raise ValueError(
+                "clickhouse_native requires a 'path' option. Note: Spark "
+                "does not forward OPTIONS/LOCATION of catalog tables to "
+                "Python data source readers — register tables via "
+                "ClickHouseCatalog.register_native_table (a view over "
+                "spark.read.format) instead of CREATE TABLE ... USING")
+        self._arrow_filter = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept what we can evaluate; yield the rest back to Spark
+        (Exact vs Unsupported — reference src/sql.rs:215-228)."""
+        import functools
+        import operator
+
+        accepted = []
+        for f in filters:
+            expr = _filter_to_arrow(f)
+            if expr is None:
+                yield f  # unsupported → Spark re-applies it
+            else:
+                accepted.append(expr)
+        if accepted:
+            self._arrow_filter = functools.reduce(operator.and_, accepted)
+
+    def partitions(self) -> list[_RowGroupPartition]:
+        import pyarrow.parquet as pq
+
+        parts = []
+        for f in _table_files(self.path):
+            n = pq.ParquetFile(f).num_row_groups
+            parts.extend(_RowGroupPartition(f, rg) for rg in range(n))
+        return parts or [_RowGroupPartition("", -1)]
+
+    def read(self, partition: _RowGroupPartition) -> Iterator["pa.RecordBatch"]:
+        if partition.row_group < 0:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(partition.file).read_row_group(partition.row_group)
+        if self._arrow_filter is not None:
+            tbl = tbl.filter(self._arrow_filter)
+        # Spark's Arrow ingestion accepts only microsecond timestamps
+        fields = [
+            pa.field(f.name, pa.timestamp("us", f.type.tz))
+            if pa.types.is_timestamp(f.type) and f.type.unit != "us" else f
+            for f in tbl.schema
+        ]
+        if [f.type for f in fields] != [f.type for f in tbl.schema]:
+            tbl = tbl.cast(pa.schema(fields))
+        yield from tbl.to_batches()
+
+
+@dataclass
+class _PartFileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class ClickHouseNativeWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        if overwrite:
+            # reference parity: InsertOp::Overwrite rejected
+            # (src/providers/table.rs:148-152)
+            raise NotImplementedError(
+                "clickhouse_native supports append only (reference parity)")
+        self.path = options.get("path") or options.get("location")
+        if not self.path:
+            raise ValueError("clickhouse_native requires a 'path' option")
+
+    def write(self, rows) -> _PartFileCommit:
+        """One part file per task — task parallelism IS the write
+        concurrency (reference buffer_unordered, src/sink.rs:206)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part_{uuid.uuid4().hex}.parquet")
+        batch = list(rows)
+        import pandas as pd
+
+        pdf = pd.DataFrame([r.asDict() for r in batch])
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, out)
+        return _PartFileCommit(out, len(batch))
+
+    def commit(self, messages) -> None:
+        total = sum(m.rows for m in messages if m)
+        marker = os.path.join(self.path, "_LAST_COMMIT")
+        with open(marker, "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class ClickHouseNativeDataSource(DataSource):
+    """USAGE:
+    ``spark.read.format("clickhouse_native").option("path", dir).load()`` or
+    ``CREATE TABLE t USING clickhouse_native OPTIONS (path '<dir>')``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = _table_files(self.options.get("path")
+                             or self.options.get("location") or "")
+        if not files:
+            raise ValueError(
+                "clickhouse_native: no part files found; provide 'path' "
+                "pointing at a table directory")
+        # prefer_timestamp_ntz: tz-naive parquet timestamps surface as
+        # TIMESTAMP_NTZ, matching Spark's own parquet reader defaults
+        return from_arrow_schema(pq.read_schema(files[0]),
+                                 prefer_timestamp_ntz=True)
+
+    def reader(self, schema: StructType) -> ClickHouseNativeReader:
+        return ClickHouseNativeReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ClickHouseNativeWriter:
+        return ClickHouseNativeWriter(dict(self.options), overwrite)
+
+
+def register_clickhouse_source(spark) -> None:
+    spark.dataSource.register(ClickHouseNativeDataSource)
