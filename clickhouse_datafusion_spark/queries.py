@@ -1213,6 +1213,119 @@ def x5_pivot(spark, sf):
             .withColumnsRenamed({"O": "st_o", "F": "st_f", "P": "st_p"}))
 
 
+@qdef("x6_sessionization",
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_s,
+                  event_id
+           FROM events),
+         s AS (
+           SELECT user_id, value,
+                  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                {OSUM}
+         FROM s GROUP BY user_id, session_id""".replace(
+          "{OSUM}", OSUM("value") + " AS total"),
+      tags=("sessionization", "ext"))
+def x6_sessions(spark, sf):
+    """Batch sessionization: lag-gap flag + running sum → session ids
+    (the guide's sessionization pattern; streaming twin is
+    streaming.session_windows)."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ → epoch seconds via timestamp (session TZ pinned to UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ses = (ev.withColumn("new_s", new_s)
+           .withColumn("session_id",
+                       F.sum("new_s").over(
+                           w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                       .cast("bigint")))
+    return (ses.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("total")))
+
+
+@qdef("x7_topk_per_group",
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS bal,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey)
+                       AS BIGINT) AS rn
+           FROM customer)
+         WHERE rn <= 3""",
+      tags=("topk", "ext"))
+def x7_topk(spark, sf):
+    c = t(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (c.select("c_mktsegment", "c_custkey", R2("c_acctbal").alias("bal"),
+                     F.row_number().over(w).cast("bigint").alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@qdef("x8_approx_aggs", None, tags=("A10", "ext"))
+def x8_approx(spark, sf):
+    """approx_count_distinct + percentile_approx (A10 extensions) — sketch
+    results are engine-specific, so rows-only; the exact twins are
+    oracle-checked in a1/a2."""
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("p25_75"))
+
+
+@qdef("x9_vocabulary_tf",
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS tf,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w HAVING count(*) >= 5""",
+      tags=("pipeline", "text"))
+def x9_vocab(spark, sf):
+    d = t(spark, sf, "documents")
+    return (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("tf") >= 5))
+
+
+@qdef("x10_native_connector_scan",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                {OSUM}
+         FROM orders WHERE o_totalprice > 50000
+         GROUP BY o_orderstatus""".replace("{OSUM}", OSUM("o_totalprice") + " AS total"),
+      tags=("connector",))
+def x10_native(spark, sf):
+    """The clickhouse_native Python DataSource on the correctness gate: scan
+    through the connector (filter pushed into pyarrow) must hash-match the
+    oracle reading plain parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickhouse_datafusion_spark.sources import register_clickhouse_source
+
+    register_clickhouse_source(spark)
+    src = resolve_parquet_path(f"{sf}/orders.parquet")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"chnative_{os.path.basename(sf.rstrip('/'))}_orders")
+    os.makedirs(d, exist_ok=True)
+    tgt = os.path.join(d, "part_0.parquet")
+    if not os.path.exists(tgt) or os.path.getmtime(tgt) < os.path.getmtime(src):
+        shutil.copy(src, tgt)
+    df = spark.read.format("clickhouse_native").option("path", d).load()
+    return (df.filter(F.col("o_totalprice") > 50000)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total")))
+
+
 # =========================================================================
 # Pipeline operators: text analysis (operators/text.py)
 # =========================================================================
