@@ -18,6 +18,7 @@ import sys
 import time
 
 BENCH_QUERIES = [
+    # relational headliners
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -28,6 +29,13 @@ BENCH_QUERIES = [
     "w3_rank_rownum",
     "o9_explode_unnest",
     "j4_self_join",
+    # pipeline operators (dedup / similarity / text) at scale
+    "d1_exact_dedup_groups",
+    "d3_minhash_lsh_candidates",
+    "t1_token_counts",
+    "s1_cosine_topk",
+    "x6_sessionization",
+    "x1_asof_join",
 ]
 
 
