@@ -95,6 +95,17 @@ def gram_hashes(col, ngram: int = 3):
                        lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_P)))
 
 
+def _sig_from_gram_hashes(gh_col, n_hashes: int):
+    """Signature slots over an already-materialized gram-hash column."""
+    def fam(a: int, b: int):
+        # single-parameter lambda (PySpark reads 2-arg lambdas as
+        # (element, index)); constants closed over
+        return lambda h: F.pmod(h * a + b, F.lit(_MH_P))
+
+    return F.array(*[F.array_min(F.transform(gh_col, fam(a, b)))
+                     for a, b in _mh_params(n_hashes)])
+
+
 def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
     """array<bigint> MinHash signature over word n-grams.
 
@@ -102,16 +113,13 @@ def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
     signature slot — integer-only inner loops (an early version re-hashed
     `concat(gram, '#', i)` per slot: 32× the string work, ~100× slower on
     5k docs).
+
+    NOTE: inlines the gram-hash array into each of the ``n_hashes`` slots —
+    HOF lambdas sit outside codegen subexpression elimination, so when the
+    signature feeds further plan nodes prefer the two-projection shape used
+    in :func:`minhash_candidates` (materialize ``gram_hashes`` first).
     """
-    ghs = gram_hashes(col, ngram)
-
-    def fam(a: int, b: int):
-        # single-parameter lambda (PySpark reads 2-arg lambdas as
-        # (element, index)); constants closed over
-        return lambda h: F.pmod(h * a + b, F.lit(_MH_P))
-
-    return F.array(*[F.array_min(F.transform(ghs, fam(a, b)))
-                     for a, b in _mh_params(n_hashes)])
+    return _sig_from_gram_hashes(gram_hashes(col, ngram), n_hashes)
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -122,18 +130,30 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     Jaccard (fraction of agreeing MinHashes), filtered at ``threshold``.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Plan shape (measured 27 s → 3.6 s on 500 docs, same output):
+
+    - gram hashes materialized in their OWN projection, so the 32 slot
+      expressions reference a computed column instead of inlining the
+      split→ngram→xxhash pipeline 32× (CollapseProject keeps the
+      projection because the alias is referenced many times);
+    - the band key is ``xxhash64(band, slice(sig, ...))`` — a single
+      BIGINT — rather than a struct carrying an array: cheap shuffle
+      hashing and comparison, and hash-join eligible. A 64-bit collision
+      only creates a spurious *candidate*, which the est-Jaccard filter
+      then scores honestly — correctness is unaffected.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), n_hashes, ngram).alias("sig"))
+    gh = df.select(F.col(id_col).alias("id"),
+                   gram_hashes(F.col(text_col), ngram).alias("gh"))
+    sig = gh.select("id", _sig_from_gram_hashes(F.col("gh"), n_hashes).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                .alias("bsig")))).alias("bk"))
+            lambda b: F.xxhash64(
+                b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))))
+        .alias("bk"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                     & (F.col("a.id") < F.col("b.id")))
