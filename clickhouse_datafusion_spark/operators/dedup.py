@@ -122,6 +122,48 @@ def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
     return _sig_from_gram_hashes(gram_hashes(col, ngram), n_hashes)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions (e.g. one small parquet file). Signature
+    computation is CPU-bound; without this it runs in a single task. At
+    real scale the scan already has ≥ defaultParallelism splits and this
+    is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """(id, <payload...>, bk) → all intra-bucket pairs (id_a < id_b).
+
+    groupBy(bk) + collect_list + in-bucket pair expansion instead of a
+    bucket self-join: the upstream (expensive signature projection) is
+    evaluated ONCE, and the single shuffle is keyed by the bucket hash —
+    uniformly distributed. A self-join evaluates the signature pipeline
+    on both sides and, when the input is one partition and the planner
+    broadcasts, runs entirely in one task (measured 10.4 s → 3.4 s on
+    5k docs for MinHash).
+    """
+    buckets = (banded.groupBy("bk")
+               .agg(F.collect_list(F.struct("id", *payload_cols)).alias("docs"))
+               .filter(F.size("docs") > 1))
+    docs = F.array_sort(F.col("docs"))
+    pair = F.explode(F.flatten(F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + 2, F.size(docs)),
+            lambda y: F.struct(
+                x["id"].alias("id_a"), y["id"].alias("id_b"),
+                *[c for p in payload_cols
+                  for c in (x[p].alias(f"{p}_a"), y[p].alias(f"{p}_b"))])))))
+    out_cols = ["p.id_a", "p.id_b"] + [f"p.{p}_{s}" for p in payload_cols
+                                       for s in ("a", "b")]
+    return (buckets.select(pair.alias("p")).select(*out_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 32,
                        bands: int = 8, ngram: int = 3,
@@ -131,7 +173,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
-    Plan shape (measured 27 s → 3.6 s on 500 docs, same output):
+    Plan shape (measured 27 s → ~3.4 s on 5k docs, same output):
 
     - gram hashes materialized in their OWN projection, so the 32 slot
       expressions reference a computed column instead of inlining the
@@ -139,13 +181,16 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
       projection because the alias is referenced many times);
     - the band key is ``xxhash64(band, slice(sig, ...))`` — a single
       BIGINT — rather than a struct carrying an array: cheap shuffle
-      hashing and comparison, and hash-join eligible. A 64-bit collision
-      only creates a spurious *candidate*, which the est-Jaccard filter
-      then scores honestly — correctness is unaffected.
+      hashing and comparison. A 64-bit collision only creates a spurious
+      *candidate*, which the est-Jaccard filter then scores honestly —
+      correctness is unaffected;
+    - pairs come from intra-bucket expansion after one groupBy shuffle
+      (see :func:`_bucket_pairs`), not a self-join that would evaluate
+      the signature pipeline twice.
     """
     rows_per_band = n_hashes // bands
-    gh = df.select(F.col(id_col).alias("id"),
-                   gram_hashes(F.col(text_col), ngram).alias("gh"))
+    gh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), gram_hashes(F.col(text_col), ngram).alias("gh"))
     sig = gh.select("id", _sig_from_gram_hashes(F.col("gh"), n_hashes).alias("sig"))
     banded = sig.select(
         "id", "sig",
@@ -154,12 +199,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
             lambda b: F.xxhash64(
                 b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))))
         .alias("bk"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    pairs = _bucket_pairs(banded, ["sig"])
     est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
                                       lambda x, y: x == y),
                            lambda e: e))
@@ -208,21 +248,17 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     distance < n_tables agrees on ≥1 block → group by block value.
     """
     block = 64 // n_tables
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_col(F.col(text_col)).alias("sh"))
+    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                        simhash_col(F.col(text_col)).alias("sh"))
     banded = sh.select("id", "sh", F.explode(F.array(*[
-        F.struct(
-            F.lit(i).alias("tbl"),
+        F.xxhash64(
+            F.lit(i),
             F.shiftright(F.col("sh"), i * block)
-            .bitwiseAND(F.lit((1 << block) - 1)).alias("key"))
+            .bitwiseAND(F.lit((1 << block) - 1)))
         for i in range(n_tables)])).alias("bk"))
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    ham.cast("int").alias("hamming"))
-            .dropDuplicates(["id_a", "id_b"])
+    pairs = _bucket_pairs(banded, ["sh"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 
