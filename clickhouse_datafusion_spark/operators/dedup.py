@@ -263,6 +263,62 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; the component
+    label is the minimum node id reachable from it (so it is canonical).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels. Rounds needed = graph diameter;
+    near-dup graphs are dense little cliques, so this converges in a
+    handful of rounds. Each round is one join + one groupBy (both keyed by
+    node id — co-partitioned after the first shuffle), with
+    ``localCheckpoint`` truncating the lineage so the plan doesn't grow
+    exponentially across iterations. Raises if ``max_iter`` rounds don't
+    converge (a truncated result would silently mislabel components).
+
+    At 100 TB the same loop holds — the per-round cost is a shuffle of
+    (node, label) pairs, not documents — but replace with alternating
+    large-star/small-star if diameters get big.
+    """
+    edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+             .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = edges.select(F.col("s").alias("id"), F.col("s").alias("lbl")).distinct()
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["d"] == labels["id"])
+                   .groupBy("s").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+                      .select(labels["id"],
+                              F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.withColumnRenamed("lbl", "prev")
+                   .join(new_labels, "id")
+                   .filter(F.col("prev") != F.col("lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations")
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (the min-id member) per near-dup component;
+    rows not in any pair pass through untouched (left anti join against the
+    non-representative members — broadcast-able: components are tiny
+    relative to the corpus)."""
+    comp = connected_components(pairs)
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (LSH verifier / small-scale standalone)
 # ---------------------------------------------------------------------------
 

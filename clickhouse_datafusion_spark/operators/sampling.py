@@ -1,0 +1,80 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+Scale design:
+
+- **hash_split**: split assignment is a pure projection on a content hash —
+  no shuffle, no state, stable under re-runs, appends, and repartitioning
+  (the properties random() splits lack on a cluster). At 100 TB this
+  pipelines into the scan with zero data movement.
+- **stratified_sample**: one window per stratum (shuffle keyed by the
+  stratum column). Deterministic order inside the stratum comes from a hash
+  of the id, so the sample is reproducible and unbiased w.r.t. insertion
+  order. Stratum skew = window-partition skew; for heavy strata use
+  hash_split-style Bernoulli sampling instead (`fraction` applied to the
+  hash bucket), which needs no window at all.
+- **bernoulli_stratified**: the no-shuffle variant — keeps each row iff its
+  id-hash bucket falls under the stratum's fraction; exact-size guarantees
+  are traded for a fully pipelined plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_N_BUCKETS = 100
+
+
+def hash_bucket(col, n_buckets: int = _N_BUCKETS):
+    """Deterministic bucket in [0, n_buckets) from a 16-bit slice of
+    md5(id). md5 (not xxhash64) so external systems — and the DuckDB
+    oracle — can reproduce assignments byte-for-byte."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("int") % n_buckets)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train: float = 0.8, val: float = 0.1,
+               split_col: str = "split") -> DataFrame:
+    """Append a deterministic train/val/test split column.
+
+    Buckets md5(id) into percent bins: [0, train) → train,
+    [train, train+val) → val, rest → test. Pure projection — rows never
+    move, and the assignment is stable across runs and cluster layouts.
+    """
+    b = hash_bucket(F.col(id_col))
+    t_hi, v_hi = int(train * _N_BUCKETS), int((train + val) * _N_BUCKETS)
+    return df.withColumn(
+        split_col,
+        F.when(b < t_hi, F.lit("train"))
+         .when(b < v_hi, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, fraction: float,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact-fraction deterministic sample per stratum: the ceil(n·f)
+    rows with the smallest md5(id) in each stratum.
+
+    One shuffle (window partitioned by the stratum). Deterministic: the
+    hash order is a property of the ids, not of partitioning.
+    """
+    hk = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(stratum_col).orderBy(hk, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(W.partitionBy(stratum_col)))
+            .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+            .drop("_rn", "_n"))
+
+
+def bernoulli_stratified(df: DataFrame, fractions: dict[str, float],
+                         stratum_col: str, id_col: str = "doc_id",
+                         default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum Bernoulli sampling with NO shuffle: keep a row iff its
+    id-hash bucket < fraction(stratum)·100. Sample size is binomial around
+    n·f rather than exact — the price of a fully pipelined plan."""
+    b = hash_bucket(F.col(id_col))
+    frac = F.lit(default_fraction)
+    for k, f_ in fractions.items():
+        frac = F.when(F.col(stratum_col) == k, F.lit(f_)).otherwise(frac)
+    return df.filter(b < frac * _N_BUCKETS)

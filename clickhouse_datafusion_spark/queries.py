@@ -1488,6 +1488,75 @@ def d5_embdup(spark, sf):
     return pairwise_cosine_dups(emb, threshold=0.8)
 
 
+@qdef("d6_dup_clusters",
+      """WITH RECURSIVE
+          g AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+          e0 AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gr FROM g),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM e0 a JOIN e0 b ON a.gr = b.gr AND a.id < b.id
+            GROUP BY a.id, b.id, a.n_grams, b.n_grams
+            HAVING FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
+                     / 10000.0 >= 0.4),
+          edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                    UNION SELECT id_b AS s, id_a AS d FROM pairs),
+          reach(id, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id)
+         SELECT id, CAST(MIN(lbl) AS BIGINT) AS component
+         FROM reach GROUP BY id""",
+      tags=("pipeline", "dedup"))
+def d6_clusters(spark, sf):
+    """Near-dup clusters = connected components over exact-Jaccard pairs;
+    component label = min doc_id in the cluster (canonical, so the
+    iterative Spark labeling and DuckDB's recursive CTE agree exactly)."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        connected_components, ngram_jaccard_pairs)
+
+    pairs = ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.4)
+    return connected_components(pairs)
+
+
+@qdef("x11_hash_split",
+      """SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT)
+                        % 100 AS b
+               FROM documents)""",
+      tags=("pipeline", "sampling"))
+def x11_split(spark, sf):
+    """Deterministic md5-bucket train/val/test split — pure projection,
+    reproducible by any engine (the oracle recomputes it bit-for-bit)."""
+    from clickhouse_datafusion_spark.operators.sampling import hash_split
+
+    return hash_split(t(spark, sf, "documents")).select("doc_id", "split")
+
+
+@qdef("x12_stratified_sample",
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rn <= CEIL(n * 0.1)""",
+      tags=("pipeline", "sampling"))
+def x12_strat(spark, sf):
+    """Exact-fraction deterministic stratified sample (10% per language)."""
+    from clickhouse_datafusion_spark.operators.sampling import stratified_sample
+
+    return (stratified_sample(t(spark, sf, "documents"), "lang", 0.1)
+            .select("doc_id", "lang"))
+
+
 # =========================================================================
 # Pipeline operators: similarity search (operators/similarity.py)
 # =========================================================================

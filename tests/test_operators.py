@@ -175,3 +175,84 @@ def test_multimodal_strict_mode_raises(spark, docs):
     media = documents_as_media(docs.limit(2))
     with pytest.raises(Exception, match="(?i)codec|notimplemented"):
         decode_features(media, strict=True).collect()
+
+
+# -- clusters / sampling ---------------------------------------------------
+
+def test_connected_components_known_graph(spark):
+    from clickhouse_datafusion_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,7} (chain + triangle) and {10,11}; 5 isolated-pairless
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (7, 1), (10, 11)], ["id_a", "id_b"])
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from clickhouse_datafusion_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = connected_components(chain, max_iter=15).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_drop_near_dups_keeps_representative(spark, docs):
+    from clickhouse_datafusion_spark.operators.dedup import (
+        drop_near_dups, ngram_jaccard_pairs)
+
+    planted = docs.limit(8).withColumn("doc_id", F.col("doc_id") + 700_000)
+    corpus = docs.unionAll(planted)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.9)
+    kept = drop_near_dups(corpus, pairs)
+    # every planted copy (higher id than its original) must be gone
+    assert kept.filter(F.col("doc_id") >= 700_000).count() == 0
+    # exactly the component representatives (min id) survive; docs in no
+    # pair pass through (the base corpus has organic near-dups too, so
+    # compute the expectation from the components)
+    from clickhouse_datafusion_spark.operators.dedup import connected_components
+    comp = connected_components(pairs)
+    n_losers = comp.filter(F.col("id") != F.col("component")).count()
+    assert kept.count() == corpus.count() - n_losers
+    reps = {r.component for r in comp.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert reps <= kept_ids
+
+
+def test_hash_split_deterministic_and_disjoint(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import hash_split
+
+    s1 = hash_split(docs).select("doc_id", "split")
+    s2 = hash_split(docs.repartition(7)).select("doc_id", "split")
+    # identical assignment regardless of partitioning
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    frac = {r["split"]: r["n"] for r in
+            s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(frac.values())
+    assert n == docs.count()
+    assert 0.7 < frac.get("train", 0) / n < 0.9   # ~80%
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_stratified_sample_exact_fraction(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import stratified_sample
+    import math
+
+    samp = stratified_sample(docs, "lang", 0.2)
+    per = {r.lang: r.n for r in
+           samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        assert per.get(lang, 0) == math.ceil(n * 0.2), lang
+
+
+def test_bernoulli_stratified_no_shuffle(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import bernoulli_stratified
+
+    samp = bernoulli_stratified(docs, {"en": 0.5}, "lang")
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure pipelined filter
+    langs = {r.lang for r in samp.select("lang").distinct().collect()}
+    assert langs <= {"en"}
