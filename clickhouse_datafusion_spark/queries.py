@@ -1649,6 +1649,31 @@ def st1_stream(spark, sf):
         "event_type", "n", F.round("total", 2).alias("total"))
 
 
+@qdef("st2_streaming_dedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_distinct
+         FROM (SELECT DISTINCT event_id FROM events)""",
+      tags=("streaming", "dedup"))
+def st2_stream_dedup(spark, sf):
+    """Replay events twice through dropDuplicatesWithinWatermark; the
+    deduped stream must contain each event_id once — count equals the
+    batch DISTINCT count (SQL-expressible, so this one gets a real
+    oracle)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        dedup_stream, read_events_stream, run_to_memory_sink)
+
+    d = tempfile.mkdtemp(prefix="st2_events_")
+    for i in range(2):
+        shutil.copy(resolve_parquet_path(f"{sf}/events.parquet"),
+                    f"{d}/copy_{i}.parquet")
+    stream = dedup_stream(read_events_stream(spark, d))
+    out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
+    return out.agg(F.count("*").alias("n_distinct"))
+
+
 def get_queries():
     return {name: qd.spark_fn for name, qd in QUERIES.items()}
 

@@ -7,6 +7,8 @@ over the ``events`` fixture shape.
 """
 
 from clickhouse_datafusion_spark.streaming.events import (
+    dedup_content_stream,
+    dedup_stream,
     read_events_stream,
     tumbling_counts,
     sliding_value_sums,
@@ -15,6 +17,8 @@ from clickhouse_datafusion_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_content_stream",
+    "dedup_stream",
     "read_events_stream",
     "tumbling_counts",
     "sliding_value_sums",

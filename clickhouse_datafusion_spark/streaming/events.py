@@ -95,6 +95,29 @@ def running_user_totals_stateful(events: DataFrame) -> DataFrame:
                                     "append", "NoTimeout"))
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming analog of ``dedup.drop_exact_dups``.
+
+    State is one entry per distinct key, expired once the watermark passes
+    it, so memory is bounded by (distinct keys per horizon), not stream
+    length — the property that makes ingestion-time dedup viable at scale.
+    """
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
+def dedup_content_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Content-hash streaming dedup: same mechanism keyed by a hash of the
+    payload columns (duplicate *content* under different event ids)."""
+    hashed = events.withColumn(
+        "_h", F.xxhash64("user_id", "event_type", "value", "props"))
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_h"]).drop("_h"))
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str,
                        output_mode: str = "append") -> DataFrame:
     """Drive a streaming DataFrame to completion into an in-memory table and

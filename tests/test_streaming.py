@@ -92,3 +92,33 @@ def test_stateful_running_totals(spark, events_dir):
     assert set(final) == set(batch)
     for uid, (n, total) in final.items():
         assert batch[uid][0] == n and abs(batch[uid][1] - total) < 1e-6
+
+
+def test_streaming_dedup_by_event_id(spark, events_dir):
+    """3 identical files replayed file-per-trigger: every event_id after the
+    first delivery is a duplicate held in watermark state → output equals
+    ONE copy exactly."""
+    from clickhouse_datafusion_spark.streaming import dedup_stream
+
+    stream = dedup_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1))
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name)
+    one_copy = spark.read.parquet(f"{events_dir}/part_0.parquet")
+    assert out.count() == one_copy.count()
+    assert out.select("event_id").distinct().count() == one_copy.count()
+
+
+def test_streaming_dedup_by_content(spark, events_dir):
+    from clickhouse_datafusion_spark.streaming import dedup_content_stream
+
+    stream = dedup_content_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1))
+    name = f"dc_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name)
+    one_copy = spark.read.parquet(f"{events_dir}/part_0.parquet")
+    n_distinct = (one_copy.select("user_id", "event_type", "value", "props")
+                  .distinct().count())
+    assert out.count() == n_distinct
+    # schema passes through unchanged (helper column dropped)
+    assert out.columns == one_copy.columns
