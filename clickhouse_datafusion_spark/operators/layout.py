@@ -1,0 +1,69 @@
+"""Output data-layout operators: range-sorted writes for scan pruning.
+
+At 100 TB, how you WRITE determines how every later job READS. A parquet
+file carries per-column min/max statistics; if each output file covers a
+disjoint key range, any downstream filter on that key prunes whole files
+before a single byte is read (plus intra-file row-group skipping). The
+reference has no layout story (its sink streams batches to a remote server,
+reference src/sink.rs:102-211); this is the Spark-native equivalent of
+ClickHouse's ORDER BY clustering for MergeTree tables.
+
+``repartitionByRange`` samples the key distribution (one extra pass over a
+sample, not the data) to build balanced range bounds — so skewed keys still
+give even file sizes, where hash partitioning would not preserve order and
+fixed-width ranges would produce elephant files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_range_sorted(df: DataFrame, path: str, key_cols: list[str],
+                       n_files: int | None = None,
+                       max_records_per_file: int | None = None,
+                       mode: str = "overwrite") -> None:
+    """Write parquet range-clustered on ``key_cols``: rows are range-
+    partitioned across ``n_files`` output files and sorted within each, so
+    every file covers a disjoint key range and downstream equality/range
+    filters on the key skip non-matching files via footer stats alone.
+
+    ``max_records_per_file`` bounds file size at fixed row count (Spark
+    splits a partition into several files, each still sorted and
+    range-disjoint because the partition itself is sorted).
+    """
+    keys = [F.col(c) for c in key_cols]
+    out = (df.repartitionByRange(n_files, *keys) if n_files
+           else df.repartitionByRange(*keys))
+    writer = out.sortWithinPartitions(*keys).write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def file_key_ranges(path: str, key_col: str) -> list[tuple]:
+    """(file, min, max) of ``key_col`` per data file from parquet footers —
+    metadata only, nothing is scanned. Used to verify layout disjointness
+    and by tests; at scale the same stats drive the engine's file skipping.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(path, name)
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(key_col)
+        lo, hi = None, None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((name, lo, hi))
+    return out

@@ -89,3 +89,38 @@ def test_ivf_ann_recall_on_planted(spark):
     # near-identical vectors land in the query's own cluster → full recall
     overlap = len(set(exact) & set(approx))
     assert overlap >= 9, (exact, approx)
+
+
+def test_range_sorted_write_produces_disjoint_files(spark, tmp_path):
+    from clickhouse_datafusion_spark.operators.layout import (
+        file_key_ranges, write_range_sorted)
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_custkey"], n_files=4)
+
+    ranges = [r for r in file_key_ranges(out, "o_custkey") if r[1] is not None]
+    assert len(ranges) >= 3
+    spans = sorted((lo, hi) for _, lo, hi in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
+
+    # round-trip integrity
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).first()[0] == \
+        orders.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_range_sorted_write_respects_max_records(spark, tmp_path):
+    import os
+
+    from clickhouse_datafusion_spark.operators.layout import write_range_sorted
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n = orders.count()
+    out = str(tmp_path / "orders_capped")
+    write_range_sorted(orders, out, ["o_orderdate"], n_files=2,
+                       max_records_per_file=n // 6)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 6
