@@ -1606,6 +1606,33 @@ def s2_ann(spark, sf):
     return lsh_ann_topk(emb, qvec, k=10)
 
 
+@qdef("s4_knn_join",
+      """WITH l AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS lv
+                    FROM embeddings WHERE vec_id < 20),
+           r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv
+                 FROM embeddings WHERE vec_id < 500),
+           s AS (SELECT lid, rid,
+                        FLOOR(list_dot_product(lv, rv)
+                              / (sqrt(list_dot_product(lv, lv))
+                                 * sqrt(list_dot_product(rv, rv)))
+                              * 10000 + 0.5) / 10000.0 AS cos
+                 FROM l JOIN r ON lid != rid),
+           rk AS (SELECT lid, rid, cos,
+                         row_number() OVER (PARTITION BY lid
+                                            ORDER BY cos DESC, rid) AS rn
+                  FROM s)
+         SELECT lid, rid, cos FROM rk WHERE rn <= 5""",
+      tags=("pipeline", "similarity"))
+def s4_knn(spark, sf):
+    """Exact kNN join (broadcast right side): 5 nearest neighbors among the
+    first 500 vectors for each of the first 20 query vectors."""
+    from clickhouse_datafusion_spark.operators.similarity import brute_force_knn_join
+
+    emb = t(spark, sf, "embeddings")
+    return brute_force_knn_join(emb.filter(F.col("vec_id") < 20),
+                                emb.filter(F.col("vec_id") < 500), k=5)
+
+
 # =========================================================================
 # Pipeline operators: multimodal plumbing (operators/multimodal.py)
 # =========================================================================
