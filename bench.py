@@ -77,6 +77,39 @@ def insert_benchmark(spark, rows: int, workers: int, iters: int) -> dict:
     }
 
 
+def concurrency_benchmark(spark, sf_dir: str, clients: int = 8,
+                          reps: int = 3) -> dict:
+    """Multi-client throughput mirroring the reference's multi-client
+    stress shape (/root/reference/tests/e2e_stress.rs): ``clients`` threads
+    each run the flagship query ``reps`` times against the shared session
+    (Spark's scheduler interleaves the jobs); reports queries/sec."""
+    import threading
+
+    from clickhouse_datafusion_spark.queries import QUERIES
+
+    fn = QUERIES["flagship_top_customers"].spark_fn
+    errors: list[Exception] = []
+
+    def client():
+        try:
+            for _ in range(reps):
+                fn(spark, sf_dir).collect()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    elapsed = time.perf_counter() - t0
+    if errors:
+        raise errors[0]
+    return {"clients": clients, "queries": clients * reps,
+            "qps": round(clients * reps / elapsed, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("BENCH_ITERS", "2"))
@@ -110,6 +143,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
     }
+    if os.environ.get("BENCH_CONCURRENT", "1") != "0":
+        result["concurrent"] = concurrency_benchmark(
+            spark, sf_dir,
+            clients=int(os.environ.get("BENCH_CONCURRENT_CLIENTS", "8")))
     if os.environ.get("BENCH_INSERT", "1") != "0":
         result["insert"] = insert_benchmark(
             spark,
