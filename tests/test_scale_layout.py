@@ -42,12 +42,15 @@ def test_partition_pruning(spark, views):
 def test_bucketed_join_no_shuffle(spark, views):
     """bucketBy on the join key co-locates both sides: the join plan must
     contain NO hash-partitioning exchange (the 100 TB co-located join)."""
+    from clickhouse_datafusion_spark.operators.layout import write_bucketed
+
     a = f"ba_{uuid.uuid4().hex[:8]}"
     b = f"bb_{uuid.uuid4().hex[:8]}"
-    (spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
-     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(a))
-    (spark.table("lineitem").select("l_orderkey", "l_quantity")
-     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(b))
+    write_bucketed(spark.table("orders")
+                   .select("o_orderkey", "o_custkey", "o_totalprice"),
+                   a, ["o_orderkey"], n_buckets=8)
+    write_bucketed(spark.table("lineitem").select("l_orderkey", "l_quantity"),
+                   b, ["l_orderkey"], n_buckets=8)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = (spark.table(a).join(spark.table(b),
