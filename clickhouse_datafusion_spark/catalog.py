@@ -35,6 +35,9 @@ _TDCACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         ".tdcache")
 
 
+_RESOLVE_CACHE: dict[str, str] = {}
+
+
 def resolve_parquet_path(path: str) -> str:
     """Return a Spark-readable path for a parquet file, converting
     nanosecond-precision timestamps to microseconds and re-chunking large
@@ -48,6 +51,11 @@ def resolve_parquet_path(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    cache_key = os.path.abspath(path)
+    hit = _RESOLVE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
     schema = pq.read_schema(path)
     pf = pq.ParquetFile(path)
     has_ns = any(
@@ -55,6 +63,7 @@ def resolve_parquet_path(path: str) -> str:
     needs_chunks = (pf.num_row_groups == 1
                     and pf.metadata.num_rows >= 100_000)
     if not (has_ns or needs_chunks):
+        _RESOLVE_CACHE[cache_key] = path
         return path
     tag = os.path.basename(os.path.dirname(os.path.abspath(path)))
     out = os.path.join(_TDCACHE, tag, os.path.basename(path))
@@ -79,6 +88,7 @@ def resolve_parquet_path(path: str) -> str:
         fixed = pa.Table.from_arrays(cols, schema=pa.schema(fields))
         pq.write_table(fixed, out,
                        row_group_size=max(fixed.num_rows // 32, 16_384))
+    _RESOLVE_CACHE[cache_key] = out
     return out
 
 
@@ -219,10 +229,27 @@ class ClickHouseCatalog:
         return self.spark.table(f"`{db}`.`{table}`")
 
 
-def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+# One registration per (session, sf_dir): the driver gate runs ~90 queries
+# through one SparkSession, and re-registering 10 parquet views per query
+# (10 footer/schema reads each) was the dominant per-query setup cost in
+# round 1 (VERDICT.md "What's missing" #1).
+_VIEWS_REGISTERED: dict[int, str] = {}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str,
+                            force: bool = False) -> None:
     """Register the driver's testdata parquet as bare-name temp views
-    (``region`` .. ``embeddings``), matching the DuckDB oracle's view names."""
+    (``region`` .. ``embeddings``), matching the DuckDB oracle's view names.
+
+    Idempotent per (session, sf_dir) — repeated calls with the same scale
+    factor are free; switching sf_dir re-registers (views are overwritten).
+    """
+    key = id(spark)
+    sf_abs = os.path.abspath(sf_dir)
+    if not force and _VIEWS_REGISTERED.get(key) == sf_abs:
+        return
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(resolve_parquet_path(p)).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[key] = sf_abs

@@ -43,8 +43,18 @@ def qdef(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# DataFrame plans are immutable — cache one reader per (session, sf, table)
+# so the ~90-query driver gate pays each parquet footer/schema read once.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(resolve_parquet_path(f"{sf_dir}/{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(resolve_parquet_path(f"{sf_dir}/{name}.parquet"))
+        _DF_CACHE[key] = df
+    return df
 
 
 def _engine(spark: SparkSession, sf_dir: str):
@@ -714,12 +724,34 @@ def f3(spark, sf):
         FROM supplier""")
 
 
+# The driver's canonicalizer sorts/hashes compared columns with pandas and
+# cannot hash raw array<string> cells (round-1 f4/f5 failure). The lambda/HOF
+# computation (arrayMap/arrayFilter/arrayExists → transform/filter/exists,
+# ref tests/e2e.rs:1087-1220) is unchanged — the compared column is the
+# order-preserving string join of the array, which both engines express
+# exactly (concat_ws ↔ array_to_string). Raw-array variants are kept as
+# rows-only entries (f4b/f5b) so the List(Utf8) surface itself stays covered.
+
 @qdef("f4_ch_lambda_map",
       """SELECT p_partkey,
-                list_transform(string_split(p_name, ' '), x -> x || '_p') AS words
+                array_to_string(
+                  list_transform(string_split(p_name, ' '), x -> x || '_p'),
+                  ' ') AS words
          FROM part WHERE p_partkey <= 50""",
       tags=("F3",))
 def f4(spark, sf):
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT p_partkey, concat_ws(' ', words) AS words FROM (
+          SELECT p_partkey,
+                 clickhouse(`arrayMap`($x, concat($x, '_p'), splitByChar(' ', p_name)),
+                            'List(Utf8)') AS words
+          FROM part WHERE p_partkey <= 50)""")
+
+
+@qdef("f4b_ch_lambda_map_raw", None, tags=("F3",))
+def f4b(spark, sf):
+    """Raw array<string> output (rows-only: arrays are not gate-hashable)."""
     eng = _engine(spark, sf)
     return eng.sql("""
         SELECT p_partkey,
@@ -730,7 +762,9 @@ def f4(spark, sf):
 
 @qdef("f5_ch_lambda_filter_exists",
       """SELECT p_partkey,
-                list_filter(string_split(p_name, ' '), x -> length(x) > 5) AS long_words,
+                COALESCE(array_to_string(
+                  list_filter(string_split(p_name, ' '), x -> length(x) > 5),
+                  ' '), '') AS long_words,
                 CAST(length(list_filter(string_split(p_name, ' '), x -> x = 'green')) > 0
                      AS BOOLEAN) AS has_green
          FROM part WHERE p_partkey <= 50""",
@@ -738,11 +772,23 @@ def f4(spark, sf):
 def f5(spark, sf):
     eng = _engine(spark, sf)
     return eng.sql("""
+        SELECT p_partkey, concat_ws(' ', long_words) AS long_words, has_green FROM (
+          SELECT p_partkey,
+                 clickhouse(`arrayFilter`($x, length($x) > 5, splitByChar(' ', p_name)),
+                            'List(Utf8)') AS long_words,
+                 clickhouse(`arrayExists`($x, $x = 'green', splitByChar(' ', p_name)),
+                            'Boolean') AS has_green
+          FROM part WHERE p_partkey <= 50)""")
+
+
+@qdef("f5b_ch_lambda_filter_raw", None, tags=("F3",))
+def f5b(spark, sf):
+    """Raw array<string> output (rows-only: arrays are not gate-hashable)."""
+    eng = _engine(spark, sf)
+    return eng.sql("""
         SELECT p_partkey,
                clickhouse(`arrayFilter`($x, length($x) > 5, splitByChar(' ', p_name)),
-                          'List(Utf8)') AS long_words,
-               clickhouse(`arrayExists`($x, $x = 'green', splitByChar(' ', p_name)),
-                          'Boolean') AS has_green
+                          'List(Utf8)') AS long_words
         FROM part WHERE p_partkey <= 50""")
 
 
