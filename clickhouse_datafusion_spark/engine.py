@@ -20,6 +20,8 @@ empty result.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_datafusion_spark.catalog import ClickHouseCatalog, DEFAULT_CATALOG
@@ -37,6 +39,7 @@ class ClickHouseSparkEngine:
         self.catalog = ClickHouseCatalog(spark, catalog_name)
         self._catalog_names = {catalog_name.lower()}
         self.coercion = coercion
+        self._native_tables = {}
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
@@ -50,6 +53,14 @@ class ClickHouseSparkEngine:
 
     def sql(self, query: str) -> DataFrame:
         rewritten = self.rewrite(query)
+        m = _CREATE_NATIVE_RE.match(rewritten)
+        if m:
+            return self._create_native_table(m)
+        d = _DROP_TABLE_RE.match(rewritten)
+        if d:
+            self._drop_native_mapping(d.group("name"))
+            return self.spark.sql(rewritten)
+        rewritten = self._route_native_tables(rewritten)
         if _is_insert(rewritten):
             return self._insert_sql(rewritten)
         return self.spark.sql(rewritten)
@@ -59,7 +70,71 @@ class ClickHouseSparkEngine:
         parts = name.split(".")
         if len(parts) == 3 and parts[0].lower() in self._catalog_names:
             name = ".".join(parts[1:])
+        view = self._native_tables.get(name.replace("`", "").lower())
+        if view:
+            return self.spark.table(view)
         return self.spark.table(name)
+
+    # -- connector DDL path (reference src/providers/table_factory.rs:216-275)
+    # Spark does not hand storage OPTIONS of catalog tables to Python
+    # DataSource readers at scan time (probe: reader options == {}), so the
+    # `CREATE TABLE ... USING clickhouse_native` SQL spelling is made
+    # first-class here in the front door: the statement registers a
+    # connector-backed view, creates a real catalog entry (listing / DROP /
+    # other sessions), and later references to the table name are routed to
+    # the connector view so scans run through the Python DataSource
+    # (pushFilters / row-group partitions).
+    _native_tables: dict[str, str]
+
+    def _create_native_table(self, m) -> DataFrame:
+        name = m.group("name").replace("`", "")
+        opts = dict(_OPTION_RE.findall(m.group("opts") or ""))
+        path = opts.get("path") or opts.get("location")
+        if not path:
+            raise ValueError(
+                "CREATE TABLE ... USING clickhouse_native requires a "
+                "'path' option")
+        parts = name.split(".")
+        if len(parts) == 3 and parts[0].lower() in self._catalog_names:
+            parts = parts[1:]
+        db, tbl = (parts if len(parts) == 2 else ("main", parts[0]))
+        view = f"__ch_native_{db}_{tbl}"
+        self.catalog.register_native_table(view, None, path)
+        self._native_tables[f"{db}.{tbl}".lower()] = view
+        self._native_tables[tbl.lower()] = view
+        # catalog entry: listable/droppable, scannable from other sessions
+        # (plain parquet scan there — same data, same schema)
+        ine = "IF NOT EXISTS " if m.group("ine") else ""
+        self.catalog.create_database(db)
+        return self.spark.sql(
+            f"CREATE TABLE {ine}`{db}`.`{tbl}` USING parquet "
+            f"LOCATION '{path}' TBLPROPERTIES ("
+            f"'clickhouse.native'='true', 'clickhouse.native.path'='{path}')")
+
+    def _drop_native_mapping(self, name: str) -> None:
+        name = name.replace("`", "")
+        parts = name.split(".")
+        if len(parts) == 3 and parts[0].lower() in self._catalog_names:
+            parts = parts[1:]
+        key = ".".join(parts).lower()
+        view = self._native_tables.pop(key, None)
+        if view:
+            # drop the bare-name alias too, and the backing temp view
+            for k in [k for k, v in self._native_tables.items() if v == view]:
+                del self._native_tables[k]
+            self.spark.catalog.dropTempView(view)
+
+    def _route_native_tables(self, q: str) -> str:
+        """Rewrite references to native-DDL tables to their connector views."""
+        if not self._native_tables:
+            return q
+        for key, view in self._native_tables.items():
+            pat = re.compile(
+                r"(?<![\w.`])`?" + r"`?\.`?".join(
+                    re.escape(p) for p in key.split(".")) + r"`?(?![\w.`])",
+                re.IGNORECASE)
+            q = pat.sub(view, q)
+        return q
 
     def explain_str(self, query: str, mode: str = "formatted") -> str:
         df = self.sql(query)
@@ -73,6 +148,20 @@ class ClickHouseSparkEngine:
         from clickhouse_datafusion_spark import sink
 
         return sink.run_insert_sql(self.spark, rewritten)
+
+
+_CREATE_NATIVE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s+USING\s+clickhouse_native"
+    r"(?:\s+OPTIONS\s*\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+# OPTIONS (path '/x', key = 'v') — both `k 'v'` and `k = 'v'` spellings
+_OPTION_RE = re.compile(r"(\w+)\s*=?\s*'([^']*)'")
+
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE)
 
 
 def _is_insert(q: str) -> bool:

@@ -19,7 +19,9 @@ reference's per-batch check is likewise a data-level check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+import re
+
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -91,35 +93,82 @@ def validate_no_nulls(df: DataFrame, target_schema: T.StructType,
                 f"contains {counts[c]} null(s)")
 
 
+_NULL_GUARD_MARK = "nullability violation"
+
+
+def _null_guarded(col_name: str, dtype: T.DataType):
+    """Column expression that errors at *write time* on a NULL in a
+    non-nullable field — the Spark analog of the reference's per-batch
+    nullability check inside the write stream (src/sink.rs:143-176).
+    A task failure aborts the job before the file commit, so no bad data
+    lands, and the input is never scanned a second time."""
+    msg = (f"{_NULL_GUARD_MARK}: field {col_name} is non-nullable but input "
+           f"contains null(s)")
+    return (F.when(F.col(col_name).isNotNull(), F.col(col_name))
+            .otherwise(F.raise_error(F.lit(msg)).cast(dtype))
+            .alias(col_name))
+
+
 def insert_into(spark: SparkSession, df: DataFrame, table: str,
                 write_concurrency: int = DEFAULT_WRITE_CONCURRENCY,
                 overwrite: bool = False) -> DataFrame:
-    """Append ``df`` into catalog table ``table`` and return a count DataFrame."""
+    """Append ``df`` into catalog table ``table`` and return a count DataFrame.
+
+    Single-pass: the row count comes from ``df.observe`` on the write job and
+    nullability is enforced inside the same job (``_null_guarded``), so the
+    input plan executes exactly once — the reference likewise folds counts
+    from the write stream itself (src/sink.rs:202-210) instead of re-running
+    the input.
+    """
     if overwrite:
         raise OverwriteNotSupported(
             "overwrite not supported (reference parity: "
             "src/providers/table.rs:148-152)")
     target_schema = spark.table(table).schema
     validate_schema(df, target_schema)
-    validate_no_nulls(df, target_schema,
-                      _not_null_columns(spark, table, target_schema))
-    n = df.count()
+    non_nullable = {c.lower()
+                    for c in _not_null_columns(spark, table, target_schema)}
     # Reorder columns by name to match the table; one writer task per
     # concurrency slot (reference buffer_unordered(write_concurrency)).
-    ordered = df.select([F.col(f.name) for f in target_schema.fields])
-    writer = ordered.repartition(write_concurrency) if write_concurrency else ordered
+    ordered = df.select([
+        _null_guarded(f.name, f.dataType)
+        if f.name.lower() in non_nullable else F.col(f.name)
+        for f in target_schema.fields])
+    obs = Observation()
+    observed = ordered.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = observed.repartition(write_concurrency) if write_concurrency else observed
     # v1 write path (works for parquet catalog tables); positional resolution,
     # hence the explicit column reorder above.
-    writer.write.insertInto(table, overwrite=False)
-    return _count_df(spark, n)
+    try:
+        writer.write.insertInto(table, overwrite=False)
+    except Exception as e:  # surface the in-job null guard as a typed error
+        m = re.search(
+            rf"{_NULL_GUARD_MARK}: field \S+ is non-nullable but input "
+            rf"contains null\(s\)", str(e))
+        if m:
+            raise SchemaValidationError(m.group(0)) from e
+        raise
+    return _count_df(spark, obs.get["rows"])
 
 
 def run_insert_sql(spark: SparkSession, insert_sql: str) -> DataFrame:
     """Execute an INSERT statement, returning the reference-style count row.
 
-    Spark's ``INSERT`` returns an empty DataFrame; we diff a cheap
-    metadata-backed ``count(*)`` before/after to report rows written.
+    Spark's ``INSERT`` returns an empty DataFrame. For the common
+    ``INSERT INTO <t> <query>`` shape we run ``<query>`` ourselves with an
+    attached ``Observation`` and write it positionally (identical semantics
+    to SQL INSERT), so the count comes from the single write job. Statements
+    we don't rewrite (column lists, PARTITION specs) fall back to
+    ``spark.sql`` plus a metadata-backed count diff.
     """
+    split = _split_insert(insert_sql)
+    if split is not None:
+        table, query, overwrite = split
+        src = spark.sql(query)
+        obs = Observation()
+        observed = src.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed.write.insertInto(table, overwrite=overwrite)
+        return _count_df(spark, obs.get["rows"])
     table = _parse_insert_target(insert_sql)
     before = spark.table(table).count() if table else None
     spark.sql(insert_sql)
@@ -127,6 +176,31 @@ def run_insert_sql(spark: SparkSession, insert_sql: str) -> DataFrame:
         return _count_df(spark, -1)
     after = spark.table(table).count()
     return _count_df(spark, after - before)
+
+
+_INSERT_HEAD_RE = re.compile(
+    r"^\s*insert\s+(into|overwrite)\s+(?:table\s+)?"
+    r"(`[^`]+`(?:\s*\.\s*`[^`]+`)*|[\w.$]+)\s*",
+    re.IGNORECASE)
+
+
+def _split_insert(sql: str) -> tuple[str, str, bool] | None:
+    """Split ``INSERT INTO|OVERWRITE [TABLE] <name> <query>`` into
+    (table, query, overwrite). Returns None for shapes with a column list or
+    PARTITION spec — those keep Spark's own INSERT path."""
+    m = _INSERT_HEAD_RE.match(sql)
+    if not m:
+        return None
+    rest = sql[m.end():].lstrip()
+    up = rest.upper()
+    if not rest or rest.startswith("(") or up.startswith("PARTITION"):
+        return None
+    if not (up.startswith("SELECT") or up.startswith("VALUES")
+            or up.startswith("WITH") or up.startswith("TABLE")
+            or up.startswith("FROM")):
+        return None
+    table = m.group(2).replace("`", "").replace(" ", "")
+    return table, rest, m.group(1).lower() == "overwrite"
 
 
 def _parse_insert_target(sql: str) -> str | None:

@@ -32,8 +32,8 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -172,7 +172,7 @@ class _PartFileCommit(WriterCommitMessage):
     rows: int
 
 
-class ClickHouseNativeWriter(DataSourceWriter):
+class ClickHouseNativeWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         if overwrite:
             # reference parity: InsertOp::Overwrite rejected
@@ -183,22 +183,33 @@ class ClickHouseNativeWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("clickhouse_native requires a 'path' option")
 
-    def write(self, rows) -> _PartFileCommit:
+    def write(self, iterator) -> _PartFileCommit:
         """One part file per task — task parallelism IS the write
-        concurrency (reference buffer_unordered, src/sink.rs:206)."""
-        import pyarrow as pa
+        concurrency (reference buffer_unordered, src/sink.rs:206).
+
+        Arrow-native end to end: Spark hands this task's rows as a stream of
+        ``pa.RecordBatch`` and each batch is appended to the part file as it
+        arrives — nothing is buffered whole or converted per-row (the
+        reference likewise streams RecordBatches into INSERT ... FORMAT
+        Native, src/sink.rs:180-197)."""
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
         os.makedirs(self.path, exist_ok=True)
         out = os.path.join(self.path, f"part_{uuid.uuid4().hex}.parquet")
-        batch = list(rows)
-        import pandas as pd
-
-        pdf = pd.DataFrame([r.asDict() for r in batch])
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        pq.write_table(tbl, out)
-        return _PartFileCommit(out, len(batch))
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty task partition → no part file
+            return _PartFileCommit("", 0)
+        return _PartFileCommit(out, rows)
 
     def commit(self, messages) -> None:
         total = sum(m.rows for m in messages if m)
@@ -208,7 +219,7 @@ class ClickHouseNativeWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m and os.path.exists(m.file):
+            if m and m.file and os.path.exists(m.file):
                 os.remove(m.file)
 
 

@@ -134,3 +134,33 @@ def test_ddl_limitation_has_clear_error(spark, src):
 def test_missing_path_errors(spark):
     with pytest.raises(Exception, match="path"):
         spark.read.format("clickhouse_native").load().count()
+
+
+def test_ddl_roundtrip_through_engine(spark, src, engine):
+    """S11 first-class: CREATE TABLE ... USING clickhouse_native through the
+    engine front door is scannable (routed through the connector), listable,
+    and droppable (reference table_factory.rs:216-275 ergonomics)."""
+    engine.sql("DROP TABLE IF EXISTS main.nddl")
+    engine.sql(f"CREATE TABLE main.nddl USING clickhouse_native "
+               f"OPTIONS (path '{src}')")
+    try:
+        expect = spark.read.parquet(f"{src}/part_0.parquet").count()
+        # engine.sql routes the reference through the connector view
+        assert engine.sql("SELECT count(*) AS n FROM main.nddl").first().n == expect
+        # 3-part spelling and engine.table() too
+        assert engine.sql(
+            "SELECT count(*) AS n FROM clickhouse.main.nddl").first().n == expect
+        assert engine.table("main.nddl").count() == expect
+        # the scan goes through the Python DataSource, not the parquet reader
+        plan = engine.sql("SELECT * FROM main.nddl")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PythonDataSource" in plan or "clickhouse_native" in plan
+        # catalog entry exists for listing (and other sessions)
+        assert engine.catalog.table_exists("main", "nddl")
+        props = engine.catalog.table_properties("main", "nddl")
+        assert props.get("clickhouse.native") == "true"
+    finally:
+        engine.sql("DROP TABLE IF EXISTS main.nddl")
+    assert not engine.catalog.table_exists("main", "nddl")
+    # mapping removed: plain name no longer routes
+    assert not engine._native_tables

@@ -140,3 +140,45 @@ def test_insert_sql_count_parse(spark):
     assert _parse_insert_target("INSERT INTO main.t VALUES (1)") == "main.t"
     assert _parse_insert_target("INSERT INTO TABLE main.t SELECT 1") == "main.t"
     assert _parse_insert_target("insert into `main`.`t`(a,b) values (1,2)") == "main.t"
+
+
+def test_insert_into_single_pass(spark, tbl):
+    # The input plan must execute exactly ONCE per insert (reference folds
+    # row counts from the write stream, src/sink.rs:202-210). A counting UDF
+    # in the input proves it: 3 passes would triple the accumulator.
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "bigint")
+    src = spark.range(100).select(
+        bump_udf("id").alias("id"), F.lit("x").alias("name"),
+        F.lit(1.0).alias("val"))
+    res = insert_into(spark, src, tbl, write_concurrency=4)
+    assert res.collect()[0]["count"] == 100
+    assert acc.value == 100
+
+
+def test_run_insert_sql_single_pass(spark, tbl):
+    # INSERT INTO <t> SELECT goes through the observe path: no before/after
+    # table count scans, count derived from the one write job.
+    spark.sql(f"INSERT INTO {tbl} VALUES (1, 'seed', 0.5)")
+    res = run_insert_sql(
+        spark, f"INSERT INTO {tbl} SELECT id, 'n', 2.0 FROM range(10)")
+    assert res.collect()[0]["count"] == 10
+    assert spark.table(tbl).count() == 11
+
+
+def test_split_insert_shapes(spark):
+    from clickhouse_datafusion_spark.sink import _split_insert
+
+    t, q, ow = _split_insert("INSERT INTO main.t SELECT * FROM x")
+    assert (t, ow) == ("main.t", False) and q.startswith("SELECT")
+    t, q, ow = _split_insert("insert overwrite table main.t VALUES (1)")
+    assert (t, ow) == ("main.t", True)
+    t, q, ow = _split_insert("INSERT INTO `main`.`t` WITH c AS (SELECT 1) SELECT * FROM c")
+    assert t == "main.t" and q.startswith("WITH")
+    assert _split_insert("INSERT INTO main.t (a, b) VALUES (1, 2)") is None
+    assert _split_insert("INSERT INTO main.t PARTITION (p=1) SELECT 1") is None
