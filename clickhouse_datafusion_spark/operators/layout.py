@@ -33,6 +33,10 @@ def write_range_sorted(df: DataFrame, path: str, key_cols: list[str],
     splits a partition into several files, each still sorted and
     range-disjoint because the partition itself is sorted).
     """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if n_files is not None and n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     keys = [F.col(c) for c in key_cols]
     out = (df.repartitionByRange(n_files, *keys) if n_files
            else df.repartitionByRange(*keys))
@@ -52,9 +56,12 @@ def write_bucketed(df: DataFrame, table: str, key_cols: list[str],
     same bucket count scan bucket-aligned files and sort-merge-join with
     ZERO shuffle exchanges — at 100 TB the single biggest cost in a
     fact-to-fact join is that shuffle, and this removes it for every
-    downstream join/aggregation on the bucket key, paid once at write time.
-    Aggregations on the bucket key likewise skip the exchange (each bucket
-    holds all rows for its keys).
+    downstream join/aggregation on the bucket key, paid once at write time
+    (aggregations need ``spark.sql.sources.bucketing.enabled`` — on by
+    default — and grouping keys covering the bucket keys). Caveat: the
+    Exchange is what bucketing eliminates; a per-partition Sort may remain
+    in the join plan when a bucket spans multiple files, since Spark only
+    trusts sortBy metadata for single-file buckets.
 
     ``n_buckets`` should be sized so one bucket of the LARGER table fits an
     executor's memory comfortably (e.g. 100 TB fact / 8192 buckets ≈ 12 GB
@@ -62,6 +69,10 @@ def write_bucketed(df: DataFrame, table: str, key_cols: list[str],
     tables you intend to co-join, or be integer multiples with
     ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``.
     """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     sort_cols = sort_cols or key_cols
     (df.write.mode(mode)
        .bucketBy(n_buckets, key_cols[0], *key_cols[1:])

@@ -88,29 +88,80 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-                 vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_planes: int = 8, n_tables: int = 8,
-                 dim: int | None = None, seed: int = 42) -> DataFrame:
-    """Approximate top-k: probe only rows sharing an LSH bucket with the
-    query in ≥1 of ``n_tables`` tables, then exact-rank the candidates.
+def _query_signature(query_vec: list[float], planes: list[list[float]]) -> int:
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    return qsig
 
-    At scale, write-side: persist bucket ids as a column (partition/bucket
-    the table by them); read-side: this becomes a partition-pruned scan of
-    ~n_tables buckets instead of a full sweep.
-    """
-    dim = dim or len(query_vec)
-    cands = None
+
+def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
+                        n_planes: int = 8, n_tables: int = 8,
+                        dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Append all ``n_tables`` LSH signatures (``_sig_0`` .. ``_sig_{n-1}``)
+    in ONE projection — the whole signature family costs a single pass over
+    the input."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     v = _as_double(vec_col)
-    for t_i in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t_i)
-        qsig = 0
-        for i, p in enumerate(planes):
-            if sum(x * y for x, y in zip(query_vec, p)) >= 0:
-                qsig |= 1 << i
-        hit = df.filter(lsh_signature(v, planes) == qsig)
-        cands = hit if cands is None else cands.unionAll(hit)
-    cands = cands.dropDuplicates([id_col])
+    sigs = [lsh_signature(v, _hyperplanes(dim, n_planes, seed + t))
+            .alias(f"_sig_{t}") for t in range(n_tables)]
+    return df.select("*", *sigs)
+
+
+def build_ann_index(df: DataFrame, path: str | None = None,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_planes: int = 8, n_tables: int = 8,
+                    dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Materialize the LSH index: signatures computed once, optionally
+    persisted partitioned by ``_sig_0`` so table-0 probes become
+    partition-PRUNED scans (the 100 TB story: ~1/2^n_planes of the data
+    read per probe instead of a full sweep).
+
+    Returns the indexed DataFrame (the persisted read-back when ``path``
+    is given). Query it with :func:`ann_query` using the same
+    (n_planes, n_tables, dim, seed).
+    """
+    signed = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
+    if path is None:
+        return signed
+    signed.write.partitionBy("_sig_0").mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    return spark.read.parquet(path)
+
+
+def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              n_planes: int = 8, n_tables: int = 8,
+              seed: int = 42, per_table_probes: bool = True) -> DataFrame:
+    """Probe a prebuilt LSH index (:func:`build_ann_index`): filter on the
+    precomputed signature columns (no per-query signature computation over
+    the data), then exact-rank the candidates.
+
+    ``per_table_probes=True`` (default, for a PERSISTED index) issues one
+    probe per table and unions the candidates: a single-column equality per
+    probe reaches the scan — ``_sig_0 = q0`` prunes partitions of the
+    partitioned layout, the others push down to row-group stats. A
+    multi-table OR can never prune (a row anywhere may match another
+    table), so the OR form (``per_table_probes=False``) is only right when
+    the index is an in-session projection that must not be recomputed per
+    probe (see :func:`lsh_ann_topk`)."""
+    dim = len(query_vec)
+    import functools
+    import operator
+
+    hits = [F.col(f"_sig_{t}")
+            == _query_signature(query_vec, _hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)]
+    if per_table_probes:
+        cands = None
+        for cond in hits:
+            hit = index.filter(cond)
+            cands = hit if cands is None else cands.unionAll(hit)
+        cands = cands.dropDuplicates([id_col])
+    else:
+        cands = index.filter(functools.reduce(operator.or_, hits))
     q = F.lit(query_vec).cast("array<double>")
     c = cosine(_as_double(vec_col), q)
     return (cands.select(F.col(id_col),
@@ -119,17 +170,34 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_clusters: int = 16, n_probe: int = 4,
-                 seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer + probe the
-    ``n_probe`` centroids nearest to the query, exact-rank within them.
+                 n_planes: int = 8, n_tables: int = 8,
+                 dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate top-k: probe only rows sharing an LSH bucket with the
+    query in ≥1 of ``n_tables`` tables, then exact-rank the candidates.
 
-    The index (cluster assignment) is built here for self-containment; at
-    production scale build it once, persist ``cluster_id`` as a partition
-    column, and this becomes a partition-pruned scan of n_probe/n_clusters
-    of the data. Uses pyspark.ml KMeans (distributed, deterministic seed).
+    Self-contained form of :func:`build_ann_index` + :func:`ann_query`:
+    ONE scan of the input — all table signatures are computed in a single
+    projection and the bucket test is one OR-filter (the round-1 union of
+    per-table filters scanned the input ``n_tables`` times). No dedup
+    shuffle either: each row is seen exactly once.
+    """
+    dim = dim or len(query_vec)
+    index = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
+    return ann_query(index, query_vec, k, vec_col, id_col,
+                     n_planes, n_tables, seed, per_table_probes=False)
+
+
+def build_ivf_index(df: DataFrame, path: str | None = None,
+                    vec_col: str = "embedding", n_clusters: int = 16,
+                    seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the IVF coarse quantizer ONCE and materialize cluster
+    assignments; optionally persist partitioned by ``_cluster`` so probes
+    are partition-pruned scans of n_probe/n_clusters of the data.
+
+    Returns (indexed DataFrame, cluster centers). Query with
+    :func:`ivf_query` — no refit per query.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -137,21 +205,42 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     feat = df.withColumn("_fv", array_to_vector(_as_double(vec_col)))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_fv",
                    predictionCol="_cluster").fit(feat)
-    assigned = model.transform(feat)
-
+    assigned = model.transform(feat).drop("_fv")
     centers = [list(map(float, c)) for c in model.clusterCenters()]
+    if path is None:
+        return assigned, centers
+    assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path), centers
 
+
+def ivf_query(index: DataFrame, centers: list[list[float]],
+              query_vec: list[float], k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              n_probe: int = 4) -> DataFrame:
+    """Probe a prebuilt IVF index: scan only the ``n_probe`` clusters whose
+    centroids are nearest the query, exact-rank within them."""
     def dist2(c: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(c, query_vec))
 
     probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
     q = F.lit(query_vec).cast("array<double>")
     c = cosine(_as_double(vec_col), q)
-    return (assigned.filter(F.col("_cluster").isin(probe))
+    return (index.filter(F.col("_cluster").isin(probe))
             .select(F.col(id_col),
                     (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
             .orderBy(F.col("cos").desc(), id_col)
             .limit(k))
+
+
+def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_clusters: int = 16, n_probe: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN, self-contained: :func:`build_ivf_index` +
+    :func:`ivf_query` in one call (index built in-session for demo/tests;
+    production builds once with a ``path`` and queries many times)."""
+    index, centers = build_ivf_index(df, None, vec_col, n_clusters, seed)
+    return ivf_query(index, centers, query_vec, k, vec_col, id_col, n_probe)
 
 
 def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,

@@ -1477,17 +1477,25 @@ def d1_exact(spark, sf):
     return exact_groups(t(spark, sf, "documents"))
 
 
+# Both exact-Jaccard gate entries run WITH the stop-shingle skew guard on
+# (max_shingle_freq=50, mirrored in the oracle as a HAVING on shingle doc
+# frequency): at 100× scale a single ubiquitous shingle otherwise creates a
+# quadratic hot bucket. n_grams (the Jaccard denominator) stays pre-guard on
+# both sides; only the intersection join is guarded.
+
 @qdef("d2_ngram_jaccard_pairs",
       """WITH g AS (
             SELECT doc_id AS id,
                    list_distinct(list_transform(range(1, len(ws) - 1),
                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-          e AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gr FROM g)
+          e AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gr FROM g),
+          keep AS (SELECT gr FROM e GROUP BY gr HAVING count(*) <= 50),
+          e2 AS (SELECT e.* FROM e JOIN keep USING (gr))
           SELECT a.id AS id_a, b.id AS id_b,
                  FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
                    / 10000.0 AS jaccard
-          FROM e a JOIN e b ON a.gr = b.gr AND a.id < b.id
+          FROM e2 a JOIN e2 b ON a.gr = b.gr AND a.id < b.id
           GROUP BY a.id, b.id, a.n_grams, b.n_grams
           HAVING FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
                    / 10000.0 >= 0.1""",
@@ -1495,7 +1503,8 @@ def d1_exact(spark, sf):
 def d2_jaccard(spark, sf):
     from clickhouse_datafusion_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.1)
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.1,
+                               max_shingle_freq=50)
 
 
 @qdef("d3_minhash_lsh_candidates", None, tags=("pipeline", "dedup"))
@@ -1542,9 +1551,11 @@ def d5_embdup(spark, sf):
                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
           e0 AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gr FROM g),
+          keep AS (SELECT gr FROM e0 GROUP BY gr HAVING count(*) <= 50),
+          e1 AS (SELECT e0.* FROM e0 JOIN keep USING (gr)),
           pairs AS (
             SELECT a.id AS id_a, b.id AS id_b
-            FROM e0 a JOIN e0 b ON a.gr = b.gr AND a.id < b.id
+            FROM e1 a JOIN e1 b ON a.gr = b.gr AND a.id < b.id
             GROUP BY a.id, b.id, a.n_grams, b.n_grams
             HAVING FLOOR(count(*) * 10000 / (a.n_grams + b.n_grams - count(*)) + 0.5)
                      / 10000.0 >= 0.4),
@@ -1564,7 +1575,8 @@ def d6_clusters(spark, sf):
     from clickhouse_datafusion_spark.operators.dedup import (
         connected_components, ngram_jaccard_pairs)
 
-    pairs = ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.4)
+    pairs = ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.4,
+                                max_shingle_freq=50)
     return connected_components(pairs)
 
 

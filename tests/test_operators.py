@@ -256,3 +256,52 @@ def test_bernoulli_stratified_no_shuffle(spark, docs):
     assert "Exchange" not in plan          # pure pipelined filter
     langs = {r.lang for r in samp.select("lang").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_lsh_ann_single_scan_plan(spark, emb):
+    """The round-1 implementation unioned 8 per-table filters → 8 scans of
+    the input. All signatures must now come from ONE projection: exactly one
+    scan node in the physical plan."""
+    from clickhouse_datafusion_spark.operators.similarity import lsh_ann_topk
+
+    qvec = [float(v) for v in emb.first()["embedding"]]
+    df = lsh_ann_topk(emb, qvec, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
+
+
+def test_ann_index_build_query_pruning(spark, emb, tmp_path):
+    """build_ann_index persists signatures partitioned by _sig_0; ann_query
+    on the persisted index matches the self-contained path and prunes
+    partitions on the table-0 probe."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        ann_query, build_ann_index, lsh_ann_topk)
+
+    qvec = [float(v) for v in emb.first()["embedding"]]
+    idx = build_ann_index(emb, str(tmp_path / "annidx"))
+    got = [r.vec_id for r in ann_query(idx, qvec, k=10).collect()]
+    expect = [r.vec_id for r in lsh_ann_topk(emb, qvec, k=10).collect()]
+    assert got == expect
+    # partition pruning: the _sig_0 equality must reach the scan as a
+    # partition filter on the persisted layout
+    plan = (ann_query(idx, qvec, k=10)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "_sig_0" in plan.split("PartitionFilters", 1)[-1][:400]
+
+
+def test_ivf_index_build_once_query_many(spark, emb):
+    """build_ivf_index fits KMeans once; ivf_query never refits."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        build_ivf_index, ivf_query)
+
+    index, centers = build_ivf_index(emb, n_clusters=8)
+    index = index.cache()
+    rows = emb.limit(3).collect()
+    for r in rows:
+        qvec = [float(v) for v in r["embedding"]]
+        got = ivf_query(index, centers, qvec, k=5).collect()
+        assert len(got) == 5
+        assert got[0].cos >= got[-1].cos
+    index.unpersist()

@@ -52,6 +52,13 @@ def test_minhash_lsh_at_10x_bench_scale(spark):
     # this operator was rewritten to avoid (minutes, not seconds)
     assert elapsed < 180, f"LSH at 50k docs took {elapsed:.1f}s"
 
+    # load-independent quadratic-regression proxy: the plan must contain no
+    # cartesian/nested-loop join (the wall-clock bound alone is too loose to
+    # catch a 5-10x regression under co-tenant noise)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
     # exact-dup recall: copies k=5 is identical text to k=0 only when the
     # perturbation is a no-op; instead check same-mod copy pairs, which are
     # exact duplicates of each other (same words dropped)
