@@ -20,6 +20,7 @@ Differences vs the reference, by design (SURVEY §3.4):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -232,8 +233,12 @@ class ClickHouseCatalog:
 # One registration per (session, sf_dir): the driver gate runs ~90 queries
 # through one SparkSession, and re-registering 10 parquet views per query
 # (10 footer/schema reads each) was the dominant per-query setup cost in
-# round 1 (VERDICT.md "What's missing" #1).
-_VIEWS_REGISTERED: dict[int, str] = {}
+# round 1 (VERDICT.md "What's missing" #1). Weak-keyed by the session so a
+# garbage-collected session can never alias a new one (id() values are
+# reused after GC; temp views are per-session, so a stale hit would silently
+# skip registration for the new session).
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary())
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str,
@@ -244,12 +249,11 @@ def register_testdata_views(spark: SparkSession, sf_dir: str,
     Idempotent per (session, sf_dir) — repeated calls with the same scale
     factor are free; switching sf_dir re-registers (views are overwritten).
     """
-    key = id(spark)
     sf_abs = os.path.abspath(sf_dir)
-    if not force and _VIEWS_REGISTERED.get(key) == sf_abs:
+    if not force and _VIEWS_REGISTERED.get(spark) == sf_abs:
         return
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(resolve_parquet_path(p)).createOrReplaceTempView(t)
-    _VIEWS_REGISTERED[key] = sf_abs
+    _VIEWS_REGISTERED[spark] = sf_abs

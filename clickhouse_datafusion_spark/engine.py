@@ -60,9 +60,12 @@ class ClickHouseSparkEngine:
         if d:
             self._drop_native_mapping(d.group("name"))
             return self.spark.sql(rewritten)
-        rewritten = self._route_native_tables(rewritten)
         if _is_insert(rewritten):
-            return self._insert_sql(rewritten)
+            # INSERT is detected BEFORE routing: the target stays on the
+            # writable catalog table (the connector temp view is read-only);
+            # only the source query is routed to the connector view.
+            return self._insert_sql(self._route_insert_source(rewritten))
+        rewritten = self._route_native_tables(rewritten)
         return self.spark.sql(rewritten)
 
     def table(self, name: str) -> DataFrame:
@@ -106,10 +109,14 @@ class ClickHouseSparkEngine:
         # (plain parquet scan there — same data, same schema)
         ine = "IF NOT EXISTS " if m.group("ine") else ""
         self.catalog.create_database(db)
+        # single quotes in the path are escaped for the generated DDL; note
+        # `_CREATE_NATIVE_RE` cannot parse an OPTIONS body containing ')' —
+        # such paths must use catalog.register_native_table directly
+        esc = path.replace("'", "''")
         return self.spark.sql(
             f"CREATE TABLE {ine}`{db}`.`{tbl}` USING parquet "
-            f"LOCATION '{path}' TBLPROPERTIES ("
-            f"'clickhouse.native'='true', 'clickhouse.native.path'='{path}')")
+            f"LOCATION '{esc}' TBLPROPERTIES ("
+            f"'clickhouse.native'='true', 'clickhouse.native.path'='{esc}')")
 
     def _drop_native_mapping(self, name: str) -> None:
         name = name.replace("`", "")
@@ -125,16 +132,43 @@ class ClickHouseSparkEngine:
             self.spark.catalog.dropTempView(view)
 
     def _route_native_tables(self, q: str) -> str:
-        """Rewrite references to native-DDL tables to their connector views."""
+        """Rewrite *table references* to native-DDL tables into their
+        connector views.
+
+        The substitution fires only (a) outside single-quoted string
+        literals and (b) in table-reference position — immediately after
+        FROM / JOIN / TABLE — so columns, aliases, and string contents that
+        happen to share the table's (bare) name are left untouched. Comma
+        FROM-lists are intentionally not rewritten; use explicit JOINs with
+        native tables.
+        """
         if not self._native_tables:
             return q
+        # split on single-quoted literals ('' is the embedded-quote escape);
+        # literals land at odd indices and are passed through verbatim
+        segments = _STRING_LITERAL_SPLIT.split(q)
         for key, view in self._native_tables.items():
+            name_pat = r"`?" + r"`?\s*\.\s*`?".join(
+                re.escape(p) for p in key.split(".")) + r"`?"
             pat = re.compile(
-                r"(?<![\w.`])`?" + r"`?\.`?".join(
-                    re.escape(p) for p in key.split(".")) + r"`?(?![\w.`])",
-                re.IGNORECASE)
-            q = pat.sub(view, q)
-        return q
+                r"\b(?P<kw>from|join|table)(?P<ws>\s+)(?P<name>" + name_pat +
+                r")(?![\w.`$])", re.IGNORECASE)
+            segments = [
+                pat.sub(lambda m: m.group("kw") + m.group("ws") + view, s)
+                if i % 2 == 0 else s
+                for i, s in enumerate(segments)]
+        return "".join(segments)
+
+    def _route_insert_source(self, q: str) -> str:
+        """Route native-table references in an INSERT's *source query* only,
+        leaving the insert target untouched (it must resolve to the writable
+        catalog table, not the read-only connector view)."""
+        from clickhouse_datafusion_spark.sink import _INSERT_HEAD_RE
+
+        m = _INSERT_HEAD_RE.match(q)
+        if not m:
+            return q  # unroutable shape: leave for Spark to diagnose
+        return q[:m.end()] + self._route_native_tables(q[m.end():])
 
     def explain_str(self, query: str, mode: str = "formatted") -> str:
         df = self.sql(query)
@@ -158,6 +192,10 @@ _CREATE_NATIVE_RE = re.compile(
 
 # OPTIONS (path '/x', key = 'v') — both `k 'v'` and `k = 'v'` spellings
 _OPTION_RE = re.compile(r"(\w+)\s*=?\s*'([^']*)'")
+
+# single-quoted SQL string literals ('' = embedded quote); used to mask
+# literals from the native-table routing substitution
+_STRING_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*')")
 
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*;?\s*$",

@@ -749,17 +749,6 @@ def f4(spark, sf):
           FROM part WHERE p_partkey <= 50)""")
 
 
-@qdef("f4b_ch_lambda_map_raw", None, tags=("F3",))
-def f4b(spark, sf):
-    """Raw array<string> output (rows-only: arrays are not gate-hashable)."""
-    eng = _engine(spark, sf)
-    return eng.sql("""
-        SELECT p_partkey,
-               clickhouse(`arrayMap`($x, concat($x, '_p'), splitByChar(' ', p_name)),
-                          'List(Utf8)') AS words
-        FROM part WHERE p_partkey <= 50""")
-
-
 @qdef("f5_ch_lambda_filter_exists",
       """SELECT p_partkey,
                 COALESCE(array_to_string(
@@ -779,17 +768,6 @@ def f5(spark, sf):
                  clickhouse(`arrayExists`($x, $x = 'green', splitByChar(' ', p_name)),
                             'Boolean') AS has_green
           FROM part WHERE p_partkey <= 50)""")
-
-
-@qdef("f5b_ch_lambda_filter_raw", None, tags=("F3",))
-def f5b(spark, sf):
-    """Raw array<string> output (rows-only: arrays are not gate-hashable)."""
-    eng = _engine(spark, sf)
-    return eng.sql("""
-        SELECT p_partkey,
-               clickhouse(`arrayFilter`($x, length($x) > 5, splitByChar(' ', p_name)),
-                          'List(Utf8)') AS long_words
-        FROM part WHERE p_partkey <= 50""")
 
 
 @qdef("f6_ch_array_join",
@@ -1713,20 +1691,38 @@ def m1_media(spark, sf):
 # is not SQL-expressible for the oracle)
 # =========================================================================
 
+def _staged_stream_dir(sf: str, tag: str, copies: int = 1) -> str:
+    """Pre-staged events-parquet replay directory, keyed by (sf, tag) under
+    the repo-local ``.tdcache`` — the copy cost is paid once per scale
+    factor, not per invocation (the streaming gate/bench entries spin up a
+    fresh process per query, so tempdir copies never amortized)."""
+    import os
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+
+    src = resolve_parquet_path(f"{sf}/events.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    d = os.path.join(_TDCACHE, "stream", sf_tag, tag)
+    os.makedirs(d, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(d, f"copy_{i}.parquet")
+        if not (os.path.exists(dst)
+                and os.path.getmtime(dst) >= os.path.getmtime(src)):
+            shutil.copy(src, dst)
+    return d
+
+
 @qdef("st1_streaming_tumbling", None, tags=("streaming",))
 def st1_stream(spark, sf):
     """File-replay the events table through a watermarked tumbling-window
     streaming aggregation into a memory sink; returns the closed windows."""
-    import shutil
-    import tempfile
     import uuid as _uuid
 
     from clickhouse_datafusion_spark.streaming import (
         read_events_stream, run_to_memory_sink, tumbling_counts)
 
-    d = tempfile.mkdtemp(prefix="st1_events_")
-    shutil.copy(resolve_parquet_path(f"{sf}/events.parquet"),
-                f"{d}/events.parquet")
+    d = _staged_stream_dir(sf, "st1", copies=1)
     stream = tumbling_counts(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
     return out.select(
@@ -1743,25 +1739,40 @@ def st2_stream_dedup(spark, sf):
     deduped stream must contain each event_id once — count equals the
     batch DISTINCT count (SQL-expressible, so this one gets a real
     oracle)."""
-    import shutil
-    import tempfile
     import uuid as _uuid
 
     from clickhouse_datafusion_spark.streaming import (
         dedup_stream, read_events_stream, run_to_memory_sink)
 
-    d = tempfile.mkdtemp(prefix="st2_events_")
-    for i in range(2):
-        shutil.copy(resolve_parquet_path(f"{sf}/events.parquet"),
-                    f"{d}/copy_{i}.parquet")
+    d = _staged_stream_dir(sf, "st2", copies=2)
     stream = dedup_stream(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
     return out.agg(F.count("*").alias("n_distinct"))
 
 
+# -------------------------------------------------------------------------
+# Gate ordering: the driver's correctness gate walks queries() front-to-back
+# under a finite time budget (one fresh process per query) and has never
+# reached past ~49 entries. The p/j/a/w/o/f1-f11 block already has two
+# rounds of green gate history, while everything registered from f12 onward
+# (fed1, q*, e*, x*, t*, d*, s*, m1, st*) has never received a CORRECTNESS
+# row — so emit the unproven block FIRST. Pure rotation: every entry stays
+# declared and runnable; only the emission order changes.
+_GATE_ROTATE_AT = "f12_ch_union_branches"
+
+
+def _gate_order() -> list[str]:
+    names = list(QUERIES)
+    if _GATE_ROTATE_AT in QUERIES:
+        i = names.index(_GATE_ROTATE_AT)
+        names = names[i:] + names[:i]
+    return names
+
+
 def get_queries():
-    return {name: qd.spark_fn for name, qd in QUERIES.items()}
+    return {name: QUERIES[name].spark_fn for name in _gate_order()}
 
 
 def get_oracles():
-    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle}
+    return {name: QUERIES[name].oracle for name in _gate_order()
+            if QUERIES[name].oracle}

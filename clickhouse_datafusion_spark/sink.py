@@ -128,15 +128,38 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str,
     validate_schema(df, target_schema)
     non_nullable = {c.lower()
                     for c in _not_null_columns(spark, table, target_schema)}
+    # Statically non-nullable inputs cannot violate the constraint — skip
+    # the per-row CASE WHEN guard for them so a clean pipeline pays zero
+    # guard cost (the data-level check only matters when Catalyst cannot
+    # prove non-nullness).
+    src_nullable = {f.name.lower(): f.nullable for f in df.schema.fields}
     # Reorder columns by name to match the table; one writer task per
     # concurrency slot (reference buffer_unordered(write_concurrency)).
     ordered = df.select([
         _null_guarded(f.name, f.dataType)
-        if f.name.lower() in non_nullable else F.col(f.name)
+        if (f.name.lower() in non_nullable
+            and src_nullable.get(f.name.lower(), True))
+        else F.col(f.name)
         for f in target_schema.fields])
     obs = Observation()
     observed = ordered.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = observed.repartition(write_concurrency) if write_concurrency else observed
+    # Bounding writer parallelism does not require a shuffle: coalesce
+    # collapses partitions in place when the input already has ≥n, which at
+    # 100 TB deletes a full exchange of the inserted data; repartition only
+    # when we must fan OUT to reach the requested concurrency.
+    if write_concurrency:
+        try:
+            # partition count read off the pre-observe plan (projection and
+            # observe are partitioning-preserving)
+            cur = ordered.rdd.getNumPartitions()
+        except Exception:
+            cur = None
+        if cur is not None and cur >= write_concurrency:
+            writer = observed.coalesce(write_concurrency)
+        else:
+            writer = observed.repartition(write_concurrency)
+    else:
+        writer = observed
     # v1 write path (works for parquet catalog tables); positional resolution,
     # hence the explicit column reorder above.
     try:
@@ -199,8 +222,37 @@ def _split_insert(sql: str) -> tuple[str, str, bool] | None:
             or up.startswith("WITH") or up.startswith("TABLE")
             or up.startswith("FROM")):
         return None
-    table = m.group(2).replace("`", "").replace(" ", "")
+    table = _normalize_target(m.group(2))
     return table, rest, m.group(1).lower() == "overwrite"
+
+
+def _normalize_target(raw: str) -> str:
+    """Normalize a (possibly backticked, possibly ``a . b``-spaced) multipart
+    table name: trim whitespace around the dots BETWEEN parts only —
+    whitespace inside backticked segments is part of the identifier, so
+    ```my table``` keeps its backticks (and its space) while ```t``` is
+    unquoted to ``t``."""
+    parts: list[str] = []
+    buf = ""
+    in_bt = False
+    for ch in raw:
+        if ch == "`":
+            in_bt = not in_bt
+            buf += ch
+        elif ch == "." and not in_bt:
+            parts.append(buf.strip())
+            buf = ""
+        else:
+            buf += ch
+    parts.append(buf.strip())
+    out = []
+    for p in parts:
+        if p.startswith("`") and p.endswith("`") and len(p) >= 2:
+            inner = p[1:-1]
+            out.append(inner if re.fullmatch(r"[\w$]+", inner) else f"`{inner}`")
+        else:
+            out.append(p)
+    return ".".join(out)
 
 
 def _parse_insert_target(sql: str) -> str | None:

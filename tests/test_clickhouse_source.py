@@ -164,3 +164,43 @@ def test_ddl_roundtrip_through_engine(spark, src, engine):
     assert not engine.catalog.table_exists("main", "nddl")
     # mapping removed: plain name no longer routes
     assert not engine._native_tables
+
+
+def test_routing_skips_literals_and_columns(spark, src, engine):
+    """Native-table routing must only rewrite table-reference positions:
+    string literals and columns/aliases sharing the bare name are untouched
+    (a blind textual substitution corrupts such queries)."""
+    engine.sql("DROP TABLE IF EXISTS main.nddl")
+    engine.sql(f"CREATE TABLE main.nddl USING clickhouse_native "
+               f"OPTIONS (path '{src}')")
+    try:
+        # the literal 'nddl' and the alias nddl survive; FROM main.nddl routes
+        row = engine.sql(
+            "SELECT 'nddl' AS tagval, o_orderkey AS nddl "
+            "FROM main.nddl WHERE o_orderstatus <> 'nddl' LIMIT 1").first()
+        assert row.tagval == "nddl"
+        routed = engine._route_native_tables(
+            "SELECT 'x nddl y' AS s, t.nddl FROM other t WHERE c = 'nddl'")
+        assert "'x nddl y'" in routed and "t.nddl" in routed \
+            and "= 'nddl'" in routed
+    finally:
+        engine.sql("DROP TABLE IF EXISTS main.nddl")
+
+
+def test_insert_into_native_ddl_table(spark, src, engine):
+    """INSERT INTO a native-DDL table must not be routed to the read-only
+    connector view — it lands in the writable catalog table, while a native
+    table in the *source* query is still routed through the connector."""
+    engine.sql("DROP TABLE IF EXISTS main.nddl")
+    engine.sql(f"CREATE TABLE main.nddl USING clickhouse_native "
+               f"OPTIONS (path '{src}')")
+    try:
+        before = engine.sql("SELECT count(*) AS n FROM main.nddl").first().n
+        res = engine.sql(
+            "INSERT INTO main.nddl SELECT * FROM main.nddl LIMIT 5")
+        assert res.first()["count"] == 5
+        engine.catalog.refresh_catalog("main")
+        after = spark.table("main.nddl").count()
+        assert after == before + 5
+    finally:
+        engine.sql("DROP TABLE IF EXISTS main.nddl")

@@ -182,3 +182,48 @@ def test_split_insert_shapes(spark):
     assert t == "main.t" and q.startswith("WITH")
     assert _split_insert("INSERT INTO main.t (a, b) VALUES (1, 2)") is None
     assert _split_insert("INSERT INTO main.t PARTITION (p=1) SELECT 1") is None
+
+
+def test_null_guard_skipped_for_static_non_nullable(spark, tbl):
+    """A source column Catalyst proves non-nullable (range() id) must not
+    get the per-row CASE WHEN null guard — clean pipelines pay zero guard
+    cost; the guard (raise_error) appears only for nullable inputs."""
+    from clickhouse_datafusion_spark.sink import _not_null_columns
+
+    # target has id NOT NULL (via clickhouse.not_null property)
+    assert "id" in _not_null_columns(spark, tbl, spark.table(tbl).schema)
+    src_clean = spark.range(10).select(
+        F.col("id"), F.lit("x").alias("name"), F.lit(1.0).alias("val"))
+    assert not src_clean.schema["id"].nullable
+    res = insert_into(spark, src_clean, tbl, write_concurrency=2)
+    assert res.collect()[0]["count"] == 10
+    # nullable source still guarded: a NULL id aborts with the typed error
+    src_bad = spark.range(3).select(
+        F.when(F.col("id") < 2, F.col("id")).alias("id"),
+        F.lit("x").alias("name"), F.lit(1.0).alias("val"))
+    assert src_bad.schema["id"].nullable
+    with pytest.raises(SchemaValidationError, match="nullability violation"):
+        insert_into(spark, src_bad, tbl, write_concurrency=2)
+    assert spark.table(tbl).count() == 10  # aborted write landed nothing
+
+
+def test_insert_bounds_writers_without_shuffle(spark, tbl):
+    """write_concurrency caps writer tasks via coalesce (no exchange) when
+    the input already has more partitions — at 100 TB a repartition here
+    would shuffle the entire inserted dataset once for nothing."""
+    src = (spark.range(0, 1000, 1, 8).select(
+        F.col("id"), F.lit("n").alias("name"), F.lit(0.5).alias("val")))
+    from clickhouse_datafusion_spark.sink import (
+        DEFAULT_WRITE_CONCURRENCY, _not_null_columns)  # noqa: F401
+    import io
+    from contextlib import redirect_stdout
+
+    res = insert_into(spark, src, tbl, write_concurrency=4)
+    assert res.collect()[0]["count"] == 1000
+    # the plan seen by the writer: coalesce(4) over 8 partitions, no shuffle
+    ordered = src.select("id", "name", "val")
+    assert ordered.coalesce(4).rdd.getNumPartitions() == 4
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        src.coalesce(4).explain()
+    assert "Exchange" not in buf.getvalue()
