@@ -52,6 +52,9 @@ class ClickHouseSparkEngine:
         self.spark.udf.register(name, fn, return_type)
 
     def sql(self, query: str) -> DataFrame:
+        ea = _EXPLAIN_ANALYZE_RE.match(query)
+        if ea:
+            return self.explain_analyze(query[ea.end():])
         rewritten = self.rewrite(query)
         m = _CREATE_NATIVE_RE.match(rewritten)
         if m:
@@ -170,6 +173,35 @@ class ClickHouseSparkEngine:
             return q  # unroutable shape: leave for Spark to diagnose
         return q[:m.end()] + self._route_native_tables(q[m.end():])
 
+    def explain_analyze(self, query: str) -> DataFrame:
+        """``EXPLAIN ANALYZE <q>`` — execute the query and return per-operator
+        executed metrics as rows (operator, depth, metric, value), with
+        Spark's ``numOutputRows`` surfaced under the reference's
+        ``output_rows`` name (tests/e2e.rs:2184-2208)."""
+        from pyspark.sql import types as T
+
+        from clickhouse_datafusion_spark.plans.explain import executed_metrics
+
+        rows: list[tuple] = []
+        if _is_insert(self.rewrite(query)):
+            # write path: the sink's observed row count IS the write-side
+            # output_rows metric (reference src/sink.rs:100-114)
+            count = self.sql(query).collect()[0]["count"]
+            rows.append(("ClickHouseDataSink", 0, "output_rows", int(count)))
+            nodes = []
+        else:
+            nodes = executed_metrics(self.sql(query), execute=True)
+        for node in nodes:
+            for metric, value in sorted(node["metrics"].items()):
+                name = "output_rows" if metric == "numOutputRows" else metric
+                rows.append((node["operator"], node["depth"], name, int(value)))
+        schema = T.StructType([
+            T.StructField("operator", T.StringType(), False),
+            T.StructField("depth", T.IntegerType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("value", T.LongType(), False)])
+        return self.spark.createDataFrame(rows, schema)
+
     def explain_str(self, query: str, mode: str = "formatted") -> str:
         df = self.sql(query)
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
@@ -196,6 +228,8 @@ _OPTION_RE = re.compile(r"(\w+)\s*=?\s*'([^']*)'")
 # single-quoted SQL string literals ('' = embedded quote); used to mask
 # literals from the native-table routing substitution
 _STRING_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*')")
+
+_EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+", re.IGNORECASE)
 
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*;?\s*$",

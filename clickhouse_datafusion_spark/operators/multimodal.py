@@ -2,11 +2,12 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas operators, batch
-shapes, partition sizing) is real and tested; the codec kernels themselves
-(image decode, resampling, frame extraction) are STUBBED because the codec
-libraries are not in this container — each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(plumbing-test mode).
+shapes, partition sizing) is real and tested. Two container formats decode
+for real with pure-Python kernels (no codec libraries): RIFF/WAVE PCM audio
+(``decode_wav_pcm``) and binary PPM images (``decode_ppm``). Formats that
+genuinely need external codec libraries (JPEG, MP4, ...) fall back to a
+deterministic fake vector, or raise ``NotImplementedError`` in strict mode —
+that call site is the production integration point.
 
 Scale notes: binary payloads ride the columnar path (parquet binary +
 Arrow); mapInPandas streams batches so peak memory is
@@ -59,8 +60,8 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
 
 
 def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for an image/audio decoder: a tiny feature
-    vector derived from payload bytes. Replace with a real codec off-container."""
+    """Deterministic stand-in for payloads with no recognized container
+    format: a tiny feature vector derived from payload bytes."""
     if payload is None:
         return [0.0] * FEATURE_DIM
     acc = [0] * FEATURE_DIM
@@ -69,24 +70,136 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [v / 1_000_003.0 for v in acc]
 
 
+# -- real pure-Python codecs (no external libraries) ------------------------
+
+def decode_wav_pcm(payload: bytes) -> dict:
+    """RIFF/WAVE PCM decoder implemented with ``struct`` only: walks the
+    RIFF chunk list, reads the ``fmt `` and ``data`` chunks, and returns
+    sample_rate / channels / bit depth plus samples normalized to [-1, 1).
+    Supports the uncompressed PCM formats (8-bit unsigned, 16-bit signed)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        chunk = payload[pos:pos + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if bits == 16:
+        n = len(data) // 2
+        samples = [s / 32768.0 for s in struct.unpack(f"<{n}h", data[:n * 2])]
+    elif bits == 8:
+        samples = [(b - 128) / 128.0 for b in data]
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    return {"sample_rate": sample_rate, "channels": channels, "bits": bits,
+            "samples": samples}
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) image decoder: header parse (whitespace + ``#``
+    comments) then raw RGB triples. Returns width/height/maxval/pixels."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    need = width * height * 3
+    raw = payload[pos:pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated PPM pixel data")
+    return {"width": width, "height": height, "maxval": maxval, "pixels": raw}
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM audio vector: [duration_s, rms, peak, zero-cross rate]
+    + a (FEATURE_DIM-4)-band mean-|amplitude| envelope."""
+    w = decode_wav_pcm(payload)
+    s = w["samples"]
+    n = max(len(s), 1)
+    rms = (sum(x * x for x in s) / n) ** 0.5
+    peak = max((abs(x) for x in s), default=0.0)
+    zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)) / n
+    dur = n / (w["sample_rate"] * w["channels"])
+    bands = FEATURE_DIM - 4
+    env = []
+    for i in range(bands):
+        seg = s[i * n // bands:(i + 1) * n // bands]
+        env.append(sum(abs(x) for x in seg) / max(len(seg), 1))
+    return [dur, rms, peak, zc] + env
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM image vector: [w, h, mean R, mean G, mean B] + a
+    (FEATURE_DIM-5)-bucket luminance histogram (normalized)."""
+    img = decode_ppm(payload)
+    px, scale = img["pixels"], float(img["maxval"])
+    npx = max(len(px) // 3, 1)
+    means = [sum(px[c::3]) / npx / scale for c in range(3)]
+    buckets = FEATURE_DIM - 5
+    hist = [0] * buckets
+    for i in range(0, npx * 3, 3):
+        lum = (0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]) / scale
+        hist[min(int(lum * buckets), buckets - 1)] += 1
+    return ([float(img["width"]), float(img["height"])] + means
+            + [h / npx for h in hist])
+
+
+def _decode_auto(payload: bytes, strict: bool) -> list[float]:
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_features(payload)
+    if payload[:2] == b"P6":
+        return _ppm_features(payload)
+    if strict:
+        raise NotImplementedError(
+            "no decoder for this payload format (WAV PCM and PPM are "
+            "built in; other codecs need an external library)")
+    return _fake_decode(payload)
+
+
 def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode → fixed-dim feature vector per media row.
 
-    ``strict=True`` raises NotImplementedError (no codecs in this
-    container) — the production integration point.
-    """
+    Containers with a built-in pure-Python decoder (RIFF/WAVE PCM audio,
+    binary PPM images) are decoded for real; other payloads fall back to a
+    deterministic fake vector, or — with ``strict=True`` — raise
+    ``NotImplementedError`` (the production integration point for codec
+    libraries)."""
     out_schema = T.StructType(
         list(MEDIA_SCHEMA.fields)
         + [T.StructField("features", T.ArrayType(T.DoubleType()), True)])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "media codecs unavailable in this container; "
-                "install a decoder and replace _fake_decode")
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = pdf["payload"].map(_fake_decode)
+            pdf["features"] = pdf["payload"].map(
+                lambda p: _decode_auto(p, strict))
             yield pdf
 
     return df.mapInPandas(op, schema=out_schema)

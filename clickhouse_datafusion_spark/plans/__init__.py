@@ -1,5 +1,7 @@
 from clickhouse_datafusion_spark.plans.explain import (
+    executed_metrics,
     executed_plan,
+    output_rows,
     plan_report,
     assert_pushed_filters,
     assert_pruned_schema,
@@ -8,7 +10,9 @@ from clickhouse_datafusion_spark.plans.explain import (
 )
 
 __all__ = [
+    "executed_metrics",
     "executed_plan",
+    "output_rows",
     "plan_report",
     "assert_pushed_filters",
     "assert_pruned_schema",

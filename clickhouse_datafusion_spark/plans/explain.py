@@ -51,6 +51,69 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
     }
 
 
+def executed_metrics(df: DataFrame, execute: bool = True) -> list[dict]:
+    """Per-operator *executed* metrics — the EXPLAIN ANALYZE surface (O10).
+
+    The reference exposes per-operator ``output_rows`` through EXPLAIN
+    ANALYZE (tests/e2e.rs:2184-2208; sink metrics src/sink.rs:100-114).
+    Spark's equivalent lives on the executed physical plan's SQLMetrics:
+    run the query (so the AQE final plan and metric values exist), then walk
+    the plan tree and read each operator's metric values.
+
+    Returns a pre-order list of
+    ``{"operator": str, "depth": int, "metrics": {name: int}}`` where
+    ``metrics`` includes ``numOutputRows`` for row-producing operators.
+    """
+    if execute:
+        df.collect()
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    out: list[dict] = []
+
+    def seq(s):
+        return [s.apply(i) for i in range(s.size())]
+
+    def walk(node, depth):
+        cls = node.getClass().getSimpleName()
+        # unwrap AQE wrappers so the *final* operators are reported
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth)
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan(), depth)
+            return
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        out.append({"operator": node.nodeName(), "depth": depth,
+                    "metrics": metrics})
+        for ch in seq(node.children()):
+            walk(ch, depth + 1)
+
+    walk(root, 0)
+    return out
+
+
+def output_rows(df: DataFrame, operator_substr: str | None = None,
+                execute: bool = True) -> dict[str, int]:
+    """``numOutputRows`` per operator (optionally filtered by substring) —
+    the reference's per-operator output_rows in dict form. Duplicate
+    operator names are disambiguated with an index suffix."""
+    rows: dict[str, int] = {}
+    for i, node in enumerate(executed_metrics(df, execute=execute)):
+        n = node["metrics"].get("numOutputRows")
+        if n is None:
+            continue
+        if operator_substr and operator_substr.lower() not in node["operator"].lower():
+            continue
+        key = node["operator"]
+        if key in rows:
+            key = f"{key}#{i}"
+        rows[key] = n
+    return rows
+
+
 class PlanAssertionError(AssertionError):
     pass
 

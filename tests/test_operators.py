@@ -305,3 +305,48 @@ def test_ivf_index_build_once_query_many(spark, emb):
         assert len(got) == 5
         assert got[0].cos >= got[-1].cos
     index.unpersist()
+
+
+def test_multimodal_real_codecs(spark):
+    """The WAV-PCM and PPM kernels are REAL decoders: known synthetic inputs
+    produce the mathematically expected features (strict mode — no fake
+    fallback involved)."""
+    import math
+    import struct
+
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_features, decode_ppm, decode_wav_pcm)
+
+    # 0.5 s of a 440 Hz sine, 16-bit PCM mono @ 8 kHz
+    sr, dur_s, amp = 8000, 0.5, 0.5
+    n = int(sr * dur_s)
+    samples = [int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+               for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    w = decode_wav_pcm(wav)
+    assert (w["sample_rate"], w["channels"], len(w["samples"])) == (sr, 1, n)
+
+    # 4x2 binary PPM, each row: 2 red then 2 blue pixels (with a comment)
+    px = bytes(([255, 0, 0] * 2 + [0, 0, 255] * 2) * 2)
+    ppm = b"P6\n# synthetic fixture\n4 2\n255\n" + px
+    img = decode_ppm(ppm)
+    assert (img["width"], img["height"], img["maxval"]) == (4, 2, 255)
+
+    rows = [(1, bytearray(wav), ("audio", "audio/wav", None, None, 500)),
+            (2, bytearray(ppm), ("image", "image/x-portable-pixmap", 4, 2, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features
+             for r in decode_features(df, strict=True).collect()}
+    # audio features: [duration_s, rms, peak, zero-cross, envelope...]
+    assert abs(feats[1][0] - dur_s) < 1e-9
+    assert abs(feats[1][1] - amp / math.sqrt(2)) < 0.01  # sine RMS = A/√2
+    assert 0.4 < feats[1][2] <= 0.51                      # peak ≈ amp
+    # image features: [w, h, meanR, meanG, meanB, luminance hist...]
+    assert feats[2][:2] == [4.0, 2.0]
+    assert abs(feats[2][2] - 0.5) < 1e-9   # half the pixels are pure red
+    assert abs(feats[2][3] - 0.0) < 1e-9
+    assert abs(feats[2][4] - 0.5) < 1e-9

@@ -77,3 +77,47 @@ def test_topk_uses_take_ordered(spark):
 
     p = executed_plan(q("o2_topk", spark))
     assert "TakeOrderedAndProject" in p  # no global sort for ORDER BY+LIMIT
+
+
+def test_executed_metrics_output_rows(spark, views):
+    """O10 EXPLAIN ANALYZE parity: per-operator executed output_rows
+    (reference tests/e2e.rs:2184-2208 checks the metric surface exists and
+    carries real values)."""
+    from clickhouse_datafusion_spark.plans.explain import (
+        executed_metrics, output_rows)
+
+    df = spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    expect = df.count()
+    nodes = executed_metrics(df)
+    assert any("numOutputRows" in n["metrics"] for n in nodes)
+    rows = output_rows(df)
+    # the final aggregate emits exactly the result row count
+    agg_counts = [v for k, v in rows.items() if "HashAggregate" in k]
+    assert expect in agg_counts, rows
+    # the scan reports the full table row count
+    scan_counts = [v for k, v in rows.items()
+                   if "Scan" in k or "ColumnarToRow" in k]
+    assert max(scan_counts) == spark.table("orders").count(), rows
+
+
+def test_explain_analyze_front_door(spark, engine):
+    """EXPLAIN ANALYZE through engine.sql returns metric rows, including
+    output_rows, for both reads and the INSERT write path."""
+    import uuid
+
+    res = engine.sql(
+        "EXPLAIN ANALYZE SELECT count(*) AS n FROM clickhouse.main.orders")
+    metrics = {r.metric for r in res.collect()}
+    assert "output_rows" in metrics
+    short = f"ea_{uuid.uuid4().hex[:8]}"
+    engine.catalog.create_table("main", short, "id BIGINT, s STRING")
+    try:
+        r = engine.sql(
+            f"EXPLAIN ANALYZE INSERT INTO main.{short} "
+            f"SELECT o_orderkey, o_orderstatus FROM clickhouse.main.orders "
+            f"WHERE o_orderkey <= 10")
+        row = [x for x in r.collect() if x.metric == "output_rows"]
+        assert row and row[0].value == spark.table(f"main.{short}").count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS main.{short}")
