@@ -112,7 +112,9 @@ def concurrency_benchmark(spark, sf_dir: str, clients: int = 8,
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    # ≥4 iterations: best-of-2 showed ±30% run-to-run noise on a shared box
+    # (VERDICT r2 flagged phantom regressions on untouched queries)
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
 
     from clickhouse_datafusion_spark.queries import QUERIES
     from clickhouse_datafusion_spark.session import get_spark

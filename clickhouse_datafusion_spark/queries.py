@@ -1300,10 +1300,13 @@ def x8_approx(spark, sf):
     results are engine-specific, so rows-only; the exact twins are
     oracle-checked in a1/a2."""
     li = t(spark, sf, "lineitem")
+    # scalar columns only: the gate canonicalizer cannot hash array cells
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.75])
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("p25_75"))
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p75"))
 
 
 @qdef("x9_vocabulary_tf",
