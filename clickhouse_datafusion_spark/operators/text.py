@@ -103,6 +103,64 @@ def fingerprint_col(text_col: str = "text") -> Column:
     ).alias("fp")
 
 
+# PII patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repetition, no
+# lookaround — so the oracle can hash-match redaction exactly.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][-0-9() ]{7,}[0-9]"
+
+
+def redact_pii_cols(text_col: str | Column = "text") -> list[Column]:
+    """PII scrub for training corpora: count + redact emails and phone-like
+    spans. Pure regexp codegen — shuffle-free projection at any scale."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    ]
+
+
+def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ngram: int = 5, min_hits: int = 1) -> DataFrame:
+    """Train/eval contamination (decontamination pass of a training
+    pipeline): for each training document, the fraction of its distinct
+    word n-grams that appear anywhere in the evaluation set.
+
+    Returns (doc_id, n_hits, contamination) for contaminated train docs.
+
+    Scale design: the eval side (benchmark suites) is tiny relative to a
+    100 TB corpus — its distinct-shingle set is built once and BROADCAST,
+    so the whole pass is a map-side semi-join over the train scan plus one
+    groupBy keyed by doc id: a single shuffle of (id, n) pairs, never text.
+    """
+    from clickhouse_datafusion_spark.operators.dedup import word_ngrams
+
+    eval_grams = (eval_df
+                  .select(F.explode(word_ngrams(F.col(text_col), ngram))
+                          .alias("g"))
+                  .distinct())
+    train_grams = (train_df.select(
+        F.col(id_col),
+        word_ngrams(F.col(text_col), ngram).alias("grams"))
+        .select(id_col, F.size("grams").alias("n_grams"),
+                F.explode("grams").alias("g")))
+    hits = (train_grams.join(F.broadcast(eval_grams), "g")
+            .groupBy(id_col, "n_grams")
+            .agg(F.count("*").alias("n_hits"))
+            .filter(F.col("n_hits") >= min_hits))
+    ratio = (F.floor(F.col("n_hits") * 10000 / F.col("n_grams") + F.lit(0.5))
+             / F.lit(10000.0))
+    return hits.select(id_col, F.col("n_hits").cast("bigint").alias("n_hits"),
+                       ratio.alias("contamination"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint."""
     return df.select(

@@ -1442,6 +1442,41 @@ def t4_fp(spark, sf):
     return t(spark, sf, "documents").select("doc_id", fingerprint_col("text"))
 
 
+@qdef("t5_pii_redaction",
+      r"""WITH b AS (
+            SELECT doc_id,
+                   text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call +1 555 010 '
+                        || CAST(doc_id % 10000 AS VARCHAR) AS t2
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(t2,
+                   '\+?[0-9][-0-9() ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(regexp_replace(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?[0-9][-0-9() ]{7,}[0-9]', '<PHONE>', 'g')) AS red_md5
+          FROM b""",
+      tags=("pipeline", "text"))
+def t5_pii(spark, sf):
+    """PII scrub over documents with synthesized email/phone spans (the
+    fixture text carries none), hash-compared via md5 of the redacted text.
+    Regex subset chosen for identical Java-regex/RE2 semantics."""
+    from clickhouse_datafusion_spark.operators.text import redact_pii_cols
+
+    docs = t(spark, sf, "documents")
+    t2 = F.concat(
+        F.col("text"), F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 010 "),
+        (F.col("doc_id") % 10000).cast("string"))
+    n_emails, n_phones, redacted = redact_pii_cols(t2)
+    return docs.select("doc_id", n_emails, n_phones,
+                       F.md5(redacted).alias("red_md5"))
+
+
 # =========================================================================
 # Pipeline operators: dedup (operators/dedup.py)
 # =========================================================================
@@ -1594,6 +1629,35 @@ def x12_strat(spark, sf):
 
     return (stratified_sample(t(spark, sf, "documents"), "lang", 0.1)
             .select("doc_id", "lang"))
+
+
+@qdef("x13_contamination",
+      """WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                   ELSE [] END AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+          ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+          tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+                 FROM g WHERE doc_id % 97 <> 0)
+          SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 FLOOR(count(*) * 10000 / n_grams + 0.5) / 10000.0
+                   AS contamination
+          FROM tr JOIN ev USING (g)
+          GROUP BY tr.doc_id, n_grams""",
+      tags=("pipeline", "text", "dedup"))
+def x13_contam(spark, sf):
+    """Train/eval decontamination: distinct 3-gram overlap of each training
+    doc against a broadcast eval-set shingle dictionary (eval set = every
+    97th doc, standing in for a benchmark suite)."""
+    from clickhouse_datafusion_spark.operators.text import contamination_scores
+
+    docs = t(spark, sf, "documents")
+    return contamination_scores(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0), ngram=3)
 
 
 # =========================================================================
@@ -1751,6 +1815,25 @@ def st2_stream_dedup(spark, sf):
     stream = dedup_stream(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
     return out.agg(F.count("*").alias("n_distinct"))
+
+
+@qdef("st3_streaming_sessions", None, tags=("streaming",))
+def st3_stream_sessions(spark, sf):
+    """Gap-merged session windows (built-in ``session_window`` state) over
+    the replayed events stream — rows-only: append mode emits only sessions
+    sealed by the final watermark, so the batch SQL twin (x6) is not an
+    exact oracle."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, session_windows)
+
+    d = _staged_stream_dir(sf, "st3", copies=1)
+    stream = session_windows(read_events_stream(spark, d))
+    out = run_to_memory_sink(stream, f"st3_{_uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        "user_id", "n_events", F.round("total", 2).alias("total"))
 
 
 # -------------------------------------------------------------------------

@@ -350,3 +350,39 @@ def test_multimodal_real_codecs(spark):
     assert abs(feats[2][2] - 0.5) < 1e-9   # half the pixels are pure red
     assert abs(feats[2][3] - 0.0) < 1e-9
     assert abs(feats[2][4] - 0.5) < 1e-9
+
+
+# -- PII redaction / contamination ------------------------------------------
+
+def test_pii_redaction(spark):
+    from clickhouse_datafusion_spark.operators.text import redact_pii_cols
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or call +1 555 010 1234 today"),
+         (2, "no pii here at all")],
+        "id int, text string")
+    out = {r.id: r for r in df.select("id", *redact_pii_cols("text")).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "bob@example.com" not in out[1].redacted
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert out[2].redacted == "no pii here at all"
+
+
+def test_contamination_planted_and_broadcast(spark):
+    from clickhouse_datafusion_spark.operators.text import contamination_scores
+    from clickhouse_datafusion_spark.plans.explain import executed_plan
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # contains eval 3-grams
+         (2, "one two three four five six seven")],    # disjoint
+        "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string")
+    res = contamination_scores(train, ev, ngram=3)
+    rows = {r.doc_id: r for r in res.collect()}
+    # doc 1 has 4 distinct 3-grams, 2 of which appear in the eval doc
+    assert rows[1].n_hits == 2 and abs(rows[1].contamination - 0.5) < 1e-9
+    assert 2 not in rows
+    # scale property: the eval shingle side is broadcast, not shuffled
+    assert "BroadcastExchange" in executed_plan(res)
