@@ -337,9 +337,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              .select("id", F.size("grams").alias("n_grams"),
                      F.explode("grams").alias("g")))
     if max_shingle_freq:
-        freq = grams.groupBy("g").agg(F.count("*").alias("df_"))
-        grams = (grams.join(freq, "g")
-                 .filter(F.col("df_") <= max_shingle_freq).drop("df_"))
+        # document frequency via count-over-window: ONE shuffle keyed by the
+        # shingle (grams are distinct per doc, so rows-per-partition-key =
+        # docs-per-shingle), vs the groupBy+join form's aggregate shuffle
+        # PLUS a join shuffle of the full exploded gram set.
+        grams = (grams.withColumn(
+            "df_", F.count("*").over(W.partitionBy("g")))
+            .filter(F.col("df_") <= max_shingle_freq).drop("df_"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
                     & (F.col("a.id") < F.col("b.id")))
