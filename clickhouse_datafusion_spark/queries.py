@@ -1838,21 +1838,23 @@ def st3_stream_sessions(spark, sf):
 
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
-# under a finite time budget (one fresh process per query) and has never
-# reached past ~49 entries. The p/j/a/w/o/f1-f11 block already has two
-# rounds of green gate history, while everything registered from f12 onward
-# (fed1, q*, e*, x*, t*, d*, s*, m1, st*) has never received a CORRECTNESS
-# row — so emit the unproven block FIRST. Pure rotation: every entry stays
-# declared and runnable; only the emission order changes.
-_GATE_ROTATE_AT = "f12_ch_union_branches"
+# under a finite time budget (one fresh process per query) and stops around
+# ~50 entries. Rounds 2+3 together covered all 92 entries (r3 ran the block
+# from f12 onward). This round: entries whose behavior changed (x10
+# connector fix, d5 blocked plan, st1 new oracle) go FIRST so they get
+# fresh CORRECTNESS rows, followed by the p/j/a/w/o/f1-f11 block whose gate
+# history dates to r2. The f12+ block (green in r3) comes last. Pure
+# reordering: every entry stays declared and runnable.
+_GATE_PRIORITY = [
+    "x10_native_connector_scan",
+    "d5_embedding_dup_pairs",
+    "st1_streaming_tumbling",
+]
 
 
 def _gate_order() -> list[str]:
-    names = list(QUERIES)
-    if _GATE_ROTATE_AT in QUERIES:
-        i = names.index(_GATE_ROTATE_AT)
-        names = names[i:] + names[:i]
-    return names
+    rest = [n for n in QUERIES if n not in _GATE_PRIORITY]
+    return [n for n in _GATE_PRIORITY if n in QUERIES] + rest
 
 
 def get_queries():

@@ -110,6 +110,17 @@ def _filter_to_arrow(f: Filter):
 
 
 class ClickHouseNativeReader(DataSourceReader):
+    """Scan path WITHOUT ``pushFilters``.
+
+    Spark 4 hard-errors at plan time when a reader class overrides
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled`` is
+    false (DATA_SOURCE_PUSHDOWN_DISABLED, raised in the Python planning
+    worker — which cannot see the SQLConf, so the choice must be made by
+    reader *class*). This base class is the always-safe fallback: Spark
+    applies every filter post-scan, semantics unchanged. The reference's
+    pushdown contract explicitly never errors either (Exact/Unsupported,
+    src/sql.rs:215-228)."""
+
     def __init__(self, options: dict):
         self.path = options.get("path") or options.get("location")
         if not self.path:
@@ -120,22 +131,6 @@ class ClickHouseNativeReader(DataSourceReader):
                 "ClickHouseCatalog.register_native_table (a view over "
                 "spark.read.format) instead of CREATE TABLE ... USING")
         self._arrow_filter = None
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept what we can evaluate; yield the rest back to Spark
-        (Exact vs Unsupported — reference src/sql.rs:215-228)."""
-        import functools
-        import operator
-
-        accepted = []
-        for f in filters:
-            expr = _filter_to_arrow(f)
-            if expr is None:
-                yield f  # unsupported → Spark re-applies it
-            else:
-                accepted.append(expr)
-        if accepted:
-            self._arrow_filter = functools.reduce(operator.and_, accepted)
 
     def partitions(self) -> list[_RowGroupPartition]:
         import pyarrow.parquet as pq
@@ -164,6 +159,30 @@ class ClickHouseNativeReader(DataSourceReader):
         if [f.type for f in fields] != [f.type for f in tbl.schema]:
             tbl = tbl.cast(pa.schema(fields))
         yield from tbl.to_batches()
+
+
+class ClickHousePushdownReader(ClickHouseNativeReader):
+    """Scan path WITH filter pushdown into the pyarrow row-group read —
+    selected by ``reader()`` unless the ``pushdown`` option is 'false'.
+    ``register_clickhouse_source`` enables the required SQLConf on the
+    registering session, so the default path plans cleanly; sessions that
+    disable the conf opt out via ``.option("pushdown", "false")``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept what we can evaluate; yield the rest back to Spark
+        (Exact vs Unsupported — reference src/sql.rs:215-228)."""
+        import functools
+        import operator
+
+        accepted = []
+        for f in filters:
+            expr = _filter_to_arrow(f)
+            if expr is None:
+                yield f  # unsupported → Spark re-applies it
+            else:
+                accepted.append(expr)
+        if accepted:
+            self._arrow_filter = functools.reduce(operator.and_, accepted)
 
 
 @dataclass
@@ -249,11 +268,17 @@ class ClickHouseNativeDataSource(DataSource):
                                  prefer_timestamp_ntz=True)
 
     def reader(self, schema: StructType) -> ClickHouseNativeReader:
-        return ClickHouseNativeReader(dict(self.options))
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return ClickHouseNativeReader(dict(self.options))
+        return ClickHousePushdownReader(dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> ClickHouseNativeWriter:
         return ClickHouseNativeWriter(dict(self.options), overwrite)
 
 
 def register_clickhouse_source(spark) -> None:
+    # Runtime SQLConf gating Python data source pushFilters (default false in
+    # Spark 4; planning hard-errors without it). Enabled here so any session
+    # that registers the connector gets the pushdown scan path by default.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ClickHouseNativeDataSource)
