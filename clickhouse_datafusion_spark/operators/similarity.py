@@ -81,7 +81,11 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def pairwise_cosine_dups(df: DataFrame, threshold: float = 0.9,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
-    """Exact embedding near-dup pairs (cos ≥ threshold), id_a < id_b."""
+    """Exact embedding near-dup pairs (cos ≥ threshold), id_a < id_b.
+
+    All-pairs theta join — quadratic. This is the small-N VERIFIER (and the
+    recall oracle for tests); the production path at scale is
+    :func:`blocked_cosine_dups`, which bounds the pair space by LSH bucket."""
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
                   norm(_as_double(vec_col)).alias("nrm"))
     a, b = v.alias("a"), v.alias("b")
@@ -89,6 +93,44 @@ def pairwise_cosine_dups(df: DataFrame, threshold: float = 0.9,
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        n_planes: int = 4, n_tables: int = 8,
+                        dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ threshold) via LSH blocking — the
+    default/scale path, replacing the quadratic all-pairs theta join.
+
+    Plan shape: ONE scan computes all ``n_tables`` random-hyperplane
+    signatures in a single projection (:func:`with_lsh_signatures`), each
+    row explodes into its ``n_tables`` bucket keys, and pairs come from
+    intra-bucket expansion after ONE groupBy(bucket-hash) shuffle
+    (``dedup._bucket_pairs`` — no self-join, no cartesian product). Exact
+    cosine is then evaluated only within buckets. Network cost is
+    O(rows × n_tables × vec bytes), not O(rows²).
+
+    Recall: P[two rows share a bucket in ≥1 table] =
+    1 − (1 − p^n_planes)^n_tables with p = 1 − θ/π. At the defaults
+    (4 planes × 8 tables): ≈98.3% for cos = 0.8, ≈99.98% for cos = 0.95,
+    → 1 as cos → 1. Raise ``n_planes`` at larger scale to keep buckets
+    small (each +1 plane halves expected bucket size), adding tables to
+    hold recall. :func:`pairwise_cosine_dups` is the exact verifier.
+    """
+    from clickhouse_datafusion_spark.operators.dedup import _bucket_pairs
+
+    signed = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
+    v = _as_double(vec_col)
+    banded = signed.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"),
+        F.explode(F.array(*[F.xxhash64(F.lit(t), F.col(f"_sig_{t}"))
+                            for t in range(n_tables)])).alias("bk"))
+    pairs = _bucket_pairs(banded, ["v", "nrm"])
+    c = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (pairs.select(
+                "id_a", "id_b",
+                (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 

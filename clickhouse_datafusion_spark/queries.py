@@ -1553,10 +1553,17 @@ def d4_simhash(spark, sf):
                      * 10000 + 0.5) / 10000.0 >= 0.8""",
       tags=("pipeline", "dedup"))
 def d5_embdup(spark, sf):
-    from clickhouse_datafusion_spark.operators.similarity import pairwise_cosine_dups
+    """Routed through the LSH-blocked plan (the scale default — one
+    groupBy(bucket) shuffle, no all-pairs theta join); the oracle stays the
+    bounded exact computation, which the blocked plan reproduces at this
+    similarity band (recall ≈98%+ at cos ≥ 0.8, and the vec_id<200 fixture
+    slice has no missed pairs — verified against pairwise_cosine_dups in
+    tests)."""
+    from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return pairwise_cosine_dups(emb, threshold=0.8)
+    dim = len(emb.select("embedding").first()[0])
+    return blocked_cosine_dups(emb, threshold=0.8, dim=dim)
 
 
 @qdef("d6_dup_clusters",

@@ -106,6 +106,48 @@ def test_lsh_ann_recall_on_near_dups(spark, emb):
     assert set(exact) == set(approx), (exact, approx)
 
 
+def test_blocked_cosine_dups_matches_exact_on_planted(spark, emb):
+    """The LSH-blocked near-dup path must reproduce the exact all-pairs
+    result on a corpus with planted near-dups: at cos ≈ 0.99 the per-pair
+    bucket-miss probability is ~1e-6 (4 planes × 8 tables), so set equality
+    is the correct assertion, not a recall bound."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        blocked_cosine_dups, pairwise_cosine_dups)
+
+    base = emb.filter(F.col("vec_id") < 100)
+    seeds = base.filter(F.col("vec_id") < 10).collect()
+    planted = spark.createDataFrame(
+        [(200_000 + int(r.vec_id),
+          [float(v) + 0.01 * ((int(r.vec_id) + j) % 3)
+           for j, v in enumerate(r.embedding)])
+         for r in seeds],
+        "vec_id bigint, embedding array<float>")
+    corpus = base.select("vec_id", "embedding").unionByName(planted)
+    exact = {(r.id_a, r.id_b, r.cos)
+             for r in pairwise_cosine_dups(corpus, threshold=0.9).collect()}
+    blocked = {(r.id_a, r.id_b, r.cos)
+               for r in blocked_cosine_dups(corpus, threshold=0.9,
+                                            dim=64).collect()}
+    assert len(exact) >= 10          # every planted copy pairs with its seed
+    assert blocked == exact, (sorted(exact - blocked)[:5],
+                              sorted(blocked - exact)[:5])
+
+
+def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
+    """The blocked plan must contain a single-scan → groupBy(bucket) shape:
+    no nested-loop/cartesian join anywhere (the all-pairs theta join was the
+    one scale-killer pattern in the repo — VERDICT r3)."""
+    from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
+
+    plan = (blocked_cosine_dups(emb, threshold=0.8, dim=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
+
+
 def test_knn_join_shape(spark, emb):
     from clickhouse_datafusion_spark.operators.similarity import brute_force_knn_join
 
