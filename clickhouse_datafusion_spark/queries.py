@@ -1787,10 +1787,25 @@ def _staged_stream_dir(sf: str, tag: str, copies: int = 1) -> str:
     return d
 
 
-@qdef("st1_streaming_tumbling", None, tags=("streaming",))
+@qdef("st1_streaming_tumbling",
+      f"""WITH mx AS (SELECT max(ts) AS m FROM events)
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+                 event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 {OSUM('value')} AS total
+          FROM events, mx
+          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+          GROUP BY 1, 2""",
+      tags=("streaming",))
 def st1_stream(spark, sf):
     """File-replay the events table through a watermarked tumbling-window
-    streaming aggregation into a memory sink; returns the closed windows."""
+    streaming aggregation into a memory sink; returns the closed windows.
+
+    Real oracle (not rows-only): a bounded replay's final watermark is
+    max(ts) − 2h, and append mode emits exactly the windows with
+    window.end <= watermark — SQL-expressible as a tumbling GROUP BY with
+    a HAVING-style seal predicate. ``total`` is decimal-summed on both
+    sides (dsum convention) so the value hash is order-independent."""
     import uuid as _uuid
 
     from clickhouse_datafusion_spark.streaming import (
@@ -1801,7 +1816,8 @@ def st1_stream(spark, sf):
     out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
     return out.select(
         F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
-        "event_type", "n", F.round("total", 2).alias("total"))
+        "event_type", "n",
+        F.round("total", 2).cast("double").alias("total"))
 
 
 @qdef("st2_streaming_dedup",

@@ -40,11 +40,17 @@ def read_events_stream(spark: SparkSession, path_dir: str,
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window counts/sums per event_type."""
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    ``total`` is summed in DECIMAL(28,4): exact and associative, so the
+    result is independent of partial-aggregation order — required for the
+    batch-twin oracle check (floating sums are order-dependent and
+    streaming state merges in arrival order)."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window), "event_type")
-            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).alias("total"))
             .select(F.col("window.start").alias("w_start"),
                     F.col("window.end").alias("w_end"),
                     "event_type", "n", "total"))
