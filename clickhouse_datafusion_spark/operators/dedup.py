@@ -127,9 +127,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     arrives in fewer partitions (e.g. one small parquet file). Signature
     computation is CPU-bound; without this it runs in a single task. At
     real scale the scan already has ≥ defaultParallelism splits and this
-    is a no-op — no shuffle is added."""
+    is a no-op — no shuffle is added.
+
+    The partition probe is a file-split ESTIMATE (plans.explain), not
+    ``df.rdd.getNumPartitions()`` — the RDD conversion re-plans the query,
+    a measurable cost on wide plans. Non-file-backed inputs (in-memory
+    test corpora) conservatively repartition."""
+    from clickhouse_datafusion_spark.plans.explain import estimated_scan_partitions
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = estimated_scan_partitions(df)
+    if est is None or est < target:
         return df.repartition(target)
     return df
 

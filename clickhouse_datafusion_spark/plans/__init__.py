@@ -1,4 +1,5 @@
 from clickhouse_datafusion_spark.plans.explain import (
+    estimated_scan_partitions,
     executed_metrics,
     executed_plan,
     output_rows,
@@ -10,6 +11,7 @@ from clickhouse_datafusion_spark.plans.explain import (
 )
 
 __all__ = [
+    "estimated_scan_partitions",
     "executed_metrics",
     "executed_plan",
     "output_rows",

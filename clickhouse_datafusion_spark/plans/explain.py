@@ -32,6 +32,59 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Numeric value of a byte-size conf ('134217728b', '128MB', '4m')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if not m:
+        return default
+    return int(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " ")
+
+
+def estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Scan-task estimate for a file-backed DataFrame WITHOUT ``df.rdd``
+    (an RDD conversion re-plans the query — measurable build cost on wide
+    plans, so probes must not pay it). Mirrors Spark's FilePartition
+    packing: ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism))``, files padded by the open cost and
+    packed into bins of that capacity. Returns None when the plan is not
+    file-backed (local relation, memory stream) — callers fall back to
+    their own default."""
+    import math
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        p = f[len("file://"):] if f.startswith("file://") else \
+            f[len("file:"):] if f.startswith("file:") else f
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = sum(sizes)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, total // par + 1))
+    n_chunks = sum(max(1, math.ceil(s / max_split)) for s in sizes)
+    # chunks pack first-fit into bins of capacity max_split, each chunk
+    # padded by open_cost; ceil((bytes + padding) / capacity) slightly
+    # overestimates, which is benign for both callers (skip-repartition /
+    # coalesce decisions tolerate an overestimate, not an RDD conversion)
+    return max(1, math.ceil((total + n_chunks * open_cost) / max_split)
+               if n_chunks > 1 else 1)
+
+
 def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
     """Summary of scale-relevant plan features."""
     p = executed_plan(df, execute=execute)

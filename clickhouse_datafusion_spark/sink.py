@@ -20,6 +20,7 @@ reference's per-batch check is likewise a data-level check.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,25 @@ class SchemaValidationError(ValueError):
 
 class OverwriteNotSupported(NotImplementedError):
     """Parity with the reference rejecting InsertOp::Overwrite."""
+
+
+# Spark's FileOutputCommitter stages EVERY concurrent job writing a path
+# under the same <path>/_temporary/0 directory; two jobs committing the same
+# table concurrently delete each other's staged part files (lost parts /
+# FileNotFoundException at commit). The reference never hits this because a
+# ClickHouse INSERT is an independent server-side transaction
+# (tests/e2e_stress.rs runs 16 truly-concurrent writers). Spark analog:
+# serialize the COMMIT JOB per table with a driver-side mutex — task
+# parallelism inside each write job is untouched, different tables proceed
+# concurrently, and the clickhouse_native connector path needs no lock at
+# all (its writer emits one part_<uuid> file per task, no staging dir).
+_TABLE_WRITE_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def _table_write_lock(table: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _TABLE_WRITE_LOCKS.setdefault(table.lower(), threading.Lock())
 
 
 def _count_df(spark: SparkSession, n: int) -> DataFrame:
@@ -148,12 +168,14 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str,
     # 100 TB deletes a full exchange of the inserted data; repartition only
     # when we must fan OUT to reach the requested concurrency.
     if write_concurrency:
-        try:
-            # partition count read off the pre-observe plan (projection and
-            # observe are partitioning-preserving)
-            cur = ordered.rdd.getNumPartitions()
-        except Exception:
-            cur = None
+        # Partition probe = file-split estimate off the pre-observe plan
+        # (projection and observe preserve partitioning) — NOT df.rdd,
+        # whose RDD conversion re-plans the query. None (in-memory VALUES
+        # inserts) falls through to repartition: tiny data, cheap shuffle.
+        from clickhouse_datafusion_spark.plans.explain import (
+            estimated_scan_partitions)
+
+        cur = estimated_scan_partitions(ordered)
         if cur is not None and cur >= write_concurrency:
             writer = observed.coalesce(write_concurrency)
         else:
@@ -163,7 +185,8 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str,
     # v1 write path (works for parquet catalog tables); positional resolution,
     # hence the explicit column reorder above.
     try:
-        writer.write.insertInto(table, overwrite=False)
+        with _table_write_lock(table):
+            writer.write.insertInto(table, overwrite=False)
     except Exception as e:  # surface the in-job null guard as a typed error
         m = re.search(
             rf"{_NULL_GUARD_MARK}: field \S+ is non-nullable but input "
@@ -190,7 +213,8 @@ def run_insert_sql(spark: SparkSession, insert_sql: str) -> DataFrame:
         src = spark.sql(query)
         obs = Observation()
         observed = src.observe(obs, F.count(F.lit(1)).alias("rows"))
-        observed.write.insertInto(table, overwrite=overwrite)
+        with _table_write_lock(table):
+            observed.write.insertInto(table, overwrite=overwrite)
         return _count_df(spark, obs.get["rows"])
     table = _parse_insert_target(insert_sql)
     before = spark.table(table).count() if table else None

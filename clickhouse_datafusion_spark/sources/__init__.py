@@ -7,7 +7,9 @@ over a ClickHouse-style table layout.
 
 from clickhouse_datafusion_spark.sources.clickhouse_source import (
     ClickHouseNativeDataSource,
+    ensure_thread_session,
     register_clickhouse_source,
 )
 
-__all__ = ["ClickHouseNativeDataSource", "register_clickhouse_source"]
+__all__ = ["ClickHouseNativeDataSource", "ensure_thread_session",
+           "register_clickhouse_source"]

@@ -282,3 +282,22 @@ def register_clickhouse_source(spark) -> None:
     # that registers the connector gets the pushdown scan path by default.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ClickHouseNativeDataSource)
+
+
+def ensure_thread_session(spark) -> None:
+    """Pin the JVM thread-local active session for the CURRENT Python
+    thread. Call once at the top of any non-main thread that reads/writes
+    through the connector.
+
+    py4j maps each Python thread to a fresh JVM thread whose thread-local
+    active SparkSession is unset, and Spark resolves *Python* data sources
+    through the active session's DataSourceManager — so a registered
+    ``clickhouse_native`` raises DATA_SOURCE_NOT_FOUND from worker threads
+    without this (built-in JVM sources are unaffected; they resolve by
+    classname). The reference's concurrent-writer suites don't hit this
+    because its writers share one tokio runtime (tests/e2e_stress.rs)."""
+    try:
+        jvm_session_cls = spark._jvm.org.apache.spark.sql.classic.SparkSession  # noqa: SLF001
+        jvm_session_cls.setActiveSession(spark._jsparkSession)  # noqa: SLF001
+    except Exception:
+        pass  # non-classic sessions (Connect) have no JVM handle to pin
