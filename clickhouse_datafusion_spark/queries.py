@@ -287,7 +287,7 @@ def j4(spark, sf):
 def j5(spark, sf):
     r, n = t(spark, sf, "region"), t(spark, sf, "nation")
     c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (o.join(c, o.o_custkey == c.c_custkey)  # AQE-sized (c scales)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy(r.r_name.alias("region"), n.n_name.alias("nation"))
@@ -1030,8 +1030,11 @@ def q3(spark, sf):
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
     li = t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    # customer is NOT force-broadcast: it scales with the fact tables, so
+    # the strategy is AQE's runtime-size call (still a broadcast at small
+    # SF, degrades to shuffle join at 100× instead of OOMing the driver)
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
             .agg(dsum_exact(DEC("l_extendedprice", 14, 2)
                             * (F.lit(1) - DEC("l_discount", 4, 2)))
@@ -1055,13 +1058,18 @@ def q3(spark, sf):
          GROUP BY n.n_name""",
       tags=("bench", "J5"))
 def q5(spark, sf):
+    """Join order is the scale story: the tiny supplier⋈nation⋈region(ASIA)
+    dim chain broadcasts into LINEITEM FIRST, cutting it ~5× (one region of
+    five) before the only shuffle join (⋈ orders) — the original order
+    shuffled the full lineitem AND orders, then filtered. Same result (FK
+    integrity), strictly less shuffle at any scale."""
     r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n, s = t(spark, sf, "nation"), t(spark, sf, "supplier")
     li, o = t(spark, sf, "lineitem"), t(spark, sf, "orders")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
             .groupBy(F.col("n_name").alias("nation"))
             .agg(dsum_exact(DEC("l_extendedprice", 14, 2)
                             * (F.lit(1) - DEC("l_discount", 4, 2)))
@@ -1096,7 +1104,8 @@ def q6(spark, sf):
       tags=("bench", "flagship"))
 def flagship(spark, sf):
     o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer scales with the facts — AQE picks broadcast while it fits
+    return (o.join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_name").agg(F.count("*").alias("order_count"))
             .orderBy(F.col("order_count").desc(), "c_name").limit(10))
 
