@@ -170,7 +170,12 @@ def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     shape inlined ``n_tables × n_planes`` independent aggregate expressions
     (64 full dot pipelines in the plan) — analysis/codegen time grew with
     the plane count and dominated small-batch latency (measured 3.7 s →
-    ~0.4 s warm on 500×64-d vectors; identical signatures)."""
+    ~0.4 s warm on 500×64-d vectors; identical signatures).
+
+    ``dim=None`` probes the dimensionality with a driver-side ``first()``
+    — one tiny Spark job per call. Every registry/bench caller passes
+    ``dim`` explicitly (or derives it from the query vector); pass it in
+    production pipelines too, where the plan may be rebuilt per batch."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = [p for t in range(n_tables)
