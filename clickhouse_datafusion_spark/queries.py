@@ -1849,12 +1849,44 @@ def st2_stream_dedup(spark, sf):
     return out.agg(F.count("*").alias("n_distinct"))
 
 
-@qdef("st3_streaming_sessions", None, tags=("streaming",))
+@qdef("st3_streaming_sessions",
+      f"""WITH mx AS (SELECT max(ts) AS m FROM events),
+          g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE OR
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s, event_id
+            FROM events),
+          s AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+            FROM g),
+          agg AS (
+            SELECT user_id, sid,
+                   min(ts) AS s_start, max(ts) AS s_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   {OSUM('value')} AS total
+            FROM s GROUP BY user_id, sid)
+          SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start, user_id,
+                 n_events, total
+          FROM agg, mx
+          WHERE s_end + INTERVAL 30 MINUTE <= m - INTERVAL 2 HOUR""",
+      tags=("streaming",))
 def st3_stream_sessions(spark, sf):
     """Gap-merged session windows (built-in ``session_window`` state) over
-    the replayed events stream — rows-only: append mode emits only sessions
-    sealed by the final watermark, so the batch SQL twin (x6) is not an
-    exact oracle."""
+    the replayed events stream.
+
+    Real oracle (upgraded from rows-only in r4): on a bounded replay the
+    final watermark is max(ts) − 2h, and append mode emits exactly the
+    sessions with ``last_event_ts + gap <= watermark`` (no later event can
+    extend or merge them). The batch twin is x6's lag-gap sessionization
+    plus that seal predicate — verified set-identical to the streaming
+    output at sf0.001/sf0.01. ``total`` is decimal-summed on both sides."""
     import uuid as _uuid
 
     from clickhouse_datafusion_spark.streaming import (
@@ -1865,7 +1897,8 @@ def st3_stream_sessions(spark, sf):
     out = run_to_memory_sink(stream, f"st3_{_uuid.uuid4().hex[:8]}")
     return out.select(
         F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
-        "user_id", "n_events", F.round("total", 2).alias("total"))
+        "user_id", "n_events",
+        F.round("total", 2).cast("double").alias("total"))
 
 
 # -------------------------------------------------------------------------
@@ -1881,6 +1914,7 @@ _GATE_PRIORITY = [
     "x10_native_connector_scan",
     "d5_embedding_dup_pairs",
     "st1_streaming_tumbling",
+    "st3_streaming_sessions",
 ]
 
 

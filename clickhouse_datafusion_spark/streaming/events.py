@@ -69,11 +69,16 @@ def sliding_value_sums(events: DataFrame, window: str = "2 hours",
 
 def session_windows(events: DataFrame, gap: str = "30 minutes",
                     watermark: str = "2 hours") -> DataFrame:
-    """Gap-based session windows per user (built-in session_window state)."""
+    """Gap-based session windows per user (built-in session_window state).
+
+    ``total`` sums in DECIMAL(28,4) — exact/associative regardless of
+    state-merge order, so the bounded-replay oracle can hash-compare it
+    (same convention as :func:`tumbling_counts`)."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap), "user_id")
-            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).alias("total"))
             .select(F.col("session_window.start").alias("s_start"),
                     F.col("session_window.end").alias("s_end"),
                     "user_id", "n_events", "total"))
