@@ -161,6 +161,38 @@ def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
                        ratio.alias("contamination"))
 
 
+def repetition_cols(text_col: str = "text") -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, most-common-word fraction, top-bigram
+    fraction. High values flag boilerplate/spammy documents that LLM
+    training pipelines drop.
+
+    Pure array-HOF codegen — shuffle-free projection. The per-row mode
+    computation is O(distinct × words) via filter-count over the distinct
+    list; documents are short relative to cluster cores, so this stays
+    CPU-cheap and embarrassingly parallel. All ratios use the repo's
+    integer-arithmetic FLOOR(x·10⁴ + .5)/10⁴ convention so the DuckDB
+    oracle is bit-exact."""
+    ws = words(text_col)
+    n = F.size(ws)
+    top_word = F.array_max(F.transform(
+        F.array_distinct(ws),
+        lambda w: F.size(F.filter(ws, lambda x: x == w))))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)))
+    top_bigram = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda b: F.size(F.filter(bigrams, lambda x: x == b))))
+    r4dp = lambda num, den: F.floor(num * 10000 / den + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return [
+        r4dp(n - F.size(F.array_distinct(ws)), n).alias("dup_word_frac"),
+        r4dp(top_word, n).alias("top_word_frac"),
+        F.when(n >= 2, r4dp(top_bigram, n - 1)).otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    ]
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint."""
     return df.select(

@@ -1486,6 +1486,36 @@ def t5_pii(spark, sf):
                        F.md5(redacted).alias("red_md5"))
 
 
+@qdef("t6_repetition_scores",
+      """WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          s AS (
+            SELECT doc_id, ws, len(ws) AS n, list_distinct(ws) AS dws,
+                   list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1]) AS bg
+            FROM w)
+          SELECT doc_id,
+                 FLOOR((n - len(dws)) * 10000 / n + 0.5) / 10000.0
+                   AS dup_word_frac,
+                 FLOOR(list_max(list_transform(dws,
+                         w -> len(list_filter(ws, x -> x = w))))
+                       * 10000 / n + 0.5) / 10000.0 AS top_word_frac,
+                 CASE WHEN n >= 2 THEN
+                   FLOOR(list_max(list_transform(list_distinct(bg),
+                           b -> len(list_filter(bg, x -> x = b))))
+                         * 10000 / (n - 1) + 0.5) / 10000.0
+                 ELSE 0.0 END AS top_bigram_frac
+          FROM s""",
+      tags=("pipeline", "text"))
+def t6_repetition(spark, sf):
+    """Gopher-style repetition quality signals (duplicate-word /
+    most-common-word / top-bigram fractions) — the boilerplate-detection
+    filters of an LLM training pipeline, as a shuffle-free projection."""
+    from clickhouse_datafusion_spark.operators.text import repetition_cols
+
+    return t(spark, sf, "documents").select("doc_id", *repetition_cols("text"))
+
+
 # =========================================================================
 # Pipeline operators: dedup (operators/dedup.py)
 # =========================================================================

@@ -160,6 +160,24 @@ def test_knn_join_shape(spark, emb):
 
 # -- text ------------------------------------------------------------------
 
+def test_repetition_scores_flag_boilerplate(spark, docs):
+    """A planted all-repeated document must score ~1.0 on every repetition
+    signal; natural fixture docs stay well below it."""
+    from clickhouse_datafusion_spark.operators.text import repetition_cols
+    from pyspark.sql import Row
+
+    planted = spark.createDataFrame(
+        [Row(doc_id=999_999, text="buy now " * 49 + "buy now")])
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = {r.doc_id: r for r in
+           corpus.select("doc_id", *repetition_cols("text")).collect()}
+    spam = out[999_999]
+    assert spam.dup_word_frac >= 0.97
+    assert spam.top_word_frac == 0.5          # 'buy' is half the words
+    assert spam.top_bigram_frac >= 0.5        # 'buy now' dominates bigrams
+    naturals = [r for k, r in out.items() if k != 999_999]
+    assert sum(r.top_bigram_frac for r in naturals) / len(naturals) < 0.3
+
 def test_analyze_one_pass(spark, docs):
     from clickhouse_datafusion_spark.operators.text import analyze
 
