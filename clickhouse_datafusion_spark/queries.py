@@ -1945,6 +1945,7 @@ _GATE_PRIORITY = [
     "d5_embedding_dup_pairs",
     "st1_streaming_tumbling",
     "st3_streaming_sessions",
+    "t6_repetition_scores",
 ]
 
 
