@@ -143,7 +143,14 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
-    """(id, <payload...>, bk) → all intra-bucket pairs (id_a < id_b).
+    """(id, <payload...>, bk) → intra-bucket pairs (id_a < id_b),
+    POSSIBLY DUPLICATED — a pair sharing several buckets/tables appears
+    once per shared bucket. Callers project their per-pair scalar score
+    and ``.distinct()`` it: deduping AFTER the array payloads are dropped
+    is a scalar HashAggregate, whereas deduping here forced a
+    SortAggregate carrying full signature arrays (first(sig_a/sig_b))
+    through an extra sort+shuffle — the dominant d3 stage in the r4 plan
+    audit.
 
     groupBy(bk) + collect_list + in-bucket pair expansion instead of a
     bucket self-join: the upstream (expensive signature projection) is
@@ -168,8 +175,7 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
     out_cols = ["p.id_a", "p.id_b"] + [f"p.{p}_{s}" for p in payload_cols
                                        for s in ("a", "b")]
     return (buckets.select(pair.alias("p")).select(*out_cols)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .filter(F.col("id_a") < F.col("id_b")))
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -212,10 +218,13 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                                       lambda x, y: x == y),
                            lambda e: e))
            / F.size(F.col("sig_a")))
+    # score → filter → distinct: multi-bucket duplicates collapse on three
+    # scalars (cheap hash-distinct); the signature arrays never re-shuffle
     return (pairs.select("id_a", "id_b",
                          (F.floor(est * 10000 + F.lit(0.5)) / F.lit(10000.0))
                          .alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold))
+            .filter(F.col("est_jaccard") >= threshold)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +276,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     pairs = _bucket_pairs(banded, ["sh"])
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------

@@ -128,10 +128,13 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                             for t in range(n_tables)])).alias("bk"))
     pairs = _bucket_pairs(banded, ["v", "nrm"])
     c = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # score → filter → distinct on scalars (see _bucket_pairs: dedup after
+    # dropping the vector payloads is a hash-distinct, not a sort-agg)
     return (pairs.select(
                 "id_a", "id_b",
                 (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
-            .filter(F.col("cos") >= threshold))
+            .filter(F.col("cos") >= threshold)
+            .distinct())
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
