@@ -169,10 +169,11 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
 
     Pure array-HOF codegen — shuffle-free projection. The per-row mode
     computation is O(distinct × words) via filter-count over the distinct
-    list; documents are short relative to cluster cores, so this stays
-    CPU-cheap and embarrassingly parallel. All ratios use the repo's
-    integer-arithmetic FLOOR(x·10⁴ + .5)/10⁴ convention so the DuckDB
-    oracle is bit-exact."""
+    list: right for web-scale SHORT documents (≤ a few thousand words,
+    the dominant pretraining shape). For book-length inputs use
+    :func:`repetition_scores_exploded` — linear time, two (id, token)
+    shuffles. All ratios use the repo's integer-arithmetic
+    FLOOR(x·10⁴ + .5)/10⁴ convention so the DuckDB oracle is bit-exact."""
     ws = words(text_col)
     n = F.size(ws)
     top_word = F.array_max(F.transform(
@@ -191,6 +192,46 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
         F.when(n >= 2, r4dp(top_bigram, n - 1)).otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     ]
+
+
+def repetition_scores_exploded(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Linear-time twin of :func:`repetition_cols` for LONG documents.
+
+    Explodes tokens and reduces per (doc, token) — O(words) work instead
+    of the HOF path's O(distinct × words) per-row mode scan, at the cost
+    of two shuffles keyed by (id, token) / (id). Identical output
+    (property-tested against the HOF path); pick this one when documents
+    can be book-length, the projection path when they're web-short.
+    """
+    ws = words(text_col)
+    n = F.size(ws)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws"),
+                     bigrams.alias("bg"))
+
+    def stats(col: str, out_prefix: str) -> DataFrame:
+        tok = base.select("id", F.explode(col).alias("tok"))
+        per_tok = tok.groupBy("id", "tok").agg(F.count("*").alias("c"))
+        return per_tok.groupBy("id").agg(
+            F.sum("c").alias(f"{out_prefix}_n"),
+            F.count("*").alias(f"{out_prefix}_distinct"),
+            F.max("c").alias(f"{out_prefix}_top"))
+
+    r4dp = lambda num, den: F.floor(num * 10000 / den + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    w, b = stats("ws", "w"), stats("bg", "b")
+    return (w.join(b, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                r4dp(F.col("w_n") - F.col("w_distinct"), F.col("w_n"))
+                .alias("dup_word_frac"),
+                r4dp(F.col("w_top"), F.col("w_n")).alias("top_word_frac"),
+                F.coalesce(r4dp(F.col("b_top"), F.col("b_n")), F.lit(0.0))
+                .alias("top_bigram_frac")))
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -178,6 +178,19 @@ def test_repetition_scores_flag_boilerplate(spark, docs):
     naturals = [r for k, r in out.items() if k != 999_999]
     assert sum(r.top_bigram_frac for r in naturals) / len(naturals) < 0.3
 
+
+def test_repetition_exploded_matches_hof(spark, docs):
+    """The linear-time exploded variant (long-doc scale path) must be
+    value-identical to the HOF projection path."""
+    from clickhouse_datafusion_spark.operators.text import (
+        repetition_cols, repetition_scores_exploded)
+
+    hof = {r.doc_id: (r.dup_word_frac, r.top_word_frac, r.top_bigram_frac)
+           for r in docs.select("doc_id", *repetition_cols("text")).collect()}
+    expl = {r.doc_id: (r.dup_word_frac, r.top_word_frac, r.top_bigram_frac)
+            for r in repetition_scores_exploded(docs).collect()}
+    assert hof == expl
+
 def test_analyze_one_pass(spark, docs):
     from clickhouse_datafusion_spark.operators.text import analyze
 
