@@ -289,18 +289,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     """(id, component) for every node appearing in ``pairs``; the component
     label is the minimum node id reachable from it (so it is canonical).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels. Rounds needed = graph diameter;
-    near-dup graphs are dense little cliques, so this converges in a
-    handful of rounds. Each round is one join + one groupBy (both keyed by
-    node id — co-partitioned after the first shuffle), with
-    ``localCheckpoint`` truncating the lineage so the plan doesn't grow
-    exponentially across iterations. Raises if ``max_iter`` rounds don't
-    converge (a truncated result would silently mislabel components).
+    Min-label propagation WITH pointer jumping (path doubling): each round
+    every node takes the min of (its label, its neighbors' labels, its
+    label's label). The shortcut step squares the propagation distance per
+    round, so convergence is **O(log diameter)** rounds — a 300-node path
+    closes in ~9 rounds where plain propagation needs 300 (the
+    large-star/small-star family gives the same bound; pointer jumping is
+    the minimal change to this loop). Near-dup graphs are dense little
+    cliques and converge in 2-3 rounds either way. Each round is two
+    id-keyed joins + one groupBy (co-partitioned after the first shuffle),
+    with ``localCheckpoint`` truncating lineage so the plan doesn't grow
+    across iterations. Raises if ``max_iter`` rounds don't converge (a
+    truncated result would silently mislabel components).
 
     At 100 TB the same loop holds — the per-round cost is a shuffle of
-    (node, label) pairs, not documents — but replace with alternating
-    large-star/small-star if diameters get big.
+    (node, label) pairs, not documents.
     """
     edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
              .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -310,9 +313,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["d"] == labels["id"])
                    .groupBy("s").agg(F.min("lbl").alias("nlbl")))
-        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-                      .select(labels["id"],
-                              F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+                   .select(labels["id"],
+                           F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+        # pointer jump: lbl ← min(lbl, label-of-label). Every label is a
+        # node id, so the self-join always resolves; monotone-decreasing
+        # toward the component min, hence the same fixpoint.
+        a, b = stepped.alias("a"), stepped.alias("b")
+        new_labels = (a.join(b, F.col("a.lbl") == F.col("b.id"), "left")
+                      .select(F.col("a.id").alias("id"),
+                              F.least(F.col("a.lbl"),
+                                      F.coalesce(F.col("b.lbl"), F.col("a.lbl")))
+                              .alias("lbl"))
                       .localCheckpoint(eager=True))
         changed = (labels.withColumnRenamed("lbl", "prev")
                    .join(new_labels, "id")

@@ -82,6 +82,20 @@ def test_simhash_near_dups_on_planted(spark, docs):
             if b - a == 900_000} >= {(i, i + 900_000) for i in range(5)}, found
 
 
+def test_connected_components_long_path(spark):
+    """Pointer jumping must close a 300-node path graph (diameter 299) in
+    O(log n) rounds — plain min-label propagation needs 299 rounds and
+    would exhaust max_iter. All nodes must label to the path minimum."""
+    from clickhouse_datafusion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a bigint, id_b bigint")
+    comp = connected_components(pairs, max_iter=15)
+    rows = comp.collect()
+    assert len(rows) == 300
+    assert {r.component for r in rows} == {0}
+
+
 # -- similarity ------------------------------------------------------------
 
 def test_lsh_ann_recall_on_near_dups(spark, emb):
