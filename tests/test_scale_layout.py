@@ -67,6 +67,28 @@ def test_bucketed_join_no_shuffle(spark, views):
         spark.sql(f"DROP TABLE IF EXISTS {b}")
 
 
+def test_estimated_scan_partitions_contract(spark, tmp_path):
+    """The RDD-free scan-split estimator must (a) return None for
+    non-file-backed plans, (b) never underestimate below 1, and (c) stay
+    within a small factor of the true partition count — it replaces
+    df.rdd.getNumPartitions() in skip-repartition/coalesce decisions,
+    where an overestimate is benign and an RDD conversion is the bug."""
+    from clickhouse_datafusion_spark.plans import estimated_scan_partitions
+
+    local = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert estimated_scan_partitions(local) is None
+
+    p = str(tmp_path / "est")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 8) AS pad").write.parquet(p)
+    df = spark.read.parquet(p)
+    est = estimated_scan_partitions(df)
+    actual = df.rdd.getNumPartitions()
+    assert est is not None and est >= 1
+    assert est >= actual / 2, (est, actual)   # no gross underestimate
+    assert est <= actual * 4 + 4, (est, actual)  # no runaway overestimate
+
+
 def test_count_star_empty_projection(spark, views):
     """S3: COUNT(*) never reads data columns — ReadSchema is empty struct."""
     df = spark.table("lineitem").groupBy().count()
