@@ -1804,6 +1804,19 @@ def m1_media(spark, sf):
 # is not SQL-expressible for the oracle)
 # =========================================================================
 
+def _pin_utc(spark) -> None:
+    """Pin the session timezone to UTC for the streaming entries.
+
+    The file-stream schema must use TIMESTAMP (watermarks reject NTZ), so
+    the tz-naive fixture values are re-interpreted through the session
+    timezone — on a non-UTC session every window boundary and formatted
+    timestamp shifts by the offset while the DuckDB oracle stays naive
+    (verified: America/New_York shifts st1's w_start by 5 h). Runtime
+    SQLConf; the gate runs one fresh process per query, so this cannot
+    leak across entries."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _staged_stream_dir(sf: str, tag: str, copies: int = 1) -> str:
     """Pre-staged events-parquet replay directory, keyed by (sf, tag) under
     the repo-local ``.tdcache`` — the copy cost is paid once per scale
@@ -1850,6 +1863,7 @@ def st1_stream(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         read_events_stream, run_to_memory_sink, tumbling_counts)
 
+    _pin_utc(spark)
     d = _staged_stream_dir(sf, "st1", copies=1)
     stream = tumbling_counts(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
@@ -1873,6 +1887,7 @@ def st2_stream_dedup(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         dedup_stream, read_events_stream, run_to_memory_sink)
 
+    _pin_utc(spark)
     d = _staged_stream_dir(sf, "st2", copies=2)
     stream = dedup_stream(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
@@ -1922,6 +1937,7 @@ def st3_stream_sessions(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         read_events_stream, run_to_memory_sink, session_windows)
 
+    _pin_utc(spark)
     d = _staged_stream_dir(sf, "st3", copies=1)
     stream = session_windows(read_events_stream(spark, d))
     out = run_to_memory_sink(stream, f"st3_{_uuid.uuid4().hex[:8]}")

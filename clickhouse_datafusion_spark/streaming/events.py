@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ts must be TIMESTAMP (Spark rejects TIMESTAMP_NTZ as watermark event
+# time: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), which makes the streaming
+# pipeline session-timezone-SENSITIVE: the tz-naive fixture values are
+# re-interpreted through spark.sql.session.timeZone. Callers comparing
+# against a tz-naive oracle must pin the session to UTC first — the st*
+# registry entries do (the correctness gate runs a session we don't
+# configure).
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType(), True),
     T.StructField("ts", T.TimestampType(), True),
