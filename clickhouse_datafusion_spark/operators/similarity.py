@@ -222,7 +222,8 @@ def build_ann_index(df: DataFrame, path: str | None = None,
 def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
               vec_col: str = "embedding", id_col: str = "vec_id",
               n_planes: int = 8, n_tables: int = 8,
-              seed: int = 42, per_table_probes: bool = True) -> DataFrame:
+              seed: int = 42, per_table_probes: bool = True,
+              multiprobe: int = 0) -> DataFrame:
     """Probe a prebuilt LSH index (:func:`build_ann_index`): filter on the
     precomputed signature columns (no per-query signature computation over
     the data), then exact-rank the candidates.
@@ -234,12 +235,34 @@ def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
     multi-table OR can never prune (a row anywhere may match another
     table), so the OR form (``per_table_probes=False``) is only right when
     the index is an in-session projection that must not be recomputed per
-    probe (see :func:`lsh_ann_topk`)."""
+    probe (see :func:`lsh_ann_topk`).
+
+    ``multiprobe=h`` additionally probes every bucket within Hamming
+    distance ≤ h of the query signature in each table (standard
+    multi-probe LSH): the near-miss buckets — one sign test flipped — hold
+    most of the recall an extra table would buy, without growing the
+    index. Probes per table grow to Σ C(n_planes, i), i ≤ h (9 at the
+    8-plane default with h=1); an IN-list over the signature column still
+    prunes partitions/row groups. Candidates are a strict superset of the
+    h=0 probe, so recall is monotone in ``h``."""
     dim = len(query_vec)
     import functools
+    import itertools
     import operator
 
-    hits = [F.col(f"_sig_{t}")
+    def probe_sigs(t: int) -> list[int]:
+        q = _query_signature(query_vec, _hyperplanes(dim, n_planes, seed + t))
+        sigs = [q]
+        for h in range(1, multiprobe + 1):
+            for bits in itertools.combinations(range(n_planes), h):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                sigs.append(q ^ flip)
+        return sigs
+
+    hits = [F.col(f"_sig_{t}").isin(probe_sigs(t)) if multiprobe
+            else F.col(f"_sig_{t}")
             == _query_signature(query_vec, _hyperplanes(dim, n_planes, seed + t))
             for t in range(n_tables)]
     if per_table_probes:

@@ -162,6 +162,31 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
     assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
 
 
+def test_ann_multiprobe_superset_recall(spark, emb):
+    """Multi-probe candidates are a strict superset of single-probe ones
+    (every flipped-bit bucket adds rows, never removes), so recall is
+    monotone; with few tables (where single-probe misses are likely),
+    Hamming-1 probing must recover at least as many planted near-dups."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        ann_query, build_ann_index, cosine_topk)
+
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = spark.createDataFrame(
+        [(300_000 + i, [v + 0.01 * ((i + j) % 3) for j, v in enumerate(qvec)])
+         for i in range(9)],
+        "vec_id bigint, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    idx = build_ann_index(corpus, n_tables=2, dim=64)
+    got0 = {r.vec_id for r in
+            ann_query(idx, qvec, k=20, n_tables=2).collect()}
+    got1 = {r.vec_id for r in
+            ann_query(idx, qvec, k=20, n_tables=2, multiprobe=1).collect()}
+    exact = {r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()}
+    assert len(got1 & exact) >= len(got0 & exact)
+    assert exact <= got1  # Hamming-1 probing recovers the planted set here
+
+
 def test_knn_join_shape(spark, emb):
     from clickhouse_datafusion_spark.operators.similarity import brute_force_knn_join
 
