@@ -235,11 +235,13 @@ def repetition_scores_exploded(df: DataFrame, text_col: str = "text",
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text analysis: tokens + quality + language + fingerprint."""
+    """One-pass text analysis: tokens + quality + language + fingerprint +
+    repetition signals — a single shuffle-free projection."""
     return df.select(
         "*",
         *token_count_cols(text_col),
         *quality_cols(text_col),
         lang_id_col(text_col).alias("lang_pred"),
         fingerprint_col(text_col),
+        *repetition_cols(text_col),
     )

@@ -239,6 +239,8 @@ def test_analyze_one_pass(spark, docs):
     assert 0.0 <= r.quality <= 100.0
     assert r.lang_pred in ("de", "en", "es", "fr", "und")
     assert 0 <= r.fp < 2_147_483_647
+    assert 0.0 <= r.dup_word_frac <= 1.0
+    assert 0.0 < r.top_word_frac <= 1.0
 
 
 def test_fingerprint_is_content_hash(spark, docs):
