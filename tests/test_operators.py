@@ -57,6 +57,22 @@ def test_minhash_recall_against_exact_jaccard(spark, docs):
     assert not missed, f"LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
 
 
+def test_minhash_arrow_kernel_matches_hof(spark, docs):
+    """The Arrow/numpy slot kernel must be bit-identical to the Catalyst
+    HOF form — including the NULL signature for sub-n-gram documents."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
+
+    short = spark.createDataFrame([Row(doc_id=777_000, text="one two")])
+    corpus = docs.select("doc_id", "text").unionByName(short)
+    hof = set(map(tuple, minhash_candidates(
+        corpus, threshold=0.3, arrow_kernel=False).collect()))
+    arrow = set(map(tuple, minhash_candidates(
+        corpus, threshold=0.3, arrow_kernel=True).collect()))
+    assert hof == arrow and len(hof) > 0
+
+
 def test_simhash_identical_and_perturbed(spark, docs):
     from clickhouse_datafusion_spark.operators.dedup import simhash_col
 
