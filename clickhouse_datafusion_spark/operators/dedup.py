@@ -88,11 +88,27 @@ def _mh_params(n_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
-def gram_hashes(col, ngram: int = 3):
+def gram_hashes(col, ngram: int = 3, family: str = "xx"):
     """31-bit hash per distinct word n-gram (computed ONCE per row — the
-    expensive string hashing must not be repeated per hash function)."""
-    return F.transform(word_ngrams(col, ngram),
-                       lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_P)))
+    expensive string hashing must not be repeated per hash function).
+
+    ``family`` picks the base hash:
+
+    - ``"xx"`` (production default): ``pmod(xxhash64(gram), 2^31-1)`` —
+      one JVM hash per gram, the fastest option, but Spark-specific.
+    - ``"md5"`` (oracle-expressible): first 8 hex chars of md5 parsed as an
+      unsigned 32-bit value, mod 2^31-1. Both engines have md5, so DuckDB
+      reproduces it bit-for-bit as
+      ``('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483647`` — the
+      correctness gate pins this family while production keeps xxhash64.
+    """
+    if family == "md5":
+        h = lambda g: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+            F.lit(_MH_P))
+    else:
+        h = lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_P))  # noqa: E731
+    return F.transform(word_ngrams(col, ngram), h)
 
 
 def _sig_from_gram_hashes(gh_col, n_hashes: int):
@@ -217,7 +233,8 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 32,
                        bands: int = 8, ngram: int = 3,
                        threshold: float = 0.5,
-                       arrow_kernel: bool = True) -> DataFrame:
+                       arrow_kernel: bool = True,
+                       gram_hash: str = "xx") -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by estimated
     Jaccard (fraction of agreeing MinHashes), filtered at ``threshold``.
 
@@ -239,8 +256,14 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
       the signature pipeline twice.
     """
     rows_per_band = n_hashes // bands
-    gh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), gram_hashes(F.col(text_col), ngram).alias("gh"))
+    # Sub-n-gram docs (empty gram array → all-NULL signature) can never pass
+    # a positive threshold, but they'd all share every band bucket — at web
+    # scale that's one gigantic junk bucket per band expanding quadratically.
+    # Dropping them up front changes no output and caps the hazard.
+    gh = (_ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"),
+                  gram_hashes(F.col(text_col), ngram, gram_hash).alias("gh"))
+          .filter(F.size("gh") > 0))
     # default: Arrow/numpy slot kernel (see _mh_sig_arrow_kernel);
     # arrow_kernel=False keeps the pure-Catalyst HOF form (no Python
     # workers in the hot path) — outputs are bit-identical either way
@@ -274,15 +297,31 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_col(col, bits: int = 64):
-    """64-bit SimHash: bit b set iff the b-th bit of word-hashes wins the
+def simhash_col(col, bits: int = 64, word_hash: str = "xx"):
+    """SimHash: bit b set iff the b-th bit of word-hashes wins the
     majority vote across words (pure array ops, codegen-friendly).
 
     Bit positions are Python-side constants (shiftleft/shiftright take
     literal shift amounts), so this expands to a wide but flat expression.
+
+    ``word_hash`` families:
+
+    - ``"xx"`` (production default): 64-bit ``xxhash64`` per word; the
+      signature uses the full signed-64 space (two's-complement top bit).
+    - ``"md5"`` (oracle-expressible): first 15 hex chars of md5 per word —
+      a NON-NEGATIVE 60-bit value, so every derived quantity (signature,
+      banding blocks, XOR, bit_count) stays sign-free in both engines
+      (DuckDB's ``>>`` is untrustworthy on negatives: ``-8>>1 = -4`` but
+      ``-1>>63 = 0``). Callers must pass ``bits=60`` with this family.
     """
     ws = F.split(col, " ")
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    if word_hash == "md5":
+        assert bits <= 60, "md5 family is a 60-bit hash"
+        hashes = F.transform(
+            ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
+            .cast("bigint"))
+    else:
+        hashes = F.transform(ws, lambda w: F.xxhash64(w))
     n = F.size(ws)
     sig = F.lit(0).cast("bigint")
 
@@ -301,15 +340,19 @@ def simhash_col(col, bits: int = 64):
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
-                      n_tables: int = 4) -> DataFrame:
+                      n_tables: int = 4, word_hash: str = "xx") -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
 
-    Pigeonhole banding: split 64 bits into n_tables blocks; any pair within
-    distance < n_tables agrees on ≥1 block → group by block value.
+    Pigeonhole banding: split the signature bits into n_tables blocks; any
+    pair within distance < n_tables agrees on ≥1 block → group by block
+    value. ``word_hash="md5"`` switches to the oracle-expressible 60-bit
+    family (see :func:`simhash_col`) — the correctness gate pins that one.
     """
-    block = 64 // n_tables
-    sh = _ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                                        simhash_col(F.col(text_col)).alias("sh"))
+    bits = 60 if word_hash == "md5" else 64
+    block = bits // n_tables
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        simhash_col(F.col(text_col), bits, word_hash).alias("sh"))
     banded = sh.select("id", "sh", F.explode(F.array(*[
         F.xxhash64(
             F.lit(i),

@@ -1562,21 +1562,122 @@ def d2_jaccard(spark, sf):
                                max_shingle_freq=50)
 
 
-@qdef("d3_minhash_lsh_candidates", None, tags=("pipeline", "dedup"))
+def _d3_oracle_sql(n_hashes: int = 32, bands: int = 8,
+                   threshold: float = 0.3) -> str:
+    """DuckDB twin of ``minhash_candidates(gram_hash="md5")``: the 31-bit
+    gram hash comes from md5 (both engines), and the multiply-shift slots,
+    banding, and est-Jaccard are deterministic integer/list arithmetic.
+    Band membership is compared on the exact slot slice — Spark's
+    ``xxhash64(band, slice)`` bucket key is just a compressed equality on
+    the same slice (a 64-bit collision could only add a candidate that the
+    est-Jaccard threshold then rejects)."""
+    from clickhouse_datafusion_spark.operators.dedup import _MH_P, _mh_params
+
+    rpb = n_hashes // bands
+    slots = ",\n                 ".join(
+        f"list_min(list_transform(gh, h -> (h * {a} + {b}) % {_MH_P}))"
+        for a, b in _mh_params(n_hashes))
+    est = (f"FLOOR(len(list_filter(range(1, {n_hashes + 1}), "
+           f"i -> sig_a[i] = sig_b[i])) * 10000.0 / {n_hashes} + 0.5) "
+           f"/ 10000.0")
+    return f"""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                    FROM documents),
+          g AS (SELECT id,
+                       CASE WHEN len(ws) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       ELSE [] END AS grams
+                FROM w),
+          h AS (SELECT id,
+                       list_transform(grams,
+                         gr -> ('0x' || substring(md5(gr), 1, 8))::BIGINT
+                               % {_MH_P}) AS gh
+                FROM g WHERE len(grams) > 0),
+          s AS (SELECT id,
+                 [{slots}] AS sig
+                FROM h),
+          banded AS (SELECT id, sig,
+                            unnest([{",".join(str(b) for b in range(bands))}])
+                              AS band
+                     FROM s),
+          keyed AS (SELECT id, sig, band,
+                           list_slice(sig, band * {rpb} + 1,
+                                      band * {rpb} + {rpb}) AS bsig
+                    FROM banded),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.sig AS sig_a, b.sig AS sig_b
+                   FROM keyed a JOIN keyed b
+                     ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+          SELECT id_a, id_b, {est} AS est_jaccard
+          FROM cand
+          WHERE {est} >= {threshold}"""
+
+
+@qdef("d3_minhash_lsh_candidates", _d3_oracle_sql(), tags=("pipeline", "dedup"))
 def d3_minhash(spark, sf):
-    """MinHash+LSH near-dup candidates — hash family (xxhash64) is
-    Spark-specific, so this is a rows-only check; tests validate its recall
-    against the exact d2 pairs."""
+    """MinHash+LSH near-dup candidates, gated on the oracle-expressible md5
+    gram-hash family (production keeps xxhash64 — ``gram_hash="xx"``; the
+    plan shape is identical, only the 31-bit base hash differs). Upgraded
+    from rows-only in r5: the full signature → banding → est-Jaccard
+    pipeline is now hash-checked against DuckDB; tests additionally
+    validate recall against the exact d2 pairs."""
     from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
 
-    return minhash_candidates(t(spark, sf, "documents"), threshold=0.3)
+    return minhash_candidates(t(spark, sf, "documents"), threshold=0.3,
+                              gram_hash="md5")
 
 
-@qdef("d4_simhash_near_dups", None, tags=("pipeline", "dedup"))
+def _d4_oracle_sql(n_tables: int = 4, max_hamming: int = 8,
+                   bits: int = 60) -> str:
+    """DuckDB twin of ``simhash_near_dups(word_hash="md5")``: 60-bit
+    md5-derived word hashes keep every value non-negative, so bit votes,
+    block extraction, XOR and bit_count are engine-portable (DuckDB ``>>``
+    misbehaves on negatives)."""
+    block = bits // n_tables
+    mask = (1 << block) - 1
+    tables = ",".join(str(i) for i in range(n_tables))
+    return f"""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                    FROM documents),
+          h AS (SELECT id, len(ws) AS n,
+                       list_transform(ws,
+                         wd -> ('0x' || substring(md5(wd), 1, 15))::BIGINT)
+                         AS hs
+                FROM w),
+          v AS (SELECT id, n,
+                       list_transform(range(0, {bits}),
+                         b -> len(list_filter(hs, hh -> (hh >> b) & 1 = 1)))
+                         AS votes
+                FROM h),
+          s AS (SELECT id,
+                       CAST(list_aggregate(
+                         list_transform(range(0, {bits}),
+                           b -> CASE WHEN 2 * votes[b + 1] > n
+                                THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                         'sum') AS BIGINT) AS sh
+                FROM v),
+          banded AS (SELECT id, sh, unnest([{tables}]) AS tbl FROM s),
+          keyed AS (SELECT id, sh, tbl,
+                           (sh >> (tbl * {block})) & {mask} AS blk
+                    FROM banded),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.sh AS sh_a, b.sh AS sh_b
+                   FROM keyed a JOIN keyed b
+                     ON a.tbl = b.tbl AND a.blk = b.blk AND a.id < b.id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+@qdef("d4_simhash_near_dups", _d4_oracle_sql(), tags=("pipeline", "dedup"))
 def d4_simhash(spark, sf):
+    """SimHash near-dups, gated on the oracle-expressible md5 60-bit word
+    hash (production default stays 64-bit xxhash64; banding/voting logic is
+    shared). Upgraded from rows-only in r5."""
     from clickhouse_datafusion_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(t(spark, sf, "documents"), max_hamming=8)
+    return simhash_near_dups(t(spark, sf, "documents"), max_hamming=8,
+                             word_hash="md5")
 
 
 @qdef("d5_embedding_dup_pairs",
