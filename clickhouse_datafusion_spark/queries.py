@@ -1690,20 +1690,29 @@ def d4_simhash(spark, sf):
          FROM v a JOIN v b ON a.id < b.id
          WHERE FLOOR(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                     * 10000 + 0.5) / 10000.0 >= 0.8""",
+                     * 10000 + 0.5) / 10000.0 >= 0.4""",
       tags=("pipeline", "dedup"))
 def d5_embdup(spark, sf):
     """Routed through the LSH-blocked plan (the scale default — one
-    groupBy(bucket) shuffle, no all-pairs theta join); the oracle stays the
-    bounded exact computation, which the blocked plan reproduces at this
-    similarity band (recall ≈98%+ at cos ≥ 0.8, and the vec_id<200 fixture
-    slice has no missed pairs — verified against pairwise_cosine_dups in
-    tests)."""
+    groupBy(bucket) shuffle, no all-pairs theta join); the oracle is the
+    bounded exact computation.
+
+    Two r4-advice fixes baked in: (1) an approximate plan gated against an
+    exact oracle needs a real recall margin, not luck — the gated slice
+    runs 1 plane × 24 tables, so a true pair at the cos=0.4 threshold
+    (per-plane agreement p = 1 − arccos(0.4)/π ≈ 0.631) is missed with
+    probability (1 − p)²⁴ ≈ 4e-11, below any fixture-regeneration risk;
+    (2) the fixture embeddings are near-random (max pairwise cos ≈ 0.51),
+    so the old 0.8 threshold made the gate a vacuous 0 = 0 — at 0.4 it
+    verifies real pairs (5 at sf0.01). Production near-dup callers keep
+    the wider default (4 planes × 8 tables at cos ≥ 0.9: smaller buckets,
+    recall concentrated where near-dups live)."""
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
     dim = len(emb.select("embedding").first()[0])
-    return blocked_cosine_dups(emb, threshold=0.8, dim=dim)
+    return blocked_cosine_dups(emb, threshold=0.4, dim=dim,
+                               n_planes=1, n_tables=24)
 
 
 @qdef("d6_dup_clusters",
@@ -1844,10 +1853,59 @@ def s3_ivf(spark, sf):
     return ivf_ann_topk(emb, qvec, k=10)
 
 
-@qdef("s2_lsh_ann_topk", None, tags=("pipeline", "similarity"))
+def _s2_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 8,
+                   seed: int = 42, k: int = 10) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: the seeded hyperplanes are
+    driver-side constants, emitted here as literal DOUBLE[] arrays (repr
+    round-trips each float exactly), so signature computation, the
+    any-table bucket test, and the exact candidate ranking are all plain
+    SQL. The one float knife-edge is the sign test ``dot >= 0`` (Spark
+    accumulates sequentially, DuckDB via list_dot_product) — a flip needs
+    |dot| below ~1e-12, far outside the fixture's margins. Pinned to the
+    fixture's 64-dim embeddings."""
+    from clickhouse_datafusion_spark.operators.similarity import _hyperplanes
+
+    def lit_vec(p: list[float]) -> str:
+        return "CAST([" + ",".join(repr(float(x)) for x in p) + "] AS DOUBLE[])"
+
+    def sig_expr(vec: str, t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {lit_vec(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        return f"CAST({terms} AS BIGINT)"
+
+    qsigs = ",\n                 ".join(
+        f"{sig_expr('qv', t)} AS qsig_{t}" for t in range(n_tables))
+    csigs = ",\n                 ".join(
+        f"{sig_expr('v', t)} AS sig_{t}" for t in range(n_tables))
+    bucket = " OR ".join(f"sig_{t} = qsig_{t}" for t in range(n_tables))
+    return f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+          qs AS (SELECT qv,
+                 {qsigs}
+                 FROM q),
+          cs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {csigs}
+                 FROM embeddings),
+          cand AS (SELECT vec_id, v, qv FROM cs, qs WHERE {bucket})
+          SELECT vec_id,
+                 FLOOR(list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv)))
+                       * 10000 + 0.5) / 10000.0 AS cos
+          FROM cand
+          ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+@qdef("s2_lsh_ann_topk", _s2_oracle_sql(), tags=("pipeline", "similarity"))
 def s2_ann(spark, sf):
-    """Approximate NN via random-hyperplane LSH — rows-only check; tests
-    measure recall vs the exact s1 ranking."""
+    """Approximate NN via random-hyperplane LSH. Upgraded from rows-only in
+    r5: the seeded hyperplanes are constants, so the signature + bucket
+    test + exact candidate rank are SQL-expressible (see
+    :func:`_s2_oracle_sql`); tests additionally measure recall vs the
+    exact s1 ranking."""
     from clickhouse_datafusion_spark.operators.similarity import lsh_ann_topk
 
     emb = t(spark, sf, "embeddings")
