@@ -9,10 +9,14 @@ floor constant while the data path grows 10×, so the ratio at the two
 scales separates floor from data path — the judge-facing scaling evidence.
 
 The 10× derivative lives under ``.tdcache/sf1x`` (never writes to
-/root/testdata): 10 key-shifted shards of each sf0.1 fact table
-(referential structure preserved within each shard — the realistic
-scale-up shape), dimension tables copied unscaled. Deterministic: shard i
-adds ``i × 10_000_000`` to every key column.
+/root/testdata): 10 key-shifted shards of each sf0.1 fact table,
+dimension tables copied unscaled. Deterministic: shard i adds
+``i × 10_000_000`` to the keys that reference SCALED tables only —
+primary keys and fact→fact FKs shift (l_orderkey↔o_orderkey,
+o_custkey↔c_custkey stay consistent per shard), while FKs into the
+UNSCALED dims (l_partkey→part, l_suppkey→supplier, c_nationkey→nation)
+keep their original values so every shard still joins the dims (r4
+advice: shifting those dropped ~90% of q5's lineitem⋈supplier rows).
 
 Usage: ``python baseline_scale10.py [--rebuild]`` → markdown rows +
 one JSON line on stdout.
@@ -32,9 +36,12 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 COPIES = 10
 OFFSET = 10_000_000
 
-# fact tables and the key columns shifted per shard
+# Fact tables and the key columns shifted per shard. Only keys referencing
+# SCALED tables shift; FKs into the unscaled dims (l_partkey, l_suppkey,
+# c_nationkey) must keep their values or the fact→dim joins go empty for
+# shards 1-9.
 FACT_KEYS = {
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "documents": ["doc_id"],

@@ -186,9 +186,15 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
         F.array_distinct(bigrams),
         lambda b: F.size(F.filter(bigrams, lambda x: x == b))))
     r4dp = lambda num, den: F.floor(num * 10000 / den + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    # Degenerate docs (NULL text → NULL token array; n = 0 is impossible
+    # with split semantics but guarded anyway) get explicit 0.0 fractions —
+    # the same definition the exploded twin uses, so the two paths stay
+    # row-for-row identical on real corpora (r4 advice: they diverged).
     return [
-        r4dp(n - F.size(F.array_distinct(ws)), n).alias("dup_word_frac"),
-        r4dp(top_word, n).alias("top_word_frac"),
+        F.when(n >= 1, r4dp(n - F.size(F.array_distinct(ws)), n))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(n >= 1, r4dp(top_word, n)).otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
         F.when(n >= 2, r4dp(top_bigram, n - 1)).otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     ]
@@ -224,12 +230,19 @@ def repetition_scores_exploded(df: DataFrame, text_col: str = "text",
 
     r4dp = lambda num, den: F.floor(num * 10000 / den + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
     w, b = stats("ws", "w"), stats("bg", "b")
-    return (w.join(b, "id", "left")
+    # Anchor on the base doc set, not the exploded aggregate: a doc whose
+    # token array is NULL/empty produces no exploded rows and would vanish
+    # from the output entirely (r4 advice), while the projection path keeps
+    # it. Left-joining back and coalescing to the same explicit 0.0
+    # fractions restores row-for-row parity between the two paths.
+    return (base.select("id").join(w, "id", "left").join(b, "id", "left")
             .select(
                 F.col("id").alias(id_col),
-                r4dp(F.col("w_n") - F.col("w_distinct"), F.col("w_n"))
+                F.coalesce(r4dp(F.col("w_n") - F.col("w_distinct"),
+                                F.col("w_n")), F.lit(0.0))
                 .alias("dup_word_frac"),
-                r4dp(F.col("w_top"), F.col("w_n")).alias("top_word_frac"),
+                F.coalesce(r4dp(F.col("w_top"), F.col("w_n")), F.lit(0.0))
+                .alias("top_word_frac"),
                 F.coalesce(r4dp(F.col("b_top"), F.col("b_n")), F.lit(0.0))
                 .alias("top_bigram_frac")))
 

@@ -1945,17 +1945,38 @@ def s4_knn(spark, sf):
 # Pipeline operators: multimodal plumbing (operators/multimodal.py)
 # =========================================================================
 
-@qdef("m1_multimodal_features", None, tags=("pipeline", "multimodal"))
+@qdef("m1_multimodal_features",
+      """SELECT doc_id AS media_id,
+                'image' AS kind,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                16 AS dim,
+                FLOOR(list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(text) + 1, 16),
+                            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000003)
+                      / 1000003.0 * 1000000 + 0.5) / 1000000.0 AS f0
+         FROM documents""",
+      tags=("pipeline", "multimodal"))
 def m1_media(spark, sf):
-    """Binary-payload plumbing + Arrow-batched (stub) decode — rows-only."""
+    """Binary-payload plumbing + Arrow-batched decode, upgraded from
+    rows-only in r5: the payload is the UTF-8 text bytes and the fixture
+    is pure ASCII (byte == char), so the deterministic fallback feature
+    (slot-0 polynomial byte hash over every 16th byte) and the byte length
+    are SQL-expressible — the whole mapInPandas Arrow round-trip is now
+    hash-checked against DuckDB. The real WAV-PCM/PPM codec kernels stay
+    pytest-verified (no such fixtures in the testdata)."""
     from clickhouse_datafusion_spark.operators.multimodal import (
         decode_features, documents_as_media)
 
     media = documents_as_media(t(spark, sf, "documents"))
     feats = decode_features(media)
-    return feats.select("media_id", F.col("meta.kind").alias("kind"),
-                        F.size("features").alias("dim"),
-                        F.round(F.element_at("features", 1), 6).alias("f0"))
+    f0 = F.element_at("features", 1)
+    return feats.select(
+        "media_id", F.col("meta.kind").alias("kind"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.size("features").alias("dim"),
+        (F.floor(f0 * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("f0"))
 
 
 # =========================================================================
@@ -1963,17 +1984,33 @@ def m1_media(spark, sf):
 # is not SQL-expressible for the oracle)
 # =========================================================================
 
-def _pin_utc(spark) -> None:
-    """Pin the session timezone to UTC for the streaming entries.
+from contextlib import contextmanager
+
+
+@contextmanager
+def _utc_session(spark):
+    """Pin the session timezone to UTC for a streaming entry, restoring the
+    caller's setting on exit (r4 advice: the old one-way set leaked into
+    later tz-sensitive queries when a shared session — pytest, notebook,
+    bench loop — ran st* entries first).
 
     The file-stream schema must use TIMESTAMP (watermarks reject NTZ), so
     the tz-naive fixture values are re-interpreted through the session
     timezone — on a non-UTC session every window boundary and formatted
     timestamp shifts by the offset while the DuckDB oracle stays naive
-    (verified: America/New_York shifts st1's w_start by 5 h). Runtime
-    SQLConf; the gate runs one fresh process per query, so this cannot
-    leak across entries."""
+    (verified: America/New_York shifts st1's w_start by 5 h). Because the
+    restore happens BEFORE the returned DataFrame is collected, st* bodies
+    must eagerly materialize (``localCheckpoint``) anything whose value
+    depends on the session timezone inside this context."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def _staged_stream_dir(sf: str, tag: str, copies: int = 1) -> str:
@@ -2022,14 +2059,15 @@ def st1_stream(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         read_events_stream, run_to_memory_sink, tumbling_counts)
 
-    _pin_utc(spark)
-    d = _staged_stream_dir(sf, "st1", copies=1)
-    stream = tumbling_counts(read_events_stream(spark, d))
-    out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
-    return out.select(
-        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
-        "event_type", "n",
-        F.round("total", 2).cast("double").alias("total"))
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st1", copies=1)
+        stream = tumbling_counts(read_events_stream(spark, d))
+        out = run_to_memory_sink(stream, f"st1_{_uuid.uuid4().hex[:8]}")
+        return out.select(
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type", "n",
+            F.round("total", 2).cast("double").alias("total")) \
+            .localCheckpoint(eager=True)
 
 
 @qdef("st2_streaming_dedup",
@@ -2046,11 +2084,12 @@ def st2_stream_dedup(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         dedup_stream, read_events_stream, run_to_memory_sink)
 
-    _pin_utc(spark)
-    d = _staged_stream_dir(sf, "st2", copies=2)
-    stream = dedup_stream(read_events_stream(spark, d))
-    out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
-    return out.agg(F.count("*").alias("n_distinct"))
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st2", copies=2)
+        stream = dedup_stream(read_events_stream(spark, d))
+        out = run_to_memory_sink(stream, f"st2_{_uuid.uuid4().hex[:8]}")
+        return out.agg(F.count("*").alias("n_distinct")) \
+            .localCheckpoint(eager=True)
 
 
 @qdef("st3_streaming_sessions",
@@ -2096,14 +2135,15 @@ def st3_stream_sessions(spark, sf):
     from clickhouse_datafusion_spark.streaming import (
         read_events_stream, run_to_memory_sink, session_windows)
 
-    _pin_utc(spark)
-    d = _staged_stream_dir(sf, "st3", copies=1)
-    stream = session_windows(read_events_stream(spark, d))
-    out = run_to_memory_sink(stream, f"st3_{_uuid.uuid4().hex[:8]}")
-    return out.select(
-        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
-        "user_id", "n_events",
-        F.round("total", 2).cast("double").alias("total"))
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st3", copies=1)
+        stream = session_windows(read_events_stream(spark, d))
+        out = run_to_memory_sink(stream, f"st3_{_uuid.uuid4().hex[:8]}")
+        return out.select(
+            F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "user_id", "n_events",
+            F.round("total", 2).cast("double").alias("total")) \
+            .localCheckpoint(eager=True)
 
 
 # -------------------------------------------------------------------------

@@ -42,11 +42,16 @@ class OverwriteNotSupported(NotImplementedError):
 # table concurrently delete each other's staged part files (lost parts /
 # FileNotFoundException at commit). The reference never hits this because a
 # ClickHouse INSERT is an independent server-side transaction
-# (tests/e2e_stress.rs runs 16 truly-concurrent writers). Spark analog:
-# serialize the COMMIT JOB per table with a driver-side mutex — task
-# parallelism inside each write job is untouched, different tables proceed
-# concurrently, and the clickhouse_native connector path needs no lock at
-# all (its writer emits one part_<uuid> file per task, no staging dir).
+# (tests/e2e_stress.rs runs 16 truly-concurrent writers). Spark analog: a
+# driver-side per-table mutex around the WHOLE write job — execution AND
+# commit serialize for same-table writers, because insertInto stages into
+# _temporary from the first task, so there is no commit-only window to
+# lock without a staged-directory write path (the clickhouse_native
+# connector has exactly that — one part_<uuid> file per task, no staging
+# dir — and therefore takes no lock; route truly-concurrent same-table
+# load through it). Task parallelism inside each job is untouched and
+# different tables proceed concurrently; the lock is process-local, so
+# multi-DRIVER writers sharing a path still need an external committer.
 _TABLE_WRITE_LOCKS: dict[str, threading.Lock] = {}
 _LOCKS_GUARD = threading.Lock()
 
@@ -59,6 +64,24 @@ def _table_write_lock(table: str) -> threading.Lock:
 def _count_df(spark: SparkSession, n: int) -> DataFrame:
     return spark.createDataFrame(
         [Row(count=n)], T.StructType([T.StructField("count", T.LongType(), False)]))
+
+
+# Logical nodes that (can) change the partitioning between the file scan
+# and the write, invalidating the file-split partition estimate.
+_RESHUFFLE_NODES = ("Aggregate", "Join", "Window", "Sort", "Distinct",
+                    "Deduplicate", "Repartition", "GlobalLimit", "Expand")
+
+
+def _plan_may_reshuffle(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains a node that may insert
+    an exchange (so the scan-split estimate no longer predicts the final
+    partition count). Reads the ALREADY-ANALYZED logical plan — no
+    physical re-planning, unlike an ``df.rdd`` probe."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    except Exception:
+        return True
+    return any(n in s for n in _RESHUFFLE_NODES)
 
 
 def validate_schema(df: DataFrame, target_schema: T.StructType) -> None:
@@ -170,13 +193,22 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str,
     if write_concurrency:
         # Partition probe = file-split estimate off the pre-observe plan
         # (projection and observe preserve partitioning) — NOT df.rdd,
-        # whose RDD conversion re-plans the query. None (in-memory VALUES
-        # inserts) falls through to repartition: tiny data, cheap shuffle.
+        # whose RDD conversion re-plans the query. The estimate only
+        # describes the SCAN, so it is trusted (→ cheap coalesce) only for
+        # scan/project-shaped inputs; any shuffle-inducing node between
+        # scan and write (agg/join/AQE-coalesced exchange) can leave far
+        # fewer partitions than the file count says, and coalesce can only
+        # shrink — it would silently under-deliver the requested write
+        # concurrency (r4 advice). Those plans, and None estimates
+        # (in-memory VALUES inserts), take the safe repartition: such
+        # inputs already shuffled at least once, so one more exchange of
+        # the insert set is marginal.
         from clickhouse_datafusion_spark.plans.explain import (
             estimated_scan_partitions)
 
         cur = estimated_scan_partitions(ordered)
-        if cur is not None and cur >= write_concurrency:
+        if (cur is not None and cur >= write_concurrency
+                and not _plan_may_reshuffle(ordered)):
             writer = observed.coalesce(write_concurrency)
         else:
             writer = observed.repartition(write_concurrency)

@@ -277,9 +277,16 @@ class ClickHouseNativeDataSource(DataSource):
 
 
 def register_clickhouse_source(spark) -> None:
-    # Runtime SQLConf gating Python data source pushFilters (default false in
-    # Spark 4; planning hard-errors without it). Enabled here so any session
-    # that registers the connector gets the pushdown scan path by default.
+    """Register the ``clickhouse_native`` Python data source on the session.
+
+    SESSION-WIDE SIDE EFFECT: also sets the runtime SQLConf
+    ``spark.sql.python.filterPushdown.enabled=true`` — planning a Python
+    data source that implements ``pushFilters`` hard-errors without it
+    (default false in Spark 4). The flag applies to every Python data
+    source in the session, not just this one; it matches the engine's own
+    session default (session.py), but callers embedding the connector in a
+    foreign session that needs the old behavior for another Python source
+    must reset the conf after registering."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ClickHouseNativeDataSource)
 

@@ -236,15 +236,25 @@ def test_repetition_scores_flag_boilerplate(spark, docs):
 
 def test_repetition_exploded_matches_hof(spark, docs):
     """The linear-time exploded variant (long-doc scale path) must be
-    value-identical to the HOF projection path."""
+    value-identical to the HOF projection path — INCLUDING degenerate docs
+    (NULL text, single word): r4 advice caught the exploded path silently
+    dropping docs that produce no exploded rows."""
     from clickhouse_datafusion_spark.operators.text import (
         repetition_cols, repetition_scores_exploded)
+    from pyspark.sql import Row
 
+    degenerate = spark.createDataFrame(
+        [Row(doc_id=999_001, text=None), Row(doc_id=999_002, text="solo"),
+         Row(doc_id=999_003, text="")],
+        schema="doc_id bigint, text string")
+    corpus = docs.select("doc_id", "text").unionByName(degenerate)
     hof = {r.doc_id: (r.dup_word_frac, r.top_word_frac, r.top_bigram_frac)
-           for r in docs.select("doc_id", *repetition_cols("text")).collect()}
+           for r in corpus.select("doc_id", *repetition_cols("text")).collect()}
     expl = {r.doc_id: (r.dup_word_frac, r.top_word_frac, r.top_bigram_frac)
-            for r in repetition_scores_exploded(docs).collect()}
+            for r in repetition_scores_exploded(corpus).collect()}
     assert hof == expl
+    assert hof[999_001] == (0.0, 0.0, 0.0)     # NULL text: defined, not NULL
+    assert hof[999_002] == (0.0, 1.0, 0.0)     # one word, no bigrams
 
 def test_analyze_one_pass(spark, docs):
     from clickhouse_datafusion_spark.operators.text import analyze

@@ -123,3 +123,24 @@ def test_streaming_dedup_by_content(spark, events_dir):
     assert out.count() == n_distinct
     # schema passes through unchanged (helper column dropped)
     assert out.columns == one_copy.columns
+
+
+def test_st_entries_restore_session_timezone(spark):
+    """The st* registry entries pin UTC internally but must not leak it:
+    under a non-UTC session the result is identical (eagerly materialized
+    inside the UTC context) and the caller's timezone survives (r4
+    advice: the old one-way set leaked into later tz-sensitive queries)."""
+    from clickhouse_datafusion_spark.queries import QUERIES
+
+    fn = QUERIES["st1_streaming_tumbling"].spark_fn
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        assert spark.conf.get("spark.sql.session.timeZone") == \
+            "America/New_York", "st1 leaked its UTC pin"
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        want = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        assert got == want, "non-UTC session shifted the st1 output"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
