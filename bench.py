@@ -6,8 +6,10 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Methodology mirrors the reference's benchmark harness shape
 (/root/reference/examples/10_large_scale.rs:253-276 — multiple iterations,
 best-of reporting) applied to the query set instead of inserts: per query,
-ITERS timed runs (default 2) after one warm-up of the session, report the
-minimum (steady-state) per query and their sum as the headline value.
+ITERS timed runs (default 4) after one warm-up of the session; the headline
+is the per-query minimum (steady state), with the median emitted alongside
+so a noise-inflated run is distinguishable from a regression (this box
+shows 2-20x swings on identical runs).
 """
 
 from __future__ import annotations
@@ -128,9 +130,10 @@ def main() -> None:
     extra = [q for q in os.environ.get("BENCH_EXTRA", "").split(",") if q]
     names = [n for n in BENCH_QUERIES + extra if n in QUERIES]
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].spark_fn
-        best = float("inf")
+        times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             # Arrow collection (toPandas) is the engine's columnar result
@@ -140,15 +143,24 @@ def main() -> None:
             # executes in 0.16 s while collect() takes 4+ s — and the
             # driver-heap churn it causes inflates SUBSEQUENT timings.
             fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[0], 4)
+        # median alongside best: this box shows 2-20x swings on identical
+        # runs, so a single inflated iteration must be visible as such —
+        # best ~= median means steady state, best << median means noise
+        medians[name] = round(times[len(times) // 2], 4)
+        print(f"# {name}: best {timings[name]:.3f}s "
+              f"median {medians[name]:.3f}s", file=sys.stderr)
 
     result = {
         "metric": "headline_query_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "value_median": round(sum(medians.values()), 4),
+        "queries_median": medians,
+        "iters": iters,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
     }
     if os.environ.get("BENCH_CONCURRENT", "1") != "0":

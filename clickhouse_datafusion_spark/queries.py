@@ -2149,18 +2149,66 @@ def st3_stream_sessions(spark, sf):
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
-# ~50 entries. Rounds 2+3 together covered all 92 entries (r3 ran the block
-# from f12 onward). This round: entries whose behavior changed (x10
-# connector fix, d5 blocked plan, st1 new oracle) go FIRST so they get
-# fresh CORRECTNESS rows, followed by the p/j/a/w/o/f1-f11 block whose gate
-# history dates to r2. The f12+ block (green in r3) comes last. Pure
-# reordering: every entry stays declared and runnable.
+# ~50 entries. Round-5 rotation (r4 verdict task 1): FIRST the entries whose
+# code or oracle changed this round (d3/d4/s2/m1 new oracles, d5 new gate
+# params, t6 repetition guard, st* tz-restore bodies), then the r4-changed
+# dedup plans whose last gate rows predate the code (d6 pointer jumping,
+# d1/d2 bucket machinery), then the r2-dated f9-f11 and the r3-dated
+# q/e/x/t/s/fed block. The p/j/a/w/o/f1-f8 block re-verified green in r4
+# goes last. Pure reordering: every entry stays declared and runnable.
 _GATE_PRIORITY = [
-    "x10_native_connector_scan",
+    # changed in r5 (new oracles / gate params / bodies)
+    "d3_minhash_lsh_candidates",
+    "d4_simhash_near_dups",
     "d5_embedding_dup_pairs",
+    "s2_lsh_ann_topk",
+    "m1_multimodal_features",
+    "t6_repetition_scores",
     "st1_streaming_tumbling",
     "st3_streaming_sessions",
-    "t6_repetition_scores",
+    "st2_streaming_dedup",
+    # changed in r4, gate rows still r3-dated
+    "d6_dup_clusters",
+    "d1_exact_dedup_groups",
+    "d2_ngram_jaccard_pairs",
+    # r2-dated function-rewrite rows
+    "f9_ch_group_by_udf",
+    "f10_ch_having_udf",
+    "f11_ch_window_over_udf",
+    # r3-dated block
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "flagship_top_customers",
+    "e1_hourly_rollup",
+    "e2_user_activity",
+    "x1_asof_join",
+    "x2_range_join",
+    "x3_json_extract",
+    "x4_recursive_cte_date_spine",
+    "x5_pivot",
+    "x6_sessionization",
+    "x7_topk_per_group",
+    "x8_approx_aggs",
+    "x9_vocabulary_tf",
+    "x10_native_connector_scan",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_lang_id",
+    "t4_doc_fingerprint",
+    "t5_pii_redaction",
+    "s1_cosine_topk",
+    "s3_ivf_ann_topk",
+    "s4_knn_join",
+    "x11_hash_split",
+    "x12_stratified_sample",
+    "x13_contamination",
+    "fed1_memory_join_parquet",
+    "f12_ch_union_branches",
+    "f13_ch_cte_cross_ref",
+    "f14_ch_udf_join_side",
+    "f15_ch_indeterminate_join",
 ]
 
 
