@@ -2,10 +2,11 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas operators, batch
-shapes, partition sizing) is real and tested. Two container formats decode
+shapes, partition sizing) is real and tested. Three container formats decode
 for real with pure-Python kernels (no codec libraries): RIFF/WAVE PCM audio
-(``decode_wav_pcm``) and binary PPM images (``decode_ppm``). Formats that
-genuinely need external codec libraries (JPEG, MP4, ...) fall back to a
+(``decode_wav_pcm``), PNG images (``decode_png`` — stdlib zlib inflate +
+full filter-set reversal), and binary PPM images (``decode_ppm``). Formats
+that genuinely need external codec libraries (JPEG, MP4, ...) fall back to a
 deterministic fake vector, or raise ``NotImplementedError`` in strict mode —
 that call site is the production integration point.
 
@@ -135,6 +136,101 @@ def decode_ppm(payload: bytes) -> dict:
     return {"width": width, "height": height, "maxval": maxval, "pixels": raw}
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG decoder implemented with ``struct`` + stdlib ``zlib`` only:
+    walks the chunk list, parses IHDR, inflates the IDAT stream, and
+    reverses the per-scanline filters (None/Sub/Up/Average/Paeth — the
+    full filter set of the spec). Supports the non-interlaced 8-bit-depth
+    color types: 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Returns
+    width/height/channels plus the raw unfiltered pixel bytes
+    (row-major, ``channels`` bytes per pixel)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        chunk = payload[pos:pos + size]
+        pos += size + 4  # skip CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} "
+                         "(palette needs PLTE handling)")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(height * stride)
+    prev_row = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 1:    # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev_row[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev_row[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev_row[i]
+                c = prev_row[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = row
+        prev_row = bytes(row)
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": bytes(out)}
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM image vector with the same layout as PPM's: [w, h,
+    mean R, mean G, mean B] + (FEATURE_DIM-5)-bucket luminance histogram
+    (gray expands to R=G=B; alpha is ignored for the feature)."""
+    img = decode_png(payload)
+    px, ch = img["pixels"], img["channels"]
+    npx = max(len(px) // ch, 1)
+    if ch >= 3:
+        rgb = [[px[i * ch + c] for i in range(npx)] for c in range(3)]
+    else:
+        rgb = [[px[i * ch] for i in range(npx)]] * 3
+    means = [sum(v) / npx / 255.0 for v in rgb]
+    buckets = FEATURE_DIM - 5
+    hist = [0] * buckets
+    for i in range(npx):
+        lum = (0.299 * rgb[0][i] + 0.587 * rgb[1][i] + 0.114 * rgb[2][i]) / 255.0
+        hist[min(int(lum * buckets), buckets - 1)] += 1
+    return ([float(img["width"]), float(img["height"])] + means
+            + [h / npx for h in hist])
+
+
 def _wav_features(payload: bytes) -> list[float]:
     """FEATURE_DIM audio vector: [duration_s, rms, peak, zero-cross rate]
     + a (FEATURE_DIM-4)-band mean-|amplitude| envelope."""
@@ -176,9 +272,11 @@ def _decode_auto(payload: bytes, strict: bool) -> list[float]:
         return _wav_features(payload)
     if payload[:2] == b"P6":
         return _ppm_features(payload)
+    if payload.startswith(PNG_SIG):
+        return _png_features(payload)
     if strict:
         raise NotImplementedError(
-            "no decoder for this payload format (WAV PCM and PPM are "
+            "no decoder for this payload format (WAV PCM, PNG and PPM are "
             "built in; other codecs need an external library)")
     return _fake_decode(payload)
 

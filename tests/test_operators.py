@@ -526,3 +526,81 @@ def test_contamination_planted_and_broadcast(spark):
     assert 2 not in rows
     # scale property: the eval shingle side is broadcast, not shuffled
     assert "BroadcastExchange" in executed_plan(res)
+
+
+def _encode_png(width, height, pixels, channels, filters):
+    """Minimal in-test PNG encoder: per-row filter types from ``filters``
+    (cycled), so the decoder's full filter-reversal set gets exercised."""
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            x = row[i]
+            if f == 0:
+                raw.append(x)
+            elif f == 1:
+                raw.append((x - left) & 0xFF)
+            elif f == 2:
+                raw.append((x - up) & 0xFF)
+            elif f == 3:
+                raw.append((x - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((x - paeth(left, up, ul)) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        out = struct.pack(">I", len(data)) + ctype + data
+        return out + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decoder_all_filters(spark):
+    """decode_png reverses every PNG filter type: the same image encoded
+    with different per-row filters must decode to identical pixels, and
+    features flow through the strict (no-fallback) Spark path."""
+    import random
+
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_features, decode_png)
+
+    rng = random.Random(7)
+    w, h, ch = 9, 8, 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    base = None
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        img = decode_png(_encode_png(w, h, pixels, ch, filters))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+        assert img["pixels"] == pixels, f"filter set {filters} mismatched"
+        base = base or img
+    # grayscale + RGBA color types decode too
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    assert decode_png(_encode_png(w, h, gray, 1, [0, 4]))["channels"] == 1
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    assert decode_png(_encode_png(w, h, rgba, 4, [2, 3]))["channels"] == 4
+
+    # solid-red PNG through the strict Arrow decode path: exact means
+    red = bytes([255, 0, 0] * (w * h))
+    png = _encode_png(w, h, red, 3, [0, 1, 2, 3, 4])
+    rows = [(1, bytearray(png), ("image", "image/png", w, h, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_features(df, strict=True).collect()[0].features
+    assert feats[:5] == [float(w), float(h), 1.0, 0.0, 0.0]
