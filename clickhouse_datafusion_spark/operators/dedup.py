@@ -122,7 +122,8 @@ def _sig_from_gram_hashes(gh_col, n_hashes: int):
                      for a, b in _mh_params(n_hashes)])
 
 
-def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
+def minhash_signature(col, n_hashes: int = 32, ngram: int = 3,
+                      gram_hash: str = "xx"):
     """array<bigint> MinHash signature over word n-grams.
 
     One xxhash64 per gram, then an arithmetic multiply-shift family per
@@ -135,7 +136,7 @@ def minhash_signature(col, n_hashes: int = 32, ngram: int = 3):
     signature feeds further plan nodes prefer the two-projection shape used
     in :func:`minhash_candidates` (materialize ``gram_hashes`` first).
     """
-    return _sig_from_gram_hashes(gram_hashes(col, ngram), n_hashes)
+    return _sig_from_gram_hashes(gram_hashes(col, ngram, gram_hash), n_hashes)
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:

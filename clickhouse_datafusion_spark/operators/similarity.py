@@ -235,7 +235,12 @@ def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
     multi-table OR can never prune (a row anywhere may match another
     table), so the OR form (``per_table_probes=False``) is only right when
     the index is an in-session projection that must not be recomputed per
-    probe (see :func:`lsh_ann_topk`).
+    probe (see :func:`lsh_ann_topk`). SHARP EDGE: passing an UNPERSISTED
+    index with the default therefore re-evaluates the signature projection
+    once per table (n_tables scans of the input) — if you built the index
+    with ``build_ann_index(path=None)`` either persist it first or pass
+    ``per_table_probes=False``; ``lsh_ann_topk`` already routes its
+    in-session index to the OR form.
 
     ``multiprobe=h`` additionally probes every bucket within Hamming
     distance ≤ h of the query signature in each table (standard

@@ -1627,6 +1627,20 @@ def d3_minhash(spark, sf):
                               gram_hash="md5")
 
 
+@qdef("d3x_minhash_production", None, tags=("pipeline", "dedup"))
+def d3x_minhash_production(spark, sf):
+    """The PRODUCTION MinHash configuration (xxhash64 gram hash) — rows-only
+    by nature (xxhash64 exists only Spark-side). Correctness of the shared
+    signature→banding→score pipeline is hash-checked through d3, which
+    differs ONLY in the 31-bit base gram hash (md5-derived, both engines);
+    this entry keeps the production family benchable and gate-visible:
+    bench.py times BOTH so the md5 oracle family's string-hashing cost
+    (~3×) never masquerades as an operator regression."""
+    from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(t(spark, sf, "documents"), threshold=0.3)
+
+
 def _d4_oracle_sql(n_tables: int = 4, max_hamming: int = 8,
                    bits: int = 60) -> str:
     """DuckDB twin of ``simhash_near_dups(word_hash="md5")``: 60-bit
@@ -2159,6 +2173,7 @@ def st3_stream_sessions(spark, sf):
 _GATE_PRIORITY = [
     # changed in r5 (new oracles / gate params / bodies)
     "d3_minhash_lsh_candidates",
+    "d3x_minhash_production",
     "d4_simhash_near_dups",
     "d5_embedding_dup_pairs",
     "s2_lsh_ann_topk",
