@@ -1,0 +1,83 @@
+"""Sequence packing for LLM training: assign every document its position
+in a fixed token-budget stream (GPT-style concat-then-chunk packing).
+
+The core primitive is a GLOBAL EXCLUSIVE PREFIX SUM over a total order —
+the textbook way to kill a Spark job at scale is `Window.orderBy(col)`
+with no partition spec, which funnels the whole table through ONE task.
+:func:`global_prefix_sum` is the distributed two-phase form instead:
+
+1. deterministic order-respecting bucketing (Greenwald-Khanna quantile
+   boundaries — an aggregate, no sampling seed);
+2. an in-bucket running sum (window PARTITIONED by bucket — parallel);
+3. per-bucket totals (one tiny aggregate, ≤ n_buckets rows) turned into
+   exclusive bucket offsets and broadcast back.
+
+The result is bucketing-invariant: in-bucket-prefix + lower-bucket-offset
+equals the sum over ALL rows strictly lower in the order, whatever the
+quantile boundaries came out as — so approxQuantile's merge-order wobble
+cannot change the output (the order column must be unique; ties would
+make any engine's running sum nondeterministic).
+
+At 100 TB: the data moves through exactly one bucket-keyed exchange plus
+one broadcast of n_buckets offsets; no stage sees more than ~1/n_buckets
+of the rows. The single-partition window that remains runs over the
+n_buckets-row totals aggregate, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
+                      n_buckets: int | None = None,
+                      out_col: str = "_cum_before") -> DataFrame:
+    """Append the EXCLUSIVE global prefix sum of ``value_col`` under the
+    total order of ``order_col`` (which must be unique), computed without
+    a single-partition window over the data (see module docstring)."""
+    spark = df.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(
+        df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
+    bkt = F.lit(0)
+    for x in bounds:
+        bkt = bkt + F.when(F.col(order_col) > F.lit(x), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bkt)
+    w_in = (W.partitionBy("_bkt").orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1))
+    in_cum = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    # single-partition window — over ≤ n_buckets aggregate rows, not data
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    return (bucketed.join(F.broadcast(offsets), "_bkt")
+            .withColumn(out_col, (in_cum + F.col("_off")).cast("bigint"))
+            .drop("_bkt", "_off"))
+
+
+def pack_sequences(df: DataFrame, budget: int = 1024,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   token_col: str | None = None,
+                   n_buckets: int | None = None) -> DataFrame:
+    """Concat-then-chunk packing: documents are laid end to end in
+    ``id_col`` order and cut into fixed ``budget``-token sequences.
+
+    Returns (id, n_tokens, seq_id, seq_offset): the sequence each doc
+    STARTS in and its token offset there. A doc straddling a boundary
+    continues into the next sequence — the per-sequence slice step is a
+    downstream explode over ``(seq_offset + n_tokens) // budget`` spans.
+    Token count defaults to whitespace tokens of ``text_col``; pass
+    ``token_col`` to reuse a precomputed count. All arithmetic is exact
+    integer (DIV/%), so any engine reproduces it bit-for-bit.
+    """
+    tok = (F.col(token_col) if token_col
+           else F.size(F.split(F.col(text_col), " ")))
+    base = df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
+    cum = global_prefix_sum(base, "n_tokens", id_col, n_buckets)
+    return cum.select(
+        id_col, "n_tokens",
+        F.expr(f"_cum_before DIV {budget}").alias("seq_id"),
+        (F.col("_cum_before") % budget).alias("seq_offset"))

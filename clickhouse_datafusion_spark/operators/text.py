@@ -247,6 +247,49 @@ def repetition_scores_exploded(df: DataFrame, text_col: str = "text",
                 .alias("top_bigram_frac")))
 
 
+def corpus_frequency_score(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_vocab: int | None = None) -> DataFrame:
+    """Corpus-level unigram familiarity score per document — the integer
+    cousin of unigram-LM perplexity filtering (documents made of globally
+    common words score high; gibberish/OOV-heavy documents score low).
+
+    Returns (id, n_words, corpus_hits, score_ppm) where ``corpus_hits`` =
+    Σ over the doc's word occurrences of that word's corpus count, and
+    ``score_ppm = corpus_hits·10⁶ DIV (n_words·total_words)`` — exact
+    integer arithmetic end to end, so the DuckDB oracle is bit-identical
+    (a float log-prob would hang the hash on libm's last ulp).
+
+    Scale shape: ONE word-keyed aggregate builds the vocabulary, which is
+    BROADCAST back (plus a 1-row total via broadcast cross-join — nothing
+    is collected on the driver); the per-doc reduce is one id-keyed
+    shuffle of (id, count) pairs. At web scale pass ``max_vocab`` to keep
+    only the top-K words (count desc, word asc — a deterministic
+    tie-break); OOV words then contribute 0, exactly like an LM's OOV
+    floor. Integer headroom: hits·10⁶ needs corpus_total·doc_len·10⁶ <
+    2⁶³ — beyond ~10¹² corpus words switch score_ppm to per-shard
+    normalization or a double log-prob (the gate stays exact).
+    """
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    vocab = w.groupBy("w").agg(F.count("*").alias("cnt"))
+    if max_vocab is not None:
+        vocab = (vocab.orderBy(F.col("cnt").desc(), "w").limit(max_vocab))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    per_doc = (w.join(F.broadcast(vocab), "w")
+               .groupBy(id_col)
+               .agg(F.sum("cnt").cast("bigint").alias("corpus_hits"),
+                    F.count("*").alias("n_in_vocab")))
+    n_words = df.select(F.col(id_col),
+                        F.size(words(text_col)).cast("bigint").alias("n_words"))
+    return (n_words.join(per_doc, id_col, "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                id_col, "n_words",
+                F.coalesce("corpus_hits", F.lit(0)).alias("corpus_hits"),
+                F.expr("(coalesce(corpus_hits, 0) * 1000000) "
+                       "DIV (n_words * tot)").alias("score_ppm")))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint +
     repetition signals — a single shuffle-free projection."""

@@ -1832,6 +1832,62 @@ def x13_contam(spark, sf):
         docs.filter(F.col("doc_id") % 97 == 0), ngram=3)
 
 
+@qdef("x14_sequence_packing",
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens
+                    FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                FROM d)
+         SELECT doc_id, n_tokens,
+                cb // 1024 AS seq_id,
+                cb % 1024 AS seq_offset
+         FROM c""",
+      tags=("pipeline", "packing"))
+def x14_pack(spark, sf):
+    """GPT-style concat-then-chunk sequence packing: each doc's start
+    sequence and token offset in a 1024-token stream laid out in doc_id
+    order. The Spark side computes the global exclusive prefix sum with
+    the DISTRIBUTED two-phase form (quantile bucketing + in-bucket window
+    + broadcast bucket offsets — no single-partition window over the
+    data; see operators/packing.py); the oracle is the plain windowed
+    cumsum, which the two-phase form must equal exactly."""
+    from clickhouse_datafusion_spark.operators.packing import pack_sequences
+
+    return pack_sequences(t(spark, sf, "documents"), budget=1024)
+
+
+@qdef("t7_corpus_freq_score",
+      """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+                     FROM documents),
+          v AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+                FROM wx GROUP BY wd),
+          tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v),
+          s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS corpus_hits
+                FROM wx JOIN v USING (wd) GROUP BY doc_id),
+          n AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_words
+                FROM documents)
+         SELECT n.doc_id, n.n_words,
+                COALESCE(s.corpus_hits, 0) AS corpus_hits,
+                (COALESCE(s.corpus_hits, 0) * 1000000)
+                  // (n.n_words * tt.tot) AS score_ppm
+         FROM n LEFT JOIN s USING (doc_id), tt""",
+      tags=("pipeline", "text"))
+def t7_corpus(spark, sf):
+    """Unigram corpus-familiarity score (the integer cousin of
+    unigram-LM perplexity filtering): broadcast vocabulary, exact integer
+    score — see operators/text.py::corpus_frequency_score."""
+    from clickhouse_datafusion_spark.operators.text import corpus_frequency_score
+
+    return corpus_frequency_score(t(spark, sf, "documents"))
+
+
 # =========================================================================
 # Pipeline operators: similarity search (operators/similarity.py)
 # =========================================================================
@@ -2188,6 +2244,9 @@ _GATE_PRIORITY = [
     "d6_dup_clusters",
     "d1_exact_dedup_groups",
     "d2_ngram_jaccard_pairs",
+    # new in r5 (need first gate rows)
+    "x14_sequence_packing",
+    "t7_corpus_freq_score",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -604,3 +604,58 @@ def test_png_decoder_all_filters(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = decode_features(df, strict=True).collect()[0].features
     assert feats[:5] == [float(w), float(h), 1.0, 0.0, 0.0]
+
+
+# -- packing / corpus scoring ----------------------------------------------
+
+def test_pack_sequences_matches_serial_reference(spark, docs):
+    """The distributed two-phase prefix sum must equal a serial Python
+    cumsum exactly, for several bucket counts (bucketing-invariance)."""
+    from clickhouse_datafusion_spark.operators.packing import pack_sequences
+
+    rows = sorted((r.doc_id, len(r.text.split(" ")))
+                  for r in docs.select("doc_id", "text").collect())
+    want, cum = {}, 0
+    for did, n in rows:
+        want[did] = (n, cum // 1024, cum % 1024)
+        cum += n
+    for nb in (1, 7, 32):
+        got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+               for r in pack_sequences(docs, budget=1024,
+                                       n_buckets=nb).collect()}
+        assert got == want, f"n_buckets={nb} diverged"
+
+
+def test_pack_sequences_big_window_is_bucketed(spark, docs):
+    """The window over the DATA must be partitioned by the bucket key; the
+    only single-partition window allowed is the one over the tiny
+    per-bucket totals aggregate (≤ n_buckets rows)."""
+    from clickhouse_datafusion_spark.operators.packing import pack_sequences
+
+    plan = (pack_sequences(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 2
+    assert sum("_bkt" in ln for ln in win_lines) >= 1, win_lines
+
+
+def test_corpus_frequency_score(spark):
+    """Common-word docs must outscore OOV gibberish; max_vocab truncation
+    zeroes rare words' contribution; scores are exact integers."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import corpus_frequency_score
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat"),
+         Row(doc_id=2, text="the the the the"),
+         Row(doc_id=3, text="zqxj wvut")])
+    out = {r.doc_id: r for r in corpus_frequency_score(corpus).collect()}
+    # total words = 12; corpus count of 'the' = 6; doc 2 has 4 occurrences
+    assert out[2].corpus_hits == 4 * 6
+    assert out[2].score_ppm == (24 * 1_000_000) // (4 * 12)
+    assert out[2].score_ppm > out[1].score_ppm > out[3].score_ppm
+    top1 = {r.doc_id: r for r in
+            corpus_frequency_score(corpus, max_vocab=1).collect()}
+    assert top1[3].corpus_hits == 0 and top1[3].score_ppm == 0
+    assert top1[2].corpus_hits == 24  # 'the' survives the cut
