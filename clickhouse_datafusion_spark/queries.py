@@ -2218,6 +2218,38 @@ def st3_stream_sessions(spark, sf):
             .localCheckpoint(eager=True)
 
 
+@qdef("st4_streaming_enrich",
+      """WITH nc AS (SELECT count(*) AS n FROM customer)
+         SELECT e.event_id, e.user_id,
+                c.c_mktsegment AS segment, e.value
+         FROM events e CROSS JOIN nc
+         JOIN customer c ON e.user_id % nc.n + 1 = c.c_custkey""",
+      tags=("streaming",))
+def st4_stream_enrich(spark, sf):
+    """Stream-static enrichment join — the fourth streaming operator class
+    (after windowed aggs st1, dedup st2, sessions st3). No state, no
+    watermark: every replayed event joins the static customer dim exactly
+    once, so the batch twin (plain inner join) is a full oracle. The join
+    key maps user_id onto the dim's key space (modulo its cardinality,
+    computed from the dim like any production key-mapping constant)."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, stream_static_enrich)
+
+    cust = t(spark, sf, "customer")
+    n_cust = cust.count()
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st4", copies=1)
+        stream = stream_static_enrich(
+            read_events_stream(spark, d),
+            cust.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+            F.col("user_id") % n_cust + 1, "c_custkey")
+        out = run_to_memory_sink(stream, f"st4_{_uuid.uuid4().hex[:8]}")
+        return out.select("event_id", "user_id", "segment", "value") \
+            .localCheckpoint(eager=True)
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -2247,6 +2279,7 @@ _GATE_PRIORITY = [
     # new in r5 (need first gate rows)
     "x14_sequence_packing",
     "t7_corpus_freq_score",
+    "st4_streaming_enrich",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

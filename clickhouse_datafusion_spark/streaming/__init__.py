@@ -13,6 +13,7 @@ from clickhouse_datafusion_spark.streaming.events import (
     tumbling_counts,
     sliding_value_sums,
     session_windows,
+    stream_static_enrich,
     run_to_memory_sink,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_value_sums",
     "session_windows",
+    "stream_static_enrich",
     "run_to_memory_sink",
 ]

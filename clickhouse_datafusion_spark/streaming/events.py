@@ -113,6 +113,25 @@ def running_user_totals_stateful(events: DataFrame) -> DataFrame:
                                     "append", "NoTimeout"))
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         stream_key, dim_key: str) -> DataFrame:
+    """Stream-static inner join: enrich each streaming event with a static
+    dimension row (the fourth streaming operator class next to windowed
+    aggs, dedup, and sessions).
+
+    No watermark or state is involved — Spark re-plans the static side per
+    micro-batch and the join is append-complete (every matched event is
+    emitted exactly once), so the batch twin is the plain inner join and
+    the result is fully oracle-checkable. At scale the static side is the
+    broadcast-or-shuffle decision Catalyst already makes per batch; keep
+    dims under the broadcast threshold for a map-side join in every
+    micro-batch."""
+    key = stream_key if not isinstance(stream_key, str) else F.col(stream_key)
+    return (events.withColumn("_k", key)
+            .join(dim, F.col("_k") == F.col(dim_key), "inner")
+            .drop("_k"))
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same event within

@@ -144,3 +144,26 @@ def test_st_entries_restore_session_timezone(spark):
         assert got == want, "non-UTC session shifted the st1 output"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_stream_static_enrich_matches_batch_join(spark, events_dir):
+    """Stream-static inner join must emit exactly the batch join's rows:
+    every replayed event enriched once, none dropped, none duplicated
+    (file-per-trigger replay exercises the per-micro-batch re-join)."""
+    from clickhouse_datafusion_spark.streaming import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(50)], "k bigint, segment string")
+    stream = stream_static_enrich(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        dim, F.col("user_id") % 50, "k")
+    name = f"se_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name)
+    got = {(r.event_id, r.segment) for r in
+           out.select("event_id", "segment").collect()}
+    batch = (spark.read.parquet(events_dir)
+             .join(dim, F.col("user_id") % 50 == F.col("k")))
+    want = {(r.event_id, r.segment) for r in
+            batch.select("event_id", "segment").collect()}
+    assert got == want
+    assert out.count() == batch.count()  # multiplicity, not just the set
