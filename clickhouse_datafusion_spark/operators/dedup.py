@@ -436,6 +436,72 @@ def drop_near_dups(df: DataFrame, pairs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# intra-document repeated-span removal (RefinedWeb/C4-style)
+# ---------------------------------------------------------------------------
+
+def drop_repeated_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Remove every token covered by a REPEATED n-gram span within its own
+    document (the intra-document dedup step of RefinedWeb/C4-style
+    pipelines: boilerplate that loops inside one page, as opposed to the
+    corpus-level operators d1-d6).
+
+    A position-j n-gram is "repeated" when the identical n-gram occurred
+    at an earlier position in the same document; all ``n`` tokens under
+    each repeated occurrence are dropped (first occurrence kept intact).
+    Returns (id, n_tokens_before, n_tokens_after, clean_md5) — the md5 of
+    the rebuilt text keeps the oracle comparison cheap at any text size.
+
+    Implementation: an Arrow-batched ``pandas_udf`` — a deliberate use of
+    the Python kernel route. The rebuild is data-dependent control flow
+    (running seen-set, coverage mask, join); as Catalyst HOFs every
+    reference to the intermediate arrays re-inlines their producing
+    expressions inside lambda bodies (HOFs sit outside codegen CSE — the
+    same effect measured 9× on the MinHash word-hash experiment), turning
+    an O(words) kernel into O(words³). Per-row Python here is linear with
+    a dict, Arrow moves only (text in, text out), and the operator stays
+    a shuffle-free projection — the scale story is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def clean_batch(texts):
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            ws = txt.split(" ")
+            if len(ws) < n:
+                out.append(txt)
+                continue
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            seen: set[str] = set()
+            covered: set[int] = set()
+            for j, g in enumerate(grams):
+                if g in seen:
+                    covered.update(range(j, j + n))
+                seen.add(g)
+            out.append(" ".join(w for i, w in enumerate(ws)
+                                if i not in covered))
+        return pd.Series(out)
+
+    clean_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    u = pandas_udf(clean_batch, "string")
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        .alias("n_tokens_before"),
+        u(F.col(text_col)).alias("_clean"))
+    return base.select(
+        id_col, "n_tokens_before",
+        F.when(F.col("_clean") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_clean"), " ")))
+        .cast("bigint").alias("n_tokens_after"),
+        F.md5("_clean").alias("clean_md5"))
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (LSH verifier / small-scale standalone)
 # ---------------------------------------------------------------------------
 

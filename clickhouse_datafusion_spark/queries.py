@@ -1768,6 +1768,46 @@ def d6_clusters(spark, sf):
     return connected_components(pairs)
 
 
+@qdef("d7_intradoc_span_dedup",
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+          g AS (SELECT doc_id, ws, len(ws) AS nw,
+                       CASE WHEN len(ws) >= 3 THEN
+                         list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [] END AS grams
+                FROM b),
+          r AS (SELECT doc_id, ws, nw, grams,
+                       list_transform(range(1, len(grams) + 1),
+                         j -> list_position(grams, grams[j]) != j) AS rep
+                FROM g),
+          k AS (SELECT doc_id, nw,
+                       array_to_string(
+                         list_transform(
+                           list_filter(range(1, nw + 1),
+                             i -> len(list_filter(
+                                    range(greatest(1, i - 2),
+                                          least(i, len(rep)) + 1),
+                                    j -> rep[j])) = 0),
+                           i -> ws[i]), ' ') AS clean
+                FROM r)
+         SELECT doc_id,
+                CAST(nw AS BIGINT) AS n_tokens_before,
+                CAST(CASE WHEN clean = '' THEN 0
+                     ELSE len(string_split(clean, ' ')) END AS BIGINT)
+                  AS n_tokens_after,
+                md5(clean) AS clean_md5
+         FROM k""",
+      tags=("pipeline", "dedup"))
+def d7_span_dedup(spark, sf):
+    """Intra-document repeated-span removal (RefinedWeb/C4-style) — see
+    operators/dedup.py::drop_repeated_spans. The rebuilt text is
+    md5-compared, so the oracle verifies the exact output string."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_repeated_spans
+
+    return drop_repeated_spans(t(spark, sf, "documents"))
+
+
 @qdef("x11_hash_split",
       """SELECT doc_id,
                 CASE WHEN b < 80 THEN 'train'
@@ -2280,6 +2320,7 @@ _GATE_PRIORITY = [
     "x14_sequence_packing",
     "t7_corpus_freq_score",
     "st4_streaming_enrich",
+    "d7_intradoc_span_dedup",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

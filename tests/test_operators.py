@@ -659,3 +659,33 @@ def test_corpus_frequency_score(spark):
             corpus_frequency_score(corpus, max_vocab=1).collect()}
     assert top1[3].corpus_hits == 0 and top1[3].score_ppm == 0
     assert top1[2].corpus_hits == 24  # 'the' survives the cut
+
+
+def test_drop_repeated_spans_planted(spark):
+    """A doc with a looping boilerplate span keeps only the first
+    occurrence's tokens; clean docs pass through byte-identical."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import drop_repeated_spans
+
+    spam = "call now free offer " * 3 + "unique tail here"
+    clean = "every word here is different from all others"
+    out = {r.doc_id: r for r in drop_repeated_spans(
+        spark.createDataFrame([Row(doc_id=1, text=spam.strip()),
+                               Row(doc_id=2, text=clean)])).collect()}
+    # repeats of 'call now free offer' beyond the first window are removed
+    assert out[1].n_tokens_after < out[1].n_tokens_before
+    assert out[2].n_tokens_after == out[2].n_tokens_before
+    assert out[2].clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+    # reference implementation agreement on the spam doc
+    ws = spam.strip().split(" ")
+    grams = [" ".join(ws[i:i+3]) for i in range(len(ws) - 2)]
+    seen, covered = set(), set()
+    for j, g in enumerate(grams):
+        if g in seen:
+            covered.update(range(j, j + 3))
+        seen.add(g)
+    want = " ".join(w for i, w in enumerate(ws) if i not in covered)
+    assert out[1].clean_md5 == hashlib.md5(want.encode()).hexdigest()
