@@ -1,0 +1,38 @@
+"""Beyond-reference: the training-data pipeline operators composed
+end-to-end on the documents/embeddings tables (BASELINE.json north star).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from _common import SF_DIR, engine
+from clickhouse_datafusion_spark.operators.dedup import (
+    drop_exact_dups, drop_repeated_spans, minhash_candidates)
+from clickhouse_datafusion_spark.operators.packing import pack_sequences
+from clickhouse_datafusion_spark.operators.similarity import cosine_topk
+from clickhouse_datafusion_spark.operators.text import analyze
+
+eng = engine()
+spark = eng.spark
+
+docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+print("== exact dedup -> intra-doc span dedup -> quality/lang analysis ==")
+clean = drop_exact_dups(docs)
+spans = drop_repeated_spans(clean)
+spans.filter(F.col("n_tokens_after") < F.col("n_tokens_before")).show(3)
+analyze(clean.limit(100)).select(
+    "doc_id", "ws_tokens", "quality", "lang_pred", "dup_word_frac").show(5)
+
+print("== MinHash near-dup candidates (production xxhash64 family) ==")
+minhash_candidates(docs, threshold=0.5).show(5)
+
+print("== ANN: exact cosine top-k for vec 0 ==")
+qvec = [float(x) for x in
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+cosine_topk(emb, qvec, k=5).show()
+
+print("== sequence packing at budget 1024 ==")
+pack_sequences(docs, budget=1024).show(5)
