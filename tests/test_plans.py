@@ -123,3 +123,17 @@ def test_explain_analyze_front_door(spark, engine):
         assert row and row[0].value == spark.table(f"main.{short}").count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS main.{short}")
+
+
+def test_corpus_score_broadcasts_vocab(spark):
+    """t7's vocabulary and total must reach the per-doc join as broadcasts
+    (the 100 TB story: the dictionary moves, never the corpus)."""
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+    from clickhouse_datafusion_spark.operators.text import corpus_frequency_score
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(resolve_parquet_path(f"{SF_SMOKE}/documents.parquet"))
+    plan = (corpus_frequency_score(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
