@@ -35,8 +35,8 @@ BENCH_QUERIES = [
     "d1_exact_dedup_groups",
     # d3 = the oracle-gated md5 gram-hash family; d3x = the production
     # xxhash64 family (the number comparable with rounds <=4). Timed
-    # same-session the families differ ~8%; both are benched so a noisy
-    # cross-session gap never reads as an operator regression.
+    # same-session the families are within ~3%; both are benched so a
+    # noisy cross-session gap never reads as an operator regression.
     "d3_minhash_lsh_candidates",
     "d3x_minhash_production",
     "t1_token_counts",

@@ -260,11 +260,17 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # Sub-n-gram docs (empty gram array → all-NULL signature) can never pass
     # a positive threshold, but they'd all share every band bucket — at web
     # scale that's one gigantic junk bucket per band expanding quadratically.
-    # Dropping them up front changes no output and caps the hazard.
+    # Dropping them up front changes no output and caps the hazard. The
+    # predicate MUST be the cheap word-count equivalent, not
+    # ``size(gh) > 0``: predicate pushdown substitutes the filtered alias,
+    # so a filter on ``gh`` clones the whole gram+md5 pipeline into a
+    # Filter BELOW the repartition exchange — evaluated once per row in
+    # the scan's (single) partition. Measured on d3 at sf0.1: 4.1 s → 1.1 s
+    # for the identical output when the filter became scan-cheap.
     gh = (_ensure_parallelism(df)
+          .filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
           .select(F.col(id_col).alias("id"),
-                  gram_hashes(F.col(text_col), ngram, gram_hash).alias("gh"))
-          .filter(F.size("gh") > 0))
+                  gram_hashes(F.col(text_col), ngram, gram_hash).alias("gh")))
     # default: Arrow/numpy slot kernel (see _mh_sig_arrow_kernel);
     # arrow_kernel=False keeps the pure-Catalyst HOF form (no Python
     # workers in the hot path) — outputs are bit-identical either way

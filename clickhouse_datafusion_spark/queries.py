@@ -1634,10 +1634,11 @@ def d3x_minhash_production(spark, sf):
     signature→banding→score pipeline is hash-checked through d3, which
     differs ONLY in the 31-bit base gram hash (md5-derived, both engines);
     this entry keeps the production family benchable and gate-visible.
-    bench.py times BOTH: a same-session A/B measured the md5 family at
-    ~8% over xxhash64 (4.05 s vs 3.79 s at sf0.1), so any larger gap in
-    recorded numbers is the box's documented cross-session variance, and
-    having both in one bench run keeps that comparison same-session."""
+    bench.py times BOTH: same-session the families are within ~3%
+    (0.73 s vs 0.71 s steady at sf0.1 after the pushed-filter fix), so
+    any larger gap in recorded numbers is the box's documented
+    cross-session variance, and having both in one bench run keeps that
+    comparison same-session."""
     from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
 
     return minhash_candidates(t(spark, sf, "documents"), threshold=0.3)
