@@ -58,6 +58,40 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
             .drop("_bkt", "_off"))
 
 
+def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    with_text: bool = False) -> DataFrame:
+    """Sliding-window document chunking: one row per ``chunk_size``-token
+    window with ``overlap`` tokens shared between consecutive windows —
+    how long documents are split for embedding models and context-bounded
+    training. Stride = chunk_size − overlap; every doc yields ≥1 chunk
+    (short docs pass through whole).
+
+    Returns (id, chunk_id, n_tokens, chunk_md5[, chunk_text]) — md5 keeps
+    the default output narrow; ``with_text=True`` adds the chunk body.
+    Pure projection + explode (no shuffle, no Python): chunk count and
+    spans are exact integer arithmetic, so any engine reproduces them.
+    """
+    assert 0 <= overlap < chunk_size, "overlap must be < chunk_size"
+    stride = chunk_size - overlap
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(size(split({text_col}, ' ')) - {overlap} "
+                         f"+ {stride} - 1) DIV {stride}"))
+    base = df.select(
+        F.col(id_col), ws.alias("_ws"), n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             (n_chunks - 1).cast("bigint"))).alias("chunk_id"))
+    piece = F.slice(F.col("_ws"), F.col("chunk_id") * stride + 1, chunk_size)
+    out = base.select(
+        id_col, "chunk_id",
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+        *([F.concat_ws(" ", piece).alias("chunk_text")] if with_text else []))
+    return out
+
+
 def pack_sequences(df: DataFrame, budget: int = 1024,
                    text_col: str = "text", id_col: str = "doc_id",
                    token_col: str | None = None,

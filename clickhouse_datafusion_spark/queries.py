@@ -1902,6 +1902,36 @@ def x14_pack(spark, sf):
     return pack_sequences(t(spark, sf, "documents"), budget=1024)
 
 
+@qdef("x15_doc_chunking",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                           len(string_split(text, ' ')) AS n
+                    FROM documents),
+          c AS (SELECT doc_id, ws, n,
+                       unnest(range(0, greatest(1, (n - 16 + 47) // 48)))
+                         AS chunk_id
+                FROM d)
+         SELECT doc_id, chunk_id,
+                CAST(len(list_slice(ws, chunk_id * 48 + 1,
+                                    least(chunk_id * 48 + 64, n)))
+                  AS BIGINT) AS n_tokens,
+                md5(array_to_string(
+                      list_slice(ws, chunk_id * 48 + 1,
+                                 least(chunk_id * 48 + 64, n)), ' '))
+                  AS chunk_md5
+         FROM c""",
+      tags=("pipeline", "packing"))
+def x15_chunking(spark, sf):
+    """Sliding-window chunking at 64-token windows / 16-token overlap
+    (sized so the ~100-word fixture docs split into real multi-chunk
+    output; API default is 256/32) — see
+    operators/packing.py::chunk_documents. Chunk bodies are md5-compared,
+    so the oracle verifies exact window contents."""
+    from clickhouse_datafusion_spark.operators.packing import chunk_documents
+
+    return chunk_documents(t(spark, sf, "documents"),
+                           chunk_size=64, overlap=16)
+
+
 @qdef("t7_corpus_freq_score",
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
                      FROM documents),
@@ -2319,6 +2349,7 @@ _GATE_PRIORITY = [
     "d2_ngram_jaccard_pairs",
     # new in r5 (need first gate rows)
     "x14_sequence_packing",
+    "x15_doc_chunking",
     "t7_corpus_freq_score",
     "st4_streaming_enrich",
     "d7_intradoc_span_dedup",

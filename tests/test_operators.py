@@ -689,3 +689,30 @@ def test_drop_repeated_spans_planted(spark):
         seen.add(g)
     want = " ".join(w for i, w in enumerate(ws) if i not in covered)
     assert out[1].clean_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunks must tile the doc: stride-aligned starts, `overlap` tokens
+    shared between neighbors, and dropping each chunk's first `overlap`
+    tokens (after chunk 0) reconstructs the original text exactly."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    rows = (chunk_documents(
+        spark.createDataFrame([Row(doc_id=1, text=text)]),
+        chunk_size=64, overlap=16, with_text=True)
+        .orderBy("chunk_id").collect())
+    assert len(rows) == 3           # ceil((150-16)/48) = 3
+    toks = [r.chunk_text.split(" ") for r in rows]
+    assert [r.n_tokens for r in rows] == [64, 64, 54]
+    for a, b in zip(toks, toks[1:]):
+        assert a[-16:] == b[:16]    # overlap shared verbatim
+    rebuilt = toks[0] + [w for t in toks[1:] for w in t[16:]]
+    assert " ".join(rebuilt) == text
+    # short doc -> one whole chunk
+    one = chunk_documents(
+        spark.createDataFrame([Row(doc_id=2, text="a b c")]),
+        chunk_size=64, overlap=16, with_text=True).collect()
+    assert len(one) == 1 and one[0].chunk_text == "a b c"
