@@ -67,6 +67,64 @@ def stratified_sample(df: DataFrame, stratum_col: str, fraction: float,
             .drop("_rn", "_n"))
 
 
+def domain_cap(df: DataFrame, domain_col: str = "source", cap: int = 10,
+               order_cols=None, blocklist: list[str] | None = None,
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document caps + blocklist — the anti-domination pass of a
+    web-corpus pipeline (no single site should contribute unbounded mass to
+    the training mix; spam/SEO domains are dropped outright).
+
+    Keeps at most ``cap`` documents per domain, preferring ``order_cols``
+    (default: longest first, id tiebreak — swap in a quality score column
+    in production). ``blocklist`` rows are removed before ranking.
+
+    Scale shape: the blocklist filter is a literal IN-list (codegen at the
+    scan — a large blocklist would broadcast-anti-join instead), then ONE
+    shuffle keyed by domain for the ranking window. Domain skew is real at
+    web scale (a crawl can have 10⁹ pages of one host): since every domain
+    keeps only ``cap`` rows, pre-aggregate relief is cheap — Bernoulli
+    pre-sample huge domains to ~10·cap with :func:`hash_bucket` before the
+    exact window if a hot reducer shows up; with cap ≪ sample the result
+    is unchanged with overwhelming probability and the window input is
+    bounded per key.
+    """
+    if blocklist:
+        df = df.filter(~F.col(domain_col).isin(*blocklist))
+    order = order_cols if order_cols is not None else [
+        F.col("n_chars").desc(), F.col(id_col)]
+    w = W.partitionBy(domain_col).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def seeded_shuffle(df: DataFrame, seed: str | int = 0, n_shards: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    (shard, pos) from md5(seed‖id) so the corpus ordering is reproducible
+    across runs, appends re-slot stably, and changing the seed is a full
+    reshuffle. This is the data-ordering step before sequence packing —
+    training runs need the exact same byte order on retry.
+
+    ``shard`` = high hash bits mod n_shards; ``pos`` = rank of the hash
+    within the shard. Consuming shards in index order then rows in pos
+    order yields the canonical seeded permutation of the corpus.
+
+    Scale shape: shard assignment is a pure projection; the per-shard rank
+    is ONE shuffle keyed by shard — and because md5 is uniform the shards
+    are balanced by construction, so the window has no skew (unlike a
+    global orderBy, which needs a range-sampling pass and a total sort).
+    md5 (not xxhash64) keeps the permutation reproducible by external
+    systems and the SQL oracle.
+    """
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(hk, 1, 4), 16, 10).cast("int") % n_shards)
+    w = W.partitionBy("shard").orderBy(F.col("_hk"), F.col(id_col))
+    return (df.withColumn("_hk", hk)
+            .withColumn("shard", shard.cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .drop("_hk"))
+
+
 def bernoulli_stratified(df: DataFrame, fractions: dict[str, float],
                          stratum_col: str, id_col: str = "doc_id",
                          default_fraction: float = 0.0) -> DataFrame:

@@ -290,6 +290,71 @@ def corpus_frequency_score(df: DataFrame, text_col: str = "text",
                        "DIV (n_words * tot)").alias("score_ppm")))
 
 
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                ln_idf: bool = False) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms — the
+    retrieval-side scoring a training pipeline uses for targeted corpus
+    selection (pull documents about X) and quality-weighted sampling.
+
+    Okapi BM25 with k1 = 6/5, b = 3/4 (the canonical 1.2 / 0.75 written as
+    rationals). Default scoring is EXACT INTEGER end to end so the DuckDB
+    oracle hash-matches bit-for-bit: the tf saturation term
+
+        tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    is cleared of fractions by multiplying through by 20·TW (avgdl = TW/N):
+
+        tf_part_milli = (44·tf·TW·1000) DIV (20·tf·TW + 6·TW + 18·dl·N)
+
+    and the idf uses the Lucene-style 1+odds WITHOUT the log, scaled:
+    ``idf_milli = ((2·N+2)·1000) DIV (2·df+1)`` — i.e. the argument of
+    ``ln(1 + (N−df+0.5)/(df+0.5)) = ln((N+1)/(df+0.5))``, which is
+    always ≥ 1 (the textbook RSJ odds go NEGATIVE under the log when
+    df > N/2, a well-known pathology for common terms that Lucene's form
+    avoids). The log itself is dropped because it is monotone per-term
+    and libm's last-ulp differences between the JVM and DuckDB would hang
+    a value hash — same reasoning as :func:`corpus_frequency_score`.
+    ``ln_idf=True`` switches to Lucene's ``ln((N+1)/(df+0.5))`` double
+    idf for production ranking parity (score_milli becomes a double).
+
+    Returns (id, n_terms, score_milli) for documents matching ≥1 term.
+
+    Scale shape: the token explode is filtered to the query terms at the
+    scan (an IN-list of a few dozen literals — codegen, no broadcast
+    needed), so only matching (id, term) pairs shuffle; df is an aggregate
+    OF that tiny tf relation, broadcast back; N/TW are 1-row broadcast
+    aggregates of the corpus stats. One id-keyed shuffle of integer pairs
+    dominates. Integer headroom: 44·tf·TW·1000 < 2⁶³ holds to ~10¹⁴
+    corpus words; past that, pre-divide TW from num/den (it cancels) or
+    take ``ln_idf=True`` doubles.
+    """
+    w = (df.select(F.col(id_col), F.size(words(text_col)).alias("dl"),
+                   F.explode(words(text_col)).alias("w"))
+         .filter(F.col("w").isin(*query_terms)))
+    tf = w.groupBy(id_col, "dl", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = df.agg(F.count("*").alias("n_docs"),
+                   F.sum(F.size(words(text_col))).alias("tw"))
+    j = (tf.join(F.broadcast(dfreq), "w")
+         .crossJoin(F.broadcast(stats)))
+    tf_part_milli = F.expr(
+        "(44 * tf * tw * 1000) DIV (20 * tf * tw + 6 * tw + 18 * dl * n_docs)")
+    if ln_idf:
+        contrib = (F.log((F.col("n_docs") + F.lit(1.0))
+                         / (F.col("df") + F.lit(0.5)))
+                   * tf_part_milli / F.lit(1000.0))
+        agg = F.round(F.sum(contrib), 4).alias("score_milli")
+    else:
+        contrib = F.expr(
+            "((2 * n_docs + 2) * 1000 DIV (2 * df + 1))"
+            " * ((44 * tf * tw * 1000) DIV (20 * tf * tw + 6 * tw + 18 * dl * n_docs))"
+            " DIV 1000")
+        agg = F.sum(contrib).cast("bigint").alias("score_milli")
+    return (j.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_terms"), agg))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint +
     repetition signals — a single shuffle-free projection."""

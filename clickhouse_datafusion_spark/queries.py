@@ -1959,6 +1959,85 @@ def t7_corpus(spark, sf):
     return corpus_frequency_score(t(spark, sf, "documents"))
 
 
+@qdef("x16_bm25_scoring",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(ws)) AS BIGINT) AS tw
+                 FROM d),
+          tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         unnest(ws) AS w
+                  FROM d),
+          tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok
+                 WHERE w IN ('hash', 'join', 'vector', 'stream')
+                 GROUP BY doc_id, dl, w),
+          dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY w)
+         SELECT tf.doc_id,
+                CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(
+                  ((2 * n_docs + 2) * 1000 // (2 * df + 1))
+                  * ((44 * tf * tw * 1000)
+                     // (20 * tf * tw + 6 * tw + 18 * dl * n_docs))
+                  // 1000) AS BIGINT) AS score_milli
+         FROM tf JOIN dfq USING (w), st
+         GROUP BY tf.doc_id""",
+      tags=("pipeline", "text"))
+def x16_bm25(spark, sf):
+    """BM25 corpus-selection scoring over a 4-term query, exact-integer
+    rational-idf family (see operators/text.py::bm25_scores for why the
+    gate avoids libm's ln; ln_idf=True is the production ranking
+    default)."""
+    from clickhouse_datafusion_spark.operators.text import bm25_scores
+
+    return bm25_scores(t(spark, sf, "documents"),
+                       ["hash", "join", "vector", "stream"])
+
+
+@qdef("x17_domain_cap",
+      """SELECT doc_id, source, n_chars
+         FROM (SELECT doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id)
+                        AS rn
+               FROM documents
+               WHERE source NOT IN ('src0', 'src13'))
+         WHERE rn <= 5""",
+      tags=("pipeline", "sampling"))
+def x17_domain(spark, sf):
+    """Per-domain cap + blocklist (anti-domination pass): keep the 5
+    longest docs per source, drop blocklisted sources — see
+    operators/sampling.py::domain_cap."""
+    from clickhouse_datafusion_spark.operators.sampling import domain_cap
+
+    return (domain_cap(t(spark, sf, "documents"), cap=5,
+                       blocklist=["src0", "src13"])
+            .select("doc_id", "source", "n_chars"))
+
+
+@qdef("x18_seeded_shuffle",
+      """SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                                        ORDER BY hk, doc_id) AS BIGINT)
+                  AS pos
+         FROM (SELECT doc_id,
+                      md5('42:' || CAST(doc_id AS VARCHAR)) AS hk,
+                      (('0x' || substring(
+                          md5('42:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT)
+                        % 8 AS shard
+               FROM documents)""",
+      tags=("pipeline", "sampling"))
+def x18_shuffle(spark, sf):
+    """Seeded deterministic corpus shuffle (training-order reproducibility):
+    md5(seed:id) → balanced shard + in-shard rank — see
+    operators/sampling.py::seeded_shuffle."""
+    from clickhouse_datafusion_spark.operators.sampling import seeded_shuffle
+
+    return (seeded_shuffle(t(spark, sf, "documents"), seed=42, n_shards=8)
+            .select("doc_id", "shard", "pos"))
+
+
 # =========================================================================
 # Pipeline operators: similarity search (operators/similarity.py)
 # =========================================================================
@@ -2321,6 +2400,46 @@ def st4_stream_enrich(spark, sf):
             .localCheckpoint(eager=True)
 
 
+@qdef("st5_streaming_stream_join",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+                v.user_id,
+                strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+         FROM events v
+         JOIN events c
+           ON v.user_id = c.user_id
+          AND c.ts >= v.ts
+          AND c.ts <= v.ts + INTERVAL 30 MINUTE
+         WHERE v.event_type = 'view' AND c.event_type = 'click'""",
+      tags=("streaming",))
+def st5_stream_join(spark, sf):
+    """Watermarked stream-stream interval join (view→click attribution
+    within 30 min) — dual-sided state, the fifth streaming operator class.
+    Inner interval joins are append-complete, so the batch twin (plain
+    self-join with the same predicates) is a full oracle — see
+    streaming/events.py::stream_stream_interval_join."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, stream_stream_interval_join)
+
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st5", copies=1)
+        views = read_events_stream(spark, d).filter(
+            F.col("event_type") == "view")
+        clicks = read_events_stream(spark, d).filter(
+            F.col("event_type") == "click")
+        joined = stream_stream_interval_join(views, clicks)
+        out = run_to_memory_sink(joined, f"st5_{_uuid.uuid4().hex[:8]}")
+        return out.select(
+            F.col("l_event_id").alias("view_id"),
+            F.col("r_event_id").alias("click_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts")) \
+            .localCheckpoint(eager=True)
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -2353,6 +2472,10 @@ _GATE_PRIORITY = [
     "t7_corpus_freq_score",
     "st4_streaming_enrich",
     "d7_intradoc_span_dedup",
+    "x16_bm25_scoring",
+    "x17_domain_cap",
+    "x18_seeded_shuffle",
+    "st5_streaming_stream_join",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -14,6 +14,7 @@ from clickhouse_datafusion_spark.streaming.events import (
     sliding_value_sums,
     session_windows,
     stream_static_enrich,
+    stream_stream_interval_join,
     run_to_memory_sink,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "sliding_value_sums",
     "session_windows",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "run_to_memory_sink",
 ]

@@ -132,6 +132,35 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
             .drop("_k"))
 
 
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key: str = "user_id",
+                                within: str = "30 minutes",
+                                watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join — the fifth streaming
+    operator class (windowed aggs, dedup, sessions, stream-static enrich,
+    and now dual-stream state): match each left event to right events for
+    the same key with ``left.ts <= right.ts <= left.ts + within``.
+
+    Both sides are watermarked and the join condition bounds right.ts
+    relative to left.ts, which is exactly what Spark's state cleanup needs:
+    a left row can be evicted once the right watermark passes
+    ``left.ts + within``, so state is bounded by (events per horizon), not
+    stream length. Inner joins emit each matched pair in the micro-batch
+    where both sides are present — append-complete, so the batch twin
+    (plain self-join with the same predicates) is a full oracle.
+
+    Returns left columns prefixed ``l_`` and right prefixed ``r_``.
+    """
+    lw = left.withWatermark("ts", watermark)
+    rw = right.withWatermark("ts", watermark)
+    lsel = lw.select(*[F.col(c).alias(f"l_{c}") for c in lw.columns])
+    rsel = rw.select(*[F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = ((F.col(f"l_{key}") == F.col(f"r_{key}"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
+    return lsel.join(rsel, cond, "inner")
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same event within

@@ -716,3 +716,80 @@ def test_chunk_documents_reconstruction(spark):
         spark.createDataFrame([Row(doc_id=2, text="a b c")]),
         chunk_size=64, overlap=16, with_text=True).collect()
     assert len(one) == 1 and one[0].chunk_text == "a b c"
+
+
+# -- bm25 / domain cap / seeded shuffle (r5) -------------------------------
+
+def test_bm25_integer_vs_ln_rank_agreement(spark, docs):
+    """The exact-integer rational-idf family (the gate) and the classical
+    ln-idf family (production) must broadly agree on ordering — both are
+    monotone in tf and anti-monotone in df."""
+    from clickhouse_datafusion_spark.operators.text import bm25_scores
+
+    terms = ["hash", "join", "vector", "stream"]
+    a = bm25_scores(docs, terms).orderBy(F.desc("score_milli"), "doc_id")
+    b = bm25_scores(docs, terms, ln_idf=True) \
+        .orderBy(F.desc("score_milli"), "doc_id")
+    top_a = [r.doc_id for r in a.limit(20).collect()]
+    top_b = [r.doc_id for r in b.limit(20).collect()]
+    assert len(set(top_a) & set(top_b)) >= 12  # rank families overlap
+    # matching-doc set is identical (idf family changes scores, not hits)
+    assert a.count() == b.count()
+
+
+def test_bm25_monotone_in_tf(spark):
+    """A doc repeating a query term more often outscores one mentioning it
+    once, all else equal."""
+    from clickhouse_datafusion_spark.operators.text import bm25_scores
+
+    rows = [(1, "needle " * 8 + "pad " * 8), (2, "needle " + "pad " * 15),
+            (3, "pad " * 16)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id bigint, text string")
+    out = {r.doc_id: r.score_milli
+           for r in bm25_scores(df, ["needle"]).collect()}
+    assert 3 not in out          # no term hits → no row
+    assert out[1] > out[2] > 0   # higher tf → higher score
+
+
+def test_domain_cap_caps_and_blocks(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import domain_cap
+
+    out = domain_cap(docs, cap=3, blocklist=["src1"])
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert out.filter(F.col("source") == "src1").count() == 0
+    # keeps the LONGEST docs: per-source min kept n_chars >= max dropped
+    kept = {(r.source, r.doc_id) for r in out.select("source", "doc_id").collect()}
+    for src_row in per[:3]:
+        src = src_row["source"]
+        ranked = (docs.filter(F.col("source") == src)
+                  .orderBy(F.desc("n_chars"), "doc_id").collect())
+        want = {(src, r.doc_id) for r in ranked[:3]}
+        assert {p for p in kept if p[0] == src} == want
+
+
+def test_seeded_shuffle_is_stable_permutation(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import seeded_shuffle
+
+    a = seeded_shuffle(docs, seed=7, n_shards=4)
+    b = seeded_shuffle(docs.repartition(13), seed=7, n_shards=4)
+    rows_a = {(r.doc_id, r.shard, r.pos) for r in
+              a.select("doc_id", "shard", "pos").collect()}
+    rows_b = {(r.doc_id, r.shard, r.pos) for r in
+              b.select("doc_id", "shard", "pos").collect()}
+    assert rows_a == rows_b  # layout-independent, run-stable
+    # pos is a dense 1..n rank within each shard
+    n = docs.count()
+    assert len(rows_a) == n
+    per_shard = {}
+    for _, s, p in rows_a:
+        per_shard.setdefault(s, []).append(p)
+    assert sum(len(v) for v in per_shard.values()) == n
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # different seed = different permutation
+    c = {(r.doc_id, r.shard, r.pos) for r in
+         seeded_shuffle(docs, seed=8, n_shards=4)
+         .select("doc_id", "shard", "pos").collect()}
+    assert c != rows_a

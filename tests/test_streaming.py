@@ -167,3 +167,36 @@ def test_stream_static_enrich_matches_batch_join(spark, events_dir):
             batch.select("event_id", "segment").collect()}
     assert got == want
     assert out.count() == batch.count()  # multiplicity, not just the set
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Inner interval stream-stream join is append-complete: a bounded
+    replay must emit exactly the batch self-join's matched pairs."""
+    from clickhouse_datafusion_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "ss_join"
+    d.mkdir()
+    shutil.copy(src, d / "all.parquet")  # one file = one micro-batch
+    views = read_events_stream(spark, str(d)).filter(
+        F.col("event_type") == "view")
+    clicks = read_events_stream(spark, str(d)).filter(
+        F.col("event_type") == "click")
+    out = run_to_memory_sink(
+        stream_stream_interval_join(views, clicks, within="30 minutes"),
+        f"ssj_{uuid.uuid4().hex[:8]}")
+    got = {(r.l_event_id, r.r_event_id) for r in
+           out.select("l_event_id", "r_event_id").collect()}
+
+    ev = spark.read.parquet(str(d))
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    batch = v.join(c, (F.col("v.user_id") == F.col("c.user_id"))
+                   & (F.col("c.ts") >= F.col("v.ts"))
+                   & (F.col("c.ts") <= F.col("v.ts")
+                      + F.expr("INTERVAL 30 minutes")))
+    want = {(r[0], r[1]) for r in
+            batch.select("v.event_id", "c.event_id").collect()}
+    assert got == want and len(got) > 0
