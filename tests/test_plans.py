@@ -137,3 +137,27 @@ def test_corpus_score_broadcasts_vocab(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("BroadcastExchange") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """x16's document-frequency and corpus-stats relations must broadcast
+    into the tf join (only matching (id, term) pairs ever shuffle)."""
+    rep = plan_report(q("x16_bm25_scoring", spark), execute=True)
+    assert rep["broadcasts"] >= 2, rep
+    # the 1-row stats crossJoin must be a broadcast nested loop, never a
+    # materialized cartesian product
+    plan = QUERIES["x16_bm25_scoring"].spark_fn(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_single_shuffle(spark):
+    # blocklist filter + one domain-keyed window shuffle, nothing else
+    rep = plan_report(q("x17_domain_cap", spark))
+    assert rep["shuffles"] <= 1, rep
+
+
+def test_seeded_shuffle_single_shuffle(spark):
+    # shard assignment is a projection; the only exchange is the per-shard rank
+    rep = plan_report(q("x18_seeded_shuffle", spark))
+    assert rep["shuffles"] <= 1, rep
