@@ -49,6 +49,38 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text",
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seen_text_col: str | None = None) -> DataFrame:
+    """Snapshot-incremental dedup: drop rows of ``new_df`` whose content
+    already exists in a previously-ingested corpus ``seen_df``, then drop
+    within-batch copies (keep min id) — the every-crawl ingestion pass of
+    a continuously-updated training corpus.
+
+    ``seen_df`` may be the raw prior corpus (hashed here) or a
+    pre-computed 1-column hash relation named ``h`` — pass
+    ``seen_text_col=None`` with an ``h`` column for the latter (at 100 TB
+    you persist the hash set once, not re-hash history every batch).
+
+    Scale shape: the anti-join shuffles only (hash) vs (hash, id) pairs,
+    both uniformly distributed. When the seen side is billions of hashes,
+    the hash relation is still ~8–16 B/row — a shuffle anti-join keyed by
+    the hash; Spark's AQE can also inject a bloom pre-filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) so most new rows
+    never reach the shuffle.
+    """
+    if seen_text_col is None and "h" in seen_df.columns:
+        seen = seen_df.select("h")
+    else:
+        seen = seen_df.select(
+            F.md5(F.col(seen_text_col or text_col)).alias("h"))
+    hashed = new_df.withColumn("h", F.md5(F.col(text_col)))
+    fresh = hashed.join(seen.distinct(), "h", "left_anti")
+    w = W.partitionBy("h").orderBy(id_col)
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "h"))
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

@@ -379,3 +379,36 @@ def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                     (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label embedding centroids in micro-units — the class-prototype
+    computation behind centroid-based classification, cluster seeding, and
+    embedding-drift monitoring of a labeled corpus.
+
+    Returns (label, pos, centroid_micro, n): dimension ``pos`` of the
+    label's mean vector as ``SUM(round(x·10⁶)) DIV n`` — each element is
+    first quantized by ``FLOOR(x·10⁶ + 0.5)`` (a fixed sequence of IEEE
+    double ops on the exact float value, hence bit-identical in any
+    engine) and then summed/divided in exact integer arithmetic. A naive
+    float mean would be partial-aggregation-order-dependent and could
+    never hash-match an oracle; micro-unit quantization of [-1, 1]-ish
+    embedding coordinates costs ~1e-6 absolute error, far below any
+    embedding-space noise floor.
+
+    Scale shape: posexplode is a projection (rows × dims, but each output
+    row is 20 B of integers); ONE shuffle keyed by (label, pos) with
+    map-side partial aggregation — (labels × dims) final groups, tiny.
+    """
+    x = F.posexplode(_as_double(vec_col))
+    exploded = df.select(F.col(label_col).alias("label"), x.alias("pos", "x"))
+    return (exploded
+            .withColumn("xi", F.floor(F.col("x") * 1e6 + F.lit(0.5))
+                        .cast("bigint"))
+            .groupBy("label", "pos")
+            .agg(F.expr("sum(xi) DIV count(*)").alias("centroid_micro"),
+                 F.count("*").cast("bigint").alias("n"))
+            .select(F.col("label").cast("int").alias("label"),
+                    F.col("pos").cast("int").alias("pos"),
+                    "centroid_micro", "n"))

@@ -2038,6 +2038,102 @@ def x18_shuffle(spark, sf):
             .select("doc_id", "shard", "pos"))
 
 
+@qdef("x19_incremental_dedup",
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h
+                       FROM documents WHERE doc_id < 250),
+          nw AS (SELECT doc_id, source, md5(text) AS h
+                 FROM documents WHERE doc_id >= 250),
+          fresh AS (SELECT nw.* FROM nw
+                    WHERE NOT EXISTS (SELECT 1 FROM seen
+                                      WHERE seen.h = nw.h)),
+          k AS (SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                         AS rn
+                FROM fresh)
+         SELECT doc_id, source FROM k WHERE rn = 1""",
+      tags=("pipeline", "dedup"))
+def x19_incremental(spark, sf):
+    """Snapshot-incremental ingestion dedup: the prior corpus (ids < 250)
+    is the seen-hash set; the new crawl (ids >= 250) drops already-seen
+    content then within-batch copies — see
+    operators/dedup.py::incremental_dedup."""
+    from clickhouse_datafusion_spark.operators.dedup import incremental_dedup
+
+    docs = t(spark, sf, "documents")
+    out = incremental_dedup(docs.filter(F.col("doc_id") >= 250),
+                            docs.filter(F.col("doc_id") < 250))
+    return out.select("doc_id", "source")
+
+
+@qdef("x20_corpus_pipeline",
+      f"""WITH d AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS alpha_chars
+            FROM documents),
+          q AS (SELECT doc_id, text,
+                       CAST(n_words AS BIGINT) AS n_words,
+                       FLOOR(alpha_chars * 10000 / length(text) + 0.5)
+                         / 10000.0 AS alpha_ratio
+                FROM d),
+          f AS (SELECT * FROM q
+                WHERE n_words >= 30 AND alpha_ratio >= 0.5),
+          k AS (SELECT doc_id, n_words, alpha_ratio,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM f)
+         SELECT doc_id, n_words, alpha_ratio,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, n_words, alpha_ratio,
+                      (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 4))::INT) % 100 AS b
+               FROM k WHERE rn = 1)""",
+      tags=("pipeline",))
+def x20_pipeline(spark, sf):
+    """The training-corpus pipeline composed end-to-end — quality filter →
+    exact dedup → train/val/test split — each stage the library operator,
+    the whole chain hash-checked against one SQL oracle. This is the
+    actual production shape: quality stats are a shuffle-free projection,
+    dedup is the only content-keyed shuffle, the split is again a
+    projection — at 100 TB the chain costs one shuffle total."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_exact_dups
+    from clickhouse_datafusion_spark.operators.sampling import hash_split
+    from clickhouse_datafusion_spark.operators.text import quality_cols
+
+    docs = t(spark, sf, "documents")
+    q = docs.select("doc_id", "text", *quality_cols())
+    filtered = q.filter((F.col("n_words") >= 30)
+                        & (F.col("alpha_ratio") >= 0.5))
+    deduped = drop_exact_dups(filtered)
+    return (hash_split(deduped)
+            .select("doc_id", "n_words", "alpha_ratio", "split"))
+
+
+@qdef("s5_label_centroids",
+      """SELECT CAST(label AS INT) AS label,
+                CAST(pos AS INT) AS pos,
+                CAST(sum(xi) // count(*) AS BIGINT) AS centroid_micro,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT label,
+                      generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000000 + 0.5) AS BIGINT) AS xi
+               FROM embeddings)
+         GROUP BY label, pos""",
+      tags=("pipeline", "similarity"))
+def s5_centroids(spark, sf):
+    """Per-label embedding centroids in exact micro-units (class
+    prototypes / cluster seeds) — see
+    operators/similarity.py::label_centroids for the IEEE-deterministic
+    quantization argument."""
+    from clickhouse_datafusion_spark.operators.similarity import label_centroids
+
+    return label_centroids(t(spark, sf, "embeddings"))
+
+
 # =========================================================================
 # Pipeline operators: similarity search (operators/similarity.py)
 # =========================================================================
@@ -2476,6 +2572,9 @@ _GATE_PRIORITY = [
     "x17_domain_cap",
     "x18_seeded_shuffle",
     "st5_streaming_stream_join",
+    "x19_incremental_dedup",
+    "x20_corpus_pipeline",
+    "s5_label_centroids",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -793,3 +793,43 @@ def test_seeded_shuffle_is_stable_permutation(spark, docs):
          seeded_shuffle(docs, seed=8, n_shards=4)
          .select("doc_id", "shard", "pos").collect()}
     assert c != rows_a
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark, docs):
+    from clickhouse_datafusion_spark.operators.dedup import incremental_dedup
+
+    seen = docs.limit(50)
+    # new batch = 30 re-crawled docs (seen content, new ids) + 20 fresh
+    # docs + 1 within-batch duplicate pair
+    recrawl = seen.limit(30).withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh = docs.orderBy(F.desc("doc_id")).limit(20)
+    batch_dup = fresh.limit(1).withColumn("doc_id", F.col("doc_id") + 20_000)
+    new = recrawl.unionAll(fresh).unionAll(batch_dup)
+    out = incremental_dedup(new, seen)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(ids) == 20                       # only the fresh docs survive
+    assert all(i < 10_000 for i in ids)         # keeper is the min id
+    # pre-hashed seen relation gives the same answer
+    seen_h = seen.select(F.md5("text").alias("h"))
+    out2 = incremental_dedup(new, seen_h)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == ids
+
+
+def test_label_centroids_match_numpy(spark, emb):
+    import numpy as np
+
+    from clickhouse_datafusion_spark.operators.similarity import label_centroids
+
+    got = {(r.label, r.pos): (r.centroid_micro, r.n)
+           for r in label_centroids(emb).collect()}
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for lbl, vecs in by_label.items():
+        xi = np.floor(np.array(vecs, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+        sums = xi.sum(axis=0)
+        n = len(vecs)
+        for pos in range(xi.shape[1]):
+            want = int(sums[pos]) // n if sums[pos] >= 0 else -((-int(sums[pos])) // n)
+            assert got[(lbl, pos)] == (want, n), (lbl, pos)
