@@ -36,3 +36,28 @@ cosine_topk(emb, qvec, k=5).show()
 
 print("== sequence packing at budget 1024 ==")
 pack_sequences(docs, budget=1024).show(5)
+
+print("== BM25 corpus selection (pull docs about joins/hashing) ==")
+from clickhouse_datafusion_spark.operators.text import bm25_scores
+
+bm25_scores(docs, ["hash", "join", "vector", "stream"]) \
+    .orderBy(F.desc("score_milli")).show(5)
+
+print("== domain caps + blocklist, then seeded training order ==")
+from clickhouse_datafusion_spark.operators.sampling import domain_cap, seeded_shuffle
+
+capped = domain_cap(docs, cap=5, blocklist=["src0"])
+seeded_shuffle(capped, seed=42, n_shards=4) \
+    .orderBy("shard", "pos").show(5)
+
+print("== incremental crawl dedup against the prior snapshot ==")
+from clickhouse_datafusion_spark.operators.dedup import incremental_dedup
+
+prior = docs.filter(F.col("doc_id") < 250)
+crawl = docs.filter(F.col("doc_id") >= 250)
+print("fresh docs:", incremental_dedup(crawl, prior).count())
+
+print("== per-label embedding centroids (class prototypes) ==")
+from clickhouse_datafusion_spark.operators.similarity import label_centroids
+
+label_centroids(emb).orderBy("label", "pos").show(5)
