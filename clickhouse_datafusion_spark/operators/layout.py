@@ -81,6 +81,40 @@ def write_bucketed(df: DataFrame, table: str, key_cols: list[str],
        .saveAsTable(table))
 
 
+def write_hive_partitioned(df: DataFrame, path: str,
+                           partition_cols: list[str],
+                           files_per_partition: int | None = 1,
+                           mode: str = "overwrite") -> None:
+    """Write parquet Hive-partitioned on ``partition_cols`` (one directory
+    per value, e.g. ``lang=en/``): downstream reads filtering on a
+    partition column prune whole DIRECTORIES at planning time — the
+    coarsest and cheapest skipping there is, visible as PartitionFilters
+    in the scan (vs footer-stat skipping, which still lists every file).
+    The standard layout for corpus slices read mostly one way (by
+    language, by source, by date).
+
+    ``files_per_partition`` controls the small-files problem — the classic
+    failure of naive partitioned writes, where every input task emits one
+    sliver per directory (tasks × partitions files). 1 (default) hash-
+    repartitions on the partition columns so each value lands in exactly
+    one task → one file per directory; n > 1 adds a deterministic
+    content-hash salt so each directory gets ~n files (parallel writers
+    per partition without the sliver explosion). ``None`` keeps the
+    incoming layout. Keep partition cardinality moderate (≲ 10⁴
+    directories); high-cardinality keys belong in
+    :func:`write_range_sorted` files, not directories.
+    """
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    out = df
+    if files_per_partition == 1:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    elif files_per_partition:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+        out = df.repartition(*[F.col(c) for c in partition_cols], salt)
+    (out.write.mode(mode).partitionBy(*partition_cols).parquet(path))
+
+
 def file_key_ranges(path: str, key_col: str) -> list[tuple]:
     """(file, min, max) of ``key_col`` per data file from parquet footers —
     metadata only, nothing is scanned. Used to verify layout disjointness

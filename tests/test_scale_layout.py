@@ -149,3 +149,41 @@ def test_range_sorted_write_respects_max_records(spark, tmp_path):
                        max_records_per_file=n // 6)
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) >= 6
+
+
+def test_write_hive_partitioned_prunes_and_compacts(spark, tmp_path):
+    """write_hive_partitioned: one file per directory at the default, a
+    lang filter on the read side prunes to the matching directory at
+    planning time (PartitionFilters), and the salted mode bounds files per
+    directory instead of exploding tasks x partitions slivers."""
+    import os
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        write_hive_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").repartition(8)
+    path = str(tmp_path / "by_lang")
+    write_hive_partitioned(docs, path, ["lang"])
+    dirs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert len(dirs) >= 2
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # no sliver files
+
+    rd = spark.read.parquet(path).filter(F.col("lang") == "en") \
+        .select("doc_id")
+    p = executed_plan(rd)
+    assert "PartitionFilters: [" in p
+    assert "lang" in p.split("PartitionFilters")[1][:160]
+    want = docs.filter(F.col("lang") == "en").count()
+    assert rd.count() == want
+
+    path3 = str(tmp_path / "by_lang3")
+    write_hive_partitioned(docs, path3, ["lang"], files_per_partition=3)
+    for d in [d for d in os.listdir(path3) if d.startswith("lang=")]:
+        files = [f for f in os.listdir(os.path.join(path3, d))
+                 if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3, (d, files)
+    assert spark.read.parquet(path3).count() == docs.count()
