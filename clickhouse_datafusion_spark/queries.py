@@ -2536,6 +2536,63 @@ def st5_stream_join(spark, sf):
             .localCheckpoint(eager=True)
 
 
+@qdef("st6_streaming_outer_join",
+      """WITH wmx AS (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'view'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
+               - INTERVAL 2 HOUR AS m),
+          v AS (SELECT * FROM events WHERE event_type = 'view'),
+          c AS (SELECT * FROM events WHERE event_type = 'click')
+         SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+                strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+         FROM v JOIN c
+           ON v.user_id = c.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+         UNION ALL
+         SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id,
+                strftime(v.ts, '%Y-%m-%d %H:%M:%S'),
+                CAST(NULL AS VARCHAR)
+         FROM v, wmx
+         WHERE NOT EXISTS (SELECT 1 FROM c
+                           WHERE c.user_id = v.user_id
+                             AND c.ts >= v.ts
+                             AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+           AND v.ts + INTERVAL 30 MINUTE <= wmx.m""",
+      tags=("streaming",))
+def st6_stream_outer_join(spark, sf):
+    """LEFT OUTER stream-stream interval join: matched pairs plus
+    null-extended views whose match window the watermark has sealed.
+
+    The oracle encodes Spark's actual eviction semantics, discovered
+    empirically and then verified row-identical: the global watermark is
+    min over the PER-SIDE filtered maxima (not the overall event-time
+    max — the click stream's max lags the view stream's here), and a
+    null row emits iff ``view.ts + within <= watermark``; fresher
+    unmatched views stay in state forever on a bounded replay. See
+    streaming/events.py::stream_stream_interval_join."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, stream_stream_interval_join)
+
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st6", copies=1)
+        views = read_events_stream(spark, d).filter(
+            F.col("event_type") == "view")
+        clicks = read_events_stream(spark, d).filter(
+            F.col("event_type") == "click")
+        joined = stream_stream_interval_join(views, clicks, how="left_outer")
+        out = run_to_memory_sink(joined, f"st6_{_uuid.uuid4().hex[:8]}")
+        return out.select(
+            F.col("l_event_id").alias("view_id"),
+            F.col("r_event_id").alias("click_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts")) \
+            .localCheckpoint(eager=True)
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -2575,6 +2632,7 @@ _GATE_PRIORITY = [
     "x19_incremental_dedup",
     "x20_corpus_pipeline",
     "s5_label_centroids",
+    "st6_streaming_outer_join",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -135,7 +135,8 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 key: str = "user_id",
                                 within: str = "30 minutes",
-                                watermark: str = "2 hours") -> DataFrame:
+                                watermark: str = "2 hours",
+                                how: str = "inner") -> DataFrame:
     """Watermarked stream-stream interval join — the fifth streaming
     operator class (windowed aggs, dedup, sessions, stream-static enrich,
     and now dual-stream state): match each left event to right events for
@@ -149,6 +150,16 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     where both sides are present — append-complete, so the batch twin
     (plain self-join with the same predicates) is a full oracle.
 
+    ``how="left_outer"`` additionally emits null-extended left rows when
+    their state is evicted — i.e. once the GLOBAL watermark passes
+    ``left.ts + within``. Two subtleties make the batch twin exact
+    (verified row-identical against the replay): watermarks are computed
+    per SIDE over the *filtered* streams, so the global watermark is
+    ``min(max(left.ts), max(right.ts)) − watermark`` — NOT the overall
+    event-time max; and unmatched rows newer than that seal stay in state
+    forever on a bounded replay (no later batch evicts them), so they
+    never appear.
+
     Returns left columns prefixed ``l_`` and right prefixed ``r_``.
     """
     lw = left.withWatermark("ts", watermark)
@@ -158,7 +169,7 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     cond = ((F.col(f"l_{key}") == F.col(f"r_{key}"))
             & (F.col("r_ts") >= F.col("l_ts"))
             & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
-    return lsel.join(rsel, cond, "inner")
+    return lsel.join(rsel, cond, how)
 
 
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,

@@ -200,3 +200,46 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     want = {(r[0], r[1]) for r in
             batch.select("v.event_id", "c.event_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_outer_join_seal_semantics(spark, tmp_path):
+    """Left-outer emission = matched pairs + unmatched lefts sealed by the
+    global watermark, where the watermark is the min over PER-SIDE
+    filtered maxima (the subtlety the st6 oracle encodes)."""
+    import datetime
+
+    from clickhouse_datafusion_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "ss_outer"
+    d.mkdir()
+    shutil.copy(src, d / "all.parquet")
+    views = read_events_stream(spark, str(d)).filter(
+        F.col("event_type") == "view")
+    clicks = read_events_stream(spark, str(d)).filter(
+        F.col("event_type") == "click")
+    out = run_to_memory_sink(
+        stream_stream_interval_join(views, clicks, how="left_outer"),
+        f"ssl_{uuid.uuid4().hex[:8]}")
+    nulls = {r.l_event_id for r in
+             out.filter(F.col("r_event_id").isNull()).collect()}
+
+    ev = spark.read.parquet(str(d))
+    mx_v = ev.filter(F.col("event_type") == "view").agg(F.max("ts")).first()[0]
+    mx_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    wm = min(mx_v, mx_c) - datetime.timedelta(hours=2)
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    jc = ((F.col("v.user_id") == F.col("c.user_id"))
+          & (F.col("c.ts") >= F.col("v.ts"))
+          & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")))
+    unmatched = v.join(c, jc, "left_anti")
+    sealed = {r.event_id for r in unmatched.filter(
+        F.col("ts") + F.expr("INTERVAL 30 minutes") <= F.lit(wm)).collect()}
+    assert nulls == sealed and len(sealed) > 0
+    # views newer than the per-side watermark must NOT have emitted nulls
+    fresh = {r.event_id for r in unmatched.filter(
+        F.col("ts") + F.expr("INTERVAL 30 minutes") > F.lit(wm)).collect()}
+    assert fresh and not (fresh & nulls)
