@@ -125,6 +125,40 @@ def seeded_shuffle(df: DataFrame, seed: str | int = 0, n_shards: int = 8,
             .drop("_hk"))
 
 
+def percentile_filter(df: DataFrame, score_col: str,
+                      drop_permille: int = 100) -> DataFrame:
+    """Adaptive threshold filter: drop the bottom ``drop_permille``/1000 of
+    rows by ``score_col`` — the data-driven cousin of a fixed quality
+    cutoff (corpora differ; "drop the worst decile" transfers, a constant
+    does not).
+
+    EXACT, not approximate, and with NO global sort: quality-style scores
+    are low-cardinality (this repo's are rounded to 2–4 dp), so the score
+    histogram is tiny regardless of corpus size. One value-keyed aggregate
+    builds it, a window over the ≤10⁴ distinct values (single tiny
+    partition — of aggregate rows, never data) finds the cutoff P = the
+    smallest score whose cumulative count exceeds the drop budget
+    ``(total·drop_permille) DIV 1000``, and the filter ``score >= P`` is a
+    broadcast-joined projection. Ties at the boundary are resolved by
+    VALUE (the whole boundary score survives), which keeps the operator
+    deterministic and rank-free. Contrast ``approx_percentile``: a sketch
+    would make the gate unverifiable and is only needed when the score is
+    continuous — quantize first instead.
+    """
+    hist = df.groupBy(F.col(score_col).alias("_s")) \
+        .agg(F.count("*").alias("_c"))
+    w = W.orderBy("_s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = hist.agg(F.sum("_c").alias("_tot"))
+    cut = (hist.withColumn("_cum", F.sum("_c").over(w))
+           .crossJoin(F.broadcast(tot))
+           .filter(F.col("_cum") > F.expr(
+               f"(_tot * {int(drop_permille)}) DIV 1000"))
+           .agg(F.min("_s").alias("_p")))
+    return (df.crossJoin(F.broadcast(cut))
+            .filter(F.col(score_col) >= F.col("_p"))
+            .drop("_p"))
+
+
 def bernoulli_stratified(df: DataFrame, fractions: dict[str, float],
                          stratum_col: str, id_col: str = "doc_id",
                          default_fraction: float = 0.0) -> DataFrame:

@@ -2112,6 +2112,38 @@ def x20_pipeline(spark, sf):
             .select("doc_id", "n_words", "alpha_ratio", "split"))
 
 
+@qdef("x21_percentile_filter",
+      """WITH q AS (
+            SELECT doc_id,
+                   FLOOR(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         * 10000 / length(text) + 0.5) / 10000.0
+                     AS alpha_ratio
+            FROM documents),
+          h AS (SELECT alpha_ratio AS s, count(*) AS c
+                FROM q GROUP BY alpha_ratio),
+          t AS (SELECT sum(c) AS tot FROM h),
+          cum AS (SELECT s, sum(c) OVER (ORDER BY s
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cm
+                  FROM h),
+          cut AS (SELECT min(s) AS p FROM cum, t
+                  WHERE cm > (tot * 100) // 1000)
+         SELECT q.doc_id, q.alpha_ratio
+         FROM q, cut WHERE q.alpha_ratio >= cut.p""",
+      tags=("pipeline", "sampling"))
+def x21_pfilter(spark, sf):
+    """Adaptive quality threshold: drop the bottom decile by alpha_ratio
+    with an EXACT histogram-based percentile (no global sort, no sketch) —
+    see operators/sampling.py::percentile_filter."""
+    from clickhouse_datafusion_spark.operators.sampling import percentile_filter
+    from clickhouse_datafusion_spark.operators.text import quality_cols
+
+    docs = t(spark, sf, "documents")
+    scored = docs.select("doc_id", *quality_cols()) \
+        .select("doc_id", "alpha_ratio")
+    return percentile_filter(scored, "alpha_ratio", drop_permille=100)
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2633,6 +2665,7 @@ _GATE_PRIORITY = [
     "x20_corpus_pipeline",
     "s5_label_centroids",
     "st6_streaming_outer_join",
+    "x21_percentile_filter",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

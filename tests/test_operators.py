@@ -833,3 +833,26 @@ def test_label_centroids_match_numpy(spark, emb):
         for pos in range(xi.shape[1]):
             want = int(sums[pos]) // n if sums[pos] >= 0 else -((-int(sums[pos])) // n)
             assert got[(lbl, pos)] == (want, n), (lbl, pos)
+
+
+def test_percentile_filter_exact_boundary_and_ties(spark):
+    from clickhouse_datafusion_spark.operators.sampling import percentile_filter
+
+    # scores: ten 0.1s, ten 0.2s, eighty 0.9s → drop_permille=100 budget
+    # is 10 rows; cumulative passes 10 at score 0.2, so ALL 0.1s drop and
+    # the whole 0.2 boundary value survives (value-based ties)
+    rows = ([(i, 0.1) for i in range(10)]
+            + [(100 + i, 0.2) for i in range(10)]
+            + [(200 + i, 0.9) for i in range(80)])
+    df = spark.createDataFrame(rows, "doc_id bigint, s double")
+    out = percentile_filter(df, "s", drop_permille=100)
+    got = {r.doc_id for r in out.collect()}
+    assert got == {i for i, s in rows if s >= 0.2}
+    # drop budget that lands INSIDE the boundary value group: 150/1000 of
+    # 100 rows = 15 > 10 cum at 0.1, cum at 0.2 is 20 > 15 → cut at 0.2,
+    # the 0.2 group still fully survives
+    out2 = percentile_filter(df, "s", drop_permille=150)
+    assert {r.doc_id for r in out2.collect()} == got
+    # budget past the whole 0.2 group drops it entirely
+    out3 = percentile_filter(df, "s", drop_permille=210)
+    assert {r.doc_id for r in out3.collect()} == {i for i, s in rows if s >= 0.9}
