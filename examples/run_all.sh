@@ -2,7 +2,7 @@
 set -e
 cd "$(dirname "$0")"
 for f in 01_basic_filtering.py 02_aggregations_windows.py \
-         03_joins_federation.py 06_ddl_inserts.py 07_pipeline.py; do
+         03_joins_federation.py 06_ddl_inserts.py 07_pipeline.py 08_streaming.py; do
     echo "== $f =="
     python "$f"
 done
