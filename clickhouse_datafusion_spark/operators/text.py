@@ -355,6 +355,60 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
             .agg(F.count("*").cast("bigint").alias("n_terms"), agg))
 
 
+def importance_weights(corpus_df: DataFrame, target_df: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       scale: int = 1_000_000) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by how much its unigram distribution resembles a small
+    TARGET domain (the data you want more of) relative to the corpus
+    itself; resampling by these weights tilts the training mix toward the
+    target without hand-written rules.
+
+    Per word ``w``: ratio_w = (tgt_cnt_w·TW_corpus·scale) DIV
+    (corpus_cnt_w·TW_target) — the target/corpus unigram likelihood ratio
+    in ppm (both sides normalized by their total word mass). Per doc:
+    ``weight_ppm`` = mean ratio over the doc's word OCCURRENCES, exact
+    integer arithmetic end to end (DSIR's log-ratio sum is the monotone
+    log of our product; the mean-ratio form keeps the gate hash-exact —
+    same libm argument as :func:`bm25_scores`). Corpus-only words get
+    ratio 0, exactly DSIR's OOV floor under a target-smoothed LM.
+
+    Returns (id, n_words, hits, weight_ppm) for every corpus doc.
+
+    Scale shape: identical to :func:`corpus_frequency_score` — the target
+    is small (a benchmark suite, a curated domain), so its vocabulary
+    aggregate is tiny; the corpus vocabulary is one word-keyed aggregate
+    joined to it and BROADCAST back; the per-doc reduce is one id-keyed
+    integer shuffle. Integer headroom: tgt_cnt·TW_corpus·scale < 2⁶³
+    bounds TW_corpus·TW_target ≲ 10¹²·scale⁻¹·tgt_cnt⁻¹; past web scale,
+    pre-divide the constant TW ratio into ``scale``.
+    """
+    w_corpus = corpus_df.select(F.col(id_col),
+                                F.explode(words(text_col)).alias("w"))
+    vocab_c = w_corpus.groupBy("w").agg(F.count("*").alias("c_cnt"))
+    vocab_t = (target_df.select(F.explode(words(text_col)).alias("w"))
+               .groupBy("w").agg(F.count("*").alias("t_cnt")))
+    tw_c = vocab_c.agg(F.sum("c_cnt").cast("bigint").alias("tw_c"))
+    tw_t = vocab_t.agg(F.sum("t_cnt").cast("bigint").alias("tw_t"))
+    ratios = (vocab_c.join(vocab_t, "w", "left")
+              .crossJoin(F.broadcast(tw_c)).crossJoin(F.broadcast(tw_t))
+              .select("w", F.expr(
+                  f"(coalesce(t_cnt, 0) * tw_c * {int(scale)})"
+                  " DIV (c_cnt * tw_t)").alias("r")))
+    per_doc = (w_corpus.join(F.broadcast(ratios), "w")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("bigint").alias("hits"),
+                    F.sum("r").cast("bigint").alias("r_sum")))
+    n_words = corpus_df.select(
+        F.col(id_col), F.size(words(text_col)).cast("bigint").alias("n_words"))
+    return (n_words.join(per_doc, id_col, "left")
+            .select(id_col, "n_words",
+                    F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+                    F.expr("coalesce(r_sum, 0) DIV n_words")
+                    .alias("weight_ppm")))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint +
     repetition signals — a single shuffle-free projection."""

@@ -2144,6 +2144,44 @@ def x21_pfilter(spark, sf):
     return percentile_filter(scored, "alpha_ratio", drop_permille=100)
 
 
+@qdef("x22_importance_weights",
+      """WITH wc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+          vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_cnt
+                 FROM wc GROUP BY w),
+          vt AS (SELECT w, CAST(count(*) AS BIGINT) AS t_cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE source = 'src3')
+                 GROUP BY w),
+          twc AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS tw_c FROM vc),
+          twt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS tw_t FROM vt),
+          r AS (SELECT vc.w,
+                       (COALESCE(vt.t_cnt, 0) * tw_c * 1000000)
+                         // (vc.c_cnt * tw_t) AS r
+                FROM vc LEFT JOIN vt USING (w), twc, twt),
+          pd AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS hits,
+                        CAST(sum(r) AS BIGINT) AS r_sum
+                 FROM wc JOIN r USING (w) GROUP BY doc_id),
+          n AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_words
+                FROM documents)
+         SELECT n.doc_id, n.n_words,
+                COALESCE(pd.hits, 0) AS hits,
+                COALESCE(pd.r_sum, 0) // n.n_words AS weight_ppm
+         FROM n LEFT JOIN pd USING (doc_id)""",
+      tags=("pipeline", "text"))
+def x22_importance(spark, sf):
+    """DSIR-style importance weights toward the src3 domain: integer
+    unigram likelihood ratios, mean per word occurrence — see
+    operators/text.py::importance_weights."""
+    from clickhouse_datafusion_spark.operators.text import importance_weights
+
+    docs = t(spark, sf, "documents")
+    return importance_weights(docs, docs.filter(F.col("source") == "src3"))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2666,6 +2704,7 @@ _GATE_PRIORITY = [
     "s5_label_centroids",
     "st6_streaming_outer_join",
     "x21_percentile_filter",
+    "x22_importance_weights",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

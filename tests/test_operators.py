@@ -856,3 +856,27 @@ def test_percentile_filter_exact_boundary_and_ties(spark):
     # budget past the whole 0.2 group drops it entirely
     out3 = percentile_filter(df, "s", drop_permille=210)
     assert {r.doc_id for r in out3.collect()} == {i for i, s in rows if s >= 0.9}
+
+
+def test_importance_weights_favor_target_domain(spark):
+    from clickhouse_datafusion_spark.operators.text import importance_weights
+
+    # corpus: 20 cooking docs, 20 legal docs; target: cooking phrases
+    cook = [(i, "flour sugar butter oven bake whisk dough salt")
+            for i in range(20)]
+    legal = [(100 + i, "court motion filing statute appeal counsel brief")
+             for i in range(20)]
+    corpus = spark.createDataFrame(cook + legal, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(0, "bake dough in the oven with flour and butter")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.weight_ppm
+           for r in importance_weights(corpus, target).collect()}
+    cook_w = [out[i] for i, _ in cook]
+    legal_w = [out[i] for i, _ in legal]
+    assert min(cook_w) > max(legal_w)
+    assert max(legal_w) == 0  # no target hits -> exact OOV floor
+    # weights broadcast, never the corpus: plan must show >= 1 broadcast
+    plan = importance_weights(corpus, target) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
