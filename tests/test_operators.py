@@ -880,3 +880,41 @@ def test_importance_weights_favor_target_domain(spark):
     plan = importance_weights(corpus, target) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_resize_media_real_roundtrip(spark):
+    """resize_media really resamples PNG and PPM payloads: the output
+    re-decodes at the new dimensions with the expected pixels."""
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_png, decode_ppm, encode_png, resize_media)
+
+    # 4x4 PNG: left half red, right half blue (RGB)
+    row = bytes([255, 0, 0] * 2 + [0, 0, 255] * 2)
+    png = encode_png(4, 4, 3, row * 4)
+    assert decode_png(png)["pixels"] == row * 4  # encoder round-trips
+    # 2x2 PPM, all green
+    ppm = b"P6\n2 2\n255\n" + bytes([0, 255, 0] * 4)
+    rows = [(1, bytearray(png), ("image", "image/png", 4, 4, None)),
+            (2, bytearray(ppm), ("image", "image/x-portable-pixmap", 2, 2, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: (bytes(r.payload), r.meta)
+           for r in resize_media(df, 2, 2, strict=True).collect()}
+
+    img = decode_png(out[1][0])
+    assert (img["width"], img["height"]) == (2, 2)
+    # nearest-neighbor of left-red/right-blue at half size: 1 red, 1 blue
+    assert img["pixels"] == bytes([255, 0, 0, 0, 0, 255] * 2)
+    assert (out[1][1]["width"], out[1][1]["height"]) == (2, 2)
+
+    img2 = decode_ppm(out[2][0])
+    assert (img2["width"], img2["height"]) == (2, 2)
+    assert img2["pixels"] == bytes([0, 255, 0] * 4)
+
+    # unknown container in strict mode raises inside the kernel
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"JFIF..."), ("image", "image/jpeg", 1, 1, None))],
+        MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="codec library|PythonException"):
+        resize_media(bad, 2, 2, strict=True).collect()
