@@ -159,6 +159,36 @@ def percentile_filter(df: DataFrame, score_col: str,
             .drop("_p"))
 
 
+def mixture_sample(df: DataFrame, weights_permille: dict[str, int],
+                   total: int, stratum_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-mixture composition (the Pile/Dolma-style "data mixing"
+    step): draw a corpus of ~``total`` documents with per-source budgets
+    ``floor(total · weight_permille/1000)``, taking each source's docs in
+    deterministic md5(id) order — reproducible across runs, stable under
+    appends, and exactly sized per component.
+
+    Sources absent from ``weights_permille`` contribute nothing (budget
+    0); a source with fewer docs than its budget contributes everything
+    it has (the mixture under-fills rather than substituting — surface
+    that in pipeline monitoring, don't silently rebalance).
+
+    Scale shape: one shuffle keyed by the stratum for the per-source rank
+    (same as :func:`stratified_sample`); the budget lookup is a literal
+    CASE chain. For sources big enough to make a hot window partition,
+    Bernoulli pre-thin with :func:`hash_bucket` to ~2× the budget first —
+    the final exact rank is unchanged with overwhelming probability.
+    """
+    hk = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(stratum_col).orderBy(hk, F.col(id_col))
+    budget = F.lit(0)
+    for k, pm in weights_permille.items():
+        budget = F.when(F.col(stratum_col) == k,
+                        F.lit((total * int(pm)) // 1000)).otherwise(budget)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= budget).drop("_rn"))
+
+
 def bernoulli_stratified(df: DataFrame, fractions: dict[str, float],
                          stratum_col: str, id_col: str = "doc_id",
                          default_fraction: float = 0.0) -> DataFrame:

@@ -2182,6 +2182,32 @@ def x22_importance(spark, sf):
     return importance_weights(docs, docs.filter(F.col("source") == "src3"))
 
 
+@qdef("x23_mixture_sample",
+      """SELECT doc_id, source
+         FROM (SELECT doc_id, source,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rn
+               FROM documents)
+         WHERE rn <= CASE source
+                       WHEN 'src1' THEN 100 * 500 // 1000
+                       WHEN 'src2' THEN 100 * 300 // 1000
+                       WHEN 'src3' THEN 100 * 200 // 1000
+                       ELSE 0 END""",
+      tags=("pipeline", "sampling"))
+def x23_mixture(spark, sf):
+    """Training-mixture composition: 100 docs at 50/30/20 permille-style
+    weights over three sources, each component drawn in deterministic
+    md5(id) order — see operators/sampling.py::mixture_sample."""
+    from clickhouse_datafusion_spark.operators.sampling import mixture_sample
+
+    return (mixture_sample(t(spark, sf, "documents"),
+                           {"src1": 500, "src2": 300, "src3": 200},
+                           total=100)
+            .select("doc_id", "source"))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2705,6 +2731,7 @@ _GATE_PRIORITY = [
     "st6_streaming_outer_join",
     "x21_percentile_filter",
     "x22_importance_weights",
+    "x23_mixture_sample",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

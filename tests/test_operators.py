@@ -918,3 +918,25 @@ def test_resize_media_real_roundtrip(spark):
         MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="codec library|PythonException"):
         resize_media(bad, 2, 2, strict=True).collect()
+
+
+def test_mixture_sample_budgets_and_determinism(spark, docs):
+    from clickhouse_datafusion_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(docs, {"src1": 500, "src2": 300, "src3": 200},
+                         total=40, stratum_col="source")
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # budgets: floor(40*.5)=20, floor(40*.3)=12, floor(40*.2)=8 (capped by
+    # availability); unlisted sources contribute nothing
+    avail = {r.source: r["count"] for r in
+             docs.groupBy("source").count().collect()}
+    assert per.get("src1", 0) == min(20, avail.get("src1", 0))
+    assert per.get("src2", 0) == min(12, avail.get("src2", 0))
+    assert per.get("src3", 0) == min(8, avail.get("src3", 0))
+    assert set(per) <= {"src1", "src2", "src3"}
+    # deterministic under re-layout
+    again = mixture_sample(docs.repartition(7),
+                           {"src1": 500, "src2": 300, "src3": 200},
+                           total=40, stratum_col="source")
+    assert ({r.doc_id for r in out.select("doc_id").collect()}
+            == {r.doc_id for r in again.select("doc_id").collect()})
