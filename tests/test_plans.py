@@ -161,3 +161,33 @@ def test_seeded_shuffle_single_shuffle(spark):
     # shard assignment is a projection; the only exchange is the per-shard rank
     rep = plan_report(q("x18_seeded_shuffle", spark))
     assert rep["shuffles"] <= 1, rep
+
+
+def test_incremental_dedup_no_cartesian_bounded_shuffles(spark):
+    # static plan: distinct + (both join sides) + keeper window <= 4
+    # hash exchanges (AQE replans the small seen side to a broadcast at
+    # runtime, but the executed-plan string repeats query-stage subtrees,
+    # so the stable bound is asserted on the static plan)
+    rep = plan_report(q("x19_incremental_dedup", spark))
+    assert not rep["cartesian"], rep
+    assert rep["shuffles"] <= 4, rep
+    # runtime: the seen-hash side must broadcast into the anti-join
+    rep_exec = plan_report(q("x19_incremental_dedup", spark), execute=True)
+    assert rep_exec["broadcasts"] >= 1, rep_exec
+
+
+def test_corpus_pipeline_single_content_shuffle(spark):
+    # quality filter and split are projections; dedup's keeper window is
+    # the only data shuffle
+    rep = plan_report(q("x20_corpus_pipeline", spark))
+    assert rep["shuffles"] <= 1, rep
+
+
+def test_importance_weights_broadcast_ratios(spark):
+    rep = plan_report(q("x22_importance_weights", spark), execute=True)
+    assert rep["broadcasts"] >= 1, rep  # ratio table moves, corpus does not
+
+
+def test_mixture_sample_single_shuffle(spark):
+    rep = plan_report(q("x23_mixture_sample", spark))
+    assert rep["shuffles"] <= 1, rep
