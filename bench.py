@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "s1_cosine_topk",
     "x6_sessionization",
     "x1_asof_join",
+    # r5b: the pipeline-engine story under the clock — BM25 corpus
+    # selection (broadcast df/stats, one integer shuffle) and the composed
+    # quality->dedup->split chain (one content-keyed shuffle total)
+    "x16_bm25_scoring",
+    "x20_corpus_pipeline",
 ]
 
 
