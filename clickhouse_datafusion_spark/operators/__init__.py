@@ -4,4 +4,14 @@ columns. All hot paths are JVM-side Spark built-ins (whole-stage codegen);
 Python appears only in clearly-marked Pandas-UDF plumbing (multimodal stubs).
 """
 
-from clickhouse_datafusion_spark.operators import dedup, similarity, text  # noqa: F401
+from clickhouse_datafusion_spark.operators import (  # noqa: F401
+    asof,
+    dedup,
+    layout,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    skew,
+    text,
+)
