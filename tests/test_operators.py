@@ -940,3 +940,34 @@ def test_mixture_sample_budgets_and_determinism(spark, docs):
                            total=40, stratum_col="source")
     assert ({r.doc_id for r in out.select("doc_id").collect()}
             == {r.doc_id for r in again.select("doc_id").collect()})
+
+
+def test_percentile_filter_property(spark):
+    """Property: for any score multiset and budget, the operator keeps
+    exactly the rows at or above the smallest score whose cumulative
+    count exceeds the drop budget (Python reference spec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_datafusion_spark.operators.sampling import percentile_filter
+
+    @given(st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=1, max_size=60),
+           st.integers(min_value=0, max_value=999))
+    @settings(max_examples=10, deadline=None)
+    def check(scores, permille):
+        rows = [(i, float(s) / 10.0) for i, s in enumerate(scores)]
+        df = spark.createDataFrame(rows, "doc_id bigint, s double")
+        got = {r.doc_id for r in
+               percentile_filter(df, "s", drop_permille=permille).collect()}
+        budget = (len(rows) * permille) // 1000
+        cum, p = 0, None
+        for v in sorted({s for _, s in rows}):
+            cum += sum(1 for _, s in rows if s == v)
+            if cum > budget:
+                p = v
+                break
+        want = {i for i, s in rows if p is not None and s >= p}
+        assert got == want, (scores, permille, p)
+
+    check()
