@@ -2208,6 +2208,43 @@ def x23_mixture(spark, sf):
             .select("doc_id", "source"))
 
 
+@qdef("x24_column_profile",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                    FROM documents)
+         SELECT 'doc_id' AS column, n_rows,
+                CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                CAST(min(doc_id) AS VARCHAR) AS min_s,
+                CAST(max(doc_id) AS VARCHAR) AS max_s
+         FROM documents, n GROUP BY n_rows
+         UNION ALL
+         SELECT 'lang', n_rows,
+                CAST(count(lang) AS BIGINT),
+                CAST(count(DISTINCT lang) AS BIGINT),
+                CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+         FROM documents, n GROUP BY n_rows
+         UNION ALL
+         SELECT 'source', n_rows,
+                CAST(count(source) AS BIGINT),
+                CAST(count(DISTINCT source) AS BIGINT),
+                CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+         FROM documents, n GROUP BY n_rows
+         UNION ALL
+         SELECT 'n_chars', n_rows,
+                CAST(count(n_chars) AS BIGINT),
+                CAST(count(DISTINCT n_chars) AS BIGINT),
+                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+         FROM documents, n GROUP BY n_rows""",
+      tags=("pipeline",))
+def x24_profile(spark, sf):
+    """Per-column dataset profile (null/cardinality/range monitoring) in
+    one pass — see operators/profile.py::column_profile."""
+    from clickhouse_datafusion_spark.operators.profile import column_profile
+
+    return column_profile(t(spark, sf, "documents"),
+                          ["doc_id", "lang", "source", "n_chars"])
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2732,6 +2769,7 @@ _GATE_PRIORITY = [
     "x21_percentile_filter",
     "x22_importance_weights",
     "x23_mixture_sample",
+    "x24_column_profile",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -971,3 +971,24 @@ def test_percentile_filter_property(spark):
         assert got == want, (scores, permille, p)
 
     check()
+
+
+def test_column_profile_detects_planted_anomalies(spark):
+    from clickhouse_datafusion_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "a", None), (None, "b", 1.0)],
+        "id bigint, k string, v double")
+    prof = {r.column: r for r in column_profile(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nonnull == 3
+    assert prof["k"].n_distinct == 2          # cardinality collapse visible
+    assert prof["v"].n_nonnull == 2           # null creep visible
+    assert (prof["v"].min_s, prof["v"].max_s) == ("1.0", "5.0")
+    # numeric min/max computed in-type, not lexicographically
+    big = spark.createDataFrame([(9,), (10,)], "x bigint")
+    p = column_profile(big).collect()[0]
+    assert (p.min_s, p.max_s) == ("9", "10")
+    # approx mode still returns a sane cardinality without the expand
+    approx = {r.column: r.n_distinct
+              for r in column_profile(df, exact_distinct=False).collect()}
+    assert approx["k"] in (1, 2, 3)
