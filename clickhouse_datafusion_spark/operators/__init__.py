@@ -10,6 +10,7 @@ from clickhouse_datafusion_spark.operators import (  # noqa: F401
     layout,
     multimodal,
     packing,
+    profile,
     sampling,
     similarity,
     skew,
