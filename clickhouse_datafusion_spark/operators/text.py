@@ -290,6 +290,25 @@ def corpus_frequency_score(df: DataFrame, text_col: str = "text",
                        "DIV (n_words * tot)").alias("score_ppm")))
 
 
+def normalize_text_col(text_col: str | Column = "text") -> Column:
+    """Canonical text normalization — the step BEFORE any hashing/dedup so
+    trivially-different bytes (case, control chars, run-on whitespace)
+    don't defeat exact dedup: lowercase, control chars → space, whitespace
+    runs collapsed, ends trimmed.
+
+    Pure regexp codegen, shuffle-free at any scale. The character classes
+    are written explicitly (``[ \\t\\n\\r\\f]`` not ``\\s``) because Java
+    regex and RE2 disagree on ``\\s``'s membership (``\\x0b``) — explicit
+    classes keep the DuckDB oracle byte-identical. Unicode NFC/accent
+    folding is deliberately out of scope (engine-dependent tables); add a
+    Pandas-UDF ``unicodedata.normalize`` stage when corpora need it.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_ctl = F.regexp_replace(F.lower(c), "[\\x00-\\x1f\\x7f]", " ")
+    collapsed = F.regexp_replace(no_ctl, "[ \\t\\n\\r\\f]+", " ")
+    return F.trim(collapsed)
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 text_col: str = "text", id_col: str = "doc_id",
                 ln_idf: bool = False) -> DataFrame:

@@ -1959,6 +1959,28 @@ def t7_corpus(spark, sf):
     return corpus_frequency_score(t(spark, sf, "documents"))
 
 
+@qdef("t8_text_normalize",
+      r"""SELECT doc_id,
+                md5(trim(regexp_replace(
+                      regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                      '[ \t\n\r\f]+', ' ', 'g'))) AS norm_md5,
+                CAST(length(trim(regexp_replace(
+                      regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                      '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS norm_len
+         FROM documents""",
+      tags=("pipeline", "text"))
+def t8_normalize(spark, sf):
+    """Canonical normalization (lowercase, control-strip, whitespace
+    collapse) hash-checked byte-for-byte — see
+    operators/text.py::normalize_text_col."""
+    from clickhouse_datafusion_spark.operators.text import normalize_text_col
+
+    n = normalize_text_col("text")
+    return t(spark, sf, "documents").select(
+        "doc_id", F.md5(n).alias("norm_md5"),
+        F.length(n).cast("bigint").alias("norm_len"))
+
+
 @qdef("x16_bm25_scoring",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),
@@ -2770,6 +2792,7 @@ _GATE_PRIORITY = [
     "x22_importance_weights",
     "x23_mixture_sample",
     "x24_column_profile",
+    "t8_text_normalize",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

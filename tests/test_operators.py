@@ -992,3 +992,16 @@ def test_column_profile_detects_planted_anomalies(spark):
     approx = {r.column: r.n_distinct
               for r in column_profile(df, exact_distinct=False).collect()}
     assert approx["k"] in (1, 2, 3)
+
+
+def test_normalize_text_planted(spark):
+    from clickhouse_datafusion_spark.operators.text import normalize_text_col
+
+    rows = [(1, "Hello\tWORLD  \n x\x00y  "), (2, "already clean"),
+            (3, "MiXeD   Case\r\nHere")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", normalize_text_col().alias("n")).collect()}
+    assert got[1] == "hello world x y"
+    assert got[2] == "already clean"
+    assert got[3] == "mixed case here"
