@@ -1981,6 +1981,48 @@ def t8_normalize(spark, sf):
         F.length(n).cast("bigint").alias("norm_len"))
 
 
+@qdef("x25_jsonl_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                md5(string_agg(text, '' ORDER BY doc_id)) AS corpus_md5
+         FROM documents GROUP BY lang""",
+      tags=("pipeline", "source"))
+def x25_jsonl(spark, sf):
+    """JSONL source round-trip (the LLM-corpus interchange boundary):
+    documents are exported to sharded JSONL once (mtime-gated cache),
+    read back schema-pinned, and aggregated — the oracle runs the same
+    aggregate on the parquet original, so the hash check proves the
+    export/ingest cycle is byte-lossless (corpus_md5 concatenates every
+    document body in id order). See sources/jsonl.py.
+
+    ``corpus_md5`` is the gate's FIDELITY CHECK, not a production
+    aggregate — collect_list concentrates each lang's corpus in one
+    reducer, fine at gate scale only. The 100 TB equivalent is an
+    order-independent reduction of per-document hashes
+    (``sum(xxhash64(text))`` / bit_xor), which shuffles 8 bytes per doc
+    and proves the same losslessness."""
+    import os
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl)
+
+    src = resolve_parquet_path(f"{sf}/documents.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    d = os.path.join(_TDCACHE, "jsonl", sf_tag, "documents")
+    marker = os.path.join(d, "_SUCCESS")
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        write_jsonl(t(spark, sf, "documents"), d, n_files=4)
+    docs = read_jsonl(spark, d, DOCUMENTS_JSONL_SCHEMA)
+    return (docs.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                     lambda s: s.text))).alias("corpus_md5")))
+
+
 @qdef("x16_bm25_scoring",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),
@@ -2793,6 +2835,7 @@ _GATE_PRIORITY = [
     "x23_mixture_sample",
     "x24_column_profile",
     "t8_text_normalize",
+    "x25_jsonl_roundtrip",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",
