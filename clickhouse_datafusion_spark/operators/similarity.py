@@ -412,3 +412,30 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             .select(F.col("label").cast("int").alias("label"),
                     F.col("pos").cast("int").alias("pos"),
                     "centroid_micro", "n"))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the standard
+    4× memory/bandwidth reduction for web-scale ANN stores (a 100 TB
+    float32 embedding corpus becomes 25 TB with ~0.4% cosine error; dot
+    products run on integers and rescale by the two scale factors).
+
+    Per vector: ``scale = max(|x_i|)``, ``q_i = FLOOR(x_i/scale·127 + ½)``
+    (clamps are unnecessary — |x_i/scale| ≤ 1 by construction). Every step
+    is an IEEE double op on exact inputs, so the quantized vectors are
+    bit-identical in any engine — the DuckDB oracle checks the arrays
+    element-for-element. Zero vectors quantize to zeros with scale 0.
+
+    Pure projection, shuffle-free; ``scale_micro`` carries the scale as an
+    exact integer (micro-units) for the downstream rescale.
+    """
+    v = _as_double(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(m > 0, F.transform(
+        v, lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.floor(m * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_micro"),
+        q.alias("q"))

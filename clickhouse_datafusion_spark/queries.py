@@ -2309,6 +2309,27 @@ def x24_profile(spark, sf):
                           ["doc_id", "lang", "source", "n_chars"])
 
 
+@qdef("s6_quantize_embeddings",
+      """SELECT vec_id,
+                CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+                CASE WHEN m > 0
+                     THEN list_transform(v, x -> CAST(FLOOR(x / m * 127 + 0.5)
+                                                      AS INT))
+                     ELSE list_transform(v, x -> 0) END AS q
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> abs(x))) AS m
+               FROM embeddings)""",
+      tags=("pipeline", "similarity"))
+def s6_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (4x ANN memory reduction),
+    IEEE-deterministic so the arrays hash-match element-for-element — see
+    operators/similarity.py::quantize_embeddings."""
+    from clickhouse_datafusion_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(t(spark, sf, "embeddings"))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2836,6 +2857,7 @@ _GATE_PRIORITY = [
     "x24_column_profile",
     "t8_text_normalize",
     "x25_jsonl_roundtrip",
+    "s6_quantize_embeddings",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1005,3 +1005,29 @@ def test_normalize_text_planted(spark):
     assert got[1] == "hello world x y"
     assert got[2] == "already clean"
     assert got[3] == "mixed case here"
+
+
+def test_quantize_embeddings_error_bound(spark, emb):
+    """Dequantized vectors must sit within the int8 grid error of the
+    originals, and cosine between original and dequantized must be ~1."""
+    import math
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    orig = {r.vec_id: list(r.embedding)
+            for r in emb.select("vec_id", "embedding").limit(50).collect()}
+    qs = {r.vec_id: (r.scale_micro, list(r.q))
+          for r in quantize_embeddings(emb.limit(50)).collect()}
+    for vid, vec in orig.items():
+        scale_micro, q = qs[vid]
+        scale = scale_micro / 1e6
+        deq = [qi * scale / 127.0 for qi in q]
+        step = scale / 127.0
+        assert all(abs(a - b) <= step * 0.51 + 1e-9
+                   for a, b in zip(vec, deq))
+        dot = sum(a * b for a, b in zip(vec, deq))
+        na = math.sqrt(sum(a * a for a in vec))
+        nb = math.sqrt(sum(b * b for b in deq))
+        assert dot / (na * nb) > 0.995
