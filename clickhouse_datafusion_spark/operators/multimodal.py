@@ -416,3 +416,64 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
         .withColumn("frame_payload", F.lit(None).cast("binary")))
+
+
+def encode_wav_pcm(sample_rate: int, channels: int, bits: int,
+                   data: bytes) -> bytes:
+    """RIFF/WAVE PCM encoder — the write half of :func:`decode_wav_pcm`."""
+    import struct
+
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def resample_audio(df: DataFrame, target_rate: int,
+                   strict: bool = False) -> DataFrame:
+    """REAL audio resample for the decodable family: WAV-PCM payloads are
+    decoded, nearest-sample rate-converted (integer source indexing, the
+    audio analog of :func:`resize_media`'s nearest-neighbor), and
+    re-encoded as WAV at ``target_rate``. Other payloads pass through, or
+    raise in ``strict`` mode. Arrow-batched mapInPandas, shuffle-free.
+
+    Nearest-sample conversion is the deterministic baseline (aliasing
+    above Nyquist is accepted); swap a polyphase kernel in at the same
+    call site when scipy-class DSP is available.
+    """
+    import struct
+
+    def resample_one(p: bytes):
+        if p is None:
+            return None
+        if p.startswith(b"RIFF"):
+            w = decode_wav_pcm(p)
+            sr, ch, bits = w["sample_rate"], w["channels"], w["bits"]
+            frames = len(w["samples"]) // ch
+            n_out = max(1, frames * target_rate // sr)
+            out = []
+            for i in range(n_out):
+                src = i * sr // target_rate
+                out.extend(w["samples"][src * ch:(src + 1) * ch])
+            if bits == 16:
+                data = struct.pack(
+                    f"<{len(out)}h",
+                    *[max(-32768, min(32767, round(s * 32768))) for s in out])
+            else:
+                data = bytes(max(0, min(255, round(s * 128 + 128)))
+                             for s in out)
+            return encode_wav_pcm(target_rate, ch, bits, data)
+        if strict:
+            raise NotImplementedError(
+                "resample needs a codec library for this container")
+        return p
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(resample_one)
+            yield pdf
+
+    return df.mapInPandas(op, schema=MEDIA_SCHEMA)

@@ -1031,3 +1031,30 @@ def test_quantize_embeddings_error_bound(spark, emb):
         na = math.sqrt(sum(a * a for a in vec))
         nb = math.sqrt(sum(b * b for b in deq))
         assert dot / (na * nb) > 0.995
+
+
+def test_resample_audio_real_roundtrip(spark):
+    """resample_audio really rate-converts WAV-PCM: output re-decodes at
+    the target rate with the expected sample count and content."""
+    import math
+    import struct
+
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_wav_pcm, encode_wav_pcm, resample_audio)
+
+    sr, n = 8000, 8000  # 1 s of 100 Hz sine @ 8 kHz
+    samples = [int(0.5 * 32767 * math.sin(2 * math.pi * 100 * i / sr))
+               for i in range(n)]
+    wav = encode_wav_pcm(sr, 1, 16, struct.pack(f"<{n}h", *samples))
+    assert decode_wav_pcm(wav)["sample_rate"] == sr  # encoder round-trips
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), ("audio", "audio/wav", None, None, 1000))],
+        MEDIA_SCHEMA)
+    out = resample_audio(df, 4000, strict=True).first()
+    w = decode_wav_pcm(bytes(out.payload))
+    assert w["sample_rate"] == 4000
+    assert len(w["samples"]) == 4000           # half the frames
+    # nearest-sample: every output sample equals an even-index original
+    for i in (0, 100, 2000, 3999):
+        assert abs(w["samples"][i] - samples[2 * i] / 32768.0) < 1e-3
