@@ -1058,3 +1058,36 @@ def test_resample_audio_real_roundtrip(spark):
     # nearest-sample: every output sample equals an even-index original
     for i in (0, 100, 2000, 3999):
         assert abs(w["samples"][i] - samples[2 * i] / 32768.0) < 1e-3
+
+
+def test_frame_sample_real_y4m(spark):
+    """Y4M video payloads yield REAL sampled frames: correct count and
+    timestamps, each frame a decodable grayscale PNG of the luma plane."""
+    from clickhouse_datafusion_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_png, decode_y4m, encode_y4m, frame_sample)
+
+    w, h, fps = 8, 4, 10  # 10 fps, 2 s = 20 frames
+    frames = [bytes([i * 10 % 256] * (w * h)) for i in range(20)]
+    y4m = encode_y4m(w, h, fps, 1, frames)
+    v = decode_y4m(y4m)
+    assert (v["width"], v["height"], len(v["frames"])) == (w, h, 20)
+    assert v["frames"][3] == frames[3]  # encoder round-trips
+
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m), ("video", "video/x-y4m", w, h, 2000))],
+        MEDIA_SCHEMA)
+    rows = sorted((r.frame_idx, r.frame_ts_ms, bytes(r.frame_payload))
+                  for r in frame_sample(df, every_ms=500, strict=True).collect())
+    # sampled at 0, 500, 1000, 1500 ms -> source frames 0, 5, 10, 15
+    assert [(i, ts) for i, ts, _ in rows] == [
+        (0, 0), (1, 500), (2, 1000), (3, 1500)]
+    for k, (_, _, png) in enumerate(rows):
+        img = decode_png(png)
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+        assert img["pixels"] == frames[k * 5]  # the right source frame
+    # non-video containers keep the stub contract (real timestamps, null payload)
+    other = spark.createDataFrame(
+        [(2, bytearray(b"mp4data"), ("video", "video/mp4", None, None, 3000))],
+        MEDIA_SCHEMA)
+    stub_rows = frame_sample(other, every_ms=1000).collect()
+    assert len(stub_rows) == 3 and all(r.frame_payload is None for r in stub_rows)
