@@ -2,13 +2,18 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas operators, batch
-shapes, partition sizing) is real and tested. Three container formats decode
-for real with pure-Python kernels (no codec libraries): RIFF/WAVE PCM audio
-(``decode_wav_pcm``), PNG images (``decode_png`` — stdlib zlib inflate +
-full filter-set reversal), and binary PPM images (``decode_ppm``). Formats
-that genuinely need external codec libraries (JPEG, MP4, ...) fall back to a
-deterministic fake vector, or raise ``NotImplementedError`` in strict mode —
-that call site is the production integration point.
+shapes, partition sizing) is real and tested — and so are the kernels for
+four container formats, decode AND encode, pure Python with no codec
+libraries: RIFF/WAVE PCM audio (``decode_wav_pcm``/``encode_wav_pcm`` +
+real nearest-sample ``resample_audio``), PNG images (``decode_png`` —
+stdlib zlib inflate + full filter-set reversal — and ``encode_png``),
+binary PPM images (``decode_ppm``/``encode_ppm``), and YUV4MPEG2 video
+(``decode_y4m``/``encode_y4m`` + real ``frame_sample`` emitting PNG luma
+frames); ``resize_media`` does real nearest-neighbor resampling for the
+image family. Formats that genuinely need external codec libraries (JPEG,
+MP4, ...) fall back to a deterministic fake vector / metadata-only
+passthrough, or raise ``NotImplementedError`` in strict mode — that call
+site is the production integration point.
 
 Scale notes: binary payloads ride the columnar path (parquet binary +
 Arrow); mapInPandas streams batches so peak memory is
