@@ -15,6 +15,12 @@ Scale design:
 - **bernoulli_stratified**: the no-shuffle variant — keeps each row iff its
   id-hash bucket falls under the stratum's fraction; exact-size guarantees
   are traded for a fully pipelined plan.
+- **domain_cap / mixture_sample / seeded_shuffle**: one stratum-keyed window
+  shuffle each (cap enforcement, permille-weighted mixture budgets, seeded
+  training order); md5 ordering keeps every draw reproducible and
+  layout-independent.
+- **percentile_filter**: exact adaptive threshold via a tiny score
+  histogram + broadcast cutoff — no global sort, no sketch.
 """
 
 from __future__ import annotations

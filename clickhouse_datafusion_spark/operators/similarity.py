@@ -13,6 +13,11 @@
   primary use-case); low-similarity neighbors are not concentrated in any
   bucket structure and need the exact path.
 
+- ``label_centroids`` — per-label mean vectors in exact micro-units
+  (class prototypes / cluster seeds); one (label, pos)-keyed shuffle.
+- ``quantize_embeddings`` — symmetric int8 (4× memory for ANN stores);
+  shuffle-free projection, IEEE-deterministic.
+
 Dot products use ``zip_with`` + left-to-right ``aggregate`` in double
 precision — bit-identical to a sequential C loop, which keeps the DuckDB
 oracle exact (same accumulation order).
