@@ -575,3 +575,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    + F.lit(0.5)) / F.lit(10000.0))
     return (inter.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-span removal — the distributed n-gram
+    rendition of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any word span of length
+    ≥ ``ngram`` that occurs more than once in the CORPUS is kept at its
+    first occurrence (smallest (doc_id, position)) and removed everywhere
+    else. Catches boilerplate shared across pages that document-level
+    dedup misses; granularity is ``ngram`` words (the suffix-array exact
+    method is byte-granular — this is the shuffle-friendly approximation,
+    with the same keep-first contract).
+
+    Returns (id, n_words_before, n_words_after, text) with the rebuilt
+    text.
+
+    Scale shape: gram hashing is a projection; ONE gram-keyed shuffle
+    finds duplicate grams and elects keepers (only (hash, id, pos)
+    triples move — never text); removal positions flow back through an
+    id-keyed join and the rebuild is a per-doc aggregate. Word-position
+    expansion is bounded by (dup spans × ngram). The dup-gram relation
+    is the skew point: a boilerplate gram appearing 10⁹ times shuffles
+    10⁹ triples to one reducer — pre-aggregate with a count cap or salt
+    the gh key when corpus boilerplate is extreme.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    grams = F.when(n >= ngram, F.transform(
+        F.sequence(F.lit(1), n - ngram + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, ngram))))) \
+        .otherwise(F.array().cast("array<string>"))
+    g = (df.select(F.col(id_col).alias("id"), grams.alias("gs"))
+         .select("id", F.posexplode("gs").alias("gpos0", "gh")))
+    # keeper = first corpus occurrence of the gram; every other occurrence
+    # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index)
+    w = W.partitionBy("gh").orderBy("id", "gpos0")
+    occ = g.withColumn("_rn", F.row_number().over(w)) \
+        .withColumn("_cnt", F.count("*").over(W.partitionBy("gh")))
+    removals = occ.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1)) \
+        .select("id", (F.col("gpos0") + 1).alias("gpos"))
+    rm_pos = (removals
+              .select("id", F.explode(
+                  F.sequence(F.col("gpos"),
+                             F.col("gpos") + ngram - 1)).alias("wpos"))
+              .distinct())
+    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws")) \
+        .select("id", F.posexplode("ws").alias("wpos0", "w")) \
+        .select("id", (F.col("wpos0") + 1).alias("wpos"), "w")
+    kept = toks.join(rm_pos, ["id", "wpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_words_after"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("wpos", "w"))),
+            lambda s: s.w)).alias(text_col))
+    before = df.select(F.col(id_col).alias("id"),
+                       F.size(ws).cast("bigint").alias("n_words_before"))
+    return (before.join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col), "n_words_before",
+                    F.coalesce("n_words_after", F.lit(0))
+                    .alias("n_words_after"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))

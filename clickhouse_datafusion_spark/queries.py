@@ -2023,6 +2023,53 @@ def x25_jsonl(spark, sf):
                      lambda s: s.text))).alias("corpus_md5")))
 
 
+@qdef("d8_cross_doc_span_dedup",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                           len(string_split(text, ' ')) AS n
+                    FROM documents),
+          g AS (SELECT doc_id, gpos,
+                       md5(array_to_string(
+                             list_slice(ws, gpos, gpos + 7), ' ')) AS gh
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, n - 8 + 2)) AS gpos
+                      FROM d WHERE n >= 8)),
+          occ AS (SELECT doc_id, gpos,
+                         row_number() OVER (PARTITION BY gh
+                                            ORDER BY doc_id, gpos) AS rn,
+                         count(*) OVER (PARTITION BY gh) AS cnt
+                  FROM g),
+          rm AS (SELECT DISTINCT doc_id, wpos
+                 FROM (SELECT doc_id,
+                              unnest(range(gpos, gpos + 8)) AS wpos
+                       FROM occ WHERE cnt > 1 AND rn > 1)),
+          toks AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos,
+                          unnest(ws) AS w
+                   FROM d),
+          kept AS (SELECT t.doc_id, t.wpos, t.w FROM toks t
+                   WHERE NOT EXISTS (SELECT 1 FROM rm
+                                     WHERE rm.doc_id = t.doc_id
+                                       AND rm.wpos = t.wpos)),
+          rb AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_words_after,
+                        string_agg(w, ' ' ORDER BY wpos) AS txt
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_words_before,
+                COALESCE(rb.n_words_after, 0) AS n_words_after,
+                md5(COALESCE(rb.txt, '')) AS text_md5
+         FROM d LEFT JOIN rb USING (doc_id)""",
+      tags=("pipeline", "dedup"))
+def d8_cross_doc(spark, sf):
+    """Cross-document duplicate-span removal (ExactSubstr dedup at 8-word
+    granularity, keep-first contract) — the rebuilt text is md5-compared,
+    so the oracle verifies exact span boundaries and keeper election. See
+    operators/dedup.py::drop_cross_doc_spans."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_cross_doc_spans
+
+    out = drop_cross_doc_spans(t(spark, sf, "documents"), ngram=8)
+    return out.select("doc_id", "n_words_before", "n_words_after",
+                      F.md5("text").alias("text_md5"))
+
+
 @qdef("x16_bm25_scoring",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),
@@ -2858,6 +2905,7 @@ _GATE_PRIORITY = [
     "t8_text_normalize",
     "x25_jsonl_roundtrip",
     "s6_quantize_embeddings",
+    "d8_cross_doc_span_dedup",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1091,3 +1091,25 @@ def test_frame_sample_real_y4m(spark):
         MEDIA_SCHEMA)
     stub_rows = frame_sample(other, every_ms=1000).collect()
     assert len(stub_rows) == 3 and all(r.frame_payload is None for r in stub_rows)
+
+
+def test_cross_doc_span_dedup_keep_first(spark):
+    """Keep-first contract: the earliest corpus occurrence of a duplicated
+    span survives; every later occurrence is excised, including
+    whole-document wipes; unique text is untouched."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_cross_doc_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    rows = [(1, boiler + " unique one tail"),
+            (2, "prefix words here " + boiler),
+            (3, "totally different content with no duplication at all"),
+            (4, boiler),
+            (5, "tiny doc")]  # shorter than ngram -> untouched
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_words_after, r.text)
+           for r in drop_cross_doc_spans(df, ngram=10).collect()}
+    assert out[1] == (13, boiler + " unique one tail")  # first occurrence kept
+    assert out[2] == (3, "prefix words here")           # span excised
+    assert out[3][0] == 8                               # untouched
+    assert out[4] == (0, "")                            # fully duplicated doc
+    assert out[5] == (2, "tiny doc")                    # sub-ngram doc kept
