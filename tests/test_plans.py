@@ -191,3 +191,11 @@ def test_importance_weights_broadcast_ratios(spark):
 def test_mixture_sample_single_shuffle(spark):
     rep = plan_report(q("x23_mixture_sample", spark))
     assert rep["shuffles"] <= 1, rep
+
+
+def test_cross_doc_span_dedup_bounded_shuffles(spark):
+    # gram-window + removal distinct + anti-join + rebuild + before-join:
+    # intrinsic multi-stage op, but bounded and cartesian-free
+    rep = plan_report(q("d8_cross_doc_span_dedup", spark))
+    assert not rep["cartesian"], rep
+    assert rep["shuffles"] <= 6, rep
