@@ -57,6 +57,8 @@ QUERY_SET = [
     "a4_group_by_multi", "w3_rank_rownum", "o9_explode_unnest",
     "j4_self_join", "d1_exact_dedup_groups", "t1_token_counts",
     "s1_cosine_topk", "x6_sessionization", "x1_asof_join",
+    # r5b bench-set extensions (both oracle-expressible)
+    "x16_bm25_scoring", "x20_corpus_pipeline",
 ]
 
 
