@@ -2858,6 +2858,46 @@ def st6_stream_outer_join(spark, sf):
             .localCheckpoint(eager=True)
 
 
+@qdef("st7_streaming_corpus_dedup",
+      """WITH mx AS (SELECT max(event_id) // 2 AS half FROM events),
+          seen AS (SELECT DISTINCT user_id, event_type, value, props
+                   FROM events, mx WHERE event_id < half)
+         SELECT DISTINCT e.user_id, e.event_type, e.value, e.props
+         FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM seen s
+                           WHERE s.user_id = e.user_id
+                             AND s.event_type = e.event_type
+                             AND s.value = e.value
+                             AND s.props = e.props)""",
+      tags=("streaming", "dedup"))
+def st7_stream_corpus_dedup(spark, sf):
+    """Ingestion-time dedup against a persistent corpus: the replayed
+    stream drops events whose content already exists in the static
+    seen-hash set (the first half of the id space — scale-relative, like
+    a prior snapshot), then dedups within-stream.
+    Anti joins are append-complete, so the batch twin (NOT EXISTS +
+    DISTINCT over the content columns) is a full oracle; only content
+    columns are returned because which physical row survives an
+    intra-batch dup is arrival-order-dependent — the content itself is
+    not. See streaming/events.py::dedup_against_corpus."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        dedup_against_corpus, read_events_stream, run_to_memory_sink)
+
+    ev = t(spark, sf, "events")
+    half = ev.agg(F.max("event_id")).first()[0] // 2
+    cols = ["user_id", "event_type", "value", "props"]
+    seen = (ev.filter(F.col("event_id") < half)
+            .select(F.md5(F.concat_ws("\x1f", *cols)).alias("h"))
+            .distinct())
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st7", copies=1)
+        stream = dedup_against_corpus(read_events_stream(spark, d), seen)
+        out = run_to_memory_sink(stream, f"st7_{_uuid.uuid4().hex[:8]}")
+        return out.select(*cols).localCheckpoint(eager=True)
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -2906,6 +2946,7 @@ _GATE_PRIORITY = [
     "x25_jsonl_roundtrip",
     "s6_quantize_embeddings",
     "d8_cross_doc_span_dedup",
+    "st7_streaming_corpus_dedup",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

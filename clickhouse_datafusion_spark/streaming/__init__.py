@@ -7,6 +7,7 @@ over the ``events`` fixture shape.
 """
 
 from clickhouse_datafusion_spark.streaming.events import (
+    dedup_against_corpus,
     dedup_content_stream,
     dedup_stream,
     read_events_stream,
@@ -19,6 +20,7 @@ from clickhouse_datafusion_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_against_corpus",
     "dedup_content_stream",
     "dedup_stream",
     "read_events_stream",

@@ -186,6 +186,30 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
 
+def dedup_against_corpus(stream: DataFrame, seen_hashes: DataFrame,
+                         hash_cols: list[str] | None = None,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Ingestion-time dedup against a PERSISTENT corpus — the streaming
+    twin of ``dedup.incremental_dedup``: drop arriving events whose
+    content hash already exists in the static seen-set (stream-static
+    LEFT ANTI join, re-planned per micro-batch so a refreshed seen-set
+    takes effect on the next batch), then drop within-stream re-deliveries
+    inside the watermark horizon.
+
+    ``seen_hashes`` is a 1-column relation named ``h`` (persist the hash
+    set once — at 100 TB you never re-hash history per batch; broadcast
+    it while it fits, let the per-batch join shuffle when it doesn't).
+    Anti joins are append-complete, so the batch twin (anti join +
+    distinct) is a full oracle on a bounded replay.
+    """
+    cols = hash_cols or ["user_id", "event_type", "value", "props"]
+    hashed = stream.withColumn("_h", F.md5(F.concat_ws("\x1f", *cols)))
+    fresh = hashed.join(seen_hashes.withColumnRenamed("h", "_h"),
+                        "_h", "left_anti")
+    return (fresh.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_h"]).drop("_h"))
+
+
 def dedup_content_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Content-hash streaming dedup: same mechanism keyed by a hash of the
     payload columns (duplicate *content* under different event ids)."""

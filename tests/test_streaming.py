@@ -243,3 +243,28 @@ def test_stream_stream_outer_join_seal_semantics(spark, tmp_path):
     fresh = {r.event_id for r in unmatched.filter(
         F.col("ts") + F.expr("INTERVAL 30 minutes") > F.lit(wm)).collect()}
     assert fresh and not (fresh & nulls)
+
+
+def test_dedup_against_corpus_matches_batch(spark, tmp_path):
+    """Stream-static anti-join dedup: the replayed stream must emit
+    exactly the batch anti-join's distinct content."""
+    from clickhouse_datafusion_spark.streaming import dedup_against_corpus
+
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "corpus_dedup"
+    d.mkdir()
+    shutil.copy(src, d / "all.parquet")
+    ev = spark.read.parquet(str(d))
+    cols = ["user_id", "event_type", "value", "props"]
+    seen = (ev.filter(F.col("event_id") < 500)
+            .select(F.md5(F.concat_ws("\x1f", *cols)).alias("h")).distinct())
+    out = run_to_memory_sink(
+        dedup_against_corpus(read_events_stream(spark, str(d)), seen),
+        f"cd_{uuid.uuid4().hex[:8]}")
+    got = {tuple(r) for r in out.select(*cols).collect()}
+
+    batch = (ev.withColumn("_h", F.md5(F.concat_ws("\x1f", *cols)))
+             .join(seen.withColumnRenamed("h", "_h"), "_h", "left_anti")
+             .select(*cols).distinct())
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and 0 < len(got) < ev.count()
