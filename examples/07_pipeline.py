@@ -61,3 +61,20 @@ print("== per-label embedding centroids (class prototypes) ==")
 from clickhouse_datafusion_spark.operators.similarity import label_centroids
 
 label_centroids(emb).orderBy("label", "pos").show(5)
+
+print("== cross-document duplicate-span removal (ExactSubstr-style) ==")
+from clickhouse_datafusion_spark.operators.dedup import drop_cross_doc_spans
+
+spans = drop_cross_doc_spans(docs, ngram=8)
+spans.filter(F.col("n_words_after") < F.col("n_words_before")) \
+    .select("doc_id", "n_words_before", "n_words_after").show(5)
+
+print("== one-pass per-column dataset profile ==")
+from clickhouse_datafusion_spark.operators.profile import column_profile
+
+column_profile(docs, ["doc_id", "lang", "source", "n_chars"]).show()
+
+print("== int8 embedding quantization ==")
+from clickhouse_datafusion_spark.operators.similarity import quantize_embeddings
+
+quantize_embeddings(emb).select("vec_id", "scale_micro").show(3)
