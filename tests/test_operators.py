@@ -1113,3 +1113,24 @@ def test_cross_doc_span_dedup_keep_first(spark):
     assert out[3][0] == 8                               # untouched
     assert out[4] == (0, "")                            # fully duplicated doc
     assert out[5] == (2, "tiny doc")                    # sub-ngram doc kept
+
+
+def test_jsonl_permissive_on_malformed_lines(spark, tmp_path):
+    """Schema-pinned JSONL reads must survive malformed lines (null
+    columns, not a crashed shard) and round-trip clean rows exactly."""
+    from clickhouse_datafusion_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA, read_jsonl)
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row", "lang": "en", "source": "s", "n_chars": 8}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "another", "lang": "en", "source": "s", "n_chars": 7}\n'
+        '{"doc_id": "not_a_number", "text": 5}\n')
+    df = read_jsonl(spark, str(p), DOCUMENTS_JSONL_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 4  # no row lost, no exception
+    good = {r.doc_id: r.text for r in rows if r.doc_id is not None}
+    assert good == {1: "good row", 2: "another"}
+    # malformed lines surface as all-null rows -> visible to profiling
+    assert sum(1 for r in rows if r.doc_id is None) == 2
