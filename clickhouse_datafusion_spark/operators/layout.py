@@ -140,3 +140,56 @@ def file_key_ranges(path: str, key_col: str) -> list[tuple]:
             hi = st.max if hi is None else max(hi, st.max)
         out.append((name, lo, hi))
     return out
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append an immutable numbered snapshot of ``df`` under
+    ``path/v=N`` and return N — lightweight corpus versioning so a
+    training run can PIN its exact input ("train on corpus v7") and be
+    re-run byte-identically months later, while refreshes keep landing as
+    new versions. Old snapshots are never mutated; retention is an
+    explicit delete of ``v=K`` directories (parquet is immutable here —
+    this is the poor man's Iceberg/Delta snapshot, no table format
+    dependency).
+
+    Concurrency note: version allocation is read-dir + write-new; two
+    concurrent writers could race to the same N on object stores without
+    atomic rename. Coordinate refreshes through one writer (the normal
+    corpus-pipeline shape) or an external lock.
+    """
+    import os
+    import re
+
+    os.makedirs(path, exist_ok=True)
+    versions = [int(m.group(1)) for d in os.listdir(path)
+                if (m := re.fullmatch(r"v=(\d+)", d))]
+    n = max(versions, default=0) + 1
+    df.write.mode("error").parquet(os.path.join(path, f"v={n}"))
+    return n
+
+
+def list_snapshots(path: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(int(m.group(1)) for d in os.listdir(path)
+                  if (m := re.fullmatch(r"v=(\d+)", d)))
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a pinned snapshot (or the latest when ``version`` is None).
+    Raises if the version does not exist — a pinned training input that
+    silently fell back to 'latest' would be a reproducibility bug."""
+    import os
+
+    versions = list_snapshots(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v={version} not found under {path}; have {versions}")
+    return spark.read.parquet(os.path.join(path, f"v={version}"))

@@ -187,3 +187,23 @@ def test_write_hive_partitioned_prunes_and_compacts(spark, tmp_path):
                  if f.endswith(".parquet")]
         assert 1 <= len(files) <= 3, (d, files)
     assert spark.read.parquet(path3).count() == docs.count()
+
+
+def test_snapshot_versioning_pins_and_appends(spark, tmp_path):
+    from clickhouse_datafusion_spark.operators.layout import (
+        list_snapshots, read_snapshot, write_snapshot)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "corpus")
+    v1 = write_snapshot(docs.limit(100), path)
+    v2 = write_snapshot(docs.limit(250), path)
+    assert (v1, v2) == (1, 2) and list_snapshots(path) == [1, 2]
+    assert read_snapshot(spark, path).count() == 250          # latest
+    assert read_snapshot(spark, path, version=1).count() == 100  # pinned
+    # a refresh cannot clobber history
+    v3 = write_snapshot(docs, path)
+    assert read_snapshot(spark, path, version=1).count() == 100
+    assert read_snapshot(spark, path, version=v3).count() == docs.count()
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="v=9 not found"):
+        read_snapshot(spark, path, version=9)
