@@ -2377,6 +2377,71 @@ def s6_quantize(spark, sf):
     return quantize_embeddings(t(spark, sf, "embeddings"))
 
 
+@qdef("x26_corpus_to_batches",
+      """WITH d0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                            len(string_split(text, ' ')) AS n,
+                            FLOOR(length(regexp_replace(text, '[^a-zA-Z]',
+                                                        '', 'g'))
+                                  * 10000 / length(text) + 0.5) / 10000.0
+                              AS ar
+                     FROM documents),
+          q AS (SELECT * FROM d0 WHERE n >= 30 AND ar >= 0.5),
+          k AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM q),
+          dd AS (SELECT doc_id, ws, n FROM k WHERE rn = 1),
+          c AS (SELECT doc_id, ws, n,
+                       unnest(range(0, greatest(1, (n - 16 + 47) // 48)))
+                         AS chunk_id
+                FROM dd),
+          ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                        CAST(len(list_slice(ws, chunk_id * 48 + 1,
+                                            least(chunk_id * 48 + 64, n)))
+                          AS BIGINT) AS n_tokens,
+                        md5(array_to_string(
+                              list_slice(ws, chunk_id * 48 + 1,
+                                         least(chunk_id * 48 + 64, n)),
+                              ' ')) AS chunk_md5,
+                        doc_id * 100000 + chunk_id AS cid
+                 FROM c),
+          cum AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                                   ORDER BY cid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                  FROM ch)
+         SELECT doc_id, chunk_id, n_tokens, chunk_md5,
+                cb // 256 AS seq_id, cb % 256 AS seq_offset
+         FROM cum""",
+      tags=("pipeline",))
+def x26_corpus_to_batches(spark, sf):
+    """The COMPLETE corpus-to-training-batches path in one hash-verified
+    chain: quality filter → exact dedup → sliding-window chunking →
+    packed position in fixed 256-token training sequences. Every chunk's
+    body (md5), sequence id, and intra-sequence offset must match the
+    SQL oracle exactly — the strongest end-to-end statement the gate
+    makes. Scale shape: two shuffles total (dedup keeper window; the
+    bucket-keyed exchange inside the distributed prefix sum) — chunking
+    and quality are projections."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_exact_dups
+    from clickhouse_datafusion_spark.operators.packing import (
+        chunk_documents, global_prefix_sum)
+    from clickhouse_datafusion_spark.operators.text import quality_cols
+
+    docs = t(spark, sf, "documents")
+    q = docs.select("doc_id", "text", *quality_cols()) \
+        .filter((F.col("n_words") >= 30) & (F.col("alpha_ratio") >= 0.5))
+    deduped = drop_exact_dups(q)
+    chunks = chunk_documents(deduped, chunk_size=64, overlap=16)
+    keyed = chunks.withColumn(
+        "cid", F.col("doc_id") * 100000 + F.col("chunk_id"))
+    cum = global_prefix_sum(keyed, "n_tokens", "cid")
+    return cum.select(
+        "doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_tokens", "chunk_md5",
+        F.expr("_cum_before DIV 256").alias("seq_id"),
+        (F.col("_cum_before") % 256).alias("seq_offset"))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -2947,6 +3012,7 @@ _GATE_PRIORITY = [
     "s6_quantize_embeddings",
     "d8_cross_doc_span_dedup",
     "st7_streaming_corpus_dedup",
+    "x26_corpus_to_batches",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",
