@@ -442,6 +442,38 @@ def importance_weights(corpus_df: DataFrame, target_df: DataFrame,
                     .alias("weight_ppm")))
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    min_count: int = 1) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the inner
+    statistic of BPE tokenizer training (each merge step picks the most
+    frequent pair; this computes the full pair table for one iteration,
+    seeded at the character level).
+
+    Returns (a, b, cnt) for every adjacent character pair inside words
+    (BPE's word-boundary convention: pairs never span whitespace), with
+    word frequency weighting exactly as training uses it.
+
+    Scale shape: word→pair expansion is a projection (explode of ~L
+    pairs per word); ONE pair-keyed aggregate with map-side combine
+    produces the table, whose size is bounded by |alphabet|² per
+    iteration — tiny however large the corpus. Iterating merges would
+    re-run this over a progressively merged symbol column (driver loop,
+    one aggregate per merge — the standard distributed BPE shape).
+    """
+    w = df.select(F.explode(words(text_col)).alias("w")) \
+        .filter(F.length("w") >= 2)  # 1-char words carry no pairs
+    chars = F.split(F.col("w"), "")
+    pairs = w.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.struct(
+            F.element_at(chars, i).alias("a"),
+            F.element_at(chars, i + 1).alias("b")))).alias("p")) \
+        .select("p.a", "p.b")
+    return (pairs.groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") >= min_count))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: tokens + quality + language + fingerprint +
     repetition signals — a single shuffle-free projection."""

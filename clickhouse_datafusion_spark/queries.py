@@ -2070,6 +2070,25 @@ def d8_cross_doc(spark, sf):
                       F.md5("text").alias("text_md5"))
 
 
+@qdef("t9_bpe_pair_counts",
+      """SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT w[i] AS a, w[i + 1] AS b
+               FROM (SELECT string_split(wd, '') AS w,
+                            unnest(range(1, len(wd))) AS i
+                     FROM (SELECT unnest(string_split(text, ' ')) AS wd
+                           FROM documents)
+                     WHERE len(wd) >= 2))
+         GROUP BY a, b HAVING count(*) >= 5""",
+      tags=("pipeline", "text"))
+def t9_bpe_pairs(spark, sf):
+    """BPE tokenizer-training pair statistics: adjacent character-pair
+    frequencies within words (word-boundary convention) — see
+    operators/text.py::bpe_pair_counts."""
+    from clickhouse_datafusion_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf, "documents"), min_count=5)
+
+
 @qdef("x16_bm25_scoring",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),
@@ -3013,6 +3032,7 @@ _GATE_PRIORITY = [
     "d8_cross_doc_span_dedup",
     "st7_streaming_corpus_dedup",
     "x26_corpus_to_batches",
+    "t9_bpe_pair_counts",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",
