@@ -485,3 +485,83 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_col(text_col),
         *repetition_cols(text_col),
     )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
+              min_pair_count: int = 2) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): run
+    ``n_merges`` merge iterations over the corpus and return
+    ``(merges, word_table)`` — the learned merge list in order, and the
+    final (word, count, symbols) table.
+
+    Standard BPE structure, Spark-shaped:
+
+    - Training operates on the DISTINCT-WORD frequency table, not the
+      corpus: one initial word-keyed aggregate collapses 100 TB of text
+      to ~10⁷–10⁸ (word, count) rows, and every iteration after that
+      touches only this small table.
+    - Each iteration: pair counts = one pair-keyed aggregate weighted by
+      word count (map-side combined, |alphabet|²-bounded); the argmax
+      pair (deterministic tie-break: count desc, pair lexicographic) is
+      a 1-row collect; the merge rewrite is an Arrow-batched scan-merge
+      kernel over the symbols arrays.
+    - ``localCheckpoint`` per iteration truncates the growing lineage —
+      same discipline as the connected-components loop.
+
+    Stops early when no pair reaches ``min_pair_count``. Iterative and
+    driver-coordinated, so (like KMeans/IVF) it is pytest-verified
+    against the reference algorithm rather than SQL-oracled.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    wt = (df.select(F.explode(words(text_col)).alias("w"))
+          .filter(F.length("w") >= 1)
+          .groupBy("w").agg(F.count("*").alias("cnt"))
+          .withColumn("syms", F.split(F.col("w"), ""))
+          .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    out_schema = T.StructType([
+        T.StructField("w", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("syms", T.ArrayType(T.StringType())),
+    ])
+    for _ in range(n_merges):
+        pair_counts = (wt.filter(F.size("syms") >= 2)  # fully-merged words carry no pairs
+            .select("cnt", F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b")))).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")))
+        top = (pair_counts.orderBy(F.desc("n"), "a", "b").limit(1)
+               .collect())
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        def rewrite(batches, _a=a, _b=b, _m=merged):
+            for pdf in batches:
+                def merge_one(syms):
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _a and syms[i + 1] == _b:
+                            out.append(_m)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+                pdf = pdf.copy()
+                pdf["syms"] = pdf["syms"].map(
+                    lambda s: merge_one(list(s)))
+                yield pdf
+
+        wt = (wt.filter(F.size("syms") >= 2).mapInPandas(rewrite, out_schema)
+              .unionAll(wt.filter(F.size("syms") < 2))
+              .localCheckpoint(eager=True))
+    return merges, wt

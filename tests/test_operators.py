@@ -1134,3 +1134,50 @@ def test_jsonl_permissive_on_malformed_lines(spark, tmp_path):
     assert good == {1: "good row", 2: "another"}
     # malformed lines surface as all-null rows -> visible to profiling
     assert sum(1 for r in rows if r.doc_id is None) == 2
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE must learn the same merge sequence as the textbook
+    serial algorithm (Sennrich et al. example-style corpus)."""
+    corpus = "low low low low low lower lower newest newest newest " \
+             "newest newest newest widest widest widest"
+    df = spark.createDataFrame([(1, corpus)], "doc_id bigint, text string")
+    from clickhouse_datafusion_spark.operators.text import bpe_train
+
+    merges, wt = bpe_train(df, n_merges=6)
+
+    # serial reference implementation on the same word-frequency table
+    from collections import Counter
+    wordfreq = Counter(corpus.split())
+    words_syms = {w: list(w) for w in wordfreq}
+    ref_merges = []
+    for _ in range(6):
+        pc = Counter()
+        for w, c in wordfreq.items():
+            s = words_syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # deterministic tie-break: count desc, then lexicographic pair asc
+        top_n = max(pc.values())
+        cands = sorted(k for k, v in pc.items() if v == top_n)
+        best = cands[0]
+        if pc[best] < 2:
+            break
+        ref_merges.append(best)
+        a, b = best
+        for w in words_syms:
+            s, out, i = words_syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words_syms[w] = out
+    assert merges == ref_merges, (merges, ref_merges)
+    # final symbol tables agree too
+    got = {r.w: list(r.syms) for r in wt.collect()}
+    assert got == words_syms
