@@ -561,7 +561,71 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
                     lambda s: merge_one(list(s)))
                 yield pdf
 
+        # coalesce before checkpointing: the unionAll of the two halves
+        # doubles the partition count every iteration otherwise (256 tasks
+        # by merge 7 on a 31-word table)
+        n_part = max(2, spark.sparkContext.defaultParallelism)
         wt = (wt.filter(F.size("syms") >= 2).mapInPandas(rewrite, out_schema)
               .unionAll(wt.filter(F.size("syms") < 2))
+              .coalesce(n_part)
               .localCheckpoint(eager=True))
     return merges, wt
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a trained BPE merge list: per word, repeatedly merge
+    the adjacent pair with the LOWEST merge rank until none applies (the
+    standard BPE encode algorithm, matching :func:`bpe_train`'s
+    semantics — encoding the training corpus reproduces training's final
+    symbol table, property-tested).
+
+    Returns (id, tokens: array<string>, n_bpe_tokens). The merge table is
+    a driver-side dict closed over by an Arrow-batched kernel —
+    broadcast-by-closure, fine for the ≤100k merges of real tokenizers.
+    Shuffle-free projection; at scale this is the hot path, so the kernel
+    keeps a per-batch word cache (corpus words repeat heavily — the cache
+    hit rate IS the Zipf curve).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[w] = syms
+        return syms
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("n_bpe_tokens", T.LongType()),
+    ])
+
+    def op(batches, _id=id_col, _t=text_col):
+        cache: dict = {}
+        for pdf in batches:
+            toks = [
+                [t for w in (txt.split(" ") if txt else [])
+                 for t in encode_word(w, cache)]
+                for txt in pdf[_t]]
+            yield pd.DataFrame({
+                _id: pdf[_id],
+                "tokens": toks,
+                "n_bpe_tokens": [len(t) for t in toks]})
+
+    return df.select(id_col, text_col).mapInPandas(op, out_schema)

@@ -1181,3 +1181,27 @@ def test_bpe_train_matches_reference(spark):
     # final symbol tables agree too
     got = {r.w: list(r.syms) for r in wt.collect()}
     assert got == words_syms
+
+
+def test_bpe_encode_reproduces_training_table(spark):
+    """Encoding the training corpus with the learned merges must yield
+    exactly the symbol sequences training ended with — the train/encode
+    consistency property of BPE."""
+    from clickhouse_datafusion_spark.operators.text import bpe_encode, bpe_train
+
+    corpus = "low low low low low lower lower newest newest newest " \
+             "newest newest newest widest widest widest"
+    df = spark.createDataFrame([(1, corpus)], "doc_id bigint, text string")
+    merges, wt = bpe_train(df, n_merges=6)
+    trained = {r.w: list(r.syms) for r in wt.collect()}
+
+    enc = bpe_encode(df, merges).first()
+    # re-segment the flat token stream back into words and compare
+    stream = list(enc.tokens)
+    for w in corpus.split(" "):
+        want = trained[w]
+        got, stream = stream[:len(want)], stream[len(want):]
+        assert got == want, (w, got, want)
+    assert not stream
+    assert enc.n_bpe_tokens == sum(
+        len(trained[w]) for w in corpus.split(" "))
