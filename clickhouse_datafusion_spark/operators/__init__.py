@@ -13,6 +13,7 @@ from clickhouse_datafusion_spark.operators import (  # noqa: F401
     profile,
     sampling,
     similarity,
+    sketch,
     skew,
     text,
 )

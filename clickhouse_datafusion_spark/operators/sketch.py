@@ -1,0 +1,204 @@
+"""Distributed probabilistic-membership and frequency sketches.
+
+Two sketches a 100 TB ingestion pipeline leans on constantly:
+
+- **Bloom filter** — the membership pre-filter in front of exact
+  incremental dedup (`operators/dedup.py::incremental_dedup`). A
+  billion-key seen-set at 10 bits/key is a ~1.2 GB bitmap: broadcastable
+  at the high end, else a word-indexed join. The contract that makes the
+  composition safe is *no false negatives*: any key the filter reports
+  absent is definitely new and skips the expensive exact anti-join; only
+  the (tunably small) maybe-present fraction pays the full check.
+- **Count-min sketch** — sublinear frequency estimation (Cormode &
+  Muthukrishnan 2005). The exact token-frequency table over a trillion
+  tokens is itself web-scale; the CMS is a fixed ``depth × width``
+  integer grid built with ONE map-side-combined aggregate whose output
+  size is independent of corpus size. Estimates only ever overestimate
+  (``est >= exact``), which is the right direction for stop-shingle /
+  hot-key guards (`dedup.ngram_jaccard_pairs`'s ``max_shingle_freq``,
+  `drop_cross_doc_spans`' skew cap).
+
+Both use an md5-derived 60-bit hash family (the same family the d3/d4
+correctness gates pin, dedup.py:129-143): every position and counter is
+deterministic integer arithmetic both Spark and DuckDB reproduce
+bit-for-bit, so the driver gate compares full sketch semantics — not
+just row counts — against an independent SQL oracle.
+
+Scale shape:
+
+- build = projection (k positions / depth rows per key) + ONE aggregate
+  keyed by (word) / (row, col) — uniformly distributed by construction,
+  map-side combine caps the shuffle at the sketch size per mapper;
+- probe = broadcast join against the sketch (bits are the small side by
+  design); the only per-key work is k integer hashes.
+
+No per-row Python anywhere; everything is codegen-friendly column
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col):
+    """Non-negative 60-bit integer hash (first 15 hex chars of md5).
+
+    Matches DuckDB's ``('0x' || substring(md5(x), 1, 15))::BIGINT`` —
+    the oracle-expressible family shared with the MinHash/SimHash gates.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _positions(key_col, n_hashes: int, n_bits: int):
+    """array<bigint> of ``n_hashes`` bit positions in [0, n_bits) for a
+    string key. Hash i salts the key with ``i:`` — independent-enough
+    functions from one base hash, and trivially portable SQL."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(
+            _h60(F.concat(i.cast("string"), F.lit(":"), key_col)),
+            F.lit(n_bits)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_build(df: DataFrame, key_col: str = "h",
+                n_bits: int = 1 << 20, n_hashes: int = 7) -> DataFrame:
+    """Build a Bloom filter over a string key column.
+
+    Returns the sparse word table (word: bigint, bits: bigint) — word w
+    holds bits [63w, 63w+62] of the filter (63-bit blocks: the top bit
+    of a signed 64-bit word is never used, so ``1 << bit`` stays
+    positive in every engine — DuckDB raises on a shift into the sign
+    bit); absent words are all-zero.
+    ``n_bits/n_hashes`` follow the standard fp-rate calculus
+    (k = m/n · ln 2; fp ≈ (1 − e^{−kn/m})^k).
+
+    One shuffle, keyed by the word index (≤ n_bits/63 distinct keys,
+    uniform); only (word, 64-bit block) pairs move, never keys.
+    """
+    pos = df.select(
+        F.explode(_positions(F.col(key_col), n_hashes, n_bits)).alias("p"))
+    return (pos.select(F.floor(F.col("p") / 63).alias("word"),
+                       F.pmod(F.col("p"), 63).cast("int").alias("bit"))
+            .select("word",
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("bv"))
+            .groupBy("word").agg(F.bit_or("bv").alias("bits")))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "h",
+                id_col: str = "doc_id", n_bits: int = 1 << 20,
+                n_hashes: int = 7,
+                out_col: str = "might_contain") -> DataFrame:
+    """(id, might_contain) for every row of ``df``.
+
+    ``might_contain = 0`` is definitive (no false negatives);
+    ``1`` means present-or-false-positive. The bloom side is broadcast —
+    it is ≤ n_bits/63 rows by construction.
+
+    Duplicate positions within one key's ``n_hashes`` probes are
+    deduplicated (``array_distinct``) so the hit count is compared
+    against the number of *distinct* bits the key needs set.
+
+    Single pass — expand positions, LEFT-join the (broadcast) word
+    table, aggregate conditional hits per key. No join-back of two
+    branches derived from the same parent (that shape trips Catalyst's
+    self-join attribute dedup), and every key keeps ≥1 expanded row so
+    none are lost by the aggregate.
+    """
+    expanded = (df.select(
+        F.col(id_col),
+        F.array_distinct(
+            _positions(F.col(key_col), n_hashes, n_bits)).alias("pd"))
+        .select(id_col, F.size("pd").alias("n"), F.explode("pd").alias("p"))
+        .select(id_col, "n",
+                F.floor(F.col("p") / 63).alias("word"),
+                F.pmod(F.col("p"), 63).cast("int").alias("bit")))
+    marked = expanded.join(F.broadcast(bloom), "word", "left").select(
+        id_col, "n",
+        F.when(F.expr("coalesce((bits & shiftleft(CAST(1 AS BIGINT), bit))"
+                      " != 0, false)"), F.lit(1)).otherwise(F.lit(0))
+        .alias("hit"))
+    return (marked.groupBy(id_col, "n")
+            .agg(F.sum("hit").alias("hits"))
+            .select(id_col,
+                    F.when(F.col("hits") == F.col("n"), F.lit(1))
+                    .otherwise(F.lit(0)).cast("int").alias(out_col)))
+
+
+def bloom_prefilter(new_df: DataFrame, bloom: DataFrame,
+                    key_col: str = "h", id_col: str = "doc_id",
+                    n_bits: int = 1 << 20, n_hashes: int = 7
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Split a new batch into (definitely_new, needs_exact_check) using a
+    seen-set Bloom filter — the membership pre-filter that makes
+    :func:`~clickhouse_datafusion_spark.operators.dedup.incremental_dedup`
+    cheap when the seen side is billions of hashes: only the maybe-seen
+    fraction (true dups + fp_rate of the rest) reaches the exact
+    anti-join; everything else never shuffles against the seen relation.
+
+    No-false-negatives makes the split lossless: definitely_new rows are
+    provably absent from the seen set.
+    """
+    flagged = bloom_probe(new_df, bloom, key_col, id_col,
+                          n_bits, n_hashes)
+    joined = new_df.join(flagged, id_col)
+    definitely_new = joined.filter(F.col("might_contain") == 0) \
+        .drop("might_contain")
+    needs_check = joined.filter(F.col("might_contain") == 1) \
+        .drop("might_contain")
+    return definitely_new, needs_check
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def cms_build(df: DataFrame, token_col: str = "tok", depth: int = 4,
+              width: int = 1 << 14) -> DataFrame:
+    """Count-min sketch over a token column: (r, c, cnt) with
+    r ∈ [0, depth), c = H_r(token) mod width.
+
+    ONE aggregate keyed by (r, c) — at most depth×width distinct keys, so
+    map-side combine bounds every mapper's output at the sketch size and
+    the final result is constant-size regardless of corpus size. This is
+    the point: the exact frequency table over 10¹² tokens is itself huge;
+    the sketch never is.
+    """
+    expanded = df.select(
+        F.col(token_col).alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
+    return (expanded.select(
+        "r",
+        F.pmod(_h60(F.concat(F.col("r").cast("string"), F.lit(":"),
+                             F.col("tok"))),
+               F.lit(width)).alias("c"))
+        .groupBy("r", "c").agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def cms_estimate(tokens: DataFrame, sketch: DataFrame,
+                 token_col: str = "tok", depth: int = 4,
+                 width: int = 1 << 14) -> DataFrame:
+    """(token, est_count) for each distinct probe token: min over the
+    depth rows of the addressed counters (absent counter = 0).
+
+    Classic CMS guarantee: est ≥ exact always; est ≤ exact + εN with
+    probability 1−δ for width = e/ε, depth = ln 1/δ. The sketch is
+    broadcast (constant-size by construction).
+    """
+    probe = tokens.select(F.col(token_col).alias("tok")).distinct()
+    expanded = probe.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
+    addressed = expanded.select(
+        "tok", "r",
+        F.pmod(_h60(F.concat(F.col("r").cast("string"), F.lit(":"),
+                             F.col("tok"))),
+               F.lit(width)).alias("c"))
+    return (addressed.join(F.broadcast(sketch), ["r", "c"], "left")
+            .groupBy("tok")
+            .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                 .cast("bigint").alias("est_count")))

@@ -2461,6 +2461,107 @@ def x26_corpus_to_batches(spark, sf):
         (F.col("_cum_before") % 256).alias("seq_offset"))
 
 
+@qdef("x27_bloom_prefilter",
+      """WITH seen AS (SELECT md5(text) AS h FROM documents
+                       WHERE doc_id < 250),
+          bpos AS (SELECT unnest(list_transform(range(0, 7),
+                     i -> (('0x' || substring(md5(CAST(i AS VARCHAR)
+                                                  || ':' || h), 1, 15))
+                           ::BIGINT) % 1048576)) AS p
+                   FROM seen),
+          words AS (SELECT p // 63 AS word,
+                           bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+                    FROM bpos GROUP BY 1),
+          probe AS (SELECT doc_id, md5(text) AS h FROM documents
+                    WHERE doc_id >= 250),
+          ppos AS (SELECT doc_id,
+                          list_distinct(list_transform(range(0, 7),
+                            i -> (('0x' || substring(md5(CAST(i AS VARCHAR)
+                                                         || ':' || h), 1, 15))
+                                  ::BIGINT) % 1048576)) AS pd
+                   FROM probe),
+          e AS (SELECT doc_id, len(pd) AS n, unnest(pd) AS p FROM ppos),
+          hit AS (SELECT doc_id, n, count(*) AS hits
+                  FROM e JOIN words ON e.p // 63 = words.word
+                  WHERE (bits & (1::BIGINT << CAST(p % 63 AS INT))) <> 0
+                  GROUP BY doc_id, n)
+         SELECT p.doc_id,
+                CAST(CASE WHEN COALESCE(hits, 0) = len(pd)
+                     THEN 1 ELSE 0 END AS INT) AS might_contain
+         FROM ppos p LEFT JOIN hit USING (doc_id)""",
+      tags=("pipeline", "dedup"))
+def x27_bloom(spark, sf):
+    """Bloom-filter membership pre-filter for incremental dedup: build the
+    filter over the prior corpus's content hashes (ids < 250), probe the
+    new crawl (ids >= 250). might_contain=0 is definitive (no false
+    negatives) — those rows skip the exact anti-join entirely at 100 TB.
+    Full sketch semantics (bit positions, word blocks, k-of-k test) are
+    hash-compared against the oracle — see operators/sketch.py."""
+    from clickhouse_datafusion_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+
+    docs = t(spark, sf, "documents")
+    seen = docs.filter(F.col("doc_id") < 250) \
+        .select(F.md5("text").alias("h"))
+    probe = docs.filter(F.col("doc_id") >= 250) \
+        .select("doc_id", F.md5("text").alias("h"))
+    bloom = bloom_build(seen, "h", n_bits=1 << 20, n_hashes=7)
+    return bloom_probe(probe, bloom, "h", "doc_id",
+                       n_bits=1 << 20, n_hashes=7)
+
+
+@qdef("x28_count_min_sketch",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+          sk AS (SELECT r, (('0x' || substring(md5(CAST(r AS VARCHAR)
+                                                   || ':' || tok), 1, 15))
+                            ::BIGINT) % 4096 AS c,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT tok, unnest(range(0, 4)) AS r FROM tok)
+                 GROUP BY 1, 2),
+          probe AS (SELECT unnest(['hash', 'join', 'vector', 'stream',
+                                   'the', 'data', 'quantum', 'zebra'])
+                      AS tok),
+          pe AS (SELECT tok, r,
+                        (('0x' || substring(md5(CAST(r AS VARCHAR)
+                                                || ':' || tok), 1, 15))
+                         ::BIGINT) % 4096 AS c
+                 FROM (SELECT tok, unnest(range(0, 4)) AS r FROM probe)),
+          est AS (SELECT tok, CAST(min(COALESCE(cnt, 0)) AS BIGINT)
+                         AS est_count
+                  FROM pe LEFT JOIN sk USING (r, c) GROUP BY tok),
+          ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+                 FROM tok GROUP BY tok)
+         SELECT est.tok, est.est_count,
+                CAST(COALESCE(ex.exact_count, 0) AS BIGINT) AS exact_count
+         FROM est LEFT JOIN ex USING (tok)""",
+      tags=("pipeline", "text"))
+def x28_cms(spark, sf):
+    """Count-min sketch token frequencies vs exact counts for an 8-token
+    probe set (incl. an absent token). The 4×4096 sketch is deliberately
+    small enough to collide at gate scale, so the oracle verifies real
+    CMS semantics (est ≥ exact, min-over-rows) — not a degenerate exact
+    table. See operators/sketch.py::cms_build for the constant-size
+    aggregate argument."""
+    from clickhouse_datafusion_spark.operators.sketch import (
+        cms_build, cms_estimate)
+
+    toks = t(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    sketch = cms_build(toks, "tok", depth=4, width=4096)
+    probe = spark.range(1).select(F.explode(F.array(
+        *[F.lit(w) for w in ("hash", "join", "vector", "stream",
+                             "the", "data", "quantum", "zebra")]))
+        .alias("tok"))
+    est = cms_estimate(probe, sketch, "tok", depth=4, width=4096)
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("exact_count"))
+    return (est.join(exact, "tok", "left")
+            .select("tok", "est_count",
+                    F.coalesce("exact_count", F.lit(0))
+                    .cast("bigint").alias("exact_count")))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3033,6 +3134,9 @@ _GATE_PRIORITY = [
     "st7_streaming_corpus_dedup",
     "x26_corpus_to_batches",
     "t9_bpe_pair_counts",
+    # new in r5c (need first gate rows)
+    "x27_bloom_prefilter",
+    "x28_count_min_sketch",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1205,3 +1205,97 @@ def test_bpe_encode_reproduces_training_table(spark):
     assert not stream
     assert enc.n_bpe_tokens == sum(
         len(trained[w]) for w in corpus.split(" "))
+
+
+# -- sketches (bloom / count-min) ------------------------------------------
+
+def test_bloom_no_false_negatives(spark, docs):
+    """Every key that went INTO the filter must probe might_contain=1 —
+    the contract that makes bloom_prefilter lossless."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+
+    seen = docs.filter(F.col("doc_id") < 100).select(
+        F.md5("text").alias("h"), "doc_id")
+    bloom = bloom_build(seen, "h", n_bits=1 << 16, n_hashes=5)
+    flagged = bloom_probe(seen, bloom, "h", "doc_id",
+                          n_bits=1 << 16, n_hashes=5)
+    assert flagged.filter(F.col("might_contain") == 0).count() == 0
+
+
+def test_bloom_small_filter_produces_false_positives_only(spark, docs):
+    """A deliberately saturated filter (tiny m) flags extra keys but
+    still never misses a member — false positives are the only failure
+    mode a Bloom filter is allowed."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+
+    seen = docs.filter(F.col("doc_id") < 200).select(
+        F.md5("text").alias("h"))
+    probe = docs.select("doc_id", F.md5("text").alias("h"),
+                        (F.col("doc_id") < 200).alias("is_member"))
+    # 512 bits for 200 keys * 5 hashes => heavily saturated
+    bloom = bloom_build(seen, "h", n_bits=512, n_hashes=5)
+    flagged = probe.join(
+        bloom_probe(probe, bloom, "h", "doc_id", n_bits=512, n_hashes=5),
+        "doc_id")
+    missed = flagged.filter(F.col("is_member")
+                            & (F.col("might_contain") == 0)).count()
+    fps = flagged.filter(~F.col("is_member")
+                         & (F.col("might_contain") == 1)).count()
+    assert missed == 0
+    assert fps > 0  # saturation must show up as false positives
+
+
+def test_bloom_prefilter_composes_with_exact_dedup(spark, docs):
+    """bloom_prefilter + exact anti-join on the maybe-set must equal the
+    plain exact anti-join (the filter only routes, never decides)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        bloom_build, bloom_prefilter)
+
+    seen = docs.filter(F.col("doc_id") < 150)
+    seen_h = seen.select(F.md5("text").alias("h"))
+    new = docs.filter(F.col("doc_id") >= 150) \
+        .withColumn("h", F.md5("text"))
+    bloom = bloom_build(seen_h, "h", n_bits=1 << 14, n_hashes=5)
+    definitely_new, needs_check = bloom_prefilter(
+        new, bloom, "h", "doc_id", n_bits=1 << 14, n_hashes=5)
+    checked = needs_check.join(seen_h.distinct(), "h", "left_anti")
+    via_bloom = sorted(
+        r.doc_id
+        for r in definitely_new.select("doc_id").collect()
+        + checked.select("doc_id").collect())
+    direct = sorted(
+        r.doc_id for r in
+        new.join(seen_h.distinct(), "h", "left_anti")
+        .select("doc_id").collect())
+    assert via_bloom == direct
+
+
+def test_cms_overestimates_never_underestimates(spark, docs):
+    """est >= exact for every token, with equality for most when the
+    sketch is wide; a too-narrow sketch must show real overestimates."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        cms_build, cms_estimate)
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact"))
+    probe = exact.orderBy(F.desc("exact"), "tok").limit(30).select("tok")
+
+    for width, expect_collisions in ((1 << 14, False), (64, True)):
+        sketch = cms_build(toks, "tok", depth=3, width=width)
+        est = cms_estimate(probe, sketch, "tok", depth=3, width=width)
+        j = est.join(exact, "tok").select("tok", "est_count", "exact")
+        rows = j.collect()
+        assert all(r.est_count >= r.exact for r in rows), (width, rows)
+        over = sum(1 for r in rows if r.est_count > r.exact)
+        if expect_collisions:
+            assert over > 0  # 64 counters for a whole vocab must collide
