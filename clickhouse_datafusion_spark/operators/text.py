@@ -309,6 +309,46 @@ def normalize_text_col(text_col: str | Column = "text") -> Column:
     return F.trim(collapsed)
 
 
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_col(url_col: str | Column = "url") -> Column:
+    """Canonical URL — the key for URL-level crawl dedup (the cheapest
+    dedup pass: drop re-crawls of the same page before touching content).
+    Two URLs that differ only in case of scheme/host, fragment, default
+    port, duplicate/trailing path slashes, tracking parameters
+    (utm_*/fbclid/gclid/msclkid/ref), or query-parameter order map to one
+    canonical string.
+
+    Pure regexp/array codegen — shuffle-free projection at any scale.
+    Patterns stay inside the Java-regex ∩ RE2 common subset (explicit
+    classes, no lookaround) so the DuckDB oracle is byte-identical.
+    Userinfo (user:pass@) and IDN/punycode normalization are out of
+    scope — flag, don't guess, at the ingest boundary.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(F.trim(u), "#.*", "")          # strip fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")         # collapse // runs
+    path = F.regexp_replace(path, "/+$", "")            # strip trailing /
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, "\\?(.*)", 1)
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                           params)))
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 text_col: str = "text", id_col: str = "doc_id",
                 ln_idf: bool = False) -> DataFrame:

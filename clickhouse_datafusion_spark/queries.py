@@ -2562,6 +2562,87 @@ def x28_cms(spark, sf):
                     .cast("bigint").alias("exact_count")))
 
 
+@qdef("t10_url_canonicalize",
+      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443//Docs/'
+                        || CAST(doc_id % 25 AS VARCHAR)
+                        || '/?utm_source=feed&b=2&a=1#top'
+            WHEN 1 THEN 'https://www.' || source || '.example.com/Docs/'
+                        || CAST(doc_id % 25 AS VARCHAR)
+                        || '?a=1&b=2&fbclid=xyz'
+            WHEN 2 THEN 'http://' || source || '.EXAMPLE.com:80/d/'
+                        || CAST(doc_id % 25 AS VARCHAR) || '/'
+            ELSE 'ftp://Files.' || source || '.example.com:2121/d//'
+                 || CAST(doc_id % 25 AS VARCHAR) END AS url
+                   FROM documents),
+          p AS (SELECT doc_id,
+                       regexp_replace(trim(url), '#.*', '') AS s1
+                FROM u),
+          q AS (SELECT doc_id,
+                       lower(regexp_extract(s1,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(s1,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM p),
+          r AS (SELECT doc_id, scheme,
+                       lower(regexp_extract(rest, '^([^/?]*)', 1)) AS host0,
+                       regexp_replace(regexp_replace(
+                         regexp_extract(rest, '^[^/?]*([^?]*)', 1),
+                         '/{2,}', '/', 'g'), '/+$', '') AS path0,
+                       regexp_extract(rest, '\\?(.*)', 1) AS query
+                FROM q),
+          pr AS (SELECT doc_id, scheme, host0, path0,
+                        COALESCE(array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          pp -> pp <> '' AND NOT regexp_matches(pp,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+                          '&'), '') AS params
+                 FROM r),
+          c AS (SELECT doc_id, scheme ||  '://' ||
+                       (CASE WHEN scheme = 'http'
+                             THEN regexp_replace(host0, ':80$', '')
+                             WHEN scheme = 'https'
+                             THEN regexp_replace(host0, ':443$', '')
+                             ELSE host0 END) ||
+                       (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+                       (CASE WHEN params = '' THEN ''
+                             ELSE '?' || params END) AS canon_url
+                FROM pr)
+         SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM c GROUP BY canon_url""",
+      tags=("pipeline", "text"))
+def t10_url(spark, sf):
+    """URL-level crawl dedup: canonicalize synthetic URLs (4 shapes per
+    doc — mixed-case scheme/host, default ports, duplicate/trailing
+    slashes, fragments, tracking params, unordered query params) and
+    group re-crawls by canonical form. The full canonical string is
+    hash-compared, so every normalization rule is oracle-verified — see
+    operators/text.py::canonical_url_col."""
+    from clickhouse_datafusion_spark.operators.text import canonical_url_col
+
+    docs = t(spark, sf, "documents")
+    pid = (F.col("doc_id") % 25).cast("string")
+    m = F.col("doc_id") % 4
+    url = (F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:443//Docs/"), pid,
+            F.lit("/?utm_source=feed&b=2&a=1#top")))
+           .when(m == 1, F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/Docs/"), pid, F.lit("?a=1&b=2&fbclid=xyz")))
+           .when(m == 2, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".EXAMPLE.com:80/d/"),
+            pid, F.lit("/")))
+           .otherwise(F.concat(
+            F.lit("ftp://Files."), F.col("source"),
+            F.lit(".example.com:2121/d//"), pid)))
+    return (docs.select("doc_id", canonical_url_col(url).alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.min("doc_id").cast("bigint").alias("first_doc")))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3137,6 +3218,7 @@ _GATE_PRIORITY = [
     # new in r5c (need first gate rows)
     "x27_bloom_prefilter",
     "x28_count_min_sketch",
+    "t10_url_canonicalize",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

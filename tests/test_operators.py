@@ -1299,3 +1299,28 @@ def test_cms_overestimates_never_underestimates(spark, docs):
         over = sum(1 for r in rows if r.est_count > r.exact)
         if expect_collisions:
             assert over > 0  # 64 counters for a whole vocab must collide
+
+
+def test_canonical_url_edge_cases(spark):
+    """Hand-written canonicalization cases covering every rule."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.text import canonical_url_col
+
+    cases = [
+        # (raw, expected)
+        ("HTTP://Example.COM:80", "http://example.com/"),
+        ("https://a.b:443//x//y/?z=1#frag", "https://a.b/x/y?z=1"),
+        ("https://a.b/?utm_source=x&utm_medium=y", "https://a.b/"),
+        ("https://a.b/p?b=2&a=1", "https://a.b/p?a=1&b=2"),
+        ("https://a.b/p/", "https://a.b/p"),
+        ("ftp://H.I:2121/q", "ftp://h.i:2121/q"),       # non-default port kept
+        ("https://a.b:8443/q", "https://a.b:8443/q"),   # non-default port kept
+        ("  https://a.b/p  ", "https://a.b/p"),          # trimmed
+        ("https://a.b/p?ref=nav&keep=1", "https://a.b/p?keep=1"),
+        ("https://a.b/Case/Sensitive", "https://a.b/Case/Sensitive"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(canonical_url_col("url").alias("c")).collect()]
+    assert got == [e for _, e in cases]
