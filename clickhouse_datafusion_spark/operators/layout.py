@@ -115,6 +115,72 @@ def write_hive_partitioned(df: DataFrame, path: str,
     (out.write.mode(mode).partitionBy(*partition_cols).parquet(path))
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Z-value (Morton code) interleaving the low ``bits`` bits of each
+    input column — inputs must already be non-negative ints < 2**bits
+    (see :func:`write_zordered` for the normalization pass).
+
+    Bit positions are Python-side constants, so this expands to a flat
+    codegen-friendly expression (same pattern as SimHash's bit votes);
+    total output width bits × len(cols) must stay < 63.
+    """
+    if bits * len(cols) > 62:
+        raise ValueError(f"z-value would need {bits * len(cols)} bits; "
+                         "reduce bits or columns (max 62)")
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            cc = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+            bit = F.shiftright(cc, b).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (b * n + i)).cast("bigint")
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, key_cols: list[str],
+                   bits: int = 16, n_files: int | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write parquet Z-order-clustered on ``key_cols`` — the multi-column
+    generalization of :func:`write_range_sorted`. Range-sorting on (a, b)
+    prunes perfectly on ``a`` but barely on ``b``; Z-ordering interleaves
+    the key bits so every file covers a small HYPER-RECTANGLE of the key
+    space and filters on ANY subset of the keys skip most files via
+    footer stats (the same clustering Delta's OPTIMIZE ZORDER BY
+    performs).
+
+    Normalization: each key is min-max scaled to [0, 2**bits) with one
+    tiny global aggregate (a scalar per column, broadcast back into the
+    projection — not a per-row window, so no extra shuffle over the
+    data). Min-max scaling keeps the map order-preserving per column;
+    heavily skewed keys flatten toward one corner — pre-apply a
+    rank/ntile pass for those (documented trade: that IS a shuffle).
+
+    The z-value is a transient sort expression — repartitionByRange +
+    sortWithinPartitions take the expression directly, so the output
+    schema is untouched.
+    """
+    if len(key_cols) < 2:
+        raise ValueError("z-ordering needs >= 2 key columns; use "
+                         "write_range_sorted for one")
+    aggs = []
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    stats = df.agg(*aggs).first()
+    scale = (1 << bits) - 1
+    norm_cols = []
+    for c in key_cols:
+        lo = stats[f"_lo_{c}"]
+        hi = stats[f"_hi_{c}"]
+        span = (hi - lo) or 1
+        norm_cols.append(
+            F.floor((F.col(c) - F.lit(lo)).cast("double")
+                    * scale / F.lit(float(span))).cast("bigint"))
+    z = zorder_key(norm_cols, bits)
+    out = (df.repartitionByRange(n_files, z) if n_files
+           else df.repartitionByRange(z))
+    out.sortWithinPartitions(z).write.mode(mode).parquet(path)
+
+
 def file_key_ranges(path: str, key_col: str) -> list[tuple]:
     """(file, min, max) of ``key_col`` per data file from parquet footers —
     metadata only, nothing is scanned. Used to verify layout disjointness

@@ -142,6 +142,41 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
             .distinct())
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_planes: int = 4, n_tables: int = 8,
+                   dim: int | None = None, seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): drop all but one representative (the min-id member)
+    of every cluster of embeddings with pairwise cosine ≥ ``threshold``.
+
+    Composition of the library's scale primitives — the whole pipeline
+    stays bucketed, never all-pairs:
+
+    1. candidate pairs via LSH blocking (:func:`blocked_cosine_dups` —
+       one groupBy(bucket) shuffle, exact cosine only within buckets);
+    2. clusters via min-label propagation with pointer jumping
+       (``dedup.connected_components`` — O(log diameter) rounds over
+       (node, label) pairs);
+    3. representatives kept via a broadcast anti-join (losers are tiny
+       relative to the corpus).
+
+    The paper clusters with k-means first and dedups within clusters;
+    LSH buckets play that blocking role here — deterministic (seeded
+    hyperplanes, so the correctness gate can reproduce them in SQL) and
+    with a recall formula instead of a clustering heuristic. Recall of a
+    true pair: 1 − (1 − p^n_planes)^n_tables, p = 1 − θ/π; size the
+    tables so misses are below fixture/regeneration risk when gating
+    against an exact oracle (see d5's margin note in queries.py).
+    """
+    from clickhouse_datafusion_spark.operators.dedup import drop_near_dups
+
+    pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
+                                n_planes, n_tables, dim, seed)
+    return drop_near_dups(df, pairs, id_col)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

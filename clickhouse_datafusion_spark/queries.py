@@ -1732,6 +1732,43 @@ def d5_embdup(spark, sf):
                                n_planes=1, n_tables=24)
 
 
+@qdef("d9_semantic_dedup",
+      """WITH RECURSIVE
+          v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM v a JOIN v b ON a.id < b.id
+            WHERE FLOOR(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)))
+                        * 10000 + 0.5) / 10000.0 >= 0.4),
+          edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                    UNION SELECT id_b AS s, id_a AS d FROM pairs),
+          reach(id, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id),
+          comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+          losers AS (SELECT id FROM comp WHERE id <> component)
+         SELECT v.id AS vec_id FROM v
+         WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.id = v.id)""",
+      tags=("pipeline", "dedup", "similarity"))
+def d9_semdedup(spark, sf):
+    """SemDeDup-style semantic dedup end-to-end: LSH-blocked cosine pairs
+    → connected components → keep the min-id representative per cluster.
+    Gate uses d5's recall-margin parameters (1 plane × 24 tables at
+    cos ≥ 0.4: miss probability ≈ 4e-11 per true pair), so the
+    approximate blocking is safely gated against the exact oracle — see
+    operators/similarity.py::semantic_dedup."""
+    from clickhouse_datafusion_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_dedup(emb, threshold=0.4, n_planes=1, n_tables=24,
+                          dim=dim).select("vec_id")
+
+
 @qdef("d6_dup_clusters",
       """WITH RECURSIVE
           g AS (
@@ -3219,6 +3256,7 @@ _GATE_PRIORITY = [
     "x27_bloom_prefilter",
     "x28_count_min_sketch",
     "t10_url_canonicalize",
+    "d9_semantic_dedup",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1324,3 +1324,25 @@ def test_canonical_url_edge_cases(spark):
     got = [r.c for r in
            df.select(canonical_url_col("url").alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_semantic_dedup_matches_exact_pipeline(spark, emb):
+    """semantic_dedup (LSH-blocked) must keep exactly the rows the exact
+    all-pairs pipeline keeps at gate parameters (recall-margin sized)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.dedup import drop_near_dups
+    from clickhouse_datafusion_spark.operators.similarity import (
+        pairwise_cosine_dups, semantic_dedup)
+
+    sl = emb.filter(F.col("vec_id") < 150)
+    dim = len(sl.select("embedding").first()[0])
+    approx = sorted(r.vec_id for r in semantic_dedup(
+        sl, threshold=0.4, n_planes=1, n_tables=24, dim=dim)
+        .select("vec_id").collect())
+    exact_pairs = pairwise_cosine_dups(sl, threshold=0.4)
+    exact = sorted(r.vec_id for r in
+                   drop_near_dups(sl, exact_pairs, "vec_id")
+                   .select("vec_id").collect())
+    assert approx == exact
+    assert len(approx) < 150  # the fixture slice must contain real dups

@@ -207,3 +207,35 @@ def test_snapshot_versioning_pins_and_appends(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="v=9 not found"):
         read_snapshot(spark, path, version=9)
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover small hyper-rectangles: a footer-stat filter
+    on EITHER key skips most files, where a range-sort on x alone cannot
+    prune on y at all."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        file_key_ranges, write_range_sorted, write_zordered)
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y"))
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    write_range_sorted(df, rpath, ["x"], n_files=16)
+
+    def overlapping(path, col, lo, hi):
+        rngs = file_key_ranges(path, col)
+        assert rngs, path
+        return sum(1 for _, mn, mx in rngs if not (mx < lo or mn > hi)), len(rngs)
+
+    # y-filter: x-sorted layout cannot prune (every file spans all y)
+    zy, zn = overlapping(zpath, "y", 10, 20)
+    ry, rn = overlapping(rpath, "y", 10, 20)
+    assert ry == rn            # range-on-x: zero pruning on y
+    assert zy <= zn // 2       # z-order: most files skipped on y
+    # x-filter: both layouts prune
+    zx, _ = overlapping(zpath, "x", 10, 20)
+    rx, _ = overlapping(rpath, "x", 10, 20)
+    assert rx <= rn // 2
+    assert zx <= zn // 2
