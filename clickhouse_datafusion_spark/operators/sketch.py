@@ -155,6 +155,38 @@ def bloom_prefilter(new_df: DataFrame, bloom: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog mergeable distinct sketches
+# ---------------------------------------------------------------------------
+
+def hll_distinct_sketches(df: DataFrame, key_col: str,
+                          group_cols: list[str],
+                          lgk: int = 14) -> DataFrame:
+    """Per-group HLL distinct-count sketches (Apache DataSketches via
+    Spark's ``hll_sketch_agg`` — JVM-side, mergeable, ~1.6%/sqrt(2^lgk/12)
+    relative error; lgk=14 → ~0.8%).
+
+    The 100 TB pattern this enables: compute sketches ONCE per ingest
+    partition (day, shard, source) and answer any coarser distinct-count
+    question later by MERGING kilobyte sketches (:func:`hll_rollup`) —
+    never re-scanning the corpus. Exact COUNT(DISTINCT) over a rolling
+    window re-shuffles the raw keys every time; sketch rollup shuffles
+    ~2^lgk bytes per group.
+    """
+    return (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("hll")))
+
+
+def hll_rollup(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge per-fine-group sketches up to ``group_cols`` and estimate:
+    (group_cols..., est_distinct). Union of HLL registers is lossless
+    with respect to the sketch state — merging hourly sketches gives the
+    same registers as sketching the day directly."""
+    return (sketches.groupBy(*group_cols)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("hll"))
+                 .cast("bigint").alias("est_distinct")))
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch
 # ---------------------------------------------------------------------------
 

@@ -2680,6 +2680,30 @@ def t10_url(spark, sf):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@qdef("x29_hll_rollup", None, tags=("pipeline",))
+def x29_hll(spark, sf):
+    """Mergeable HLL distinct-user sketches: build per (day, event_type),
+    roll up to per-day estimates by merging sketches — the pre-aggregate-
+    once pattern that replaces repeated exact COUNT(DISTINCT) re-scans at
+    100 TB. No SQL oracle (DataSketches register layout is
+    engine-specific — same class as x8/s3); correctness is pytest-bound:
+    error ≤1% vs exact at lgk=14 and rollup ≡ direct sketch. Returns the
+    estimates alongside the exact counts so the gate's rows-only check
+    still sees both."""
+    from clickhouse_datafusion_spark.operators.sketch import (
+        hll_distinct_sketches, hll_rollup)
+
+    ev = t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type", "user_id")
+    sk = hll_distinct_sketches(ev, "user_id", ["day", "event_type"])
+    est = hll_rollup(sk, ["day"])
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "day").select("day", "est_distinct",
+                                         "exact_distinct")
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3257,6 +3281,7 @@ _GATE_PRIORITY = [
     "x28_count_min_sketch",
     "t10_url_canonicalize",
     "d9_semantic_dedup",
+    "x29_hll_rollup",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1346,3 +1346,25 @@ def test_semantic_dedup_matches_exact_pipeline(spark, emb):
                    .select("vec_id").collect())
     assert approx == exact
     assert len(approx) < 150  # the fixture slice must contain real dups
+
+
+def test_hll_rollup_error_bound_and_merge_identity(spark):
+    """HLL estimates stay within the lgk=14 error bound, and merging
+    fine-grained sketches equals sketching the coarse group directly."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        hll_distinct_sketches, hll_rollup)
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 40_000).alias("k"),
+        (F.col("id") % 24).alias("hour"),
+        F.lit("d1").alias("day"))
+    fine = hll_distinct_sketches(df, "k", ["day", "hour"], lgk=14)
+    rolled = hll_rollup(fine, ["day"]).first()
+    direct = hll_rollup(
+        hll_distinct_sketches(df, "k", ["day"], lgk=14), ["day"]).first()
+    assert abs(rolled.est_distinct - 40_000) / 40_000 < 0.01
+    # register-level merge identity (same data, same lgk)
+    assert abs(rolled.est_distinct - direct.est_distinct) \
+        <= max(1, int(direct.est_distinct * 0.001))
