@@ -199,3 +199,45 @@ def test_cross_doc_span_dedup_bounded_shuffles(spark):
     rep = plan_report(q("d8_cross_doc_span_dedup", spark))
     assert not rep["cartesian"], rep
     assert rep["shuffles"] <= 6, rep
+
+
+def test_bloom_probe_broadcasts_filter_single_shuffle(spark):
+    # build = one word-keyed aggregate; probe joins the (tiny) word table
+    # broadcast — the probe side never shuffles on the bloom key
+    df = q("x27_bloom_prefilter", spark)
+    rep = plan_report(df)
+    assert rep["broadcasts"] >= 1, rep
+    assert not rep["cartesian"]
+    # shuffles: bloom-build aggregate + probe-side hit aggregate only
+    assert rep["shuffles"] <= 3, rep
+
+
+def test_cms_constant_size_aggregate_broadcast_probe(spark):
+    df = q("x28_count_min_sketch", spark)
+    rep = plan_report(df)
+    assert rep["broadcasts"] >= 1, rep   # sketch broadcast into the probe
+    assert not rep["cartesian"]
+
+
+def test_url_canonicalize_single_shuffle(spark):
+    # canonicalization is a pure projection; the only shuffle is the
+    # final canon-keyed groupBy
+    df = q("t10_url_canonicalize", spark)
+    rep = plan_report(df)
+    assert rep["shuffles"] <= 1, rep
+    assert not rep["cartesian"]
+
+
+def test_semantic_dedup_no_allpairs(spark):
+    # the blocked pipeline must never plan a cartesian/theta self-join
+    df = q("d9_semantic_dedup", spark)
+    rep = plan_report(df)
+    assert not rep["cartesian"], rep
+
+
+def test_hll_rollup_two_aggregates(spark):
+    # fine sketches + rollup merge = two aggregate shuffles; the exact
+    # side adds its own distinct aggregate. No cartesian anywhere.
+    df = q("x29_hll_rollup", spark)
+    rep = plan_report(df)
+    assert not rep["cartesian"], rep
