@@ -7,6 +7,7 @@ Python appears only in clearly-marked Pandas-UDF plumbing (multimodal stubs).
 from clickhouse_datafusion_spark.operators import (  # noqa: F401
     asof,
     dedup,
+    graph,
     layout,
     multimodal,
     packing,

@@ -2704,6 +2704,56 @@ def x29_hll(spark, sf):
                                          "exact_distinct")
 
 
+@qdef("x30_pagerank",
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src,
+                           1000 + l_partkey % 40 AS dst
+                    FROM lineitem),
+          nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                 FROM e GROUP BY src),
+          r0 AS (SELECT v, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+          i1 AS (SELECT nodes.v,
+                        (SELECT (1000000 * 15) // (100 * n) FROM nn)
+                        + COALESCE(SUM((85 * r0.r) // (100 * od.od)), 0)
+                          AS r
+                 FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                      LEFT JOIN r0 ON r0.v = e.src
+                      LEFT JOIN od ON od.src = e.src
+                 GROUP BY nodes.v),
+          i2 AS (SELECT nodes.v,
+                        (SELECT (1000000 * 15) // (100 * n) FROM nn)
+                        + COALESCE(SUM((85 * i1.r) // (100 * od.od)), 0)
+                          AS r
+                 FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                      LEFT JOIN i1 ON i1.v = e.src
+                      LEFT JOIN od ON od.src = e.src
+                 GROUP BY nodes.v),
+          i3 AS (SELECT nodes.v,
+                        (SELECT (1000000 * 15) // (100 * n) FROM nn)
+                        + COALESCE(SUM((85 * i2.r) // (100 * od.od)), 0)
+                          AS r
+                 FROM nodes LEFT JOIN e ON e.dst = nodes.v
+                      LEFT JOIN i2 ON i2.v = e.src
+                      LEFT JOIN od ON od.src = e.src
+                 GROUP BY nodes.v)
+         SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+         FROM i3""",
+      tags=("pipeline", "graph"))
+def x30_pagerank(spark, sf):
+    """Exact-integer PageRank (3 iterations, d=0.85) over a
+    supplier→part edge list — domain-authority-style quality prior. The
+    oracle unrolls the identical integer iterations as CTEs, so every
+    rank value must match bit-for-bit — see
+    operators/graph.py::pagerank."""
+    from clickhouse_datafusion_spark.operators.graph import pagerank
+
+    e = t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("bigint").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 40).cast("bigint").alias("dst"))
+    return pagerank(e, n_iter=3)
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3282,6 +3332,7 @@ _GATE_PRIORITY = [
     "t10_url_canonicalize",
     "d9_semantic_dedup",
     "x29_hll_rollup",
+    "x30_pagerank",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1368,3 +1368,37 @@ def test_hll_rollup_error_bound_and_merge_identity(spark):
     # register-level merge identity (same data, same lgk)
     assert abs(rolled.est_distinct - direct.est_distinct) \
         <= max(1, int(direct.est_distinct * 0.001))
+
+
+# -- graph ------------------------------------------------------------------
+
+def test_pagerank_known_graphs(spark):
+    from clickhouse_datafusion_spark.operators.graph import pagerank
+
+    # 3-cycle: perfect symmetry, ranks stay equal at scale//3
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    r = {x.node: x.rank_micro for x in pagerank(cyc, n_iter=5).collect()}
+    assert len(set(r.values())) == 1
+    # star 1..4 -> 0: the hub outranks every leaf; leaves equal
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], ["src", "dst"])
+    r = {x.node: x.rank_micro for x in pagerank(star, n_iter=3).collect()}
+    assert r[0] > r[1]
+    assert len({r[i] for i in range(1, 5)}) == 1
+    # leaves hold exactly the teleport base (no in-edges):
+    # base = (1e6 * 15) // (100 * 5)
+    assert r[1] == 30_000
+
+
+def test_pagerank_mass_bounded(spark):
+    """Total integer mass never exceeds the scale (floor divisions and
+    dangling nodes only ever LEAK mass, never create it)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.graph import pagerank
+
+    e = spark.range(500).select(
+        (F.col("id") % 50).alias("src"), (F.col("id") % 37).alias("dst"))
+    total = pagerank(e, n_iter=4).agg(F.sum("rank_micro")).first()[0]
+    assert 0 < total <= 1_000_000
