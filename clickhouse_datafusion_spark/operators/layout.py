@@ -234,6 +234,47 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     return n
 
 
+def upsert_snapshot(spark, path: str, updates: DataFrame,
+                    key_col: str = "doc_id",
+                    deletes: DataFrame | None = None) -> int:
+    """MERGE INTO for the snapshot store: apply keyed upserts (and optional
+    deletes) to the latest snapshot and write the result as a NEW immutable
+    version — SCD-1 semantics (``WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT, [WHEN MATCHED BY delete-set THEN DELETE]``) without a
+    table-format dependency. Corpus refreshes are exactly this shape:
+    re-crawled pages replace their old row by URL/doc key, new pages append,
+    take-down requests delete — and every training run keeps pinning the
+    version it started from (reference has no mutation story at all; its
+    sink only appends, src/sink.rs:102-211).
+
+    ``updates`` must carry the current snapshot's full schema (schema-pinned
+    like the JSONL boundary — silent column drift in a merge is how corpora
+    rot); ``deletes`` needs only ``key_col``. Returns the new version
+    number.
+
+    Scale shape: ONE key-shuffled anti-join (current rows whose key is NOT
+    touched) + a union with the updates — AQE broadcasts the touched-key
+    side when the refresh is small, which is the common case (daily delta ≪
+    corpus). This is copy-on-write at snapshot granularity: the whole
+    corpus is rewritten per merge. At 100 TB, partition the snapshot by a
+    stable bucket of the key (write_hive_partitioned) and rewrite ONLY the
+    buckets containing touched keys, copying the rest forward by file
+    manifest — or graduate to Iceberg/Delta, whose MERGE does file-level
+    copy-on-write natively. The semantics gated here are identical.
+    """
+    cur = read_snapshot(spark, path)
+    if set(updates.columns) != set(cur.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != snapshot schema "
+            f"{sorted(cur.columns)}; upsert is schema-pinned")
+    touched = updates.select(key_col)
+    if deletes is not None:
+        touched = touched.unionByName(deletes.select(key_col))
+    kept = cur.join(touched.distinct(), key_col, "left_anti")
+    return write_snapshot(kept.unionByName(updates.select(*cur.columns)),
+                          path)
+
+
 def list_snapshots(path: str) -> list[int]:
     import os
     import re

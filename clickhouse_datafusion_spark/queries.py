@@ -2754,6 +2754,51 @@ def x30_pagerank(spark, sf):
     return pagerank(e, n_iter=3)
 
 
+@qdef("x31_snapshot_upsert",
+      """SELECT doc_id, 'refreshed' AS source, md5(text) AS text_md5
+         FROM documents WHERE doc_id BETWEEN 200 AND 399
+         UNION ALL
+         SELECT doc_id, source, md5(text) AS text_md5
+         FROM documents WHERE doc_id >= 50 AND doc_id < 200""",
+      tags=("pipeline", "layout"))
+def x31_upsert(spark, sf):
+    """MERGE INTO the snapshot store: base corpus (ids < 300) becomes v1;
+    a refresh batch (ids 200–399, source rewritten to 'refreshed') upserts
+    and a take-down set (ids < 50) deletes, producing v2 — so the result
+    must hold exactly: deleted keys gone, overlapped keys replaced, new
+    keys inserted, untouched keys byte-identical. The snapshot sequence is
+    rebuilt from scratch when the source parquet changes (mtime-gated) —
+    see operators/layout.py::upsert_snapshot for the copy-on-write scale
+    story."""
+    import os
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.operators.layout import (
+        read_snapshot, upsert_snapshot, write_snapshot)
+
+    src = resolve_parquet_path(f"{sf}/documents.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    d = os.path.join(_TDCACHE, "snapshot_merge", sf_tag, "documents")
+    marker = os.path.join(d, "_BUILT")
+    docs = t(spark, sf, "documents")
+    cols = ["doc_id", "source", "text"]
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        shutil.rmtree(d, ignore_errors=True)
+        write_snapshot(docs.filter(F.col("doc_id") < 300).select(*cols), d)
+        updates = (docs.filter(F.col("doc_id").between(200, 399))
+                   .select(*cols)
+                   .withColumn("source", F.lit("refreshed")))
+        upsert_snapshot(spark, d, updates, key_col="doc_id",
+                        deletes=docs.filter(F.col("doc_id") < 50)
+                        .select("doc_id"))
+        with open(marker, "w"):
+            pass
+    return (read_snapshot(spark, d, version=2)
+            .select("doc_id", "source", F.md5("text").alias("text_md5")))
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3333,6 +3378,8 @@ _GATE_PRIORITY = [
     "d9_semantic_dedup",
     "x29_hll_rollup",
     "x30_pagerank",
+    # new in r5d (need first gate rows)
+    "x31_snapshot_upsert",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

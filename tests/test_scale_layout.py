@@ -209,6 +209,44 @@ def test_snapshot_versioning_pins_and_appends(spark, tmp_path):
         read_snapshot(spark, path, version=9)
 
 
+def test_upsert_snapshot_merge_semantics(spark, tmp_path):
+    """MERGE semantics on the snapshot store: update-in-place by key,
+    insert new keys, delete the take-down set, leave the rest
+    byte-identical — and never mutate the prior version."""
+    import pytest as _pytest
+    from clickhouse_datafusion_spark.operators.layout import (
+        read_snapshot, upsert_snapshot, write_snapshot)
+
+    base = spark.createDataFrame(
+        [(i, "old", f"body-{i}") for i in range(10)],
+        "doc_id bigint, source string, text string")
+    path = str(tmp_path / "corpus")
+    assert write_snapshot(base, path) == 1
+
+    updates = spark.createDataFrame(
+        [(7, "new", "body-7b"), (8, "new", "body-8b"),
+         (42, "new", "body-42")],
+        "doc_id bigint, source string, text string")
+    deletes = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    v2 = upsert_snapshot(spark, path, updates, deletes=deletes)
+    assert v2 == 2
+
+    got = {r.doc_id: (r.source, r.text)
+           for r in read_snapshot(spark, path, version=2).collect()}
+    assert 0 not in got and 1 not in got                  # deleted
+    assert got[7] == ("new", "body-7b")                   # updated
+    assert got[42] == ("new", "body-42")                  # inserted
+    assert got[5] == ("old", "body-5")                    # untouched
+    assert len(got) == 9                                  # 10 - 2 del + 1 ins
+    # history intact
+    assert read_snapshot(spark, path, version=1).count() == 10
+
+    # schema drift is rejected, not silently merged
+    bad = updates.drop("text")
+    with _pytest.raises(ValueError, match="schema-pinned"):
+        upsert_snapshot(spark, path, bad)
+
+
 def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     """Z-ordered files cover small hyper-rectangles: a footer-stat filter
     on EITHER key skips most files, where a range-sort on x alone cannot
