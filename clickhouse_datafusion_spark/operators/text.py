@@ -290,6 +290,83 @@ def corpus_frequency_score(df: DataFrame, text_col: str = "text",
                        "DIV (n_words * tot)").alias("score_ppm")))
 
 
+def adjacent_word_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) for every adjacent word pair — the bigram extraction
+    shared by the LM scorer and ``bpe_pair_counts``'s word-level cousin.
+    One ``transform`` over the split array + one explode: a shuffle-free
+    projection (the explode multiplies rows within the input split, it
+    does not move them)."""
+    ws = words(text_col)
+    n = F.size(ws)
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(n >= 2, F.transform(
+        F.slice(ws, 1, n - 1),
+        lambda x, i: F.struct(x.alias("w1"),
+                              F.get(ws, i + 1).alias("w2")))) \
+        .otherwise(F.expr("array()").cast(pair_t))
+    return (df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+            .select(id_col, "_p.w1", "_p.w2"))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", lm_df: DataFrame | None = None,
+                    alpha_num: int = 2, alpha_den: int = 5,
+                    broadcast_lm: bool = True) -> DataFrame:
+    """Bigram language-model familiarity score with Stupid Backoff — the
+    integer cousin of CCNet/KenLM perplexity filtering, one order up from
+    ``corpus_frequency_score``: a document scores high when its word
+    TRANSITIONS are common in the reference corpus, so word-salad built
+    from frequent words (which fools a unigram filter) scores low.
+
+    Per adjacent pair (w1,w2): seen bigrams contribute
+    ``c(w1,w2)·10⁶ DIV c(w1)`` (the conditional in ppm); unseen bigrams
+    back off to ``α·c(w2)·10⁶ DIV total`` with α = alpha_num/alpha_den
+    (default 2/5 = the standard 0.4 — kept rational so everything stays
+    exact integer arithmetic and the DuckDB oracle matches bit-for-bit;
+    a float log-prob would hang the gate on libm ulps). Doc score =
+    mean contribution: ``Σ DIV n_pairs``; pairless docs score 0.
+
+    Scale shape: the LM is TWO aggregates over the reference corpus (one
+    word-keyed, one pair-keyed) built once and reused across scoring runs;
+    scoring is the pair projection + broadcast joins against the LM tables
+    + one id-keyed reduce. Pass ``broadcast_lm=False`` when the bigram
+    table outgrows the broadcast budget (≳ a few GB) — the joins then
+    shuffle on (w1,w2)/w, still skew-safe because bigram keys are
+    long-tailed. Cap the tables upstream (min-count pruning) the way real
+    LM filters do; pruned bigrams simply take the backoff path, which is
+    the correct LM semantics for pruning.
+    """
+    lm = lm_df if lm_df is not None else df
+    lw = lm.select(F.explode(words(text_col)).alias("w"))
+    uni = lw.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
+    bi = (adjacent_word_pairs(lm, text_col, id_col)
+          .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2")))
+    maybe_b = F.broadcast if broadcast_lm else (lambda x: x)
+
+    dp = adjacent_word_pairs(df, text_col, id_col)
+    scored = (dp.join(maybe_b(bi), ["w1", "w2"], "left")
+              .join(maybe_b(uni.withColumnRenamed("w", "w1")
+                            .withColumnRenamed("c1", "_c_w1")), "w1", "left")
+              .join(maybe_b(uni.withColumnRenamed("w", "w2")
+                            .withColumnRenamed("c1", "_c_w2")), "w2", "left")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(id_col), F.expr(
+                  f"CASE WHEN c2 IS NOT NULL THEN (c2 * 1000000) DIV _c_w1 "
+                  f"ELSE ({int(alpha_num)} * coalesce(_c_w2, 0) * 1000000) "
+                  f"DIV ({int(alpha_den)} * tot) END").alias("_contrib")))
+    pd = scored.groupBy(id_col).agg(
+        F.sum("_contrib").cast("bigint").alias("_s"),
+        F.count("*").cast("bigint").alias("n_pairs"))
+    base = df.select(F.col(id_col))
+    return (base.join(pd, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce(F.expr("_s DIV n_pairs"),
+                               F.lit(0)).cast("bigint").alias("score_ppm")))
+
+
 def normalize_text_col(text_col: str | Column = "text") -> Column:
     """Canonical text normalization — the step BEFORE any hashing/dedup so
     trivially-different bytes (case, control chars, run-on whitespace)

@@ -2680,6 +2680,54 @@ def t10_url(spark, sf):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
+@qdef("t11_bigram_lm_score",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+          uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(w) AS wd FROM ws WHERE doc_id < 250)
+                  GROUP BY wd),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+          bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                 FROM (SELECT w[g] AS w1, w[g+1] AS w2
+                       FROM (SELECT w,
+                                    unnest(generate_series(1, len(w)-1))
+                                      AS g
+                             FROM ws WHERE doc_id < 250 AND len(w) >= 2))
+                 GROUP BY w1, w2),
+          dp AS (SELECT doc_id, w[g] AS w1, w[g+1] AS w2
+                 FROM (SELECT doc_id, w,
+                              unnest(generate_series(1, len(w)-1)) AS g
+                       FROM ws WHERE len(w) >= 2)),
+          sc AS (SELECT dp.doc_id,
+                        CASE WHEN bi.c2 IS NOT NULL
+                             THEN (bi.c2 * 1000000) // u1.c1
+                             ELSE (2 * COALESCE(u2.c1, 0) * 1000000)
+                                  // (5 * t)
+                        END AS contrib
+                 FROM dp LEFT JOIN bi USING (w1, w2)
+                      LEFT JOIN uni u1 ON u1.wd = dp.w1
+                      LEFT JOIN uni u2 ON u2.wd = dp.w2, tot),
+          pd AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS s,
+                        CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM sc GROUP BY doc_id)
+         SELECT ws.doc_id,
+                COALESCE(pd.n_pairs, 0) AS n_pairs,
+                CAST(COALESCE(pd.s // pd.n_pairs, 0) AS BIGINT)
+                  AS score_ppm
+         FROM ws LEFT JOIN pd USING (doc_id)""",
+      tags=("pipeline", "text"))
+def t11_bigram_lm(spark, sf):
+    """Bigram-LM familiarity with Stupid Backoff (α=2/5): the LM is built
+    from the first half of the id space (a held reference corpus) and
+    scores EVERY document, so unseen bigrams genuinely exercise the
+    backoff path. Exact integer ppm end to end — see
+    operators/text.py::bigram_lm_score."""
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    docs = t(spark, sf, "documents")
+    return bigram_lm_score(docs, lm_df=docs.filter(F.col("doc_id") < 250))
+
+
 @qdef("x29_hll_rollup", None, tags=("pipeline",))
 def x29_hll(spark, sf):
     """Mergeable HLL distinct-user sketches: build per (day, event_type),
@@ -3380,6 +3428,7 @@ _GATE_PRIORITY = [
     "x30_pagerank",
     # new in r5d (need first gate rows)
     "x31_snapshot_upsert",
+    "t11_bigram_lm_score",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -661,6 +661,39 @@ def test_corpus_frequency_score(spark):
     assert top1[2].corpus_hits == 24  # 'the' survives the cut
 
 
+def test_bigram_lm_score_backoff_discriminates(spark):
+    """Word-salad built from frequent words (which fools a unigram filter)
+    must score below text with seen transitions; pairless docs score 0;
+    contributions are the exact hand-computed integers."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    lm = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat"),
+         Row(doc_id=2, text="the cat sat on the rug")])
+    score_df = spark.createDataFrame(
+        [Row(doc_id=10, text="the cat sat"),    # both bigrams seen
+         Row(doc_id=11, text="cat the on sat"), # frequent words, unseen pairs
+         Row(doc_id=12, text="zq wx"),          # OOV everywhere
+         Row(doc_id=13, text="solo")])          # no pairs
+    out = {r.doc_id: r for r in
+           bigram_lm_score(score_df, lm_df=lm).collect()}
+    # LM: c(the)=4, c(cat)=2, c(the cat)=2, c(cat sat)=2, total=12
+    # doc 10: (2e6 // 4) + (2e6 // 2) = 500000 + 1000000 → mean 750000
+    assert (out[10].n_pairs, out[10].score_ppm) == (2, 750_000)
+    # doc 11 backs off: α·c(w2)·1e6 // (5·12 // 2) each — nonzero but small
+    assert 0 < out[11].score_ppm < out[10].score_ppm
+    # doc 12: every w2 OOV → 0; doc 13: no pairs → 0
+    assert (out[12].n_pairs, out[12].score_ppm) == (1, 0)
+    assert (out[13].n_pairs, out[13].score_ppm) == (0, 0)
+    # backoff math exactly: pairs of doc 11 = (cat,the),(the,on),(on,sat)
+    # contrib = (2·c(w2)·1e6) // (5·12) with c(the)=4, c(on)=2, c(sat)=2
+    want = ((2 * 4 * 10**6) // 60 + (2 * 2 * 10**6) // 60
+            + (2 * 2 * 10**6) // 60) // 3
+    assert out[11].score_ppm == want
+
+
 def test_drop_repeated_spans_planted(spark):
     """A doc with a looping boilerplate span keeps only the first
     occurrence's tokens; clean docs pass through byte-identical."""
