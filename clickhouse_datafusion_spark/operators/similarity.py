@@ -454,6 +454,50 @@ def label_centroids(df: DataFrame, label_col: str = "label",
                     "centroid_micro", "n"))
 
 
+def _sign_matrix(out_dim: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded ±1 projection matrix (Achlioptas 2003's database-friendly
+    JL family) — signs, not gaussians, so the projection of an integer
+    vector is an exact integer sum."""
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+            for _ in range(out_dim)]
+
+
+def random_project(df: DataFrame, out_dim: int = 16,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int | None = None, seed: int = 7) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a seeded ±1
+    sign matrix — the standard pre-step that makes web-scale ANN cheap:
+    project 768-d float embeddings to 16–64 dims ONCE, then run every
+    downstream distance/LSH/IVF pass on vectors 10–50× smaller (JL: pair
+    distances survive to within 1±ε for out_dim ≳ 8·ln(n)/ε²; signs reach
+    the same guarantee as gaussians, Achlioptas 2003).
+
+    Determinism: inputs are quantized to micro-units first
+    (``FLOOR(x·10⁶+½)``), so each output coordinate is an exact ±sum of
+    integers — bit-identical in any engine (the DuckDB oracle rebuilds
+    the same matrix as a SQL literal). Sums stay far below 2⁵³, so the
+    double-typed arithmetic is exact; the result is cast to bigint
+    micro-units. Cosine/distance comparisons downstream are
+    scale-invariant, so no 1/√k normalization is applied.
+
+    Scale shape: a pure projection (one ``transform`` over the literal
+    matrix), shuffle-free, whole-stage codegen; the matrix is O(out_dim ×
+    dim) literals in the plan — fine to a few thousand entries, switch to
+    a broadcast matrix join beyond that.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    signs = _sign_matrix(out_dim, dim, seed)
+    q = F.transform(_as_double(vec_col),
+                    lambda x: F.floor(x * 1e6 + F.lit(0.5)))
+    # one dot per output coordinate against the materialized micro-unit vector
+    proj = F.transform(_lit_mat(signs),
+                       lambda row: dot(F.col("_q_rp"), row).cast("bigint"))
+    return (df.withColumn("_q_rp", q)
+            .select(F.col(id_col), proj.alias("proj_micro")))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the standard

@@ -2433,6 +2433,41 @@ def s6_quantize(spark, sf):
     return quantize_embeddings(t(spark, sf, "embeddings"))
 
 
+def _s7_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of ``random_project``: the seeded ±1 sign matrix is a
+    driver-side constant, emitted as literal DOUBLE[] rows. The input is
+    micro-unit-quantized first, so each output coordinate is an exact
+    integer sum (far below 2^53) — no float knife-edge at all, unlike the
+    s2 sign test. Pinned to the fixture's 64-dim embeddings."""
+    from clickhouse_datafusion_spark.operators.similarity import _sign_matrix
+
+    def lit_vec(p: list[float]) -> str:
+        return ("CAST([" + ",".join(repr(float(x)) for x in p)
+                + "] AS DOUBLE[])")
+
+    rows = _sign_matrix(out_dim, dim, seed)
+    coords = ",\n                ".join(
+        f"CAST(list_dot_product(q, {lit_vec(r)}) AS BIGINT)" for r in rows)
+    return f"""WITH qv AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> FLOOR(x * 1000000 + 0.5)) AS q
+               FROM embeddings)
+         SELECT vec_id, list_value(
+                {coords}) AS proj_micro
+         FROM qv"""
+
+
+@qdef("s7_random_projection", _s7_oracle_sql(),
+      tags=("pipeline", "similarity"))
+def s7_rproj(spark, sf):
+    """JL random projection 64→8 dims with a seeded ±1 sign matrix —
+    exact integer micro-unit output, every coordinate of every projected
+    vector hash-compared — see operators/similarity.py::random_project."""
+    from clickhouse_datafusion_spark.operators.similarity import random_project
+
+    return random_project(t(spark, sf, "embeddings"), out_dim=8, dim=64)
+
+
 @qdef("x26_corpus_to_batches",
       """WITH d0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
                             len(string_split(text, ' ')) AS n,
@@ -3429,6 +3464,7 @@ _GATE_PRIORITY = [
     # new in r5d (need first gate rows)
     "x31_snapshot_upsert",
     "t11_bigram_lm_score",
+    "s7_random_projection",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1066,6 +1066,39 @@ def test_quantize_embeddings_error_bound(spark, emb):
         assert dot / (na * nb) > 0.995
 
 
+def test_random_project_matches_numpy_and_preserves_distance(spark, emb):
+    """Projected coordinates equal the numpy sign-matrix product on the
+    micro-unit grid exactly; JL distance preservation holds on average
+    (cosine of 64→32 projections correlates with the originals)."""
+    import math
+
+    import numpy as np
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _sign_matrix, random_project)
+
+    rows = emb.select("vec_id", "embedding").limit(40).collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows}
+    dim = len(next(iter(orig.values())))
+    S = np.asarray(_sign_matrix(32, dim, seed=7))
+    got = {r.vec_id: np.asarray(r.proj_micro)
+           for r in random_project(emb.limit(40), out_dim=32,
+                                   dim=dim).collect()}
+    for vid, v in orig.items():
+        q = np.floor(v * 1e6 + 0.5)
+        assert np.array_equal(got[vid], (S @ q).astype(np.int64)), vid
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b) + 1e-12))
+
+    ids = list(orig)[:15]
+    errs = [abs(cos(orig[a], orig[b])
+                - cos(got[a].astype(float), got[b].astype(float)))
+            for i, a in enumerate(ids) for b in ids[i + 1:]]
+    assert sum(errs) / len(errs) < 0.15   # JL at k=32: loose but real bound
+
+
 def test_resample_audio_real_roundtrip(spark):
     """resample_audio really rate-converts WAV-PCM: output re-decodes at
     the target rate with the expected sample count and content."""
