@@ -51,3 +51,34 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
             F.col(f"__max_{c}").alias("max_s"))
         for c in cols]
     return reduce(DataFrame.unionAll, profiles)
+
+
+def outlier_flags(df: DataFrame, value_col: str,
+                  k_sigma: int = 3) -> DataFrame:
+    """Flag rows whose integer ``value_col`` sits more than ``k_sigma``
+    population standard deviations from the mean — the numeric twin of
+    the quality filters: catch truncated documents, runaway boilerplate,
+    and unit-mixup metadata before they skew training statistics.
+
+    EXACT, no floats anywhere: ``|x − μ| > kσ`` is squared and cleared of
+    denominators to ``(n·x − Σx)² > k²·(n·Σx² − (Σx)²)``, every term an
+    integer. The comparison runs in ``DECIMAL(38,0)`` (Spark's widest
+    exact type, matching DuckDB's HUGEINT) so it is overflow-safe to
+    ~10¹⁵ rows of 10⁴-magnitude values; beyond that shard the corpus and
+    combine moments (Σ, Σx², n are associative), or accept double
+    precision for the flag and keep the decimal gate for audits.
+
+    Scale shape: one scalar aggregate (3 integers) broadcast back onto a
+    shuffle-free projection — the same two-job shape as
+    ``percentile_filter`` but with O(1) state instead of a histogram.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    mom = df.agg(F.count(value_col).cast("decimal(38,0)").alias("_n"),
+                 F.sum(x).alias("_s"),
+                 F.sum(x * x).alias("_s2"))
+    lhs = (F.col("_n") * x - F.col("_s"))
+    rhs = (F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s"))
+    return (df.crossJoin(F.broadcast(mom))
+            .withColumn("is_outlier",
+                        (lhs * lhs) > (F.lit(int(k_sigma) ** 2) * rhs))
+            .drop("_n", "_s", "_s2"))

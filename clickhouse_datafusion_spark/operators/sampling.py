@@ -131,6 +131,30 @@ def seeded_shuffle(df: DataFrame, seed: str | int = 0, n_shards: int = 8,
             .drop("_hk"))
 
 
+def uniform_sample_k(df: DataFrame, k: int, seed: str | int = 0,
+                     id_col: str = "doc_id") -> DataFrame:
+    """EXACT-size uniform sample without replacement: the k rows with the
+    smallest ``md5(seed‖id)`` — a deterministic reservoir sample (every
+    row's hash is an iid uniform draw, so the bottom-k is a uniform
+    k-subset). Where ``hash_split``/Bernoulli give a *fraction* with
+    binomial jitter, this gives exactly k — what eval-set carving and
+    fixed-budget annotation jobs need — and it re-draws stably: the same
+    (seed, corpus) always yields the same sample, append-only growth
+    only swaps rows when a new id hashes below the current boundary.
+
+    Scale shape: NO full sort and no shuffle of the data — Catalyst
+    compiles orderBy+limit to ``TakeOrderedAndProject`` (per-partition
+    bottom-k heaps, then a k-row merge on the driver), so the network
+    moves O(partitions·k), not O(rows). Keep k in the 10⁶ range at most;
+    for larger exact samples switch to hash_split's fraction + a trim
+    pass. The id tie-break is unreachable (md5 collisions) but keeps the
+    plan formally deterministic.
+    """
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return (df.withColumn("_hk", hk)
+            .orderBy("_hk", id_col).limit(int(k)).drop("_hk"))
+
+
 def percentile_filter(df: DataFrame, score_col: str,
                       drop_permille: int = 100) -> DataFrame:
     """Adaptive threshold filter: drop the bottom ``drop_permille``/1000 of

@@ -2882,6 +2882,47 @@ def x31_upsert(spark, sf):
             .select("doc_id", "source", F.md5("text").alias("text_md5")))
 
 
+@qdef("x32_uniform_sample_k",
+      """SELECT doc_id, source FROM documents
+         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT 100""",
+      tags=("pipeline", "sampling"))
+def x32_usample(spark, sf):
+    """Exact-k deterministic uniform sample (seeded bottom-k-by-hash
+    reservoir): exactly 100 docs, the same 100 on every run and engine —
+    see operators/sampling.py::uniform_sample_k. The plan is
+    TakeOrderedAndProject: per-partition heaps, O(partitions·k) network,
+    no sort shuffle (asserted in test_plans)."""
+    from clickhouse_datafusion_spark.operators.sampling import uniform_sample_k
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    return uniform_sample_k(docs, k=100, seed=7)
+
+
+@qdef("x33_outlier_flags",
+      """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(n_chars) AS HUGEINT) AS s,
+                           CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                                AS HUGEINT) AS s2
+                    FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                ((n * n_chars - s) * (n * n_chars - s))
+                  > 9 * (n * s2 - s * s) AS is_outlier
+         FROM documents, m""",
+      tags=("pipeline", "profile"))
+def x33_outliers(spark, sf):
+    """3-sigma outlier flags on document length in EXACT integer
+    arithmetic — |x−μ|>kσ squared and cleared of denominators, evaluated
+    in DECIMAL(38,0) against DuckDB's HUGEINT, so the flag boundary can
+    never disagree by a float ulp — see
+    operators/profile.py::outlier_flags."""
+    from clickhouse_datafusion_spark.operators.profile import outlier_flags
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return outlier_flags(docs, "n_chars", k_sigma=3)
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3465,6 +3506,8 @@ _GATE_PRIORITY = [
     "x31_snapshot_upsert",
     "t11_bigram_lm_score",
     "s7_random_projection",
+    "x32_uniform_sample_k",
+    "x33_outlier_flags",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1066,6 +1066,60 @@ def test_quantize_embeddings_error_bound(spark, emb):
         assert dot / (na * nb) > 0.995
 
 
+def test_uniform_sample_k_exact_and_append_stable(spark):
+    """Exactly k rows, layout-independent, and append-only growth only
+    swaps rows whose new hash undercuts the old boundary."""
+    from clickhouse_datafusion_spark.operators.sampling import uniform_sample_k
+
+    base = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r.doc_id for r in uniform_sample_k(base, 50, seed=3).collect())
+    assert len(s1) == 50
+    # layout invariance: same sample from a different partitioning
+    s2 = sorted(r.doc_id for r in
+                uniform_sample_k(base.repartition(13), 50, seed=3).collect())
+    assert s1 == s2
+    # seed sensitivity
+    s3 = sorted(r.doc_id for r in uniform_sample_k(base, 50, seed=4).collect())
+    assert s1 != s3
+    # append stability: grow the corpus; surviving members are a subset
+    grown = spark.range(1500).withColumnRenamed("id", "doc_id")
+    s4 = set(r.doc_id for r in uniform_sample_k(grown, 50, seed=3).collect())
+    kept = set(s1) & s4
+    assert len(kept) >= 25   # hash boundary moves, but most members survive
+    # plan: no global sort — TakeOrderedAndProject
+    plan = (uniform_sample_k(base, 50, seed=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_outlier_flags_exact_boundary(spark):
+    """A planted far value is flagged; the strict-inequality boundary is
+    exact (a point AT k-sigma is not an outlier); near values are kept."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.profile import outlier_flags
+
+    # 30 values of 10 and one 1000 (a single point can only reach
+    # sqrt(n-1) sigma, so n must exceed k_sigma^2+1 for a flag to be
+    # possible at all — 9 points can never produce a 3-sigma outlier)
+    rows = [Row(doc_id=i, v=10) for i in range(30)] + [Row(doc_id=30, v=1000)]
+    out = {r.doc_id: r.is_outlier
+           for r in outlier_flags(spark.createDataFrame(rows), "v").collect()}
+    assert out[30] is True
+    assert all(out[i] is False for i in range(30))
+
+    # exact boundary: {0, 0, 12} → μ=4, σ²=32 ⇒ (n·x−Σ)²=9·(nΣx²−Σ²)
+    # for x=12: (36−12)²=576 vs 9·(3·144−144)=9·288… pick data where
+    # equality holds: x=[1,1,4] ⇒ n=3, Σ=6, Σx²=18, nΣx²−Σ²=18
+    # for x=4: (12−6)²=36 vs 9·18=162 → inside. Use k_sigma=1:
+    # 1·18=18 < 36 → outlier at 1σ; boundary case x where lhs²==rhs:
+    # data [0,2] n=2 Σ=2 Σx²=4 ⇒ nΣx²−Σ²=4; x=0: (0−2)²=4 == 1²·4 → NOT
+    out2 = {r.doc_id: r.is_outlier for r in outlier_flags(
+        spark.createDataFrame([Row(doc_id=0, v=0), Row(doc_id=1, v=2)]),
+        "v", k_sigma=1).collect()}
+    assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
+
+
 def test_random_project_matches_numpy_and_preserves_distance(spark, emb):
     """Projected coordinates equal the numpy sign-matrix product on the
     micro-unit grid exactly; JL distance preservation holds on average
