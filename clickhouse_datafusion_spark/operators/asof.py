@@ -74,3 +74,33 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
             & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + lower)
             & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + upper))
     return lk.join(rk, cond, how)
+
+
+def locf_fill(df: DataFrame, value_cols: list[str], ts_col: str = "ts",
+              key_cols: list[str] | tuple[str, ...] = ("user_id",),
+              tiebreak_col: str | None = None,
+              suffix: str = "_filled") -> DataFrame:
+    """Last-observation-carried-forward gap fill: for each key's
+    time-ordered event stream, replace NULLs in ``value_cols`` with the
+    most recent non-null observation — the standard repair for sparse
+    sensor/telemetry/feature streams before training-feature extraction
+    (leading NULLs, with nothing to carry, stay NULL; downstream decides
+    the cold-start default).
+
+    One (key)-shuffled window per call covering ALL value columns —
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding frame is a
+    running O(1)-state scan, not a per-row lookback, so cost is linear in
+    rows regardless of gap length. Pass ``tiebreak_col`` (e.g. the event
+    id) whenever timestamps can collide: an ambiguous order would make
+    the filled value engine-dependent — the gate always pins it.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (W.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c + suffix,
+                             F.last(F.col(c), ignorenulls=True).over(w))
+    return out

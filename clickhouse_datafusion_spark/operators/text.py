@@ -386,6 +386,35 @@ def normalize_text_col(text_col: str | Column = "text") -> Column:
     return F.trim(collapsed)
 
 
+def strip_html_col(html_col: str | Column = "html") -> Column:
+    """Visible text from raw HTML — the first transform every web-crawl
+    corpus runs (C4/RefinedWeb both start here): drop script/style/comment
+    blocks WITH their contents, drop remaining tags, decode the six
+    ubiquitous entities, collapse whitespace.
+
+    Pure regexp codegen, shuffle-free at any scale. Patterns stay in the
+    Java-regex ∩ RE2 common subset (``(?s)`` dotall + non-greedy, no
+    lookaround) so the DuckDB oracle is byte-identical. ``&amp;`` decodes
+    LAST — the single-pass rule that keeps ``&amp;lt;`` → ``&lt;`` (text
+    that *displays* as an entity) from over-decoding to ``<``. This is a
+    cleaner, not a parser: malformed nesting degrades to extra whitespace,
+    never to an exception — the right failure mode at 10⁹ pages. For
+    DOM-aware extraction (boilerplate removal by block structure) plug a
+    real parser in via mapInPandas downstream.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    # block elements whose CONTENT must go, then comments, then all tags
+    c = F.regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")
+    return F.trim(c)
+
+
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
 
 

@@ -1190,6 +1190,33 @@ def x2_range(spark, sf):
             .agg(F.count(F.col("r.r_event_id")).alias("n_following")))
 
 
+@qdef("x34_locf_backfill",
+      """SELECT event_id, user_id,
+                last_value(CASE WHEN event_type <> 'error' THEN value END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value_filled
+         FROM events""",
+      tags=("pipeline", "timeseries"))
+def x34_locf(spark, sf):
+    """Last-observation-carried-forward gap fill: 'error' events' values
+    are treated as missing and repaired from each user's most recent good
+    observation (leading gaps stay NULL). Ordering is pinned by
+    (ts, event_id) so the carried value is engine-independent — see
+    operators/asof.py::locf_fill."""
+    from clickhouse_datafusion_spark.operators.asof import locf_fill
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(F.col("event_type") != "error", F.col("value"))
+        .alias("value"))
+    return (locf_fill(ev, ["value"], ts_col="ts", key_cols=["user_id"],
+                      tiebreak_col="event_id")
+            .select("event_id", "user_id",
+                    F.col("value_filled")))
+
+
 @qdef("x3_json_extract",
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -2763,6 +2790,52 @@ def t11_bigram_lm(spark, sf):
     return bigram_lm_score(docs, lm_df=docs.filter(F.col("doc_id") < 250))
 
 
+_T12_PRE = ('<html><head><script type="text/javascript">var x = 1 < 2;'
+            '</script><style>.c { color: red }</style></head><body>'
+            '<!-- hidden --><h1>Title</h1><p>')
+_T12_POST = ('</p><br/><a href="http://e.com?a=1&amp;b=2">A &quot;link'
+             '&quot;</a>&nbsp;&#39;q&#39; &lt;raw&gt; &amp;amp; tail'
+             '</body></html>')
+
+
+def _t12_oracle_sql() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    steps = [
+        ("(?s)<script[^>]*>.*?</script>", " "),
+        ("(?s)<style[^>]*>.*?</style>", " "),
+        ("(?s)<!--.*?-->", " "),
+        ("<[^>]*>", " "),
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ("[ \\t\\n\\r\\f]+", " "),
+    ]
+    expr = f"{lit(_T12_PRE)} || text || {lit(_T12_POST)}"
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+    return (f"SELECT doc_id, md5(trim({expr})) AS clean_md5, "
+            f"CAST(length(trim({expr})) AS BIGINT) AS n_clean_chars "
+            f"FROM documents")
+
+
+@qdef("t12_html_strip", _t12_oracle_sql(), tags=("pipeline", "text"))
+def t12_html(spark, sf):
+    """HTML → visible text (the first web-crawl transform): every doc is
+    wrapped in a synthetic page exercising script/style content removal,
+    comments, tags, all six entities (including the &amp;amp; single-pass
+    rule), and whitespace collapse; the full cleaned string is
+    hash-compared — see operators/text.py::strip_html_col."""
+    from clickhouse_datafusion_spark.operators.text import strip_html_col
+
+    docs = t(spark, sf, "documents")
+    html = F.concat(F.lit(_T12_PRE), F.col("text"), F.lit(_T12_POST))
+    clean = strip_html_col(html)
+    return docs.select(
+        "doc_id", F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("bigint").alias("n_clean_chars"))
+
+
 @qdef("x29_hll_rollup", None, tags=("pipeline",))
 def x29_hll(spark, sf):
     """Mergeable HLL distinct-user sketches: build per (day, event_type),
@@ -3508,6 +3581,8 @@ _GATE_PRIORITY = [
     "s7_random_projection",
     "x32_uniform_sample_k",
     "x33_outlier_flags",
+    "x34_locf_backfill",
+    "t12_html_strip",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1066,6 +1066,63 @@ def test_quantize_embeddings_error_bound(spark, emb):
         assert dot / (na * nb) > 0.995
 
 
+def test_locf_fill_semantics(spark):
+    """Carried value crosses multi-row gaps, leading NULLs stay NULL,
+    keys never bleed into each other, ties resolve by the tiebreak."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.asof import locf_fill
+
+    rows = [
+        Row(event_id=0, ts=1, user_id=1, v=None),   # leading gap
+        Row(event_id=1, ts=2, user_id=1, v=10.0),
+        Row(event_id=2, ts=3, user_id=1, v=None),
+        Row(event_id=3, ts=4, user_id=1, v=None),   # long gap
+        Row(event_id=4, ts=5, user_id=1, v=20.0),
+        Row(event_id=5, ts=1, user_id=2, v=None),   # other key: no bleed
+        Row(event_id=6, ts=6, user_id=1, v=None),
+        Row(event_id=7, ts=6, user_id=1, v=30.0),   # tie: id 7 after 6
+    ]
+    out = {r.event_id: r.v_filled for r in locf_fill(
+        spark.createDataFrame(rows), ["v"], ts_col="ts",
+        key_cols=["user_id"], tiebreak_col="event_id").collect()}
+    assert out[0] is None and out[5] is None
+    assert out[2] == 10.0 and out[3] == 10.0
+    assert out[6] == 20.0          # tie at ts=6: id 6 fills from before
+    assert out[7] == 30.0
+
+
+def test_strip_html_edge_cases(spark):
+    """Script/style CONTENT removal, comment removal, entity decoding
+    (incl. the &amp;amp; single-pass rule), and malformed-input
+    degradation to whitespace — all hand-checked."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import strip_html_col
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<script>var a = 1 < 2;</script>keep", "keep"),
+        ("<style>.a { x: y }</style><div class='x'>text</div>", "text"),
+        ("<!-- secret -->yes", "yes"),
+        ("a &amp;amp; b", "a &amp; b"),          # no double-decode
+        ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;y",
+         "x <tag> \"q\" 's' y"),
+        ("<script>multi\nline</script>after", "after"),   # dotall
+        # malformed: an unclosed tag never matches <[^>]*> and stays as
+        # text (the HTML spec itself treats a stray '<' as character data)
+        ("unclosed <b bold", "unclosed <b bold"),
+        ("  spaced\t\nout  ", "spaced out"),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, html=h) for i, (h, _) in enumerate(cases)])
+    got = {r.i: r.clean
+           for r in df.select("i", strip_html_col("html").alias("clean"))
+           .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_uniform_sample_k_exact_and_append_stable(spark):
     """Exactly k rows, layout-independent, and append-only growth only
     swaps rows whose new hash undercuts the old boundary."""
