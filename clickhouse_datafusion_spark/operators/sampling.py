@@ -155,6 +155,50 @@ def uniform_sample_k(df: DataFrame, k: int, seed: str | int = 0,
             .orderBy("_hk", id_col).limit(int(k)).drop("_hk"))
 
 
+def priority_sample_k(df: DataFrame, k: int, weight_col: str,
+                      seed: str | int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Weighted exact-k sample with UNBIASED subset-sum estimation —
+    priority sampling (Duffield–Lund–Thorup 2007): each row draws a
+    deterministic uniform from md5, gets priority ``q = w/u``, the top-k
+    by priority are kept, and each survivor carries the weight estimate
+    ``ŵ = max(w, τ)`` where τ is the (k+1)-st priority. ``Σ ŵ`` over the
+    sample estimates the TRUE total weight of any subpopulation — the
+    property that makes a 10⁶-row sample answer "how many training
+    tokens does domain X contribute?" about a 10¹² -row corpus, which a
+    plain weighted draw cannot do without bias.
+
+    Integer end to end: u is a 48-bit hash slice, ``q = w·2⁴⁸ DIV
+    (h+1)`` (units of weight, exact), τ and ŵ are bigints — the oracle
+    reproduces every value. Headroom: ``w < 2¹⁵`` keeps ``w·2⁴⁸`` inside
+    int64; for heavier weights shrink the hash to 2⁴⁰ (estimator
+    precision loss is ~2⁻⁴⁰, irrelevant). Determinism: same (seed,
+    corpus) → same sample; ties are broken by id but are unreachable
+    through md5 in practice.
+
+    Scale shape: a shuffle-free projection + TWO TakeOrderedAndProject
+    passes (top-(k+1) to find τ, top-k for the sample — per-partition
+    heaps, O(partitions·k) network, no sort shuffle), then a broadcast
+    1-row τ join. Requires ``count(df) > k`` (with ≤ k rows every row is
+    its own certainty sample; take the corpus instead of sampling).
+    """
+    scale = 1 << 48
+    hk = F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12),
+        16, 10).cast("bigint")
+    w = F.col(weight_col).cast("bigint")
+    pri = (df.withColumn("_h", hk)
+           .withColumn("_q", F.expr(
+               f"(CAST({weight_col} AS BIGINT) * {scale}) "
+               f"DIV (_h + 1)")))
+    topk1 = pri.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k + 1)
+    tau = topk1.agg(F.min("_q").alias("_tau"))
+    sample = topk1.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k)
+    return (sample.crossJoin(F.broadcast(tau))
+            .withColumn("w_hat", F.greatest(w, F.col("_tau")))
+            .drop("_h", "_q", "_tau"))
+
+
 def percentile_filter(df: DataFrame, score_col: str,
                       drop_permille: int = 100) -> DataFrame:
     """Adaptive threshold filter: drop the bottom ``drop_permille``/1000 of

@@ -2972,6 +2972,34 @@ def x32_usample(spark, sf):
     return uniform_sample_k(docs, k=100, seed=7)
 
 
+@qdef("x35_priority_sample",
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                           (CAST(n_chars AS BIGINT) * 281474976710656)
+                             // (('0x' || substring(
+                                    md5('5:' || CAST(doc_id AS VARCHAR)),
+                                    1, 12))::BIGINT + 1) AS q
+                    FROM documents),
+          t1 AS (SELECT q FROM p ORDER BY q DESC, doc_id LIMIT 101),
+          tau AS (SELECT min(q) AS tau FROM t1),
+          s AS (SELECT doc_id, w, q FROM p
+                ORDER BY q DESC, doc_id LIMIT 100)
+         SELECT s.doc_id, s.w, GREATEST(s.w, tau.tau) AS w_hat
+         FROM s, tau""",
+      tags=("pipeline", "sampling"))
+def x35_psample(spark, sf):
+    """Priority sampling (Duffield–Lund–Thorup): weighted exact-k=100
+    draw by n_chars with the unbiased max(w,τ) subset-sum estimator —
+    every sampled id, weight, and estimate hash-compared; exact integer
+    priorities so τ cannot drift by an engine ulp — see
+    operators/sampling.py::priority_sample_k."""
+    from clickhouse_datafusion_spark.operators.sampling import priority_sample_k
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w"))
+    return (priority_sample_k(docs, k=100, weight_col="w", seed=5)
+            .select("doc_id", "w", "w_hat"))
+
+
 @qdef("x33_outlier_flags",
       """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                            CAST(sum(n_chars) AS HUGEINT) AS s,
@@ -3583,6 +3611,7 @@ _GATE_PRIORITY = [
     "x33_outlier_flags",
     "x34_locf_backfill",
     "t12_html_strip",
+    "x35_priority_sample",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

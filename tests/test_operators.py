@@ -1123,6 +1123,50 @@ def test_strip_html_edge_cases(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_priority_sample_unbiased_and_plan(spark):
+    """DLT estimator property: E[Σ ŵ over the sample] = true total weight
+    (checked by simulating the exact integer formula over 300 seeds);
+    the Spark plan is heap-based top-k, not a sort shuffle; heavy items
+    are certainty-sampled."""
+    import hashlib
+
+    from clickhouse_datafusion_spark.operators.sampling import priority_sample_k
+
+    weights = {i: (i % 97) + 1 for i in range(400)}
+    weights[7] = 5000                      # one elephant
+    total = sum(weights.values())
+    scale = 1 << 48
+
+    def simulate(seed, k=40):
+        pri = {}
+        for i, w in weights.items():
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:12], 16)
+            pri[i] = (w * scale) // (h + 1)
+        order = sorted(pri, key=lambda i: (-pri[i], i))
+        tau = pri[order[k]]
+        return order[:k], tau
+
+    est, elephant_hits = [], 0
+    for seed in range(300):
+        sample, tau = simulate(seed)
+        est.append(sum(max(weights[i], tau) for i in sample))
+        elephant_hits += 7 in sample
+    mean = sum(est) / len(est)
+    assert abs(mean - total) / total < 0.05, (mean, total)
+    assert elephant_hits == 300            # w=5000 is a certainty item
+
+    # Spark output equals the simulation for one seed
+    df = spark.createDataFrame(list(weights.items()), "doc_id long, w long")
+    got = {r.doc_id: r.w_hat for r in
+           priority_sample_k(df, 40, "w", seed=11).collect()}
+    want_ids, want_tau = simulate(11)
+    assert sorted(got) == sorted(want_ids)
+    assert all(got[i] == max(weights[i], want_tau) for i in got)
+    plan = (priority_sample_k(df, 40, "w", seed=11)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_uniform_sample_k_exact_and_append_stable(spark):
     """Exactly k rows, layout-independent, and append-only growth only
     swaps rows whose new hash undercuts the old boundary."""
