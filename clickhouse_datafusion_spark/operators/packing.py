@@ -115,3 +115,49 @@ def pack_sequences(df: DataFrame, budget: int = 1024,
         id_col, "n_tokens",
         F.expr(f"_cum_before DIV {budget}").alias("seq_id"),
         (F.col("_cum_before") % budget).alias("seq_offset"))
+
+
+def bin_pack_documents(df: DataFrame, budget: int = 2048,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       token_col: str | None = None,
+                       order_col: str | None = None,
+                       n_buckets: int | None = None) -> DataFrame:
+    """Whole-document bin packing: assign each document intact to a
+    ``budget``-token training bin — the no-split sibling of
+    ``pack_sequences`` for SFT/instruction corpora where cutting a
+    document mid-example destroys the label structure.
+
+    Semantics are contiguous-fill with overflow ("noisy packing", the
+    shape T5-style pipelines actually ship): documents are laid out in a
+    deterministic order (``order_col``, default seeded ``md5(id)`` so
+    long docs don't cluster) and a doc goes to the bin in which it
+    STARTS — so a bin holds at most ``budget + max_doc − 1`` tokens and
+    at least ``budget − max_doc + 1``. Strict first-fit-decreasing is a
+    sequential recurrence (bin k's contents depend on every earlier
+    decision) that fundamentally doesn't distribute; the overflow
+    variant is one exclusive prefix sum, fully parallel, and its waste
+    bound is the max-doc fraction — cap document length upstream
+    (``chunk_documents``) when that bound matters.
+
+    Returns (id, n_tokens, bin_id, bin_offset). Exact integer DIV/%, so
+    the oracle reproduces every assignment. Scale shape: inherits
+    ``global_prefix_sum``'s quantile-bucketed window — no
+    single-partition pass over data.
+    """
+    tok = (F.col(token_col) if token_col
+           else F.size(F.split(F.col(text_col), " ")))
+    base = df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
+    if order_col is None:
+        # numeric order key (global_prefix_sum range-buckets it with
+        # approxQuantile, which rejects strings): top 60 bits of md5(id).
+        # Uniqueness holds to ~2^30 docs (birthday bound); beyond that
+        # pass an explicit unique order_col.
+        base = base.withColumn("_ord", F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16, 10).cast("bigint"))
+        order_col = "_ord"
+    cum = global_prefix_sum(base, "n_tokens", order_col, n_buckets)
+    return cum.select(
+        id_col, "n_tokens",
+        F.expr(f"_cum_before DIV {budget}").alias("bin_id"),
+        (F.col("_cum_before") % budget).alias("bin_offset"))

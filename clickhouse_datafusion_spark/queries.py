@@ -3000,6 +3000,34 @@ def x35_psample(spark, sf):
             .select("doc_id", "w", "w_hat"))
 
 
+@qdef("x36_doc_bin_packing",
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens,
+                           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 15))::BIGINT AS ord
+                    FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY ord
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cb
+                FROM d)
+         SELECT doc_id, n_tokens,
+                CAST(cb // 2048 AS BIGINT) AS bin_id,
+                CAST(cb % 2048 AS BIGINT) AS bin_offset
+         FROM c""",
+      tags=("pipeline", "packing"))
+def x36_binpack(spark, sf):
+    """Whole-document bin packing for SFT corpora (no mid-example cuts):
+    every doc's bin and offset under the seeded md5 layout order, exact
+    integer arithmetic over the distributed prefix sum — see
+    operators/packing.py::bin_pack_documents."""
+    from clickhouse_datafusion_spark.operators.packing import bin_pack_documents
+
+    return bin_pack_documents(t(spark, sf, "documents"), budget=2048)
+
+
 @qdef("x33_outlier_flags",
       """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                            CAST(sum(n_chars) AS HUGEINT) AS s,
@@ -3612,6 +3640,7 @@ _GATE_PRIORITY = [
     "x34_locf_backfill",
     "t12_html_strip",
     "x35_priority_sample",
+    "x36_doc_bin_packing",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1123,6 +1123,34 @@ def test_strip_html_edge_cases(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_bin_pack_documents_fill_bound_and_invariance(spark):
+    """Every bin's token total sits within ±(max_doc−1) of the budget
+    (except the trailing bin); assignments are invariant to the prefix
+    sum's bucket count; docs are never split."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.packing import bin_pack_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * ((i * 37) % 90 + 10)))
+         for i in range(300)])
+    out = bin_pack_documents(docs, budget=500).collect()
+    by_bin: dict[int, int] = {}
+    for r in out:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.n_tokens
+    max_doc = max(r.n_tokens for r in out)
+    last = max(by_bin)
+    for b, tot in by_bin.items():
+        if b != last:
+            assert 500 - max_doc + 1 <= tot <= 500 + max_doc - 1, (b, tot)
+    # bucketing invariance: same assignment with a different bucket count
+    a = {(r.doc_id, r.bin_id, r.bin_offset)
+         for r in bin_pack_documents(docs, budget=500, n_buckets=3).collect()}
+    b = {(r.doc_id, r.bin_id, r.bin_offset)
+         for r in bin_pack_documents(docs, budget=500, n_buckets=11).collect()}
+    assert a == b
+
+
 def test_priority_sample_unbiased_and_plan(spark):
     """DLT estimator property: E[Σ ŵ over the sample] = true total weight
     (checked by simulating the exact integer formula over 300 seeds);
