@@ -241,3 +241,34 @@ def test_hll_rollup_two_aggregates(spark):
     df = q("x29_hll_rollup", spark)
     rep = plan_report(df)
     assert not rep["cartesian"], rep
+
+
+def test_r5d_entries_plan_shapes(spark):
+    # t12/s7: pure projections — zero shuffles, zero Python evals
+    for name in ("t12_html_strip", "s7_random_projection"):
+        df = q(name, spark)
+        rep = plan_report(df)
+        assert rep["shuffles"] == 0, (name, rep)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "BatchEval" not in plan, name
+    # x33: one scalar-moments aggregate broadcast onto the projection
+    rep = plan_report(q("x33_outlier_flags", spark), execute=True)
+    assert rep["broadcasts"] >= 1, rep
+    assert not rep["cartesian"], rep
+    # x34: exactly the one key-window shuffle
+    rep = plan_report(q("x34_locf_backfill", spark))
+    assert rep["shuffles"] <= 1, rep
+    # x32/x35: heap top-k, never a global sort shuffle
+    for name in ("x32_uniform_sample_k", "x35_priority_sample"):
+        plan = (q(name, spark)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan, name
+    # t11: LM tables broadcast into the scoring join, no cartesian
+    rep = plan_report(q("t11_bigram_lm_score", spark), execute=True)
+    assert rep["broadcasts"] >= 2, rep
+    assert not rep["cartesian"], rep
+    # x36: prefix sum's only data shuffle is the bucket window (the
+    # offsets window runs over <= n_buckets aggregate rows)
+    rep = plan_report(q("x36_doc_bin_packing", spark))
+    assert not rep["cartesian"], rep
+    assert rep["shuffles"] <= 4, rep
