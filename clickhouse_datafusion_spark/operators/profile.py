@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -51,6 +51,43 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
             F.col(f"__max_{c}").alias("max_s"))
         for c in cols]
     return reduce(DataFrame.unionAll, profiles)
+
+
+def group_quantiles(df: DataFrame, value_col: str, group_col: str,
+                    qs_permille: tuple[int, ...] = (500, 900, 990)
+                    ) -> DataFrame:
+    """EXACT per-group quantiles — p50/p90/p99 document length per source
+    is the drift monitor every corpus refresh should diff (a p99 jump in
+    one domain is a crawler loop; a p50 collapse is a parser bug).
+    Returns (group, q_permille, value) with the LOWER-quantile
+    definition: the smallest value whose cumulative count reaches
+    ``q‰`` of the group — rank comparisons in exact integers
+    (``cum·1000 ≥ q·total``), no interpolation, so any engine agrees.
+
+    Scale shape: same histogram trick as ``percentile_filter``, but
+    grouped — integer-valued (or pre-quantized) metrics have tiny
+    per-group histograms, so ONE (group,value)-keyed aggregate shuffles
+    O(groups·distinct_values) counter rows, the cumulative window runs
+    over those aggregate rows (never data), and the quantile pick is a
+    ≤|qs| -per-group reduce. No global sort, no sketch; quantize
+    continuous scores first, exactly as percentile_filter documents.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    hist = df.groupBy(g.alias("_g"), v.alias("_v")) \
+        .agg(F.count("*").alias("_c"))
+    w_cum = (W.partitionBy("_g").orderBy("_v")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_tot = W.partitionBy("_g")
+    cum = hist.select(
+        "_g", "_v",
+        F.sum("_c").over(w_cum).alias("_cm"),
+        F.sum("_c").over(w_tot).alias("_tot"))
+    qlit = F.explode(F.array(*[F.lit(int(p)) for p in qs_permille]))
+    return (cum.withColumn("q_permille", qlit)
+            .filter(F.col("_cm") * 1000 >= F.col("q_permille") * F.col("_tot"))
+            .groupBy("_g", "q_permille")
+            .agg(F.min("_v").alias("value"))
+            .select(F.col("_g").alias(group_col), "q_permille", "value"))
 
 
 def outlier_flags(df: DataFrame, value_col: str,

@@ -3052,6 +3052,32 @@ def x33_outliers(spark, sf):
     return outlier_flags(docs, "n_chars", k_sigma=3)
 
 
+@qdef("x37_group_quantiles",
+      """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+                    FROM documents GROUP BY source, n_chars),
+          cum AS (SELECT source, v,
+                         sum(c) OVER (PARTITION BY source ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cm,
+                         sum(c) OVER (PARTITION BY source) AS tot
+                  FROM h),
+          qs AS (SELECT unnest([500, 900, 990]) AS q_permille)
+         SELECT source, q_permille, CAST(min(v) AS BIGINT) AS value
+         FROM cum, qs WHERE cm * 1000 >= q_permille * tot
+         GROUP BY source, q_permille""",
+      tags=("pipeline", "profile"))
+def x37_gquant(spark, sf):
+    """Exact per-source p50/p90/p99 of document length (the corpus drift
+    monitor): lower-quantile definition with integer rank comparisons,
+    computed from a per-group value histogram — no global sort, no
+    sketch — see operators/profile.py::group_quantiles."""
+    from clickhouse_datafusion_spark.operators.profile import group_quantiles
+
+    docs = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return group_quantiles(docs, "n_chars", "source")
+
+
 @qdef("s5_label_centroids",
       """SELECT CAST(label AS INT) AS label,
                 CAST(pos AS INT) AS pos,
@@ -3641,6 +3667,7 @@ _GATE_PRIORITY = [
     "t12_html_strip",
     "x35_priority_sample",
     "x36_doc_bin_packing",
+    "x37_group_quantiles",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1221,6 +1221,28 @@ def test_uniform_sample_k_exact_and_append_stable(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_group_quantiles_match_reference_spec(spark):
+    """Lower-quantile definition verified against the direct sorted-list
+    computation per group, including the exact-boundary permilles."""
+    import math
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.profile import group_quantiles
+
+    data = [(g, (i * 31 + g * 7) % 100) for g in range(3) for i in range(57)]
+    df = spark.createDataFrame([Row(g=g, v=v) for g, v in data])
+    got = {(r.g, r.q_permille): r.value for r in
+           group_quantiles(df, "v", "g", qs_permille=(1, 250, 500, 750,
+                                                      1000)).collect()}
+    for g in range(3):
+        vals = sorted(v for gg, v in data if gg == g)
+        n = len(vals)
+        for qp in (1, 250, 500, 750, 1000):
+            want = vals[math.ceil(qp * n / 1000) - 1]
+            assert got[(g, qp)] == want, (g, qp, got[(g, qp)], want)
+
+
 def test_outlier_flags_exact_boundary(spark):
     """A planted far value is flagged; the strict-inequality boundary is
     exact (a point AT k-sigma is not an outlier); near values are kept."""
