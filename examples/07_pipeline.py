@@ -78,3 +78,53 @@ print("== int8 embedding quantization ==")
 from clickhouse_datafusion_spark.operators.similarity import quantize_embeddings
 
 quantize_embeddings(emb).select("vec_id", "scale_micro").show(3)
+
+print("== bigram-LM familiarity filter (Stupid Backoff, integer ppm) ==")
+from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+bigram_lm_score(docs.limit(200), lm_df=docs.filter(F.col("doc_id") < 250)) \
+    .orderBy(F.desc("score_ppm")).show(5)
+
+print("== HTML -> text extraction ==")
+from clickhouse_datafusion_spark.operators.text import strip_html_col
+
+html = docs.limit(3).select(
+    "doc_id",
+    F.concat(F.lit("<html><body><p>"), F.col("text"),
+             F.lit("</p><script>x()</script></body></html>")).alias("html"))
+html.select("doc_id", strip_html_col("html").alias("clean")).show(3, 60)
+
+print("== priority sampling: 50 docs weighted by length, unbiased w_hat ==")
+from clickhouse_datafusion_spark.operators.sampling import priority_sample_k
+
+ps = priority_sample_k(docs.select("doc_id", "n_chars"), 50, "n_chars")
+print("sum(w_hat) estimates total chars:",
+      ps.agg(F.sum("w_hat")).first()[0], "vs true",
+      docs.agg(F.sum("n_chars")).first()[0])
+
+print("== whole-doc bin packing at budget 2048 (SFT, no mid-example cuts) ==")
+from clickhouse_datafusion_spark.operators.packing import bin_pack_documents
+
+bin_pack_documents(docs, budget=2048).orderBy("bin_id", "bin_offset").show(5)
+
+print("== per-source length quantiles (drift monitor) ==")
+from clickhouse_datafusion_spark.operators.profile import group_quantiles
+
+group_quantiles(docs.select("source", "n_chars"), "n_chars", "source") \
+    .orderBy("source", "q_permille").show(9)
+
+print("== snapshot MERGE: refresh 200-399, delete <50, pin v2 ==")
+import tempfile
+
+from clickhouse_datafusion_spark.operators.layout import (
+    read_snapshot, upsert_snapshot, write_snapshot)
+
+snap = tempfile.mkdtemp(prefix="corpus_snap_")
+write_snapshot(docs.filter(F.col("doc_id") < 300)
+               .select("doc_id", "source", "text"), snap)
+upsert_snapshot(
+    spark, snap,
+    docs.filter(F.col("doc_id").between(200, 399))
+    .select("doc_id", F.lit("refreshed").alias("source"), "text"),
+    deletes=docs.filter(F.col("doc_id") < 50).select("doc_id"))
+print("v2 rows:", read_snapshot(spark, snap, version=2).count())
