@@ -177,6 +177,50 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     return drop_near_dups(df, pairs, id_col)
 
 
+def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
+                   label_col: str = "label", vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_planes: int = 4,
+                   n_tables: int = 8, dim: int | None = None,
+                   seed: int = 42) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar embeddings carrying a DIFFERENT label (cos ≥
+    ``threshold``) — the negatives that actually move a contrastive loss,
+    versus random negatives the model separates for free.
+
+    Returns (anchor, neg, cos, rank), rank 1 = hardest; anchors with no
+    qualifying negative are absent (emit your random-negative fallback
+    downstream). Ranking uses the 4dp-rounded cosine with an id
+    tie-break, so the order is engine-exact.
+
+    Scale shape: candidates come from the same LSH blocking as
+    :func:`blocked_cosine_dups` (one bucket-keyed shuffle, exact cosine
+    only within buckets — never all-pairs), symmetrized so both ends
+    serve as anchors, label-joined on the sparse pair list (AQE
+    broadcasts the label side when small), then one anchor-keyed window
+    for the top-k. Approximate with the LSH recall formula
+    (1 − (1 − p^n_planes)^n_tables); a missed candidate can promote the
+    next-hardest negative, so gate-grade comparisons against an exact
+    oracle must size tables for margin (see d9's note in queries.py).
+    """
+    pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
+                                n_planes, n_tables, dim, seed)
+    sym = pairs.unionByName(pairs.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"))
+    la = df.select(F.col(id_col).alias("id_a"),
+                   F.col(label_col).alias("_la"))
+    lb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(label_col).alias("_lb"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (sym.join(la, "id_a").join(lb, "id_b")
+            .filter(F.col("_la") != F.col("_lb"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id_a").alias("anchor"),
+                    F.col("id_b").alias("neg"), "cos", "rank"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -2460,6 +2460,37 @@ def s6_quantize(spark, sf):
     return quantize_embeddings(t(spark, sf, "embeddings"))
 
 
+@qdef("s8_hard_negatives",
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          p AS (SELECT a.vec_id AS anchor, b.vec_id AS neg,
+                       FLOOR(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v)))
+                             * 10000 + 0.5) / 10000.0 AS cos
+                FROM v a JOIN v b
+                  ON a.vec_id <> b.vec_id AND a.label <> b.label),
+          f AS (SELECT anchor, neg, cos,
+                       row_number() OVER (PARTITION BY anchor
+                                          ORDER BY cos DESC, neg) AS rank
+                FROM p WHERE cos >= 0.4)
+         SELECT anchor, neg, cos, CAST(rank AS BIGINT) AS rank
+         FROM f WHERE rank <= 2""",
+      tags=("pipeline", "similarity"))
+def s8_hardneg(spark, sf):
+    """Contrastive hard-negative mining: top-2 different-label neighbors
+    per anchor at cos >= 0.4, gated against the exact all-pairs oracle.
+    Runs d5/d9's recall-margin parameters (1 plane × 24 tables — miss
+    probability ≈ 4e-11 per candidate pair at the threshold, so the
+    LSH-blocked plan is safely compared to an exact oracle; a missed
+    candidate would otherwise silently promote the next-hardest
+    negative) — see operators/similarity.py::hard_negatives."""
+    from clickhouse_datafusion_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(t(spark, sf, "embeddings"), k=2, threshold=0.4,
+                          n_planes=1, n_tables=24, dim=64)
+
+
 def _s7_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
     """DuckDB twin of ``random_project``: the seeded ±1 sign matrix is a
     driver-side constant, emitted as literal DOUBLE[] rows. The input is
@@ -3668,6 +3699,7 @@ _GATE_PRIORITY = [
     "x35_priority_sample",
     "x36_doc_bin_packing",
     "x37_group_quantiles",
+    "s8_hard_negatives",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

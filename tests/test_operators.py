@@ -1271,6 +1271,40 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_hard_negatives_planted(spark):
+    """The known nearest different-label vector ranks 1; same-label
+    near-dups are never emitted; rank order follows rounded cosine."""
+    import math
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.similarity import hard_negatives
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        Row(vec_id=0, label=0, embedding=unit([1.0, 0.0, 0.0, 0.0])),
+        Row(vec_id=1, label=0, embedding=unit([0.99, 0.1, 0.0, 0.0])),
+        # label-1 vector very close to anchor 0 → its hardest negative
+        Row(vec_id=2, label=1, embedding=unit([0.95, 0.05, 0.3, 0.0])),
+        # label-1 vector further away → rank 2
+        Row(vec_id=3, label=1, embedding=unit([0.7, 0.0, 0.7, 0.1])),
+        # orthogonal, below threshold → never appears
+        Row(vec_id=4, label=1, embedding=unit([0.0, 0.0, 0.0, 1.0])),
+    ]
+    out = hard_negatives(spark.createDataFrame(rows), k=2, threshold=0.4,
+                         n_planes=1, n_tables=24, dim=4).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor, []).append((r.rank, r.neg))
+    assert sorted(by_anchor[0]) == [(1, 2), (2, 3)]
+    # same-label pair (0,1) never emitted despite cos ~0.995
+    assert all(r.neg != 1 for r in out if r.anchor == 0)
+    assert 4 not in {r.neg for r in out}
+
+
 def test_random_project_matches_numpy_and_preserves_distance(spark, emb):
     """Projected coordinates equal the numpy sign-matrix product on the
     micro-unit grid exactly; JL distance preservation holds on average
