@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     # quality->dedup->split chain (one content-keyed shuffle total)
     "x16_bm25_scoring",
     "x20_corpus_pipeline",
+    # r5d: the two heaviest new pipeline entries — bigram-LM scoring
+    # (pair explode + LM joins + id reduce) and whole-doc bin packing
+    # (distributed prefix sum)
+    "t11_bigram_lm_score",
+    "x36_doc_bin_packing",
 ]
 
 

@@ -343,19 +343,24 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
     bi = (adjacent_word_pairs(lm, text_col, id_col)
           .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2")))
+    # fold c(w1) into the bigram table at LM-BUILD time (a join between
+    # the two small LM tables), so the hot per-pair scoring path does one
+    # fewer join over the exploded pair stream
+    bi2 = (bi.join(uni.withColumnRenamed("w", "w1"), "w1")
+           .select("w1", "w2",
+                   F.expr("(c2 * 1000000) DIV c1").alias("_seen")))
     maybe_b = F.broadcast if broadcast_lm else (lambda x: x)
 
     dp = adjacent_word_pairs(df, text_col, id_col)
-    scored = (dp.join(maybe_b(bi), ["w1", "w2"], "left")
-              .join(maybe_b(uni.withColumnRenamed("w", "w1")
-                            .withColumnRenamed("c1", "_c_w1")), "w1", "left")
+    scored = (dp.join(maybe_b(bi2), ["w1", "w2"], "left")
               .join(maybe_b(uni.withColumnRenamed("w", "w2")
                             .withColumnRenamed("c1", "_c_w2")), "w2", "left")
               .crossJoin(F.broadcast(total))
-              .select(F.col(id_col), F.expr(
-                  f"CASE WHEN c2 IS NOT NULL THEN (c2 * 1000000) DIV _c_w1 "
-                  f"ELSE ({int(alpha_num)} * coalesce(_c_w2, 0) * 1000000) "
-                  f"DIV ({int(alpha_den)} * tot) END").alias("_contrib")))
+              .select(F.col(id_col), F.coalesce(
+                  F.col("_seen"),
+                  F.expr(f"({int(alpha_num)} * coalesce(_c_w2, 0) "
+                         f"* 1000000) DIV ({int(alpha_den)} * tot)"))
+                  .alias("_contrib")))
     pd = scored.groupBy(id_col).agg(
         F.sum("_contrib").cast("bigint").alias("_s"),
         F.count("*").cast("bigint").alias("n_pairs"))

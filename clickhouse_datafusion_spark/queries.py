@@ -3630,6 +3630,43 @@ def st7_stream_corpus_dedup(spark, sf):
         return out.select(*cols).localCheckpoint(eager=True)
 
 
+@qdef("st8_streaming_sliding",
+      f"""WITH mx AS (SELECT max(ts) AS m FROM events),
+          w AS (SELECT user_id, value, date_trunc('hour', ts) AS ws
+                FROM events
+                UNION ALL
+                SELECT user_id, value,
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR
+                FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+                user_id, CAST(count(*) AS BIGINT) AS n,
+                {OSUM('value')} AS total
+         FROM w, mx
+         WHERE ws + INTERVAL 2 HOUR <= m - INTERVAL 4 HOUR
+         GROUP BY ws, user_id""",
+      tags=("streaming",))
+def st8_stream_sliding(spark, sf):
+    """Watermarked SLIDING-window aggregation (2h window / 1h slide) —
+    each event lands in two overlapping windows; the oracle expands every
+    event into both epoch-aligned window starts and applies st1's seal
+    predicate (window.end <= max(ts) − watermark). ``total`` decimal-
+    summed on both sides — see streaming/events.py::sliding_value_sums."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, sliding_value_sums)
+
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st8", copies=1)
+        stream = sliding_value_sums(read_events_stream(spark, d))
+        out = run_to_memory_sink(stream, f"st8_{_uuid.uuid4().hex[:8]}")
+        return out.select(
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "user_id", "n",
+            F.round("total", 2).cast("double").alias("total")) \
+            .localCheckpoint(eager=True)
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -3700,6 +3737,7 @@ _GATE_PRIORITY = [
     "x36_doc_bin_packing",
     "x37_group_quantiles",
     "s8_hard_negatives",
+    "st8_streaming_sliding",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -66,12 +66,21 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 def sliding_value_sums(events: DataFrame, window: str = "2 hours",
                        slide: str = "1 hour",
                        watermark: str = "4 hours") -> DataFrame:
-    """Sliding-window value sums per user."""
+    """Sliding-window value sums per user — each event lands in
+    ``window/slide`` overlapping windows (Spark expands it to every
+    epoch-aligned slide bucket covering its timestamp).
+
+    ``total`` sums in DECIMAL(28,4) — exact/associative regardless of
+    state-merge order, so the bounded-replay oracle can hash-compare it
+    (same convention as :func:`tumbling_counts`)."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window, slide), "user_id")
-            .agg(F.sum("value").alias("total"))
-            .select(F.col("window.start").alias("w_start"), "user_id", "total"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,4)")).alias("total"))
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "user_id", "n", "total"))
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes",
