@@ -275,6 +275,44 @@ def upsert_snapshot(spark, path: str, updates: DataFrame,
                           path)
 
 
+def snapshot_diff(spark, path: str, v_old: int, v_new: int,
+                  key_col: str = "doc_id") -> DataFrame:
+    """What changed between two pinned snapshot versions: one row per
+    touched key with status ``added`` / ``removed`` / ``changed`` — the
+    audit view every corpus refresh should publish (and the input to
+    incremental re-embedding: only ``added``+``changed`` keys need new
+    vectors).
+
+    Change detection hashes the full row (every non-key column, null-safe
+    via a field separator) so ANY column drift surfaces; byte-identical
+    rows are dropped from the diff. Scale shape: ONE key-shuffled
+    full-outer join of the two versions carrying an 8-byte-per-row hash
+    projection — no row payloads move beyond the scan.
+    """
+    old = read_snapshot(spark, path, v_old)
+    new = read_snapshot(spark, path, v_new)
+    cols = [c for c in old.columns if c != key_col]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}; diff requires a stable schema")
+
+    def hashed(d: DataFrame, out: str) -> DataFrame:
+        h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                         for c in cols])
+        return d.select(F.col(key_col), h.alias(out))
+
+    o, n = hashed(old, "_ho"), hashed(new, "_hn")
+    j = o.join(n, key_col, "full_outer")
+    return (j.withColumn(
+        "status",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed")))
+        .filter(F.col("status").isNotNull())
+        .select(key_col, "status"))
+
+
 def list_snapshots(path: str) -> list[int]:
     import os
     import re

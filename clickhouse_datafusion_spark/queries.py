@@ -2941,28 +2941,16 @@ def x30_pagerank(spark, sf):
     return pagerank(e, n_iter=3)
 
 
-@qdef("x31_snapshot_upsert",
-      """SELECT doc_id, 'refreshed' AS source, md5(text) AS text_md5
-         FROM documents WHERE doc_id BETWEEN 200 AND 399
-         UNION ALL
-         SELECT doc_id, source, md5(text) AS text_md5
-         FROM documents WHERE doc_id >= 50 AND doc_id < 200""",
-      tags=("pipeline", "layout"))
-def x31_upsert(spark, sf):
-    """MERGE INTO the snapshot store: base corpus (ids < 300) becomes v1;
-    a refresh batch (ids 200–399, source rewritten to 'refreshed') upserts
-    and a take-down set (ids < 50) deletes, producing v2 — so the result
-    must hold exactly: deleted keys gone, overlapped keys replaced, new
-    keys inserted, untouched keys byte-identical. The snapshot sequence is
-    rebuilt from scratch when the source parquet changes (mtime-gated) —
-    see operators/layout.py::upsert_snapshot for the copy-on-write scale
-    story."""
+def _snapshot_merge_fixture(spark, sf: str) -> str:
+    """Build (mtime-gated) the two-version snapshot fixture shared by
+    x31/x38: v1 = docs with id < 300; v2 = after upserting ids 200–399
+    with source rewritten to 'refreshed' and deleting ids < 50."""
     import os
     import shutil
 
     from clickhouse_datafusion_spark.catalog import _TDCACHE
     from clickhouse_datafusion_spark.operators.layout import (
-        read_snapshot, upsert_snapshot, write_snapshot)
+        upsert_snapshot, write_snapshot)
 
     src = resolve_parquet_path(f"{sf}/documents.parquet")
     sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
@@ -2982,8 +2970,53 @@ def x31_upsert(spark, sf):
                         .select("doc_id"))
         with open(marker, "w"):
             pass
+    return d
+
+
+@qdef("x31_snapshot_upsert",
+      """SELECT doc_id, 'refreshed' AS source, md5(text) AS text_md5
+         FROM documents WHERE doc_id BETWEEN 200 AND 399
+         UNION ALL
+         SELECT doc_id, source, md5(text) AS text_md5
+         FROM documents WHERE doc_id >= 50 AND doc_id < 200""",
+      tags=("pipeline", "layout"))
+def x31_upsert(spark, sf):
+    """MERGE INTO the snapshot store: base corpus (ids < 300) becomes v1;
+    a refresh batch (ids 200–399, source rewritten to 'refreshed') upserts
+    and a take-down set (ids < 50) deletes, producing v2 — so the result
+    must hold exactly: deleted keys gone, overlapped keys replaced, new
+    keys inserted, untouched keys byte-identical. The snapshot sequence is
+    rebuilt from scratch when the source parquet changes (mtime-gated) —
+    see operators/layout.py::upsert_snapshot for the copy-on-write scale
+    story."""
+    from clickhouse_datafusion_spark.operators.layout import read_snapshot
+
+    d = _snapshot_merge_fixture(spark, sf)
     return (read_snapshot(spark, d, version=2)
             .select("doc_id", "source", F.md5("text").alias("text_md5")))
+
+
+@qdef("x38_snapshot_diff",
+      """SELECT doc_id, 'removed' AS status FROM documents
+         WHERE doc_id < 50
+         UNION ALL
+         SELECT doc_id, 'changed' FROM documents
+         WHERE doc_id BETWEEN 200 AND 299
+         UNION ALL
+         SELECT doc_id, 'added' FROM documents
+         WHERE doc_id BETWEEN 300 AND 399""",
+      tags=("pipeline", "layout"))
+def x38_snapdiff(spark, sf):
+    """Audit diff between two pinned snapshot versions: every key's
+    added/removed/changed status over the x31 merge fixture, whose truth
+    is known by construction (deletes <50, source rewrite 200–299,
+    inserts 300–399; untouched rows must NOT appear) — see
+    operators/layout.py::snapshot_diff. This is also the incremental
+    re-embedding feed: only added+changed keys need new vectors."""
+    from clickhouse_datafusion_spark.operators.layout import snapshot_diff
+
+    d = _snapshot_merge_fixture(spark, sf)
+    return snapshot_diff(spark, d, 1, 2)
 
 
 @qdef("x32_uniform_sample_k",
@@ -3738,6 +3771,7 @@ _GATE_PRIORITY = [
     "x37_group_quantiles",
     "s8_hard_negatives",
     "st8_streaming_sliding",
+    "x38_snapshot_diff",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

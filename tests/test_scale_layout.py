@@ -247,6 +247,43 @@ def test_upsert_snapshot_merge_semantics(spark, tmp_path):
         upsert_snapshot(spark, path, bad)
 
 
+def test_snapshot_diff_statuses_and_schema_guard(spark, tmp_path):
+    """added/removed/changed statuses are exact; untouched and
+    byte-identical rows never appear; schema drift raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        snapshot_diff, write_snapshot)
+
+    v1 = spark.createDataFrame(
+        [(i, f"b-{i}") for i in range(6)], "doc_id bigint, text string")
+    # v2: drop 0, change 3, add 9, keep 1/2/4/5 byte-identical
+    v2 = spark.createDataFrame(
+        [(1, "b-1"), (2, "b-2"), (3, "CHANGED"), (4, "b-4"), (5, "b-5"),
+         (9, "b-9")], "doc_id bigint, text string")
+    path = str(tmp_path / "snap")
+    write_snapshot(v1, path)
+    write_snapshot(v2, path)
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(spark, path, 1, 2).collect()}
+    assert got == {0: "removed", 3: "changed", 9: "added"}
+
+    # a NULL-vs-empty-string flip still registers as changed
+    v3 = v2.withColumn(
+        "text", F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(
+            F.col("text")))
+    write_snapshot(v3, path)
+    got23 = {r.doc_id: r.status
+             for r in snapshot_diff(spark, path, 2, 3).collect()}
+    assert got23 == {1: "changed"}
+
+    write_snapshot(v2.drop("text"), str(tmp_path / "other"))
+    write_snapshot(v2, str(tmp_path / "other"))
+    with _pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(spark, str(tmp_path / "other"), 1, 2)
+
+
 def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     """Z-ordered files cover small hyper-rectangles: a footer-stat filter
     on EITHER key skips most files, where a range-sort on x alone cannot
