@@ -2462,7 +2462,7 @@ def s6_quantize(spark, sf):
 
 @qdef("s8_hard_negatives",
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
+                    FROM embeddings WHERE vec_id < 200),
           p AS (SELECT a.vec_id AS anchor, b.vec_id AS neg,
                        FLOOR(list_dot_product(a.v, b.v)
                              / (sqrt(list_dot_product(a.v, a.v))
@@ -2484,10 +2484,16 @@ def s8_hardneg(spark, sf):
     probability ≈ 4e-11 per candidate pair at the threshold, so the
     LSH-blocked plan is safely compared to an exact oracle; a missed
     candidate would otherwise silently promote the next-hardest
-    negative) — see operators/similarity.py::hard_negatives."""
+    negative) on d9's bounded gate slice (vec_id < 200): one hyperplane
+    splits space into only 2 buckets/table, so margin parameters mean
+    near-half-table buckets — quadratic pair expansion that must stay
+    bounded in a gate. Production (4 planes × 8 tables) keeps buckets
+    small; scale recall comes from tables+multiprobe, not 1-plane
+    blocking — see operators/similarity.py::hard_negatives."""
     from clickhouse_datafusion_spark.operators.similarity import hard_negatives
 
-    return hard_negatives(t(spark, sf, "embeddings"), k=2, threshold=0.4,
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return hard_negatives(emb, k=2, threshold=0.4,
                           n_planes=1, n_tables=24, dim=64)
 
 
@@ -3090,6 +3096,99 @@ def x36_binpack(spark, sf):
     from clickhouse_datafusion_spark.operators.packing import bin_pack_documents
 
     return bin_pack_documents(t(spark, sf, "documents"), budget=2048)
+
+
+@qdef("x39_curated_corpus",
+      r"""WITH nrm AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '[ \t\n\r\f]+', ' ', 'g')) AS txt
+              FROM documents),
+          ws AS (SELECT doc_id, txt, string_split(txt, ' ') AS w FROM nrm),
+          uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(w) AS wd FROM ws WHERE doc_id < 250)
+                  GROUP BY wd),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+          bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                 FROM (SELECT w[g] AS w1, w[g+1] AS w2
+                       FROM (SELECT w,
+                                    unnest(generate_series(1, len(w)-1))
+                                      AS g
+                             FROM ws WHERE doc_id < 250 AND len(w) >= 2))
+                 GROUP BY w1, w2),
+          dp AS (SELECT doc_id, w[g] AS w1, w[g+1] AS w2
+                 FROM (SELECT doc_id, w,
+                              unnest(generate_series(1, len(w)-1)) AS g
+                       FROM ws WHERE len(w) >= 2)),
+          sc AS (SELECT dp.doc_id,
+                        CASE WHEN bi.c2 IS NOT NULL
+                             THEN (bi.c2 * 1000000) // u1.c1
+                             ELSE (2 * COALESCE(u2.c1, 0) * 1000000)
+                                  // (5 * t)
+                        END AS contrib
+                 FROM dp LEFT JOIN bi USING (w1, w2)
+                      LEFT JOIN uni u1 ON u1.wd = dp.w1
+                      LEFT JOIN uni u2 ON u2.wd = dp.w2, tot),
+          pd AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS s,
+                        CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM sc GROUP BY doc_id),
+          scored AS (SELECT ws.doc_id, ws.txt,
+                            CAST(len(ws.w) AS BIGINT) AS n_tokens,
+                            CAST(COALESCE(pd.s // pd.n_pairs, 0) AS BIGINT)
+                              AS score_ppm
+                     FROM ws LEFT JOIN pd USING (doc_id)),
+          h AS (SELECT score_ppm AS sv, count(*) AS c
+                FROM scored GROUP BY score_ppm),
+          ht AS (SELECT sum(c) AS tt FROM h),
+          cum AS (SELECT sv, sum(c) OVER (ORDER BY sv
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cm
+                  FROM h),
+          cut AS (SELECT min(sv) AS p FROM cum, ht
+                  WHERE cm > (tt * 200) // 1000),
+          filt AS (SELECT scored.* FROM scored, cut WHERE score_ppm >= p),
+          k AS (SELECT *, row_number() OVER (PARTITION BY md5(txt)
+                                             ORDER BY doc_id) AS rn
+                FROM filt),
+          ded AS (SELECT doc_id, n_tokens, score_ppm FROM k WHERE rn = 1),
+          o AS (SELECT *, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15))::BIGINT AS ord
+                FROM ded),
+          cc AS (SELECT doc_id, n_tokens, score_ppm,
+                        COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cb
+                 FROM o)
+         SELECT doc_id, n_tokens, score_ppm,
+                CAST(cb // 1024 AS BIGINT) AS bin_id,
+                CAST(cb % 1024 AS BIGINT) AS bin_offset
+         FROM cc""",
+      tags=("pipeline",))
+def x39_curated(spark, sf):
+    """The r5d operators composed end-to-end — normalize → bigram-LM
+    score (Stupid Backoff, LM from the first half) → adaptive
+    bottom-quintile cut → exact dedup → whole-doc bin packing — with
+    every surviving doc's score, bin, and offset hash-verified in ONE
+    composite oracle. Chain cost at scale: the LM aggregates (built
+    once), one id-keyed score reduce, a broadcast threshold, the
+    content-keyed dedup shuffle, and the prefix sum — quality stats and
+    packing order are projections."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_exact_dups
+    from clickhouse_datafusion_spark.operators.packing import bin_pack_documents
+    from clickhouse_datafusion_spark.operators.sampling import percentile_filter
+    from clickhouse_datafusion_spark.operators.text import (
+        bigram_lm_score, normalize_text_col)
+
+    docs = t(spark, sf, "documents")
+    nrm = docs.select("doc_id", normalize_text_col("text").alias("text"))
+    scored = bigram_lm_score(nrm, lm_df=nrm.filter(F.col("doc_id") < 250))
+    base = nrm.join(scored.select("doc_id", "score_ppm"), "doc_id")
+    filt = percentile_filter(base, "score_ppm", drop_permille=200)
+    ded = drop_exact_dups(filt)
+    packed = bin_pack_documents(ded, budget=1024)
+    return (packed.join(ded.select("doc_id", "score_ppm"), "doc_id")
+            .select("doc_id", "n_tokens", "score_ppm", "bin_id",
+                    "bin_offset"))
 
 
 @qdef("x33_outlier_flags",
@@ -3772,6 +3871,7 @@ _GATE_PRIORITY = [
     "s8_hard_negatives",
     "st8_streaming_sliding",
     "x38_snapshot_diff",
+    "x39_curated_corpus",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",
