@@ -332,6 +332,64 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def near_contamination(train_df: DataFrame, eval_df: DataFrame,
+                       threshold_permille: int = 500, n_hashes: int = 32,
+                       bands: int = 8, ngram: int = 3,
+                       gram_hash: str = "xx", text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """NEAR-duplicate train/eval contamination — the paraphrase-level
+    upgrade of ``text.contamination_scores`` (exact shingle overlap):
+    MinHash est-Jaccard between every training doc and every eval doc
+    that shares an LSH band, so lightly-edited benchmark leakage
+    (re-wrapped text, dropped sentences) is caught, not just verbatim
+    inclusion. Returns (id, eval_id, est_permille) pairs at
+    ``est ≥ threshold_permille`` — exact integer permille
+    (``matches·1000 DIV n_hashes``) so the gate hashes bit-for-bit.
+
+    Scale shape exploits the asymmetry that eval benchmarks are TINY
+    relative to a training corpus: the eval side's banded signatures
+    BROADCAST, so the train side — the 100 TB side — is never shuffled
+    at all: signatures are a projection, the band join is map-side, and
+    the only exchange is the final distinct over (id, eval_id, est)
+    scalars, which is bounded by true near-matches, not corpus size.
+    (Contrast within-corpus ``minhash_candidates``: bucket-keyed
+    shuffle, because neither side fits a broadcast.) For an eval side
+    too big to broadcast, fall back to the bucket-join machinery.
+    """
+    rpb = n_hashes // bands
+
+    def sigs(d: DataFrame, out_id: str) -> DataFrame:
+        gh = (d.filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
+              .select(F.col(id_col).alias(out_id),
+                      gram_hashes(F.col(text_col), ngram,
+                                  gram_hash).alias("_gh")))
+        return gh.select(out_id, _sig_from_gram_hashes(
+            F.col("_gh"), n_hashes).alias("sig"))
+
+    def banded(d: DataFrame, sig_out: str) -> DataFrame:
+        return d.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")) \
+            .withColumn("_bsig", F.expr(
+                f"slice(sig, band * {rpb} + 1, {rpb})")) \
+            .withColumnRenamed("sig", sig_out)
+
+    tr = banded(sigs(_ensure_parallelism(train_df), "id"), "sig_t")
+    ev = banded(sigs(eval_df, "eval_id"), "sig_e")
+    matches = F.size(F.filter(
+        F.zip_with(F.col("sig_t"), F.col("sig_e"), lambda x, y: x == y),
+        lambda e: e))
+    # IEEE division of exactly-representable small ints is correctly
+    # rounded, so floor() here equals integer DIV — matching the oracle
+    est = F.floor(matches.cast("bigint") * 1000 / F.lit(n_hashes)) \
+        .cast("bigint")
+    return (tr.join(F.broadcast(ev), ["band", "_bsig"])
+            .select(F.col("id").alias(id_col), "eval_id",
+                    est.alias("est_permille"))
+            .filter(F.col("est_permille") >= threshold_permille)
+            .distinct())
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

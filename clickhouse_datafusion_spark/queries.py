@@ -3191,6 +3191,87 @@ def x39_curated(spark, sf):
                     "bin_offset"))
 
 
+def _x40_oracle_sql(n_hashes: int = 32, bands: int = 8,
+                    threshold_permille: int = 300) -> str:
+    """DuckDB twin of ``near_contamination(gram_hash="md5")``: both
+    sides' MinHash signatures from the md5 gram family (the d3 oracle
+    construction), eval = the 80%-word prefix of every 25th doc, band
+    join on the exact slot slices, integer-permille est-Jaccard."""
+    from clickhouse_datafusion_spark.operators.dedup import _MH_P, _mh_params
+
+    rpb = n_hashes // bands
+    slots = ",\n                 ".join(
+        f"list_min(list_transform(gh, h -> (h * {a} + {b}) % {_MH_P}))"
+        for a, b in _mh_params(n_hashes))
+    bl = ",".join(str(b) for b in range(bands))
+
+    def side(src: str, idc: str) -> str:
+        return f"""{idc}g AS (SELECT {idc},
+                       CASE WHEN len(ws) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       ELSE [] END AS grams
+                FROM {src}),
+          {idc}h AS (SELECT {idc},
+                       list_transform(grams,
+                         gr -> ('0x' || substring(md5(gr), 1, 8))::BIGINT
+                               % {_MH_P}) AS gh
+                FROM {idc}g WHERE len(grams) > 0),
+          {idc}s AS (SELECT {idc},
+                 [{slots}] AS sig
+                FROM {idc}h),
+          {idc}b AS (SELECT {idc}, sig, band,
+                            list_slice(sig, band * {rpb} + 1,
+                                       band * {rpb} + {rpb}) AS bsig
+                     FROM (SELECT {idc}, sig, unnest([{bl}]) AS band
+                           FROM {idc}s))"""
+
+    return f"""WITH tw AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                    FROM documents),
+          ew AS (SELECT doc_id AS eval_id,
+                        list_slice(string_split(text, ' '), 1,
+                                   (len(string_split(text, ' ')) * 4) // 5)
+                          AS ws
+                 FROM documents WHERE doc_id % 25 = 0),
+          {side('tw', 'id')},
+          {side('ew', 'eval_id')},
+          cand AS (SELECT DISTINCT t.id, e.eval_id,
+                          t.sig AS sig_t, e.sig AS sig_e
+                   FROM idb t JOIN eval_idb e
+                     ON t.band = e.band AND t.bsig = e.bsig),
+          est AS (SELECT DISTINCT id AS doc_id, eval_id,
+                         len(list_filter(range(1, {n_hashes + 1}),
+                             i -> sig_t[i] = sig_e[i])) * 1000
+                           // {n_hashes} AS est_permille
+                  FROM cand)
+         SELECT doc_id, eval_id, CAST(est_permille AS BIGINT)
+                  AS est_permille
+         FROM est WHERE est_permille >= {threshold_permille}"""
+
+
+@qdef("x40_near_contamination", _x40_oracle_sql(),
+      tags=("pipeline", "dedup"))
+def x40_nearcontam(spark, sf):
+    """Near-duplicate eval contamination: each eval doc is the 80%-word
+    prefix of every 25th training doc (a paraphrase-ish leak that exact
+    shingle matching under-scores), detected by MinHash band sharing +
+    est-Jaccard ≥ 300‰; gated on the md5 gram family like d3 — see
+    operators/dedup.py::near_contamination (the eval side broadcasts, so
+    the training corpus is never shuffled)."""
+    from clickhouse_datafusion_spark.operators.dedup import near_contamination
+
+    docs = t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    ev = (docs.filter(F.col("doc_id") % 25 == 0)
+          .select("doc_id",
+                  F.array_join(
+                      F.slice(ws, 1, F.expr(
+                          "(size(split(text, ' ')) * 4) DIV 5")), " ")
+                  .alias("text")))
+    return near_contamination(docs, ev, threshold_permille=300,
+                              gram_hash="md5")
+
+
 @qdef("x33_outlier_flags",
       """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                            CAST(sum(n_chars) AS HUGEINT) AS s,
@@ -3872,6 +3953,7 @@ _GATE_PRIORITY = [
     "st8_streaming_sliding",
     "x38_snapshot_diff",
     "x39_curated_corpus",
+    "x40_near_contamination",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

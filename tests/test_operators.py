@@ -1271,6 +1271,33 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_near_contamination_planted_paraphrase(spark):
+    """A benchmark doc hidden in the corpus with light edits (dropped
+    tail) is caught at high est-Jaccard; unrelated docs are not; the
+    eval side broadcasts so the train side never shuffles."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import near_contamination
+
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    leaked = " ".join(bench.split()[:16])        # 80% prefix in the corpus
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text=leaked),
+         Row(doc_id=2, text="totally different words about other topics "
+                            "entirely unrelated to the benchmark set")])
+    ev = spark.createDataFrame([Row(doc_id=100, text=bench)])
+    out = near_contamination(train, ev, threshold_permille=300)
+    rows = out.collect()
+    assert {(r.doc_id, r.eval_id) for r in rows} == {(1, 100)}
+    assert rows[0].est_permille >= 500
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only hash exchanges allowed are the repartition + final distinct
+    # — never a join-keyed shuffle of the train side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_hard_negatives_planted(spark):
     """The known nearest different-label vector ranks 1; same-label
     near-dups are never emitted; rank order follows rounded cosine."""
