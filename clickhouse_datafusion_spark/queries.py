@@ -3880,6 +3880,47 @@ def st8_stream_sliding(spark, sf):
             .localCheckpoint(eager=True)
 
 
+@qdef("st9_streaming_upsert",
+      """SELECT user_id, event_id, event_type, value
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
+      tags=("streaming", "layout"))
+def st9_stream_upsert(spark, sf):
+    """Streaming CDC merge into the snapshot store: the replayed event
+    feed upserts per-user state batch by batch; the final snapshot must
+    equal the GLOBAL per-key argmax by (ts, event_id) no matter how rows
+    were split into micro-batches — the associativity argument (and why
+    plain batch-order last-write-wins would be wrong) is in
+    streaming/events.py::stream_upsert_snapshot. Rebuilt mtime-gated;
+    the read is a pinned-latest snapshot read."""
+    import os
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.operators.layout import read_snapshot
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, stream_upsert_snapshot)
+
+    src = resolve_parquet_path(f"{sf}/events.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    snap = os.path.join(_TDCACHE, "stream_upsert", sf_tag, "state")
+    marker = os.path.join(snap, "_BUILT")
+    with _utc_session(spark):
+        if not (os.path.exists(marker)
+                and os.path.getmtime(marker) >= os.path.getmtime(src)):
+            shutil.rmtree(snap, ignore_errors=True)
+            d = _staged_stream_dir(sf, "st9", copies=1)
+            stream_upsert_snapshot(read_events_stream(spark, d), snap)
+            with open(marker, "w"):
+                pass
+        return (read_snapshot(spark, snap)
+                .select("user_id", "event_id", "event_type", "value")
+                .localCheckpoint(eager=True))
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -3954,6 +3995,7 @@ _GATE_PRIORITY = [
     "x38_snapshot_diff",
     "x39_curated_corpus",
     "x40_near_contamination",
+    "st9_streaming_upsert",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -16,6 +16,7 @@ from clickhouse_datafusion_spark.streaming.events import (
     session_windows,
     stream_static_enrich,
     stream_stream_interval_join,
+    stream_upsert_snapshot,
     run_to_memory_sink,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "session_windows",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "stream_upsert_snapshot",
     "run_to_memory_sink",
 ]

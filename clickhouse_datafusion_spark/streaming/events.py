@@ -239,3 +239,64 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_upsert_snapshot(stream: DataFrame, path: str,
+                           key_cols: list[str] | None = None,
+                           order_cols: list[str] | None = None) -> None:
+    """Streaming CDC merge into the snapshot store: every micro-batch is
+    MERGEd into the latest snapshot keeping, per key, the row with the
+    greatest ``order_cols`` — the ingestion end of the corpus-versioning
+    story (a crawler/CDC feed keeps landing, every batch commit is a
+    pinnable version, training runs keep reading their pinned version
+    mid-ingest).
+
+    The merge condition matters: plain last-write-wins BY BATCH would
+    make the result depend on file/batch arrival order (a late-arriving
+    batch holding an old row would clobber a newer one). Keeping the
+    per-key argmax over (current snapshot ∪ batch) is ASSOCIATIVE and
+    commutative in the batches, so the final state equals the global
+    per-key argmax regardless of how rows were split or ordered into
+    micro-batches — which is what makes a bounded replay fully
+    oracle-checkable (batch twin: row_number over (key ORDER BY order
+    DESC) = 1). This is Delta/Iceberg ``MERGE ... WHEN MATCHED AND
+    new.ord > old.ord`` semantics, expressed as union + keeper window.
+
+    Scale note: each commit rewrites the snapshot (copy-on-write at
+    snapshot granularity, see upsert_snapshot) — batch accordingly
+    (minutes, not milliseconds) or point ``path`` at a hive-bucketed
+    store and rewrite only touched buckets.
+    """
+    keys = key_cols or ["user_id"]
+    order = order_cols or ["ts", "event_id"]
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        list_snapshots, read_snapshot, write_snapshot)
+
+    def keep_latest(d: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order])
+        return (d.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def merge_batch(batch: DataFrame, _bid: int) -> None:
+        latest = keep_latest(batch)
+        if not list_snapshots(path):
+            merged = latest
+        else:
+            cur = read_snapshot(batch.sparkSession, path)
+            merged = keep_latest(cur.unionByName(latest))
+        # localCheckpoint: the merged plan reads the snapshot dir being
+        # rewritten; materialize before writing the next version
+        write_snapshot(merged.localCheckpoint(eager=True), path)
+
+    q = (stream.writeStream.outputMode("update")
+         .foreachBatch(merge_batch)
+         .option("checkpointLocation", path + "/_checkpoint")
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

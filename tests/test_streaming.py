@@ -268,3 +268,64 @@ def test_dedup_against_corpus_matches_batch(spark, tmp_path):
              .select(*cols).distinct())
     want = {tuple(r) for r in batch.collect()}
     assert got == want and 0 < len(got) < ev.count()
+
+
+def test_stream_upsert_snapshot_batch_split_invariant(spark, tmp_path):
+    """The merged final state must equal the global per-key argmax no
+    matter how rows are split into micro-batches — including an
+    adversarial split where a key's NEWEST row arrives in an EARLIER
+    batch than an older row (plain batch-order last-write-wins fails
+    this); every batch commit remains a pinnable version."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        list_snapshots, read_snapshot)
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, stream_upsert_snapshot)
+    from clickhouse_datafusion_spark.streaming.events import EVENTS_SCHEMA
+
+    rows = [
+        # user 1: newest (ts=300) lands in FILE 0, older in file 1
+        Row(event_id=10, ts=300, user_id=1, event_type="new", value=3.0),
+        Row(event_id=11, ts=100, user_id=1, event_type="old", value=1.0),
+        # user 2: newest in the last file (the easy direction)
+        Row(event_id=20, ts=100, user_id=2, event_type="old", value=1.0),
+        Row(event_id=21, ts=400, user_id=2, event_type="new", value=4.0),
+        # user 3: ts tie broken by event_id
+        Row(event_id=30, ts=500, user_id=3, event_type="a", value=1.0),
+        Row(event_id=31, ts=500, user_id=3, event_type="b", value=2.0),
+    ]
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [Row(event_id=r.event_id,
+                 ts=__import__("datetime").datetime(2024, 1, 1, 0, 0, 0,
+                                                    r.ts * 100),
+                 user_id=r.user_id, event_type=r.event_type,
+                 value=r.value, props="{}") for r in rs], EVENTS_SCHEMA)
+
+    want = {1: "new", 2: "new", 3: "b"}
+    for split_name, files in (
+            ("adversarial", [[rows[0]], [rows[1], rows[2]],
+                             [rows[3], rows[4]], [rows[5]]]),
+            ("single", [rows])):
+        src = tmp_path / f"src_{split_name}"
+        src.mkdir()
+        for i, chunk in enumerate(files):
+            to_df(chunk).coalesce(1).write.parquet(str(src / f"f_{i:02d}"))
+        # flatten nested dirs into one file-per-batch layout
+        flat = tmp_path / f"flat_{split_name}"
+        flat.mkdir()
+        import glob
+        import shutil as sh
+        for i, d in enumerate(sorted(glob.glob(str(src / "f_*")))):
+            pq = glob.glob(os.path.join(d, "*.parquet"))[0]
+            sh.copy(pq, flat / f"{i:02d}.parquet")
+        snap = str(tmp_path / f"snap_{split_name}")
+        stream_upsert_snapshot(
+            read_events_stream(spark, str(flat), max_files_per_trigger=1),
+            snap)
+        got = {r.user_id: r.event_type
+               for r in read_snapshot(spark, snap).collect()}
+        assert got == want, (split_name, got)
+        assert len(list_snapshots(snap)) >= 1   # every commit pinnable
