@@ -313,6 +313,43 @@ def snapshot_diff(spark, path: str, v_old: int, v_new: int,
         .select(key_col, "status"))
 
 
+def compact_snapshot(spark, path: str,
+                     target_bytes: int = 128 * 1024 * 1024,
+                     version: int | None = None) -> int:
+    """Small-files compaction: rewrite a snapshot version into
+    ``ceil(bytes/target_bytes)`` files as a NEW version — the maintenance
+    pass every long-lived ingest needs (streaming CDC merges and
+    per-batch appends accrete files; at 100 TB a million 1 MB files turn
+    every scan into a metadata storm and every task into a 1 MB read).
+    Data is byte-identical, only the layout changes; readers pinned to
+    old versions are untouched (same immutability contract as every
+    other snapshot write).
+
+    Sizing reads the CURRENT version's on-disk bytes (parquet-compressed,
+    the right estimate for the rewrite) — no data pass. The rewrite uses
+    ``coalesce``, which merges input splits WITHOUT a shuffle: each
+    output file is a concatenation of input splits, so the job is
+    scan+write bound — and the output file count therefore caps at the
+    input's split count (compaction only shrinks; it never re-fragments).
+    Use Z-order/range writes instead when you also want clustering, not
+    just fewer files.
+    """
+    import math
+    import os
+
+    versions = list_snapshots(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    version = versions[-1] if version is None else version
+    vdir = os.path.join(path, f"v={version}")
+    nbytes = sum(os.path.getsize(os.path.join(r, f))
+                 for r, _, fs in os.walk(vdir) for f in fs
+                 if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(nbytes / target_bytes))
+    df = read_snapshot(spark, path, version)
+    return write_snapshot(df.coalesce(n_files), path)
+
+
 def list_snapshots(path: str) -> list[int]:
     import os
     import re

@@ -3002,6 +3002,46 @@ def x31_upsert(spark, sf):
             .select("doc_id", "source", F.md5("text").alias("text_md5")))
 
 
+@qdef("x41_compaction",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT)
+                     AS BIGINT) AS content_sum
+         FROM documents GROUP BY source""",
+      tags=("pipeline", "layout"))
+def x41_compact(spark, sf):
+    """Small-files compaction: the corpus is written as a 64-fragment
+    snapshot (simulating per-batch ingest accretion), compacted into a
+    new version, and read back — per-source counts plus an
+    order-independent exact content hash (bigint sum of 32-bit md5
+    slices) prove the rewrite is byte-lossless regardless of file
+    layout. File-count shrinkage is asserted in pytest — see
+    operators/layout.py::compact_snapshot."""
+    import os
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.operators.layout import (
+        compact_snapshot, read_snapshot, write_snapshot)
+
+    src = resolve_parquet_path(f"{sf}/documents.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    d = os.path.join(_TDCACHE, "compaction", sf_tag, "documents")
+    marker = os.path.join(d, "_BUILT")
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        shutil.rmtree(d, ignore_errors=True)
+        write_snapshot(t(spark, sf, "documents").repartition(64), d)
+        compact_snapshot(spark, d)
+        with open(marker, "w"):
+            pass
+    return (read_snapshot(spark, d, version=2)
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                       .cast("bigint")).cast("bigint")
+                 .alias("content_sum")))
+
+
 @qdef("x38_snapshot_diff",
       """SELECT doc_id, 'removed' AS status FROM documents
          WHERE doc_id < 50
@@ -3996,6 +4036,7 @@ _GATE_PRIORITY = [
     "x39_curated_corpus",
     "x40_near_contamination",
     "st9_streaming_upsert",
+    "x41_compaction",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

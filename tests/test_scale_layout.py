@@ -284,6 +284,34 @@ def test_snapshot_diff_statuses_and_schema_guard(spark, tmp_path):
         snapshot_diff(spark, str(tmp_path / "other"), 1, 2)
 
 
+def test_compact_snapshot_shrinks_files_losslessly(spark, tmp_path):
+    """Compaction collapses a fragmented snapshot to the byte-target file
+    count, preserves every row, and leaves the fragmented version pinned
+    and readable."""
+    import glob
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        compact_snapshot, read_snapshot, write_snapshot)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "frag")
+    write_snapshot(docs.repartition(40), path)
+    n_before = len(glob.glob(f"{path}/v=1/*.parquet"))
+    assert n_before >= 30
+
+    v2 = compact_snapshot(spark, path, target_bytes=64 * 1024 * 1024)
+    n_after = len(glob.glob(f"{path}/v={v2}/*.parquet"))
+    assert n_after < n_before and n_after <= 2
+
+    a = {r.doc_id: r.text for r in read_snapshot(spark, path, 1).collect()}
+    b = {r.doc_id: r.text for r in read_snapshot(spark, path, v2).collect()}
+    assert a == b                        # byte-lossless
+    # tiny target on the fragmented version → ceil sizing honored
+    # (coalesce only merges, so file count caps at the input's splits)
+    v3 = compact_snapshot(spark, path, target_bytes=16 * 1024, version=1)
+    assert 1 < len(glob.glob(f"{path}/v={v3}/*.parquet")) <= n_before
+
+
 def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     """Z-ordered files cover small hyper-rectangles: a footer-stat filter
     on EITHER key skips most files, where a range-sort on x alone cannot
