@@ -128,3 +128,28 @@ upsert_snapshot(
     .select("doc_id", F.lit("refreshed").alias("source"), "text"),
     deletes=docs.filter(F.col("doc_id") < 50).select("doc_id"))
 print("v2 rows:", read_snapshot(spark, snap, version=2).count())
+
+print("== near-dup eval contamination (broadcast eval, no train shuffle) ==")
+from clickhouse_datafusion_spark.operators.dedup import near_contamination
+
+evalset = docs.filter(F.col("doc_id") % 100 == 0) \
+    .select("doc_id", F.expr(
+        "array_join(slice(split(text, ' '), 1,"
+        " (size(split(text, ' ')) * 4) DIV 5), ' ')").alias("text"))
+near_contamination(docs, evalset, threshold_permille=300).show(5)
+
+print("== hard negatives for contrastive training (top-2 per anchor) ==")
+from clickhouse_datafusion_spark.operators.similarity import hard_negatives
+
+hard_negatives(emb.limit(200), k=2, threshold=0.4, dim=64) \
+    .orderBy("anchor", "rank").show(6)
+
+print("== snapshot diff v1->v2 (the incremental re-embedding feed) ==")
+from clickhouse_datafusion_spark.operators.layout import (
+    compact_snapshot, snapshot_diff)
+
+snapshot_diff(spark, snap, 1, 2).groupBy("status").count().show()
+
+print("== compact the snapshot's small files ==")
+v = compact_snapshot(spark, snap)
+print("compacted into version", v)
