@@ -93,6 +93,26 @@ def lang_id_col(text_col: str = "text") -> Column:
     return out
 
 
+def lang_margin_cols(text_col: str = "text") -> list[Column]:
+    """Language ID with a CONFIDENCE MARGIN — (lang_pred, lang_margin):
+    margin = best function-word score minus runner-up. The routing signal
+    corpus pipelines actually need: high-margin docs take the cheap
+    heuristic's label, low-margin ones (code-switching, short text,
+    boilerplate) go to the expensive model or a human queue — gating the
+    slow path by margin is how lang-ID stays a shuffle-free projection
+    over 99% of a crawl. Margin 0 ⇔ tie or no hits ('und').
+
+    Runner-up via array_sort of the per-language scores (second-from-top
+    slot) — pure codegen, identical in the SQL oracle (`list_sort`).
+    """
+    scores = [lang_score(text_col, lg) for lg in sorted(LANG_PROFILES)]
+    srt = F.array_sort(F.array(*[s.cast("bigint") for s in scores]))
+    n = len(LANG_PROFILES)
+    margin = (F.element_at(srt, n) - F.element_at(srt, n - 1))
+    return [lang_id_col(text_col).alias("lang_pred"),
+            margin.cast("bigint").alias("lang_margin")]
+
+
 def fingerprint_col(text_col: str = "text") -> Column:
     """Rolling polynomial hash over characters, mod 2^31-1 (oracle-exact)."""
     chars = F.split(F.col(text_col), "")

@@ -1463,6 +1463,36 @@ def t3_lang(spark, sf):
             .select("doc_id", "lang", lang_id_col("text").alias("lang_pred")))
 
 
+@qdef("t13_lang_margin",
+      f"""WITH s AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['de']}, w))) AS s_de,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['en']}, w))) AS s_en,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['es']}, w))) AS s_es,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_PROF_SQL['fr']}, w))) AS s_fr
+            FROM documents)
+          SELECT doc_id,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                      ELSE 'fr' END AS lang_pred,
+                 CAST(l[4] - l[3] AS BIGINT) AS lang_margin
+          FROM (SELECT *,
+                       list_sort([CAST(s_de AS BIGINT), CAST(s_en AS BIGINT),
+                                  CAST(s_es AS BIGINT), CAST(s_fr AS BIGINT)])
+                         AS l
+                FROM s)""",
+      tags=("pipeline", "text"))
+def t13_margin(spark, sf):
+    """Language ID with confidence margin (best minus runner-up score) —
+    the routing signal that gates the expensive model to low-margin docs
+    only; see operators/text.py::lang_margin_cols."""
+    from clickhouse_datafusion_spark.operators.text import lang_margin_cols
+
+    return t(spark, sf, "documents").select("doc_id", *lang_margin_cols())
+
+
 @qdef("t4_doc_fingerprint",
       """SELECT doc_id,
                 list_reduce(
@@ -4037,6 +4067,7 @@ _GATE_PRIORITY = [
     "x40_near_contamination",
     "st9_streaming_upsert",
     "x41_compaction",
+    "t13_lang_margin",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

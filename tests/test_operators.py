@@ -1271,6 +1271,24 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_lang_margin_planted(spark):
+    """Unambiguous text scores a positive margin; a constructed de/en tie
+    and an OOV doc both score margin 0."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import lang_margin_cols
+
+    rows = [Row(doc_id=1, text="the cat is in the house and it is warm"),
+            Row(doc_id=2, text="der the und a"),      # 2-2 de/en tie
+            Row(doc_id=3, text="zxqv wvut kjhg")]     # no hits → und
+    out = {r.doc_id: (r.lang_pred, r.lang_margin) for r in
+           spark.createDataFrame(rows)
+           .select("doc_id", *lang_margin_cols()).collect()}
+    assert out[1][0] == "en" and out[1][1] > 0
+    assert out[2] == ("de", 0)       # tie → alphabetical winner, margin 0
+    assert out[3] == ("und", 0)
+
+
 def test_near_contamination_planted_paraphrase(spark):
     """A benchmark doc hidden in the corpus with light edits (dropped
     tail) is caught at high est-Jaccard; unrelated docs are not; the

@@ -272,3 +272,24 @@ def test_r5d_entries_plan_shapes(spark):
     rep = plan_report(q("x36_doc_bin_packing", spark))
     assert not rep["cartesian"], rep
     assert rep["shuffles"] <= 4, rep
+
+
+def test_r5d_late_entries_plan_shapes(spark):
+    # t13: pure projection — no shuffle, no Python
+    df = q("t13_lang_margin", spark)
+    rep = plan_report(df)
+    assert rep["shuffles"] == 0, rep
+    # x37: histogram aggregate + windows over aggregate rows only
+    rep = plan_report(q("x37_group_quantiles", spark))
+    assert not rep["cartesian"] and rep["shuffles"] <= 3, rep
+    # x38: one full-outer join of hash projections, no cartesian
+    rep = plan_report(q("x38_snapshot_diff", spark))
+    assert not rep["cartesian"] and rep["shuffles"] <= 2, rep
+    # s8/x39: bucketed/blocked pipelines — never a cartesian product
+    for name in ("s8_hard_negatives", "x39_curated_corpus"):
+        rep = plan_report(q(name, spark))
+        assert not rep["cartesian"], (name, rep)
+    # x40: broadcast-eval — the train side is never join-shuffled
+    plan = (q("x40_near_contamination", spark)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
