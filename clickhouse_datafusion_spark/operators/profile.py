@@ -90,6 +90,34 @@ def group_quantiles(df: DataFrame, value_col: str, group_col: str,
             .select(F.col("_g").alias(group_col), "q_permille", "value"))
 
 
+def key_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/shuffle-key skew report: the ``top_k`` hottest keys with
+    their row counts and each key's share of the table in exact permille
+    — the measurement that decides between a plain shuffle join, a
+    broadcast, and salting (``skew.salted_join``). Run it BEFORE the
+    10-hour job, not after the one straggler task finishes: a key
+    holding >50‰ of a 10¹² -row table means one reducer gets 5×10¹⁰
+    rows no matter how many executors you buy.
+
+    Returns (key rendered as string, n, share_permille, rank) ordered
+    hottest-first. One key-keyed aggregate + a top-k over the aggregate
+    rows (TakeOrdered-sized, not data-sized) + a broadcast 1-row total —
+    cost is the aggregate pass you were about to pay in the join anyway.
+    AQE's skew-join handles moderate skew at runtime; this surfaces the
+    pathological keys that need upstream redesign (null-key filters,
+    salting, or a dedicated hot-key path).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")) \
+        .agg(F.count("*").cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("_tot"))
+    top = counts.orderBy(F.col("n").desc(), "key").limit(int(top_k))
+    w = W.orderBy(F.col("n").desc(), "key")
+    return (top.crossJoin(F.broadcast(total))
+            .select("key", "n",
+                    F.expr("(n * 1000) DIV _tot").alias("share_permille"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint")))
+
+
 def outlier_flags(df: DataFrame, value_col: str,
                   k_sigma: int = 3) -> DataFrame:
     """Flag rows whose integer ``value_col`` sits more than ``k_sigma``

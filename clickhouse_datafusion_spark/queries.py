@@ -3072,6 +3072,27 @@ def x41_compact(spark, sf):
                  .alias("content_sum")))
 
 
+@qdef("x42_key_skew",
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY user_id),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+          top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+         SELECT key, n, (n * 1000) // tot AS share_permille,
+                CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+                  AS rank
+         FROM top, t""",
+      tags=("pipeline", "profile"))
+def x42_skew(spark, sf):
+    """Shuffle-key skew report over the events stream's user_id: top-10
+    hottest keys with exact-permille shares — the pre-join measurement
+    that picks between plain shuffle, broadcast, and salting — see
+    operators/profile.py::key_skew."""
+    from clickhouse_datafusion_spark.operators.profile import key_skew
+
+    return key_skew(t(spark, sf, "events"), "user_id", top_k=10)
+
+
 @qdef("x38_snapshot_diff",
       """SELECT doc_id, 'removed' AS status FROM documents
          WHERE doc_id < 50
@@ -4068,6 +4089,7 @@ _GATE_PRIORITY = [
     "st9_streaming_upsert",
     "x41_compaction",
     "t13_lang_margin",
+    "x42_key_skew",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

@@ -1271,6 +1271,19 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_key_skew_detects_elephant_key(spark):
+    """A planted 60%-share key ranks 1 with the exact permille share."""
+    from clickhouse_datafusion_spark.operators.profile import key_skew
+
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id < 600 THEN 7 ELSE id END AS k")
+    out = {r.rank: (r.key, r.n, r.share_permille)
+           for r in key_skew(df, "k", top_k=3).collect()}
+    assert out[1] == ("7", 600, 600)
+    assert out[2][1] == 1 and out[2][2] == 1   # all other keys singletons
+    assert len(out) == 3
+
+
 def test_lang_margin_planted(spark):
     """Unambiguous text scores a positive margin; a constructed de/en tie
     and an OOV doc both score margin 0."""
