@@ -32,15 +32,30 @@ from pyspark.sql import functions as F
 
 def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
                       n_buckets: int | None = None,
-                      out_col: str = "_cum_before") -> DataFrame:
+                      out_col: str = "_cum_before",
+                      bounds_mode: str = "quantile") -> DataFrame:
     """Append the EXCLUSIVE global prefix sum of ``value_col`` under the
     total order of ``order_col`` (which must be unique), computed without
-    a single-partition window over the data (see module docstring)."""
+    a single-partition window over the data (see module docstring).
+
+    ``bounds_mode="quantile"`` (default) samples the order-key
+    distribution for balanced buckets on ANY distribution;
+    ``"uniform"`` derives equal-width bounds from a single min/max
+    aggregate — one Spark job cheaper, and equally balanced whenever the
+    order key is hash-uniform (the bin-packing layout order is md5, so
+    it uses this). Correctness never depends on the mode: the result is
+    bucketing-invariant by construction.
+    """
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(
-        df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
+    if bounds_mode == "uniform":
+        lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+        bounds = [] if lo is None or lo == hi else sorted(set(
+            lo + (hi - lo) * i // n_buckets for i in range(1, n_buckets)))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(
+            df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
     bkt = F.lit(0)
     for x in bounds:
         bkt = bkt + F.when(F.col(order_col) > F.lit(x), 1).otherwise(0)
@@ -147,16 +162,21 @@ def bin_pack_documents(df: DataFrame, budget: int = 2048,
     tok = (F.col(token_col) if token_col
            else F.size(F.split(F.col(text_col), " ")))
     base = df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
+    bounds_mode = "quantile"
     if order_col is None:
-        # numeric order key (global_prefix_sum range-buckets it with
-        # approxQuantile, which rejects strings): top 60 bits of md5(id).
-        # Uniqueness holds to ~2^30 docs (birthday bound); beyond that
-        # pass an explicit unique order_col.
+        # numeric order key (global_prefix_sum range-buckets it; strings
+        # can't be bucketed): top 60 bits of md5(id). Uniqueness holds to
+        # ~2^30 docs (birthday bound); beyond that pass an explicit
+        # unique order_col. md5 keys are hash-uniform, so equal-width
+        # bucket bounds (one min/max aggregate) are as balanced as
+        # sampled quantiles and one Spark job cheaper.
         base = base.withColumn("_ord", F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
             16, 10).cast("bigint"))
         order_col = "_ord"
-    cum = global_prefix_sum(base, "n_tokens", order_col, n_buckets)
+        bounds_mode = "uniform"
+    cum = global_prefix_sum(base, "n_tokens", order_col, n_buckets,
+                            bounds_mode=bounds_mode)
     return cum.select(
         id_col, "n_tokens",
         F.expr(f"_cum_before DIV {budget}").alias("bin_id"),
