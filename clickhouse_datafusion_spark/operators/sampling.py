@@ -155,6 +155,35 @@ def uniform_sample_k(df: DataFrame, k: int, seed: str | int = 0,
             .orderBy("_hk", id_col).limit(int(k)).drop("_hk"))
 
 
+def nested_subsamples(df: DataFrame,
+                      permilles: tuple[int, ...] = (10, 100, 1000),
+                      seed: str | int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """NESTED ablation draws for scaling-law experiments: every row gets
+    a uniform md5 permille bucket and a ``tier`` — the smallest
+    configured draw that contains it — so ``tier ≤ p`` is the p‰ sample
+    and draw(1%) ⊂ draw(10%) ⊂ draw(100%) BY CONSTRUCTION. Scaling
+    curves need exactly this: each smaller corpus must be a subset of
+    the larger one, or the ablation conflates data volume with data
+    identity; re-drawing independently at each size (what repeated
+    ``sample()`` calls give you) breaks that.
+
+    Deterministic (seed‖id hashing — same draws on every run and
+    engine), append-stable (new rows slot into their tier without
+    re-shuffling old ones), shuffle-free projection. ``tier`` is NULL
+    for rows outside the largest draw.
+    """
+    hk = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 6),
+        16, 10).cast("bigint") % 1000)
+    tier = F.lit(None).cast("int")
+    for p in sorted(permilles, reverse=True):
+        tier = F.when(F.col("bucket_permille") < p, F.lit(int(p))) \
+            .otherwise(tier)
+    return (df.withColumn("bucket_permille", hk.cast("int"))
+            .withColumn("tier", tier))
+
+
 def priority_sample_k(df: DataFrame, k: int, weight_col: str,
                       seed: str | int = 0,
                       id_col: str = "doc_id") -> DataFrame:

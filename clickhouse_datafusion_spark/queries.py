@@ -3093,6 +3093,29 @@ def x42_skew(spark, sf):
     return key_skew(t(spark, sf, "events"), "user_id", top_k=10)
 
 
+@qdef("x43_nested_subsamples",
+      """SELECT doc_id,
+                CAST(b AS INT) AS bucket_permille,
+                CAST(CASE WHEN b < 10 THEN 10
+                          WHEN b < 100 THEN 100
+                          WHEN b < 1000 THEN 1000 END AS INT) AS tier
+         FROM (SELECT doc_id,
+                      ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                         1, 6))::BIGINT % 1000 AS b
+               FROM documents)""",
+      tags=("pipeline", "sampling"))
+def x43_nested(spark, sf):
+    """Nested scaling-law ablation draws: 1%/10%/100% tiers where each
+    smaller corpus is a SUBSET of the larger by construction (tier ≤ p
+    selects the p-permille draw) — see
+    operators/sampling.py::nested_subsamples."""
+    from clickhouse_datafusion_spark.operators.sampling import nested_subsamples
+
+    return nested_subsamples(t(spark, sf, "documents")
+                             .select("doc_id")).select(
+        "doc_id", "bucket_permille", "tier")
+
+
 @qdef("x38_snapshot_diff",
       """SELECT doc_id, 'removed' AS status FROM documents
          WHERE doc_id < 50
@@ -4090,6 +4113,7 @@ _GATE_PRIORITY = [
     "x41_compaction",
     "t13_lang_margin",
     "x42_key_skew",
+    "x43_nested_subsamples",
     # r2-dated function-rewrite rows
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",

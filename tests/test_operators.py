@@ -1271,6 +1271,27 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_nested_subsamples_nesting_and_sizes(spark):
+    """Strict nesting (1% ⊂ 10% ⊂ 100%), binomial-plausible tier sizes,
+    and append stability (old rows keep their tier as the corpus grows)."""
+    from clickhouse_datafusion_spark.operators.sampling import nested_subsamples
+
+    base = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = nested_subsamples(base, seed=3).collect()
+    tiers = {r.doc_id: r.tier for r in out}
+    s10 = {d for d, t in tiers.items() if t is not None and t <= 10}
+    s100 = {d for d, t in tiers.items() if t is not None and t <= 100}
+    s1000 = {d for d, t in tiers.items() if t is not None}
+    assert s10 < s100 < s1000                       # strict nesting
+    assert len(s1000) == 20_000                     # 1000‰ = everything
+    assert 100 <= len(s10) <= 320                   # ~200 expected
+    assert 1600 <= len(s100) <= 2400                # ~2000 expected
+    grown = nested_subsamples(
+        spark.range(30_000).withColumnRenamed("id", "doc_id"), seed=3)
+    tiers2 = {r.doc_id: r.tier for r in grown.collect()}
+    assert all(tiers2[d] == t for d, t in tiers.items())   # append-stable
+
+
 def test_key_skew_detects_elephant_key(spark):
     """A planted 60%-share key ranks 1 with the exact permille share."""
     from clickhouse_datafusion_spark.operators.profile import key_skew
