@@ -303,6 +303,34 @@ def build_ann_index(df: DataFrame, path: str | None = None,
     return spark.read.parquet(path)
 
 
+def append_ann_index(new_df: DataFrame, path: str,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_planes: int = 8, n_tables: int = 8,
+                     dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Incrementally extend a persisted LSH index with new vectors —
+    the every-refresh operation of a living embedding store (re-embedding
+    only the crawl delta, cf. ``snapshot_diff``'s added+changed feed):
+    signatures for the NEW rows only, appended into the same
+    ``_sig_0``-partitioned layout, so existing index files are untouched
+    and post-append probes prune exactly as before. The seeded
+    hyperplanes are pure functions of (dim, n_planes, seed), so
+    signatures computed months apart are bit-compatible by construction
+    — the invariant the gate checks (merged index ≡ from-scratch index).
+
+    Cost is O(|delta|): one signature projection + one partitioned
+    append. Callers must pass the SAME (n_planes, n_tables, dim, seed)
+    as the original build — there is no metadata file by design (the
+    index is plain parquet; pin parameters in pipeline config, or wrap
+    path + params in your orchestrator). Dedup responsibility stays with
+    the caller: appending an id twice yields two index rows, exactly
+    like any parquet append.
+    """
+    signed = with_lsh_signatures(new_df, vec_col, n_planes, n_tables,
+                                 dim, seed)
+    signed.write.partitionBy("_sig_0").mode("append").parquet(path)
+    return new_df.sparkSession.read.parquet(path)
+
+
 def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
               vec_col: str = "embedding", id_col: str = "vec_id",
               n_planes: int = 8, n_tables: int = 8,

@@ -1271,6 +1271,31 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_append_ann_index_equals_rebuild(spark, emb, tmp_path):
+    """Incremental build (half + appended half) must hold exactly the
+    signatures a from-scratch build produces — seeded hyperplanes are
+    pure functions of (dim, seed), so split-brain indexes are impossible."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        append_ann_index, build_ann_index)
+
+    import pyspark.sql.functions as F
+
+    half_a = emb.filter(F.col("vec_id") < 100)
+    half_b = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    inc_path = str(tmp_path / "inc")
+    build_ann_index(half_a, inc_path, dim=64)
+    merged = append_ann_index(half_b, inc_path, dim=64)
+
+    scratch = build_ann_index(
+        emb.filter(F.col("vec_id") < 200), str(tmp_path / "full"), dim=64)
+    sig_cols = [c for c in merged.columns if c.startswith("_sig_")]
+    a = sorted(tuple(r) for r in
+               merged.select("vec_id", *sig_cols).collect())
+    b = sorted(tuple(r) for r in
+               scratch.select("vec_id", *sig_cols).collect())
+    assert a == b and len(a) == 200
+
+
 def test_nested_subsamples_nesting_and_sizes(spark):
     """Strict nesting (1% ⊂ 10% ⊂ 100%), binomial-plausible tier sizes,
     and append stability (old rows keep their tier as the corpus grows)."""
