@@ -1190,6 +1190,72 @@ def x2_range(spark, sf):
             .agg(F.count(F.col("r.r_event_id")).alias("n_following")))
 
 
+@qdef("x44_retention",
+      """SELECT user_id,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     AS INT) AS r_1,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) AS INT) AS r_2,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END) AS INT) AS r_3
+         FROM events GROUP BY user_id""",
+      tags=("pipeline", "funnel"))
+def x44_retention(spark, sf):
+    """ClickHouse retention() semantics: r_1 = user ever signed up;
+    r_2/r_3 = signed up AND purchased / clicked (later flags gated on
+    the anchor condition) — see operators/funnel.py::retention."""
+    from clickhouse_datafusion_spark.operators.funnel import retention
+
+    ev = t(spark, sf, "events")
+    return retention(ev, [F.col("event_type") == "signup",
+                          F.col("event_type") == "purchase",
+                          F.col("event_type") == "click"])
+
+
+@qdef("x45_window_funnel",
+      """WITH s1 AS (SELECT user_id, ts AS t1 FROM events
+                     WHERE event_type = 'signup'),
+          c2 AS (SELECT s1.user_id, s1.t1,
+                        (SELECT min(e.ts) FROM events e
+                         WHERE e.user_id = s1.user_id
+                           AND e.event_type = 'view'
+                           AND e.ts > s1.t1) AS t2
+                 FROM s1),
+          g2 AS (SELECT user_id, t1,
+                        CASE WHEN t2 <= t1 + INTERVAL 7 DAY THEN t2 END
+                          AS t2
+                 FROM c2),
+          c3 AS (SELECT g2.user_id, t1, t2,
+                        (SELECT min(e.ts) FROM events e
+                         WHERE e.user_id = g2.user_id
+                           AND e.event_type = 'purchase'
+                           AND e.ts > g2.t2) AS t3
+                 FROM g2),
+          g3 AS (SELECT user_id, t1, t2,
+                        CASE WHEN t3 <= t1 + INTERVAL 7 DAY THEN t3 END
+                          AS t3
+                 FROM c3)
+         SELECT user_id,
+                CAST(max(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)
+                     AS BIGINT) AS depth
+         FROM g3 GROUP BY user_id""",
+      tags=("pipeline", "funnel"))
+def x45_funnel(spark, sf):
+    """ClickHouse windowFunnel() analog: deepest signup → view →
+    purchase chain per user within 7 days of the signup, greedy
+    earliest-next matching via chained forward as-of joins (no k-way
+    self-join) — see operators/funnel.py::funnel_depths."""
+    from clickhouse_datafusion_spark.operators.funnel import funnel_depths
+
+    ev = t(spark, sf, "events")
+    return funnel_depths(ev, [F.col("event_type") == "signup",
+                              F.col("event_type") == "view",
+                              F.col("event_type") == "purchase"],
+                         window=F.expr("INTERVAL 7 DAYS"))
+
+
 @qdef("x34_locf_backfill",
       """SELECT event_id, user_id,
                 last_value(CASE WHEN event_type <> 'error' THEN value END
@@ -4146,6 +4212,8 @@ _GATE_PRIORITY = [
     "s7_random_projection",
     # new in r5d — past the expected window cutoff; in-session verified
     # at three scales (COVERAGE.md), first in the r6 rotation
+    "x44_retention",
+    "x45_window_funnel",
     "t12_html_strip",
     "x32_uniform_sample_k",
     "x33_outlier_flags",

@@ -1271,6 +1271,60 @@ def test_outlier_flags_exact_boundary(spark):
     assert out2 == {0: False, 1: False}   # both AT exactly 1 sigma
 
 
+def test_funnel_depths_semantics(spark):
+    """Window cutoff, dead-chain rule (a late step-2 cannot be skipped to
+    reach step 3), greedy earliest-next, and strictly-later matching —
+    all on hand-built event sequences."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.funnel import funnel_depths
+
+    def ev(u, sec, typ):
+        return Row(user_id=u,
+                   ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+                   event_type=typ)
+
+    rows = [
+        # u1: full chain inside the window → depth 3
+        ev(1, 0, "a"), ev(1, 10, "b"), ev(1, 20, "c"),
+        # u2: step2 beyond the 30s window → depth 1 even though a
+        #     'c' exists later (dead chain must not resurrect)
+        ev(2, 0, "a"), ev(2, 40, "b"), ev(2, 50, "c"),
+        # u3: two starts; the second start's chain completes → max 3
+        ev(3, 0, "a"), ev(3, 100, "a"), ev(3, 105, "b"), ev(3, 110, "c"),
+        # u4: same-timestamp b cannot serve step 2 (strictly later)
+        ev(4, 0, "a"), ev(4, 0, "b"),
+        # u5: greedy takes earliest b (5s), c after it still counts
+        ev(5, 0, "a"), ev(5, 5, "b"), ev(5, 25, "b"), ev(5, 29, "c"),
+    ]
+    out = {r.user_id: r.depth for r in funnel_depths(
+        spark.createDataFrame(rows),
+        [F.col("event_type") == "a", F.col("event_type") == "b",
+         F.col("event_type") == "c"],
+        window=F.expr("INTERVAL 30 SECONDS")).collect()}
+    assert out == {1: 3, 2: 1, 3: 3, 4: 1, 5: 3}
+
+
+def test_retention_gates_on_anchor(spark):
+    """A user with the later conditions but WITHOUT the anchor scores
+    zero everywhere (CH retention semantics)."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.funnel import retention
+
+    rows = [Row(user_id=1, event_type="signup"),
+            Row(user_id=1, event_type="purchase"),
+            Row(user_id=2, event_type="purchase"),
+            Row(user_id=3, event_type="signup")]
+    out = {r.user_id: (r.r_1, r.r_2) for r in retention(
+        spark.createDataFrame(rows),
+        [F.col("event_type") == "signup",
+         F.col("event_type") == "purchase"]).collect()}
+    assert out == {1: (1, 1), 2: (0, 0), 3: (1, 0)}
+
+
 def test_append_ann_index_equals_rebuild(spark, emb, tmp_path):
     """Incremental build (half + appended half) must hold exactly the
     signatures a from-scratch build produces — seeded hyperplanes are
