@@ -449,6 +449,35 @@ def a10b(spark, sf):
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
 
 
+@qdef("a11_argmax",
+      """SELECT o_custkey,
+                CAST(max(struct_pack(
+                       p := CAST(o_totalprice AS DECIMAL(12,2)),
+                       k := o_orderkey)).k AS BIGINT) AS best_order,
+                CAST(max(struct_pack(
+                       p := CAST(o_totalprice AS DECIMAL(12,2)),
+                       k := o_orderkey)).p AS DOUBLE) AS best_price
+         FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey""",
+      tags=("A11",))
+def a11_argmax(spark, sf):
+    """ClickHouse argMax(key, price) analog with DETERMINISTIC ties:
+    Spark's max_by / DuckDB's arg_max leave equal-maximum ties
+    engine-defined, so both sides aggregate max(struct(price, key))
+    instead — lexicographic struct ordering makes the highest key win a
+    price tie identically everywhere. Price compares as DECIMAL (exact
+    2dp input), then casts back for output."""
+    o = t(spark, sf, "orders")
+    best = F.max(F.struct(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.col("o_orderkey").alias("k")))
+    return (o.filter(F.col("o_custkey") <= 200)
+            .groupBy("o_custkey")
+            .agg(best.alias("_b"))
+            .select("o_custkey",
+                    F.col("_b.k").cast("bigint").alias("best_order"),
+                    F.col("_b.p").cast("double").alias("best_price")))
+
+
 # =========================================================================
 # §2.5 Window functions
 # =========================================================================
@@ -4214,6 +4243,7 @@ _GATE_PRIORITY = [
     # at three scales (COVERAGE.md), first in the r6 rotation
     "x44_retention",
     "x45_window_funnel",
+    "a11_argmax",
     "t12_html_strip",
     "x32_uniform_sample_k",
     "x33_outlier_flags",
