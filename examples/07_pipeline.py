@@ -153,3 +153,29 @@ snapshot_diff(spark, snap, 1, 2).groupBy("status").count().show()
 print("== compact the snapshot's small files ==")
 v = compact_snapshot(spark, snap)
 print("compacted into version", v)
+
+print("== retention cohorts + window funnel (CH aggregate analogs) ==")
+from clickhouse_datafusion_spark.operators.funnel import funnel_depths, retention
+
+ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+retention(ev, [F.col("event_type") == "signup",
+               F.col("event_type") == "purchase",
+               F.col("event_type") == "click"]) \
+    .agg(F.sum("r_1").alias("signed_up"), F.sum("r_2").alias("purchased"),
+         F.sum("r_3").alias("clicked")).show()
+funnel_depths(ev, [F.col("event_type") == "signup",
+                   F.col("event_type") == "view",
+                   F.col("event_type") == "purchase"],
+              window=F.expr("INTERVAL 7 DAYS")) \
+    .groupBy("depth").count().orderBy("depth").show()
+
+print("== key-skew report before an expensive join ==")
+from clickhouse_datafusion_spark.operators.profile import key_skew
+
+key_skew(ev, "user_id", top_k=5).show()
+
+print("== nested 1%/10%/100% scaling-law draws ==")
+from clickhouse_datafusion_spark.operators.sampling import nested_subsamples
+
+nested_subsamples(docs.select("doc_id")).groupBy("tier").count() \
+    .orderBy("tier").show()
