@@ -1,14 +1,16 @@
-"""Event-sequence analytics: retention cohorts and window funnels —
-Spark-native analogs of ClickHouse's ``retention()`` and
-``windowFunnel()`` aggregates (reference function registry src/udfs/*
-maps scalar CH functions; these parameterized aggregates are the
-behavioral-analytics surface ClickHouse deployments actually lean on, so
-an engine claiming drop-in utility needs them).
+"""Event-sequence analytics: ClickHouse parameterized-aggregate analogs —
+``retention()``, ``windowFunnel()``, ``sequenceMatch()``,
+``sequenceCount()`` and ``sumMap()`` (reference function registry
+src/udfs/* maps scalar CH functions; these parameterized aggregates are
+the behavioral-analytics surface ClickHouse deployments actually lean
+on, so an engine claiming drop-in utility needs them).
 
-Both are exact and oracle-expressible: retention is a conditional
-aggregate; the funnel is a chain of forward as-of joins (greedy
-earliest-next matching, which is optimal for maximizing depth within a
-window — delaying a step can only shrink the remaining window).
+All are exact: retention/sumMap are conditional aggregates; funnel and
+sequence-match are chains of forward as-of joins (greedy earliest-next
+matching, which is optimal — delaying a step can only shrink what
+remains); sequence-count is the one genuine per-key automaton, run as an
+Arrow-batched ``applyInPandas`` linear scan (the driver-coordinated
+alternative would be O(matches) join rounds).
 """
 
 from __future__ import annotations
@@ -94,3 +96,136 @@ def funnel_depths(events: DataFrame, steps: list[Column],
     per_chain = chains.withColumn("_depth", depth)
     return (per_chain.groupBy(F.col(user_col))
             .agg(F.max("_depth").cast("bigint").alias("depth")))
+
+
+def sequence_match(events: DataFrame, conds: list[Column],
+                   user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')(ts, cond1, ...)``
+    analog: per user, 1 iff events satisfying cond1, cond2, ... occur at
+    STRICTLY increasing timestamps (the ``.*`` pattern — anything may
+    happen between steps), else 0. Every user present in ``events`` gets
+    a row, matching the aggregate-function shape.
+
+    Greedy earliest-next chaining is ts-determined (t_i = min ts with
+    cond_i and ts > t_{i-1}), so the answer is independent of how
+    same-timestamp rows are ordered — no tiebreak column needed, and the
+    SQL oracle (nested correlated mins) agrees by construction.
+
+    Scale shape: step 1 is one user-keyed conditional-min aggregate
+    (every user surfaces, null anchor if cond1 never held); each later
+    step is one forward as-of join over the step's event subset — k−1
+    user-keyed shuffles for a k-step pattern, never a k-way self-join.
+    """
+    from clickhouse_datafusion_spark.operators.asof import asof_join
+
+    k = len(conds)
+    chains = (events.groupBy(F.col(user_col))
+              .agg(F.min(F.when(conds[0], F.col(ts_col))).alias("_t1")))
+    prev_ts = "_t1"
+    for i in range(1, k):
+        nxt = (events.filter(conds[i])
+               .select(F.col(user_col), F.col(ts_col).alias(f"_t{i + 1}")))
+        probe = chains.withColumn(
+            "_probe", F.col(prev_ts) + F.expr("INTERVAL 1 MICROSECOND"))
+        joined = asof_join(probe, nxt, on=user_col,
+                           left_ts="_probe", right_ts=f"_t{i + 1}",
+                           direction="forward").drop("_probe")
+        # dead chains stay dead (null probe through as-of is unspecified)
+        chains = joined.withColumn(
+            f"_t{i + 1}",
+            F.when(F.col(prev_ts).isNotNull()
+                   & F.col(f"_t{i + 1}").isNotNull(),
+                   F.col(f"_t{i + 1}")))
+        prev_ts = f"_t{i + 1}"
+    return chains.select(
+        user_col,
+        F.when(F.col(prev_ts).isNotNull(), 1).otherwise(0).alias("matched"))
+
+
+def sequence_count(events: DataFrame, conds: list[Column],
+                   user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """ClickHouse ``sequenceCount()`` analog: per user, how many
+    NON-OVERLAPPING cond1 → cond2 → ... chains occur, scanning greedily
+    from the earliest event (after a chain completes, the next chain's
+    step 1 must be strictly later than the completing event).
+
+    Semantics pinned to strictly-increasing timestamps between ALL
+    consecutive steps (including across chains), which makes the count a
+    pure function of the per-condition timestamp SETS: the greedy
+    automaton state after any prefix equals nested mins over ts, so
+    same-timestamp row order cannot change the answer and a SQL oracle
+    (per-chain recursive CTE) reproduces it exactly.
+
+    This is the module's one genuine sequential recurrence — the chain
+    count is unbounded, so the as-of-join trick used by
+    ``funnel_depths``/``sequence_match`` (one join per step) would need
+    O(answer) rounds. Instead: project each event to (user, ts, flag
+    bitmask), ONE user-keyed shuffle into ``applyInPandas``, linear
+    automaton scan per user on Arrow batches. State is O(1) per user;
+    per-user data is that user's events only — the 100 TB shape is the
+    same as any groupBy(user), with the usual salting escape hatch if a
+    single user's history is pathological (not possible for bounded
+    sessions).
+    """
+    k = len(conds)
+    mask = None
+    for i, c in enumerate(conds):
+        bit = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    slim = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        mask.cast("int").alias("m"))
+
+    def _scan(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("t", kind="mergesort")
+        n = 0
+        state = 0
+        last_t = None
+        for t, m in zip(pdf["t"].to_numpy(), pdf["m"].to_numpy()):
+            # strictly-later rule: an event at the same ts as the last
+            # accepted step cannot serve the next step
+            if last_t is not None and t <= last_t:
+                continue
+            if m & (1 << state):
+                state += 1
+                last_t = t
+                if state == k:
+                    n += 1
+                    state = 0
+        return pd.DataFrame({"u": [pdf["u"].iloc[0]], "n": [n]})
+
+    out = slim.groupBy("u").applyInPandas(_scan, schema="u long, n long")
+    return out.select(F.col("u").alias(user_col),
+                      F.col("n").cast("bigint").alias("n_matches"))
+
+
+def sum_map(df: DataFrame, key_col: str, value_col: str,
+            group_cols: list[str]) -> DataFrame:
+    """ClickHouse ``sumMap(key, value)`` analog: per group, the paired
+    arrays (sorted keys, per-key value sums). Sums are exact integers in
+    1e-4 units (DECIMAL accumulation, then ×10⁴ → BIGINT) so the result
+    is bit-identical across engines and hash-stable inside arrays —
+    divide by 10⁴ downstream when a float is wanted.
+
+    Scale shape: two-level aggregate — ONE (group, key)-keyed shuffle
+    with map-side combine does all the summing, then the per-key rows
+    (bounded by group×key cardinality, not event count) shuffle once by
+    group into ``sort_array(collect_list(...))``. Array width is the
+    per-group distinct-key count; for unbounded key spaces cap upstream
+    (``sampling.domain_cap`` / top-K) exactly as ClickHouse users guard
+    sumMap cardinality.
+    """
+    v = F.col(value_col).cast("decimal(28,4)")
+    per_key = (df.groupBy(*[F.col(c) for c in group_cols], F.col(key_col))
+               .agg((F.sum(v) * 10000).cast("bigint").alias("_v")))
+    packed = (per_key.groupBy(*[F.col(c) for c in group_cols])
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col(key_col).alias("_k"),
+                           F.col("_v")))).alias("_a")))
+    return packed.select(
+        *group_cols,
+        F.transform("_a", lambda x: x["_k"]).alias("keys"),
+        F.transform("_a", lambda x: x["_v"]).alias("sums_e4"))

@@ -181,3 +181,57 @@ def bin_pack_documents(df: DataFrame, budget: int = 2048,
         id_col, "n_tokens",
         F.expr(f"_cum_before DIV {budget}").alias("bin_id"),
         (F.col("_cum_before") % budget).alias("bin_offset"))
+
+
+def length_bucket_batches(df: DataFrame, batch_size: int = 8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          token_col: str | None = None,
+                          seed: str | int = 0,
+                          min_bucket: int = 5) -> DataFrame:
+    """Length-bucketed batching: group sequences of SIMILAR length into
+    fixed-size batches so per-batch padding (to the batch max) is cheap —
+    the standard dynamic-padding trainer layout (a random batch of one
+    4,000-token doc and seven 40-token docs pads 7×3,960 wasted slots;
+    a same-bucket batch pads almost nothing).
+
+    Buckets are powers of two: ``bucket = max(min_bucket, ceil(log2 n))``
+    so lengths in (2^(b-1), 2^b] share a bucket (≤2× intra-bucket spread
+    → padding waste < 50% worst-case, ~25% typical; everything ≤
+    2^min_bucket pools in the floor bucket, where padding is cheap in
+    absolute terms anyway). Within a bucket,
+    rows take deterministic ``md5(seed‖id)`` order — reproducible AND a
+    uniform shuffle, so batches are i.i.d. within their length class —
+    then ``batch_id = (rank−1) DIV batch_size``, ``pos = (rank−1) %
+    batch_size``. The trailing ragged batch per bucket is kept (drop or
+    re-mix downstream if the trainer needs full batches only).
+
+    Returns (id, n_tokens, bucket, batch_id, pos) with ``batch_id``
+    globally unique (bucket-prefixed). Exact integer arithmetic end to
+    end — the oracle reproduces every assignment.
+
+    Scale shape: ONE shuffle keyed by bucket for the in-bucket rank.
+    Bucket count is ~log2(max_len) so buckets are few and fat; md5
+    ordering spreads each bucket's window-sort across its partition
+    evenly, and the rank window is the same shape seeded_shuffle already
+    runs at corpus scale. No Python, no driver state.
+    """
+    tok = (F.col(token_col) if token_col
+           else F.size(F.split(F.col(text_col), " ")))
+    n = F.col("n_tokens")
+    # ceil(log2 n) EXACTLY as length(bin(n-1)) for n ≥ 2 — a float
+    # log2/ceil would hang the answer on a libm ulp at exact powers of 2
+    bucket = F.greatest(
+        F.lit(min_bucket),
+        F.when(n <= 1, F.lit(0))
+         .otherwise(F.length(F.bin(n - 1)).cast("int")))
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = W.partitionBy("bucket").orderBy(F.col("_hk"), F.col(id_col))
+    ranked = (df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
+              .withColumn("bucket", bucket)
+              .withColumn("_hk", hk)
+              .withColumn("_rn", F.row_number().over(w).cast("bigint")))
+    return ranked.select(
+        id_col, "n_tokens", "bucket",
+        (F.col("bucket").cast("bigint") * F.lit(1_000_000_000)
+         + F.expr(f"(_rn - 1) DIV {int(batch_size)}")).alias("batch_id"),
+        ((F.col("_rn") - 1) % batch_size).alias("pos"))

@@ -303,3 +303,29 @@ def bernoulli_stratified(df: DataFrame, fractions: dict[str, float],
     for k, f_ in fractions.items():
         frac = F.when(F.col(stratum_col) == k, F.lit(f_)).otherwise(frac)
     return df.filter(b < frac * _N_BUCKETS)
+
+
+def group_sample_k(df: DataFrame, k: int, group_col: str,
+                   seed: str | int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """EXACT-k uniform sample WITHIN every group — the per-source sibling
+    of :func:`uniform_sample_k` (which draws one global bottom-k). This
+    is the "carve 1,000 eval docs from every source/language" shape:
+    each group independently keeps its k smallest ``md5(seed‖id)`` rows,
+    so every group's draw is a uniform k-subset, reproducible across
+    runs, and append-stable (a new row only displaces the group's
+    current max-hash survivor). Groups smaller than k survive whole.
+
+    Scale shape: ONE shuffle keyed by the group column (rank via a
+    group-partitioned window). Unlike the global variant there is no
+    TakeOrdered escape — rank-within-group needs the group co-located —
+    so a pathologically hot group makes a hot window partition; for that
+    regime Bernoulli pre-thin each group to ~2k with
+    :func:`hash_bucket` (displacement probability vanishes) before the
+    exact rank, exactly as :func:`mixture_sample` documents.
+    """
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(F.col("_hk"), F.col(id_col))
+    return (df.withColumn("_hk", hk)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k)).drop("_hk", "_rn"))

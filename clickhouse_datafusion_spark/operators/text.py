@@ -800,3 +800,51 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                 "n_bpe_tokens": [len(t) for t in toks]})
 
     return df.select(id_col, text_col).mapInPandas(op, out_schema)
+
+
+def hashed_classifier_score(df: DataFrame, weights: DataFrame,
+                            n_buckets: int = 4096,
+                            bias_ppm: int = 0, seed: str | int = 0,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """fastText/CCNet-style LINEAR quality-classifier scoring via the
+    hashing trick — the workhorse filter of GPT-3/LLaMA-class corpus
+    curation (a logistic model over hashed bag-of-words features, scored
+    over every crawl document). This operator is the inference side:
+    training produces a weight vector; scoring is a projection + one
+    broadcast join + one id-keyed reduce.
+
+    Features are hashed unigrams: ``bucket = md5(seed‖word)[:6hex] mod
+    n_buckets`` (md5 so external trainers and the SQL oracle reproduce
+    assignments; collisions are the hashing trick's documented tradeoff,
+    identical in every engine). ``weights`` is a (bucket INT, w_ppm
+    BIGINT) relation — integer parts-per-million so the score is exact:
+    ``score_ppm = bias_ppm + (Σ_occurrences w_ppm(bucket)) DIV n_words``
+    (mean feature weight, the fastText reduction). Missing buckets weigh
+    0. Returns (id, n_words, score_ppm, keep = score_ppm ≥ 0).
+
+    Scale shape: the weight table is ≤ n_buckets rows — ALWAYS broadcast
+    (that is the point of the hashing trick: bounded model size no
+    matter the vocabulary); the only exchange is the id-keyed reduce of
+    (id, w_ppm) pairs. The sigmoid is monotone, so thresholding in ppm
+    logit space ≡ thresholding the probability — no float ever needed.
+    """
+    wd = df.select(F.col(id_col), F.explode(words(text_col)).alias("_w"))
+    bkt = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("_w"))), 1, 6), 16, 10)
+        .cast("int") % n_buckets)
+    hits = (wd.select(F.col(id_col), bkt.alias("bucket"))
+            .join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("w_ppm"), F.lit(0)))
+                 .cast("bigint").alias("_dot")))
+    n_words = df.select(F.col(id_col),
+                        F.size(words(text_col)).cast("bigint")
+                        .alias("n_words"))
+    return (n_words.join(hits, id_col, "left")
+            .select(
+                id_col, "n_words",
+                (F.lit(int(bias_ppm))
+                 + F.expr("coalesce(_dot, 0) DIV n_words"))
+                .cast("bigint").alias("score_ppm"))
+            .withColumn("keep", (F.col("score_ppm") >= 0).cast("int")))

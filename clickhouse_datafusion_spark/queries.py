@@ -1285,6 +1285,198 @@ def x45_funnel(spark, sf):
                          window=F.expr("INTERVAL 7 DAYS"))
 
 
+@qdef("x46_sequence_match",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+          c1 AS (SELECT u.user_id,
+                        (SELECT min(e.ts) FROM events e
+                         WHERE e.user_id = u.user_id
+                           AND e.event_type = 'signup') AS t1
+                 FROM u),
+          c2 AS (SELECT c1.user_id, t1,
+                        (SELECT min(e.ts) FROM events e
+                         WHERE e.user_id = c1.user_id
+                           AND e.event_type = 'view'
+                           AND e.ts > c1.t1) AS t2
+                 FROM c1),
+          c3 AS (SELECT c2.user_id, t2,
+                        (SELECT min(e.ts) FROM events e
+                         WHERE e.user_id = c2.user_id
+                           AND e.event_type = 'purchase'
+                           AND e.ts > c2.t2) AS t3
+                 FROM c2)
+         SELECT user_id, CAST(t3 IS NOT NULL AS INT) AS matched
+         FROM c3""",
+      tags=("pipeline", "funnel"))
+def x46_sequence_match(spark, sf):
+    """ClickHouse sequenceMatch('(?1).*(?2).*(?3)') analog: did each user
+    ever signup, then view, then purchase at strictly increasing times
+    (no window cap)? Greedy ts-level chaining via forward as-of joins —
+    see operators/funnel.py::sequence_match."""
+    from clickhouse_datafusion_spark.operators.funnel import sequence_match
+
+    ev = t(spark, sf, "events")
+    return sequence_match(ev, [F.col("event_type") == "signup",
+                               F.col("event_type") == "view",
+                               F.col("event_type") == "purchase"])
+
+
+@qdef("x47_sequence_count",
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+          r AS (
+            SELECT user_id, 0 AS n,
+                   TIMESTAMP '1970-01-01 00:00:00' AS last_t
+            FROM u
+            UNION ALL
+            SELECT s.user_id, s.n + 1, s.t2 FROM (
+              SELECT r.user_id, r.n,
+                     (SELECT min(e2.ts) FROM events e2
+                      WHERE e2.user_id = r.user_id
+                        AND e2.event_type = 'view'
+                        AND e2.ts > (SELECT min(e1.ts) FROM events e1
+                                     WHERE e1.user_id = r.user_id
+                                       AND e1.event_type = 'click'
+                                       AND e1.ts > r.last_t)) AS t2
+              FROM r) s
+            WHERE s.t2 IS NOT NULL)
+         SELECT user_id, CAST(max(n) AS BIGINT) AS n_matches
+         FROM r GROUP BY user_id""",
+      tags=("pipeline", "funnel"))
+def x47_sequence_count(spark, sf):
+    """ClickHouse sequenceCount() analog: how many non-overlapping
+    click → view chains per user (greedy from the earliest event,
+    strictly-later semantics). Spark side is the per-user applyInPandas
+    automaton (operators/funnel.py::sequence_count); the oracle unrolls
+    the same greedy recursion as a per-chain recursive CTE — equivalent
+    because the automaton's state after any prefix is a pure function of
+    nested timestamp mins."""
+    from clickhouse_datafusion_spark.operators.funnel import sequence_count
+
+    ev = t(spark, sf, "events")
+    return sequence_count(ev, [F.col("event_type") == "click",
+                               F.col("event_type") == "view"])
+
+
+@qdef("a12_summap",
+      """SELECT user_id,
+                list(k ORDER BY k) AS keys,
+                list(v ORDER BY k) AS sums_e4
+         FROM (SELECT user_id, event_type AS k,
+                      CAST(sum(CAST(value AS DECIMAL(28,4))) * 10000
+                           AS BIGINT) AS v
+               FROM events GROUP BY user_id, event_type)
+         GROUP BY user_id""",
+      tags=("agg", "ext"))
+def a12_summap(spark, sf):
+    """ClickHouse sumMap(event_type, value) analog: per user, paired
+    (sorted keys, per-key sums) arrays; sums are exact 1e-4-unit
+    integers so array hashing is engine-independent — see
+    operators/funnel.py::sum_map."""
+    from clickhouse_datafusion_spark.operators.funnel import sum_map
+
+    ev = t(spark, sf, "events")
+    return sum_map(ev, "event_type", "value", ["user_id"])
+
+
+@qdef("t14_hashed_classifier",
+      """WITH wt AS (SELECT CAST(r.b AS INT) AS bucket,
+                            CAST(('0x' || substring(md5('w:' ||
+                                     CAST(r.b AS VARCHAR)), 1, 6))::INT
+                                 % 2001 AS BIGINT) AS w_ppm
+                     FROM range(4096) r(b)),
+          wx AS (SELECT doc_id,
+                        (('0x' || substring(md5('0:' || wd), 1, 6))::INT
+                         % 4096) AS bucket
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS wd
+                       FROM documents)),
+          s AS (SELECT doc_id,
+                       CAST(sum(COALESCE(w_ppm, 0)) AS BIGINT) AS dot
+                FROM wx LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+          n AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_words
+                FROM documents)
+         SELECT n.doc_id, n.n_words,
+                CAST(-1000 + COALESCE(s.dot, 0) // n.n_words
+                     AS BIGINT) AS score_ppm,
+                CAST((-1000 + COALESCE(s.dot, 0) // n.n_words) >= 0
+                     AS INT) AS keep
+         FROM n LEFT JOIN s USING (doc_id)""",
+      tags=("pipeline", "text"))
+def t14_classifier(spark, sf):
+    """fastText-style hashed linear quality classifier scoring: 4096
+    md5-bucketed unigram features, broadcast integer-ppm weight vector,
+    mean-feature-weight score (see text.py::hashed_classifier_score).
+    Gate weights are seeded md5 derivations in [0, 2000] ppm with bias
+    −1000 — non-negative dot products keep trunc-vs-floor division
+    identical across engines; a trained weight table drops in the same
+    way."""
+    from clickhouse_datafusion_spark.operators.text import (
+        hashed_classifier_score)
+
+    wts = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+            1, 6), 16, 10).cast("int") % 2001).cast("bigint").alias("w_ppm"))
+    return hashed_classifier_score(
+        t(spark, sf, "documents"), wts, n_buckets=4096, bias_ppm=-1000)
+
+
+@qdef("x48_group_sample_k",
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rn
+           FROM documents) WHERE rn <= 7""",
+      tags=("pipeline", "sampling"))
+def x48_group_sample(spark, sf):
+    """Exact-7-per-source uniform sample (per-group eval carve-out) —
+    deterministic bottom-k-by-md5 within each group, one group-keyed
+    shuffle; see sampling.py::group_sample_k."""
+    from clickhouse_datafusion_spark.operators.sampling import group_sample_k
+
+    docs = t(spark, sf, "documents")
+    return (group_sample_k(docs, 7, "source")
+            .select("doc_id", "source", "n_chars"))
+
+
+@qdef("x49_length_batches",
+      """WITH b AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens
+                    FROM documents),
+          r AS (SELECT doc_id, n_tokens,
+                       CAST(GREATEST(5, CASE WHEN n_tokens <= 1 THEN 0
+                                        ELSE length(bin(n_tokens - 1))
+                                        END) AS INT) AS bucket
+                FROM b),
+          w AS (SELECT doc_id, n_tokens, bucket,
+                       row_number() OVER (
+                         PARTITION BY bucket
+                         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rn
+                FROM r)
+         SELECT doc_id, n_tokens, bucket,
+                CAST(CAST(bucket AS BIGINT) * 1000000000 + (rn - 1) // 8
+                     AS BIGINT) AS batch_id,
+                CAST((rn - 1) % 8 AS BIGINT) AS pos
+         FROM w""",
+      tags=("pipeline", "packing"))
+def x49_length_batches(spark, sf):
+    """Length-bucketed batching (dynamic-padding trainer layout):
+    power-of-two length buckets via EXACT bit-length arithmetic, seeded
+    in-bucket order, batch of 8 — padding waste bounded at <50% by the
+    ≤2× intra-bucket length spread; see
+    packing.py::length_bucket_batches."""
+    from clickhouse_datafusion_spark.operators.packing import (
+        length_bucket_batches)
+
+    return length_bucket_batches(t(spark, sf, "documents"), batch_size=8)
+
+
 @qdef("x34_locf_backfill",
       """SELECT event_id, user_id,
                 last_value(CASE WHEN event_type <> 'error' THEN value END
@@ -4255,6 +4447,14 @@ _GATE_PRIORITY = [
     "x42_key_skew",
     "x43_nested_subsamples",
     "s9_ann_index_append",
+    # new in r5e — past the window; in-session hash-verified at
+    # sf0.001/0.01, queued behind the r5d late block for r6
+    "x46_sequence_match",
+    "x47_sequence_count",
+    "a12_summap",
+    "t14_hashed_classifier",
+    "x48_group_sample_k",
+    "x49_length_batches",
     # changed in r4, gate rows r3-dated under the same oracles
     "d6_dup_clusters",
     "d1_exact_dedup_groups",

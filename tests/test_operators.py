@@ -1865,3 +1865,172 @@ def test_pagerank_mass_bounded(spark):
         (F.col("id") % 50).alias("src"), (F.col("id") % 37).alias("dst"))
     total = pagerank(e, n_iter=4).agg(F.sum("rank_micro")).first()[0]
     assert 0 < total <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# r5e: ClickHouse aggregate analogs (sequenceMatch/sequenceCount/sumMap)
+# and trainer-layout / classifier operators
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    """(user_id, ts_seconds, event_type) tuples → events frame."""
+    from datetime import datetime, timedelta
+    from pyspark.sql import Row
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=base + timedelta(seconds=s), event_type=e)
+         for u, s, e in rows])
+
+
+def test_sequence_match_semantics(spark):
+    """In-order chain → 1; out-of-order → 0; same-timestamp events
+    cannot serve the next step; users without the anchor still get a
+    row (aggregate shape)."""
+    from clickhouse_datafusion_spark.operators.funnel import sequence_match
+
+    ev = _ev(spark, [
+        (1, 0, "a"), (1, 5, "b"),            # in order → 1
+        (2, 5, "b"), (2, 9, "a"),            # b before a → 0
+        (3, 4, "a"), (3, 4, "b"),            # tie: b not strictly later → 0
+        (4, 0, "c"),                         # no anchor at all → 0
+    ])
+    out = {r.user_id: r.matched for r in sequence_match(
+        ev, [F.col("event_type") == "a",
+             F.col("event_type") == "b"]).collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_sequence_count_greedy_non_overlapping(spark):
+    """CH sequenceCount automaton semantics: a a b b counts ONCE (the
+    second chain's 'a' must come after the completing 'b'), and chains
+    never overlap."""
+    from clickhouse_datafusion_spark.operators.funnel import sequence_count
+
+    ev = _ev(spark, [
+        # u1: a(0) a(1) b(2) b(3) → greedy takes a(0)..b(2); the second
+        # b has no later a → 1 match (NOT the max-disjoint 2)
+        (1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (1, 3, "b"),
+        # u2: two clean disjoint chains → 2
+        (2, 0, "a"), (2, 1, "b"), (2, 2, "a"), (2, 3, "b"),
+        # u3: completing event's timestamp blocks a same-ts restart
+        (3, 0, "a"), (3, 1, "b"), (3, 1, "a"), (3, 2, "b"),
+        # u4: no matches but present in events → 0 row
+        (4, 0, "b"),
+    ])
+    out = {r.user_id: r.n_matches for r in sequence_count(
+        ev, [F.col("event_type") == "a",
+             F.col("event_type") == "b"]).collect()}
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_sum_map_exact_sorted(spark):
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.funnel import sum_map
+
+    rows = [Row(g=1, k="b", v=1.5), Row(g=1, k="a", v=2.25),
+            Row(g=1, k="b", v=0.1), Row(g=2, k="z", v=-1.0)]
+    out = {r.g: (list(r.keys), list(r.sums_e4)) for r in sum_map(
+        spark.createDataFrame(rows), "k", "v", ["g"]).collect()}
+    # keys sorted; sums exact in 1e-4 units (1.5+0.1 = 16000, not 15999)
+    assert out == {1: (["a", "b"], [22500, 16000]),
+                   2: (["z"], [-10000])}
+
+
+def test_group_sample_k_exact_and_stable(spark):
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.sampling import group_sample_k
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = group_sample_k(df, 5, "source", seed=1)
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic across recomputation
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in group_sample_k(df, 5, "source",
+                                                seed=1).collect())
+    assert a == b
+    # short groups survive whole
+    small = spark.createDataFrame([Row(doc_id=1, source="x"),
+                                   Row(doc_id=2, source="x")])
+    assert group_sample_k(small, 5, "source").count() == 2
+    # different seed → different draw (60 rows, P(identical) ~ C(20,5)^-3)
+    c = sorted(r.doc_id for r in group_sample_k(df, 5, "source",
+                                                seed=2).collect())
+    assert a != c
+
+
+def test_length_bucket_batches_exact_buckets(spark):
+    """Bucket boundaries are EXACT at powers of two (the float-log2
+    knife edge this operator deliberately avoids): 32 → 5, 33 → 6,
+    1024 → 10, 1025 → 11; batches never exceed batch_size and pad
+    within a ≤2× length spread."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.packing import (
+        length_bucket_batches)
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * n))
+            for i, n in enumerate([1, 31, 32, 33, 63, 64, 65,
+                                   1023, 1024, 1025] + [40] * 10)]
+    out = length_bucket_batches(spark.createDataFrame(rows),
+                                batch_size=4).collect()
+    bucket = {r.doc_id: r.bucket for r in out}
+    assert bucket[0] == 5 and bucket[1] == 5 and bucket[2] == 5
+    assert bucket[3] == 6 and bucket[4] == 6 and bucket[5] == 6
+    assert bucket[6] == 7
+    assert bucket[7] == 10 and bucket[8] == 10 and bucket[9] == 11
+    from collections import Counter
+
+    sizes = Counter(r.batch_id for r in out)
+    assert max(sizes.values()) <= 4
+    # positions use (bucket, batch_id) pairs below because batch_id is
+    # already bucket-prefixed — the pair is just explicit
+    # above the floor bucket, max/min length ratio ≤ 2 (the padding
+    # bound); the floor bucket just caps absolute length at 2^min_bucket
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r.bucket, r.batch_id), []).append(r.n_tokens)
+    for (b, _), lens in by_batch.items():
+        if b > 5:
+            assert max(lens) <= 2 * min(lens)
+        else:
+            assert max(lens) <= 32
+    # positions are 0..len-1 within each batch
+    for (_, bid), lens in by_batch.items():
+        ps = sorted(r.pos for r in out if r.batch_id == bid)
+        assert ps == list(range(len(lens)))
+
+
+def test_hashed_classifier_score_planted(spark):
+    """A weight table that loves 'good' and hates 'bad' must order the
+    docs accordingly, with the exact integer mean-weight score."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.sampling import hash_bucket
+    from clickhouse_datafusion_spark.operators.text import (
+        hashed_classifier_score)
+
+    def bkt(word, n=64):
+        import hashlib
+        return int(hashlib.md5(f"0:{word}".encode()).hexdigest()[:6],
+                   16) % n
+
+    wts = spark.createDataFrame(
+        [Row(bucket=bkt("good"), w_ppm=1000),
+         Row(bucket=bkt("bad"), w_ppm=-1000)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="good good bad"),
+         Row(doc_id=2, text="bad bad bad"),
+         Row(doc_id=3, text="neutral words here")])
+    out = {r.doc_id: (r.score_ppm, r.keep) for r in
+           hashed_classifier_score(docs, wts, n_buckets=64).collect()}
+    # doc1: (1000+1000-1000) DIV 3 = 333; doc2: -3000 DIV 3 = -1000
+    assert out[1] == (333, 1)
+    assert out[2] == (-1000, 0)
+    assert out[3] == (0, 1)  # unhit buckets weigh zero

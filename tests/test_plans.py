@@ -293,3 +293,28 @@ def test_r5d_late_entries_plan_shapes(spark):
     plan = (q("x40_near_contamination", spark)
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_r5e_entries_plan_shapes(spark):
+    # x46: k−1 as-of joins, each one user-keyed shuffle pair — bounded,
+    # never a theta/cartesian join over the event table
+    rep = plan_report(q("x46_sequence_match", spark))
+    assert not rep["cartesian"], rep
+    # x47: the automaton's ONLY exchange is the user-keyed groupBy into
+    # applyInPandas (Arrow-batched), plus nothing else
+    df = q("x47_sequence_count", spark)
+    rep = plan_report(df)
+    assert rep["shuffles"] <= 1, rep
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # a12: two-level aggregate — (group,key) shuffle then group shuffle
+    rep = plan_report(q("a12_summap", spark))
+    assert rep["shuffles"] <= 2 and not rep["cartesian"], rep
+    # t14: the hashed weight table must BROADCAST (bounded model size is
+    # the point of the hashing trick); no cartesian anywhere
+    rep = plan_report(q("t14_hashed_classifier", spark), execute=True)
+    assert rep["broadcasts"] >= 1 and not rep["cartesian"], rep
+    # x48/x49: exactly the one group-/bucket-keyed window shuffle
+    for name in ("x48_group_sample_k", "x49_length_batches"):
+        rep = plan_report(q(name, spark))
+        assert rep["shuffles"] <= 1, (name, rep)
