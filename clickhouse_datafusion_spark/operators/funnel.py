@@ -15,7 +15,7 @@ alternative would be O(matches) join rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -229,3 +229,57 @@ def sum_map(df: DataFrame, key_col: str, value_col: str,
         *group_cols,
         F.transform("_a", lambda x: x["_k"]).alias("keys"),
         F.transform("_a", lambda x: x["_v"]).alias("sums_e4"))
+
+
+def top_k_values(df: DataFrame, key_col: str, group_cols: list[str],
+                 k: int = 3) -> DataFrame:
+    """ClickHouse ``topK(k)(col)`` analog, EXACT form: per group, the k
+    most frequent values of ``key_col`` as a frequency-ordered array
+    (ties broken by value, so the array is deterministic — CH's
+    SpaceSaving sketch makes no such promise).
+
+    Scale shape: one (group, value)-keyed count aggregate with map-side
+    combine, then a group-partitioned rank over the AGGREGATE rows
+    (cardinality = distinct values, not events) and a k-row collect per
+    group. Exact top-k needs the full value count table; when distinct
+    values per group explode beyond that, pre-thin with a count-min
+    sketch (``sketch.cms_build``) and verify the survivors exactly —
+    the standard sketch-then-exact reduction.
+    """
+    per = (df.groupBy(*[F.col(c) for c in group_cols], F.col(key_col))
+           .agg(F.count("*").alias("_cnt")))
+    w = W.partitionBy(*group_cols).orderBy(F.col("_cnt").desc(),
+                                           F.col(key_col))
+    ranked = (per.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= int(k)))
+    return (ranked.groupBy(*[F.col(c) for c in group_cols])
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("_rn"), F.col(key_col).alias("_v")))),
+                lambda x: x["_v"]).alias("top_values")))
+
+
+def delta_sum(df: DataFrame, value_col: str, ts_col: str,
+              group_cols: list[str],
+              tiebreak_col: str | None = None) -> DataFrame:
+    """ClickHouse ``deltaSum(value)`` analog: per group, the sum of
+    POSITIVE increments of ``value`` in time order — the
+    counter-rollover-tolerant total for monotone-ish gauges (a counter
+    that resets contributes only its climbs, not the reset cliff).
+
+    Sums are exact 1e-4-unit integers (decimal lag/diff/accumulate) so
+    the result is engine-independent; ordering is pinned by
+    (ts, tiebreak) so same-timestamp rows cannot flip a diff.
+
+    Scale shape: ONE group-keyed shuffle — the lag window and the
+    following group aggregate share the partitioning. O(1) state per
+    row; nothing is collected.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    v = F.col(value_col).cast("decimal(28,4)")
+    d = v - F.lag(v).over(w)
+    per = df.withColumn("_d", F.when(d > 0, d).otherwise(F.lit(0)))
+    return (per.groupBy(*[F.col(c) for c in group_cols])
+            .agg((F.sum("_d") * 10000).cast("bigint")
+                 .alias("delta_sum_e4")))

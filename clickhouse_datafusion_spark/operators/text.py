@@ -848,3 +848,66 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
                  + F.expr("coalesce(_dot, 0) DIV n_words"))
                 .cast("bigint").alias("score_ppm"))
             .withColumn("keep", (F.col("score_ppm") >= 0).cast("int")))
+
+
+def c4_line_filter(df: DataFrame, min_words: int = 5,
+                   blocklist: tuple[str, ...] = ("javascript",
+                                                 "lorem ipsum", "cookie"),
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): web pages
+    are cleaned line by line, not dropped whole — keep only lines that
+    (a) have ≥ ``min_words`` words, (b) end in terminal punctuation
+    (. ! ? or closing quote), and (c) contain no blocklist phrase
+    (case-insensitive) — the menu/boilerplate/"enable javascript"
+    remover that precedes every doc-level quality filter.
+
+    Returns (id, n_lines, n_kept, clean_text, clean_md5). Pure
+    shuffle-free projection: split on newlines → ``filter`` HOF →
+    ``array_join`` — no explode, no Python, no data movement; the doc
+    never leaves its partition. Regex/contains stay in the Java-regex ∩
+    RE2 common subset so any engine agrees byte-for-byte.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, "\n")
+
+    def _keep(x):
+        cond = (F.size(F.split(F.trim(x), " ")) >= min_words) \
+            & x.rlike('[.!?"]$')
+        for term in blocklist:
+            cond = cond & ~F.lower(x).contains(term.lower())
+        return cond
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        clean.alias("clean_text"),
+        F.md5(clean).alias("clean_md5"))
+
+
+def blocklist_filter(df: DataFrame, blocklist: tuple[str, ...],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Taboo-word document filter (the C4 "List of Dirty, Naughty …"
+    step, Dolma's taggers): count whole-word blocklist hits and flag the
+    document. Whole-WORD matching on the whitespace tokens — substring
+    matching ("class" hitting "ass") is the classic false-positive this
+    avoids; normalize upstream (``normalize_text_col``) for
+    case/punctuation robustness.
+
+    Returns (id, n_hits, keep). Pure shuffle-free projection — the
+    blocklist compiles into the ``filter`` lambda as literals. That is
+    the right shape up to ~10⁴ terms (codegen'd OR-chain / IN-list);
+    beyond that, explode words and broadcast-join the term table
+    (exactly ``hashed_classifier_score``'s shape with unit weights).
+    """
+    ws = words(text_col)
+    terms = F.array(*[F.lit(t) for t in blocklist])
+    hits = F.filter(ws, lambda w: F.array_contains(terms, w))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("bigint").alias("n_hits"),
+        (F.size(hits) == 0).cast("int").alias("keep"))

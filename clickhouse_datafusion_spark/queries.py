@@ -1477,6 +1477,112 @@ def x49_length_batches(spark, sf):
     return length_bucket_batches(t(spark, sf, "documents"), batch_size=8)
 
 
+@qdef("a13_topk_array",
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY event_type, user_id),
+          r AS (SELECT event_type, user_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, user_id)
+                         AS rn
+                FROM c)
+         SELECT event_type, list(user_id ORDER BY rn) AS top_values
+         FROM r WHERE rn <= 3 GROUP BY event_type""",
+      tags=("agg", "ext"))
+def a13_topk(spark, sf):
+    """ClickHouse topK(3)(user_id) per event_type, exact form: most
+    frequent users as a frequency-ordered array with deterministic
+    tie-break — see operators/funnel.py::top_k_values."""
+    from clickhouse_datafusion_spark.operators.funnel import top_k_values
+
+    ev = t(spark, sf, "events")
+    return top_k_values(ev, "user_id", ["event_type"], k=3)
+
+
+@qdef("a14_delta_sum",
+      """SELECT user_id,
+                CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) * 10000
+                     AS BIGINT) AS delta_sum_e4
+         FROM (SELECT user_id,
+                      CAST(value AS DECIMAL(28,4))
+                        - lag(CAST(value AS DECIMAL(28,4)))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+               FROM events)
+         GROUP BY user_id""",
+      tags=("agg", "ext"))
+def a14_delta_sum(spark, sf):
+    """ClickHouse deltaSum(value) per user: sum of positive increments
+    in (ts, event_id) order, exact 1e-4-unit integers — see
+    operators/funnel.py::delta_sum."""
+    from clickhouse_datafusion_spark.operators.funnel import delta_sum
+
+    ev = t(spark, sf, "events")
+    return delta_sum(ev, "value", "ts", ["user_id"],
+                     tiebreak_col="event_id")
+
+
+@qdef("t15_c4_line_filter",
+      """WITH p AS (SELECT doc_id,
+                  'Header menu' || chr(10) || text || '.' || chr(10) ||
+                  'short line' || chr(10) ||
+                  CASE WHEN doc_id % 2 = 1
+                       THEN 'Please enable javascript to continue' ||
+                            ' browsing.' || chr(10)
+                       ELSE '' END ||
+                  'Copyright 2024 all rights reserved worldwide.' ||
+                  chr(10) || '{ }' AS page
+                    FROM documents),
+          s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+          k AS (SELECT doc_id, ls,
+                       list_filter(ls, x ->
+                         len(string_split(trim(x), ' ')) >= 5
+                         AND regexp_matches(x, '[.!?"]$')
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(lower(x), 'lorem ipsum')
+                         AND NOT contains(lower(x), 'cookie')) AS kept
+                FROM s)
+         SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                array_to_string(kept, chr(10)) AS clean_text,
+                md5(array_to_string(kept, chr(10))) AS clean_md5
+         FROM k""",
+      tags=("pipeline", "text"))
+def t15_c4_lines(spark, sf):
+    """C4-style line-level page cleaning over a synthetic multi-line
+    wrap of every doc (the corpus has no newlines, so the gate plants
+    menu/short/javascript/copyright/code lines and verifies exactly
+    which survive) — see operators/text.py::c4_line_filter."""
+    from clickhouse_datafusion_spark.operators.text import c4_line_filter
+
+    docs = t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("Header menu\n"), F.col("text"), F.lit(".\nshort line\n"),
+        F.when(F.col("doc_id") % 2 == 1,
+               F.lit("Please enable javascript to continue browsing.\n"))
+         .otherwise(F.lit("")),
+        F.lit("Copyright 2024 all rights reserved worldwide.\n{ }"))
+    return c4_line_filter(docs.select("doc_id", page.alias("text")))
+
+
+@qdef("t16_blocklist_filter",
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('spark', 'hash')))
+                     AS BIGINT) AS n_hits,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('spark', 'hash'))) = 0
+                     AS INT) AS keep
+         FROM documents""",
+      tags=("pipeline", "text"))
+def t16_blocklist(spark, sf):
+    """Whole-word taboo-term document filter (C4 badwords / Dolma
+    tagger shape) — shuffle-free literal-array hit counting; see
+    operators/text.py::blocklist_filter."""
+    from clickhouse_datafusion_spark.operators.text import blocklist_filter
+
+    return blocklist_filter(t(spark, sf, "documents"), ("spark", "hash"))
+
+
 @qdef("x34_locf_backfill",
       """SELECT event_id, user_id,
                 last_value(CASE WHEN event_type <> 'error' THEN value END
@@ -4455,6 +4561,10 @@ _GATE_PRIORITY = [
     "t14_hashed_classifier",
     "x48_group_sample_k",
     "x49_length_batches",
+    "a13_topk_array",
+    "a14_delta_sum",
+    "t15_c4_line_filter",
+    "t16_blocklist_filter",
     # changed in r4, gate rows r3-dated under the same oracles
     "d6_dup_clusters",
     "d1_exact_dedup_groups",

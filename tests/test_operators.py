@@ -2034,3 +2034,70 @@ def test_hashed_classifier_score_planted(spark):
     assert out[1] == (333, 1)
     assert out[2] == (-1000, 0)
     assert out[3] == (0, 1)  # unhit buckets weigh zero
+
+
+def test_top_k_values_ties_and_order(spark):
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.funnel import top_k_values
+
+    rows = ([Row(g="x", v=7)] * 3 + [Row(g="x", v=3)] * 3
+            + [Row(g="x", v=9)] * 1 + [Row(g="y", v=1)])
+    out = {r.g: list(r.top_values) for r in top_k_values(
+        spark.createDataFrame(rows), "v", ["g"], k=2).collect()}
+    # 7 and 3 tie at count 3 → value ascending breaks the tie; 9 loses
+    assert out == {"x": [3, 7], "y": [1]}
+
+
+def test_delta_sum_counter_resets(spark):
+    """Only climbs count: 1→3 (+2), 3→2 (reset, ignored), 2→5 (+3)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.funnel import delta_sum
+
+    base = datetime(2024, 1, 1)
+    rows = [Row(g=1, ts=base + timedelta(seconds=s), eid=s, v=v)
+            for s, v in [(0, 1.0), (1, 3.0), (2, 2.0), (3, 5.0)]]
+    rows.append(Row(g=2, ts=base, eid=0, v=42.0))  # single event → 0
+    out = {r.g: r.delta_sum_e4 for r in delta_sum(
+        spark.createDataFrame(rows), "v", "ts", ["g"],
+        tiebreak_col="eid").collect()}
+    assert out == {1: 50000, 2: 0}
+
+
+def test_c4_line_filter_semantics(spark):
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import c4_line_filter
+
+    page = "\n".join([
+        "Home About Contact",                      # menu: no punct → drop
+        "This sentence has enough words here.",    # keep
+        "Too short.",                              # < 5 words → drop
+        "Please enable JavaScript to view this.",  # blocklist → drop
+        'He said "stop right there now please"',   # ends in quote → keep
+        "Accept our cookie policy to continue.",   # blocklist → drop
+    ])
+    r = c4_line_filter(spark.createDataFrame(
+        [Row(doc_id=1, text=page)])).collect()[0]
+    assert r.n_lines == 6 and r.n_kept == 2
+    assert r.clean_text == ("This sentence has enough words here.\n"
+                            'He said "stop right there now please"')
+
+
+def test_blocklist_filter_whole_word(spark):
+    """Whole-word matching: 'class' must NOT hit an 'ass' blocklist."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import blocklist_filter
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the class starts now"),
+        Row(doc_id=2, text="what an ass he was"),
+        Row(doc_id=3, text="ass ass ass"),
+    ])
+    out = {r.doc_id: (r.n_hits, r.keep) for r in
+           blocklist_filter(docs, ("ass",)).collect()}
+    assert out == {1: (0, 1), 2: (1, 0), 3: (3, 0)}

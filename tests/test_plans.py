@@ -318,3 +318,19 @@ def test_r5e_entries_plan_shapes(spark):
     for name in ("x48_group_sample_k", "x49_length_batches"):
         rep = plan_report(q(name, spark))
         assert rep["shuffles"] <= 1, (name, rep)
+
+
+def test_r5e_aggregate_and_text_plan_shapes(spark):
+    # a13: count aggregate + rank/collect over AGGREGATE rows only
+    rep = plan_report(q("a13_topk_array", spark))
+    assert rep["shuffles"] <= 3 and not rep["cartesian"], rep
+    # a14: lag window and group aggregate share the ONE user shuffle
+    rep = plan_report(q("a14_delta_sum", spark))
+    assert rep["shuffles"] <= 1, rep
+    # t15/t16: shuffle-free projections, no Python, no explode
+    for name in ("t15_c4_line_filter", "t16_blocklist_filter"):
+        df = q(name, spark)
+        rep = plan_report(df)
+        assert rep["shuffles"] == 0, (name, rep)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "Generate" not in plan, name
