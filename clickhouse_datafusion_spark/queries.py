@@ -478,6 +478,29 @@ def a11_argmax(spark, sf):
                     F.col("_b.p").cast("double").alias("best_price")))
 
 
+@qdef("a10c_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(o_orderstatus) * 2
+                     + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())""",
+      tags=("A10",))
+def a10c_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    with grouping_id disambiguating real NULL keys from subtotal rows —
+    DataFrame.groupingSets API (Spark 4)."""
+    o = t(spark, sf, "orders")
+    return (o.groupingSets([["o_orderstatus", "o_orderpriority"],
+                            ["o_orderstatus"], []],
+                           "o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 (F.grouping("o_orderstatus") * 2
+                  + F.grouping("o_orderpriority")).cast("bigint")
+                 .alias("gid")))
+
+
 # =========================================================================
 # §2.5 Window functions
 # =========================================================================
@@ -562,6 +585,66 @@ def w6(spark, sf):
             .select("o_custkey", "o_orderkey",
                     R2(F.col("o_totalprice")
                        - F.lag("o_totalprice", 1, 0.0).over(w)).alias("delta")))
+
+
+@qdef("w7_range_interval",
+      """SELECT event_id,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                             AND CURRENT ROW) * 10000 AS BIGINT)
+                  AS w_sum_e4,
+                CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS w_cnt
+         FROM events""",
+      tags=("W-ext",))
+def w7_range_interval(spark, sf):
+    """Time-based RANGE frame (trailing 7-day per-user window) — the
+    value-based frame w5's ROWS frames can't express. Spark's
+    rangeBetween needs a numeric ordering, so the frame runs over a
+    timezone-free microsecond offset (timestampdiff from a fixed NTZ
+    epoch; unix_micros would drag the session timezone in) with the
+    interval in exact microseconds — same
+    ordering, same peer groups, same frame as the oracle's INTERVAL
+    form. Sums in exact 1e-4 units."""
+    ev = t(spark, sf, "events")
+    six_days_us = 6 * 86400 * 1_000_000
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01', ts)")
+    w = (W.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-six_days_us, 0))
+    v = F.col("value").cast("decimal(28,4)")
+    return ev.select(
+        "event_id",
+        (F.sum(v).over(w) * 10000).cast("bigint").alias("w_sum_e4"),
+        F.count("*").over(w).cast("bigint").alias("w_cnt"))
+
+
+@qdef("w8_ntile_dist",
+      """SELECT o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders WHERE o_custkey <= 100
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)),
+                               o_orderkey)""",
+      tags=("W-ext",))
+def w8_ntile_dist(spark, sf):
+    """ntile / percent_rank / cume_dist — the distribution window
+    family. Ordering carries a total tiebreak (decimal price, orderkey)
+    so bucket boundaries are deterministic; pr/cd are exact-integer
+    ratios evaluated in IEEE double identically everywhere."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").cast("decimal(12,2)"), "o_orderkey")
+    return (o.filter(F.col("o_custkey") <= 100)
+            .select("o_orderkey",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.percent_rank().over(w).alias("pr"),
+                    F.cume_dist().over(w).alias("cd")))
 
 
 # =========================================================================
@@ -1664,6 +1747,32 @@ def x5_pivot(spark, sf):
             .pivot("o_orderstatus", ["O", "F", "P"]).count()
             .na.fill(0)
             .withColumnsRenamed({"O": "st_o", "F": "st_f", "P": "st_p"}))
+
+
+@qdef("x5b_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS val
+         FROM lineitem WHERE l_orderkey <= 400
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey <= 400
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey <= 400
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey <= 400""",
+      tags=("pivot", "ext"))
+def x5b_unpivot(spark, sf):
+    """UNPIVOT/melt — pivot's inverse (wide metric columns → long
+    (metric, val) rows) via the native DataFrame.unpivot, which plans as
+    an Expand projection (rows multiply in place, no shuffle, no
+    UNION re-scan like the portable oracle form)."""
+    li = t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_orderkey") <= 400)
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"], "metric", "val"))
 
 
 @qdef("x6_sessionization",
@@ -4565,6 +4674,10 @@ _GATE_PRIORITY = [
     "a14_delta_sum",
     "t15_c4_line_filter",
     "t16_blocklist_filter",
+    "a10c_grouping_sets",
+    "w7_range_interval",
+    "w8_ntile_dist",
+    "x5b_unpivot",
     # changed in r4, gate rows r3-dated under the same oracles
     "d6_dup_clusters",
     "d1_exact_dedup_groups",

@@ -334,3 +334,17 @@ def test_r5e_aggregate_and_text_plan_shapes(spark):
         assert rep["shuffles"] == 0, (name, rep)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "Generate" not in plan, name
+
+
+def test_r5e_sql_surface_plan_shapes(spark):
+    # x5b: native unpivot plans as Expand (rows multiply in place) —
+    # NOT the oracle's 4× union re-scan
+    df = q("x5b_unpivot", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Union" not in plan, plan[:1500]
+    # w7: one user-keyed window shuffle, range frame
+    rep = plan_report(q("w7_range_interval", spark))
+    assert rep["shuffles"] <= 1, rep
+    # a10c: grouping sets = Expand + ONE aggregate shuffle
+    rep = plan_report(q("a10c_grouping_sets", spark))
+    assert rep["shuffles"] <= 1 and not rep["cartesian"], rep
