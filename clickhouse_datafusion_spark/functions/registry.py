@@ -312,7 +312,22 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
     "grouparray": lambda a: f"collect_list({a[0]})",
     "groupuniqarray": lambda a: f"collect_set({a[0]})",
+    "minif": lambda a: f"min(CASE WHEN ({a[1]}) THEN {a[0]} END)",
+    "maxif": lambda a: f"max(CASE WHEN ({a[1]}) THEN {a[0]} END)",
+    "retention": lambda a: _retention(a),
 }
+
+
+def _retention(conds: list[str]) -> str:
+    """ClickHouse ``retention(cond1, ...)`` → INT array aggregate:
+    r1 = cond1 ever held; r_i = cond1 AND cond_i both held (every later
+    flag gated on the anchor) — the expression form of
+    ``operators.funnel.retention``, usable inside any GROUP BY."""
+    anchor = f"max(CASE WHEN ({conds[0]}) THEN 1 ELSE 0 END)"
+    parts = [anchor] + [
+        f"({anchor}) * max(CASE WHEN ({c}) THEN 1 ELSE 0 END)"
+        for c in conds[1:]]
+    return "array(" + ", ".join(parts) + ")"
 
 
 # Higher-order (lambda) functions: handled by the rewriter, which parses

@@ -233,7 +233,7 @@ def test_every_scalar_registry_entry_is_exercised_or_known():
         # aggregate-position functions — exercised in test_agg_position below
         "uniq", "uniqexact", "avgif", "sumif", "countif", "quantile",
         "median", "any", "anylast", "argmax", "argmin", "grouparray",
-        "groupuniqarray",
+        "groupuniqarray", "minif", "maxif", "retention",
     }
     missing = set(SCALAR_TRANSLATORS) - exercised - known_other
     assert not missing, f"registry entries with no sweep case: {sorted(missing)}"
@@ -262,6 +262,8 @@ def test_agg_position_functions(spark, views):
     """ClickHouse aggregate-function names in aggregate position."""
     sql = rewrite_sql("""
         SELECT clickhouse(uniqExact(o_orderstatus), 'Int64') AS ue,
+               clickhouse(minIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS mi,
+               clickhouse(maxIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS mx,
                clickhouse(countIf(o_totalprice > 100000), 'Int64') AS ci,
                clickhouse(sumIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS si,
                clickhouse(avgIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS ai,
@@ -272,3 +274,23 @@ def test_agg_position_functions(spark, views):
     r = spark.sql(sql).collect()[0]
     assert r.ue == 3 and r.ci > 0 and r.si > 0 and r.ai > 0
     assert r.md > 0 and r.am > 0 and len(r.ga) > 0
+    assert 0 < r.mi <= r.mx
+
+
+def test_retention_rewrite(spark, views):
+    """retention() as an expression aggregate: later flags gate on the
+    anchor condition, matching operators.funnel.retention."""
+    sql = rewrite_sql("""
+        SELECT user_id,
+               clickhouse(retention(event_type = 'signup',
+                                    event_type = 'purchase'),
+                          'List(Int64)') AS r
+        FROM events GROUP BY user_id""")
+    rows = {r.user_id: list(r.r) for r in spark.sql(sql).collect()}
+    from clickhouse_datafusion_spark.operators.funnel import retention
+    import pyspark.sql.functions as F
+    ref = {r.user_id: [r.r_1, r.r_2] for r in retention(
+        spark.table("events"),
+        [F.col("event_type") == "signup",
+         F.col("event_type") == "purchase"]).collect()}
+    assert rows == ref and len(rows) > 0
