@@ -4634,20 +4634,29 @@ _GATE_PRIORITY = [
     "d9_semantic_dedup",
     "x29_hll_rollup",
     "x30_pagerank",
-    # new in r5d — top-ten slice inside the ~50 window (bench members,
-    # composed chains, new streaming classes, MERGE)
+    # new in r5d — top slice inside the ~50 window (bench member, the
+    # prefix-sum packer, the MERGE cornerstone, the composed chain)
     "t11_bigram_lm_score",
     "x36_doc_bin_packing",
     "x31_snapshot_upsert",
     "x39_curated_corpus",
+    # VERDICT r4 task 1: changed-in-r4 dedup plans whose last gate rows
+    # are r3-dated — these MUST get r5 driver rows
+    "d6_dup_clusters",
+    "d1_exact_dedup_groups",
+    "d2_ngram_jaccard_pairs",
+    # VERDICT r4 task 6: function-rewrite rows r2-dated, 3 rounds stale
+    "f9_ch_group_by_udf",
+    "f10_ch_having_udf",
+    "f11_ch_window_over_udf",
+    # new in r5d — past the expected window cutoff; in-session verified
+    # at three scales (COVERAGE.md), first in the r6 rotation
     "x40_near_contamination",
     "st8_streaming_sliding",
     "st9_streaming_upsert",
     "s8_hard_negatives",
     "x35_priority_sample",
     "s7_random_projection",
-    # new in r5d — past the expected window cutoff; in-session verified
-    # at three scales (COVERAGE.md), first in the r6 rotation
     "x44_retention",
     "x45_window_funnel",
     "a11_argmax",
@@ -4678,14 +4687,6 @@ _GATE_PRIORITY = [
     "w7_range_interval",
     "w8_ntile_dist",
     "x5b_unpivot",
-    # changed in r4, gate rows r3-dated under the same oracles
-    "d6_dup_clusters",
-    "d1_exact_dedup_groups",
-    "d2_ngram_jaccard_pairs",
-    # r2-dated function-rewrite rows
-    "f9_ch_group_by_udf",
-    "f10_ch_having_udf",
-    "f11_ch_window_over_udf",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",
