@@ -51,6 +51,37 @@ class ClickHouseSparkEngine:
         src/context.rs:98-99 register_udf passthrough)."""
         self.spark.udf.register(name, fn, return_type)
 
+    def register_dictionary(self, name: str, source, key_col: str | None = None,
+                            defaults: dict | None = None) -> None:
+        """ClickHouse external-dictionary analog: after registration,
+        ``dictGet('name', 'attr', key)`` / ``dictGetOrDefault`` /
+        ``dictHas`` work in any ``sql()`` query as constant-map lookups
+        (whole-stage codegen, no Python, no shuffle).
+
+        ``source`` is either ``{key: {attr: value}}`` or a small
+        DataFrame with ``key_col`` naming the key column (every other
+        column becomes an attribute). Bounded at
+        ``dictionaries.MAX_ENTRIES`` — beyond that it is a dimension
+        table: broadcast-join it instead (identical physical plan,
+        build side shipped once per executor rather than inlined).
+        ``defaults`` gives per-attribute values for missing keys
+        (ClickHouse returns the configured default, not NULL).
+        """
+        from clickhouse_datafusion_spark.functions.dictionaries import (
+            MAX_ENTRIES, register_dictionary)
+
+        if isinstance(source, DataFrame):
+            if not key_col:
+                raise ValueError("key_col is required for DataFrame sources")
+            rows = source.limit(MAX_ENTRIES + 1).collect()
+            if len(rows) > MAX_ENTRIES:
+                raise ValueError(
+                    f"dictionary source exceeds {MAX_ENTRIES} rows; "
+                    "broadcast-join the dimension instead")
+            attrs = [c for c in source.columns if c != key_col]
+            source = {r[key_col]: {c: r[c] for c in attrs} for r in rows}
+        register_dictionary(name, source, defaults)
+
     def sql(self, query: str) -> DataFrame:
         ea = _EXPLAIN_ANALYZE_RE.match(query)
         if ea:

@@ -315,7 +315,18 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "minif": lambda a: f"min(CASE WHEN ({a[1]}) THEN {a[0]} END)",
     "maxif": lambda a: f"max(CASE WHEN ({a[1]}) THEN {a[0]} END)",
     "retention": lambda a: _retention(a),
+    # external-dictionary surface (functions/dictionaries.py): the name
+    # and attribute must be string literals; the registered dictionary
+    # compiles into a constant map lookup
+    "dictget": lambda a: _dictionaries().dict_get(a),
+    "dictgetordefault": lambda a: _dictionaries().dict_get_or_default(a),
+    "dicthas": lambda a: _dictionaries().dict_has(a),
 }
+
+
+def _dictionaries():
+    from clickhouse_datafusion_spark.functions import dictionaries
+    return dictionaries
 
 
 def _retention(conds: list[str]) -> str:

@@ -1775,6 +1775,39 @@ def x5b_unpivot(spark, sf):
                       "l_tax"], "metric", "val"))
 
 
+@qdef("x51_dictget",
+      """SELECT c.c_custkey, n.n_name AS nation,
+                CAST(c.c_nationkey IN (SELECT n_nationkey FROM nation)
+                     AS BOOLEAN) AS known
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_custkey <= 200""",
+      tags=("dict", "ext"))
+def x51_dictget(spark, sf):
+    """ClickHouse external-dictionary surface: dictGet('nations',
+    'n_name', key) + dictHas through the SQL front door — the dictionary
+    (registered from the 25-row nation dim) compiles into a constant map
+    literal, so the lookup is a codegen'd projection with NO join; the
+    oracle is the join it replaces. See functions/dictionaries.py."""
+    from clickhouse_datafusion_spark.functions.dictionaries import (
+        drop_dictionary)
+
+    eng = _engine(spark, sf)
+    nat = t(spark, sf, "nation")
+    eng.register_dictionary("nations",
+                            nat.select("n_nationkey", "n_name"),
+                            key_col="n_nationkey")
+    try:
+        return eng.sql("""
+            SELECT c_custkey,
+                   clickhouse(dictGet('nations', 'n_name', c_nationkey),
+                              'Utf8') AS nation,
+                   clickhouse(dictHas('nations', c_nationkey),
+                              'Boolean') AS known
+            FROM customer WHERE c_custkey <= 200""")
+    finally:
+        drop_dictionary("nations")
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4687,6 +4720,7 @@ _GATE_PRIORITY = [
     "w7_range_interval",
     "w8_ntile_dist",
     "x5b_unpivot",
+    "x51_dictget",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

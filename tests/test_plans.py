@@ -348,3 +348,13 @@ def test_r5e_sql_surface_plan_shapes(spark):
     # a10c: grouping sets = Expand + ONE aggregate shuffle
     rep = plan_report(q("a10c_grouping_sets", spark))
     assert rep["shuffles"] <= 1 and not rep["cartesian"], rep
+
+
+def test_dictget_is_joinless_projection(spark):
+    """The dictionary lookup must compile to a constant-map projection —
+    a join in this plan means the feature lost its point."""
+    df = q("x51_dictget", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "PythonUDF" not in plan, plan[:1500]
+    rep = plan_report(df)
+    assert rep["shuffles"] == 0, rep

@@ -234,6 +234,7 @@ def test_every_scalar_registry_entry_is_exercised_or_known():
         "uniq", "uniqexact", "avgif", "sumif", "countif", "quantile",
         "median", "any", "anylast", "argmax", "argmin", "grouparray",
         "groupuniqarray", "minif", "maxif", "retention",
+        "dictget", "dictgetordefault", "dicthas",
     }
     missing = set(SCALAR_TRANSLATORS) - exercised - known_other
     assert not missing, f"registry entries with no sweep case: {sorted(missing)}"
@@ -294,3 +295,56 @@ def test_retention_rewrite(spark, views):
         [F.col("event_type") == "signup",
          F.col("event_type") == "purchase"]).collect()}
     assert rows == ref and len(rows) > 0
+
+
+def test_dictionary_surface(spark, views):
+    """dictGet/dictGetOrDefault/dictHas as constant-map lookups after
+    engine.register_dictionary — ClickHouse's external-dictionary
+    calling convention without the join."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.functions.dictionaries import (
+        UnknownDictionary, drop_dictionary)
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.register_dictionary(
+        "status_names",
+        {"O": {"label": "open", "rank": 1},
+         "F": {"label": "finished", "rank": 2},
+         "P": {"label": "pending", "rank": 3}},
+        defaults={"label": "unknown"})
+    try:
+        r = eng.sql("""
+            SELECT clickhouse(dictGet('status_names', 'label',
+                                      o_orderstatus), 'Utf8') AS lab,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY lab ORDER BY lab""").collect()
+        assert {row.lab for row in r} == {"open", "finished", "pending"}
+        # missing key -> registered default (not NULL)
+        d = eng.sql("""
+            SELECT clickhouse(dictGet('status_names', 'label', 'Z'),
+                              'Utf8') AS lab,
+                   clickhouse(dictGetOrDefault('status_names', 'rank',
+                                               'Z', -1), 'Int64') AS rk,
+                   clickhouse(dictHas('status_names', 'O'),
+                              'Boolean') AS has_o,
+                   clickhouse(dictHas('status_names', 'Z'),
+                              'Boolean') AS has_z
+            """).collect()[0]
+        assert d.lab == "unknown" and d.rk == -1
+        assert d.has_o is True and d.has_z is False
+        # DataFrame source path + plan stays codegen (no Python, no join)
+        nat = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v int")
+        eng.register_dictionary("kv", nat, key_col="k")
+        df = eng.sql(
+            "SELECT clickhouse(dictGet('kv', 'v', 'a'), 'Int64') AS v")
+        assert df.collect()[0].v == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "PythonUDF" not in plan
+        # unknown dictionary errors eagerly with the registered list
+        import pytest as _pt
+        with _pt.raises(UnknownDictionary):
+            eng.sql("SELECT clickhouse(dictGet('nope', 'a', 1), 'Int64')")
+    finally:
+        drop_dictionary("status_names")
+        drop_dictionary("kv")
