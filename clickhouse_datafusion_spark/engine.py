@@ -30,16 +30,23 @@ from clickhouse_datafusion_spark.functions.rewrite import rewrite_sql
 
 class ClickHouseSparkEngine:
     def __init__(self, spark: SparkSession, catalog_name: str = DEFAULT_CATALOG,
-                 coercion: bool = False):
+                 coercion: bool = False, mat_view_dir: str | None = None):
         """``coercion=True`` is the analog of the reference's
         ``ClickHouseBuilder::with_coercion`` (src/builders.rs:128-135):
         declared-type mismatches coerce to NULL (TRY_CAST) instead of
-        erroring."""
+        erroring. ``mat_view_dir`` roots materialized-view storage
+        (default: ``spark-warehouse/_matviews`` under the CURRENT
+        directory, made absolute so the JVM and Python agree)."""
+        import os
+
         self.spark = spark
         self.catalog = ClickHouseCatalog(spark, catalog_name)
         self._catalog_names = {catalog_name.lower()}
         self.coercion = coercion
         self._native_tables = {}
+        self._mat_views = {}
+        self._mat_view_dir = os.path.abspath(
+            mat_view_dir or os.path.join("spark-warehouse", "_matviews"))
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
@@ -82,11 +89,105 @@ class ClickHouseSparkEngine:
             source = {r[key_col]: {c: r[c] for c in attrs} for r in rows}
         register_dictionary(name, source, defaults)
 
+    # -- materialized views ------------------------------------------------
+    # ClickHouse MVs are insert-triggered incremental transforms; the
+    # Spark-native analog here is refresh-on-demand with VERSIONED
+    # storage (operators/layout.py snapshot store): every refresh writes
+    # a new immutable version and atomically swaps the view binding, so
+    # readers mid-query keep their files and any historical version stays
+    # pinnable (read_snapshot(path, v)). The continuous-maintenance
+    # analog is streaming/events.py::stream_upsert_snapshot (st9) —
+    # foreachBatch MERGE, every batch commit a pinnable version.
+
+    def _mv_key(self, name: str) -> str:
+        name = name.replace("`", "")
+        parts = name.split(".")
+        if len(parts) > 1 and parts[0].lower() in self._catalog_names:
+            parts = parts[1:]
+        return parts[-1].lower()
+
+    def _create_mat_view(self, name: str, select_sql: str,
+                         if_not_exists: bool = False) -> DataFrame:
+        from clickhouse_datafusion_spark.operators.layout import (
+            read_snapshot, write_snapshot)
+
+        key = self._mv_key(name)
+        if key in self._mat_views:
+            if if_not_exists:
+                mv = self._mat_views[key]
+                return self._mv_result(key, mv["version"])
+            raise ValueError(f"materialized view {key!r} already exists")
+        import os
+        import shutil
+
+        path = os.path.join(self._mat_view_dir, key)
+        # an orphan dir (crashed prior session) has no binding in this
+        # engine — the CREATE owns the name, so clear it
+        shutil.rmtree(path, ignore_errors=True)
+        df = self.spark.sql(self._route_native_tables(select_sql))
+        v = write_snapshot(df, path)
+        read_snapshot(self.spark, path, v).createOrReplaceTempView(key)
+        self._mat_views[key] = {"sql": select_sql, "path": path,
+                                "version": v}
+        return self._mv_result(key, v)
+
+    def _refresh_mat_view(self, name: str) -> DataFrame:
+        from clickhouse_datafusion_spark.operators.layout import (
+            read_snapshot, write_snapshot)
+
+        key = self._mv_key(name)
+        mv = self._mat_views.get(key)
+        if mv is None:
+            raise ValueError(f"unknown materialized view {key!r}; "
+                             f"registered: {sorted(self._mat_views)}")
+        df = self.spark.sql(self._route_native_tables(mv["sql"]))
+        v = write_snapshot(df, mv["path"])
+        read_snapshot(self.spark, mv["path"], v).createOrReplaceTempView(key)
+        mv["version"] = v
+        return self._mv_result(key, v)
+
+    def _drop_mat_view(self, name: str, if_exists: bool = False) -> DataFrame:
+        import shutil
+
+        key = self._mv_key(name)
+        mv = self._mat_views.pop(key, None)
+        if mv is None:
+            if if_exists:
+                return self._mv_result(key, -1)
+            raise ValueError(f"unknown materialized view {key!r}")
+        self.spark.catalog.dropTempView(key)
+        shutil.rmtree(mv["path"], ignore_errors=True)
+        return self._mv_result(key, mv["version"])
+
+    def _show_mat_views(self) -> DataFrame:
+        rows = [(k, mv["version"], mv["sql"].strip())
+                for k, mv in sorted(self._mat_views.items())]
+        return self.spark.createDataFrame(
+            rows or [], "view string, version int, definition string")
+
+    def _mv_result(self, key: str, version: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(key, version)], "view string, version int")
+
     def sql(self, query: str) -> DataFrame:
         ea = _EXPLAIN_ANALYZE_RE.match(query)
         if ea:
             return self.explain_analyze(query[ea.end():])
         rewritten = self.rewrite(query)
+        mv = _CREATE_MV_RE.match(rewritten)
+        if mv:
+            return self._create_mat_view(mv.group("name"),
+                                         rewritten[mv.end():].rstrip("; \t\n"),
+                                         if_not_exists=bool(mv.group("ine")))
+        rmv = _REFRESH_MV_RE.match(rewritten)
+        if rmv:
+            return self._refresh_mat_view(rmv.group("name"))
+        dmv = _DROP_MV_RE.match(rewritten)
+        if dmv:
+            return self._drop_mat_view(dmv.group("name"),
+                                       if_exists=bool(dmv.group("ie")))
+        if _SHOW_MV_RE.match(rewritten):
+            return self._show_mat_views()
         m = _CREATE_NATIVE_RE.match(rewritten)
         if m:
             return self._create_native_table(m)
@@ -246,6 +347,21 @@ class ClickHouseSparkEngine:
 
         return sink.run_insert_sql(self.spark, rewritten)
 
+
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s+AS\s+", re.IGNORECASE)
+
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE)
+
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*;?\s*$", re.IGNORECASE)
+
+_SHOW_MV_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 
 _CREATE_NATIVE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"

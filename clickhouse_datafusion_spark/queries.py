@@ -1808,6 +1808,33 @@ def x51_dictget(spark, sf):
         drop_dictionary("nations")
 
 
+@qdef("x52_mat_view",
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2)
+                     AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+      tags=("dict", "ext"))
+def x52_mat_view(spark, sf):
+    """Materialized view round-trip: CREATE MATERIALIZED VIEW over an
+    aggregate, then read the MATERIALIZATION back — the oracle is the
+    defining query, so the snapshot-versioned store provably holds the
+    exact result (engine.py materialized-view surface; refresh/pinning
+    exercised in tests/test_writes_ddl.py)."""
+    import tempfile
+
+    eng = _engine(spark, sf)
+    eng._mat_view_dir = tempfile.mkdtemp(prefix="chdf_mv_gate_")
+    eng.sql("""
+        CREATE MATERIALIZED VIEW gate_mv AS
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus, o_orderpriority""")
+    return eng.sql("SELECT * FROM gate_mv")
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4721,6 +4748,7 @@ _GATE_PRIORITY = [
     "w8_ntile_dist",
     "x5b_unpivot",
     "x51_dictget",
+    "x52_mat_view",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -227,3 +227,80 @@ def test_insert_bounds_writers_without_shuffle(spark, tbl):
     with redirect_stdout(buf):
         src.coalesce(4).explain()
     assert "Exchange" not in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Materialized views (refresh-on-demand, snapshot-versioned)
+# ---------------------------------------------------------------------------
+
+
+def test_materialized_view_lifecycle(spark, views, tmp_path):
+    """CREATE → query → source drift → stale until REFRESH → fresh;
+    every refresh is a new pinnable snapshot version; DROP removes the
+    binding. ClickHouse MVs are insert-triggered; this surface is the
+    refresh-on-demand analog (st9 is the continuous one) — divergence
+    documented in engine.py."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.operators.layout import read_snapshot
+
+    eng = ClickHouseSparkEngine(spark, mat_view_dir=str(tmp_path / "mv"))
+    spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g")) \
+        .createOrReplaceTempView("mv_src")
+
+    r = eng.sql("CREATE MATERIALIZED VIEW mv_sums AS "
+                "SELECT g, CAST(sum(id) AS BIGINT) AS s "
+                "FROM mv_src GROUP BY g").collect()[0]
+    assert (r.view, r.version) == ("mv_sums", 1)
+    first = {row.g: row.s for row in
+             eng.sql("SELECT * FROM mv_sums").collect()}
+    assert first == {0: 18, 1: 12, 2: 15}
+
+    # source drifts; the MV is a materialization, so it must NOT move
+    spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("g")) \
+        .createOrReplaceTempView("mv_src")
+    assert {row.g: row.s for row in
+            eng.sql("SELECT * FROM mv_sums").collect()} == first
+
+    r = eng.sql("REFRESH MATERIALIZED VIEW mv_sums").collect()[0]
+    assert r.version == 2
+    refreshed = {row.g: row.s for row in
+                 eng.sql("SELECT * FROM mv_sums").collect()}
+    assert refreshed == {0: 63, 1: 70, 2: 57}
+
+    # history stays pinnable: version 1 still reads the old result
+    path = str(tmp_path / "mv" / "mv_sums")
+    v1 = {row.g: row.s for row in
+          read_snapshot(spark, path, 1).collect()}
+    assert v1 == first
+
+    shown = eng.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert [(x.view, x.version) for x in shown] == [("mv_sums", 2)]
+
+    # duplicate create errors; IF NOT EXISTS is a no-op returning current
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        eng.sql("CREATE MATERIALIZED VIEW mv_sums AS SELECT 1 AS x")
+    r = eng.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mv_sums AS "
+                "SELECT 1 AS x").collect()[0]
+    assert r.version == 2
+
+    eng.sql("DROP MATERIALIZED VIEW mv_sums")
+    with _pt.raises(ValueError):
+        eng.sql("REFRESH MATERIALIZED VIEW mv_sums")
+    assert eng.sql("SHOW MATERIALIZED VIEWS").count() == 0
+
+
+def test_materialized_view_ch_functions(spark, views, tmp_path):
+    """MV definitions pass through the ClickHouse-function rewrite."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark, mat_view_dir=str(tmp_path / "mv"))
+    eng.sql("CREATE MATERIALIZED VIEW mv_ch AS "
+            "SELECT clickhouse(`toUInt32`(o_orderkey), 'UInt32') AS k "
+            "FROM orders WHERE o_orderkey <= 5")
+    try:
+        assert eng.sql("SELECT count(*) AS n FROM mv_ch").collect()[0].n > 0
+    finally:
+        eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ch")
