@@ -200,8 +200,33 @@ class ClickHouseSparkEngine:
             # writable catalog table (the connector temp view is read-only);
             # only the source query is routed to the connector view.
             return self._insert_sql(self._route_insert_source(rewritten))
+        lb = _parse_limit_by(rewritten)
+        if lb is not None:
+            return self._run_limit_by(*lb)
         rewritten = self._route_native_tables(rewritten)
         return self.spark.sql(rewritten)
+
+    def _run_limit_by(self, base: str, order_sql: str, by_sql: str,
+                      n: int, trailing_limit: int | None) -> DataFrame:
+        """ClickHouse ``LIMIT n BY cols``: keep the first n rows per
+        group in result order. CH leaves un-ordered LIMIT BY
+        layout-dependent; this engine REQUIRES the ORDER BY (checked in
+        the parser) so the kept rows are deterministic. Because the
+        query is wrapped as a subquery, the ORDER BY must reference
+        OUTPUT columns (select-list names/aliases), not dropped base
+        columns — alias what you sort by. Compiles to a
+        group-partitioned row_number — one shuffle keyed by the BY
+        columns, never a self-join; the final global ORDER BY is
+        top-k-able when a trailing LIMIT follows."""
+        base = self._route_native_tables(base)
+        inner = (f"SELECT __q.*, row_number() OVER ("
+                 f"PARTITION BY {by_sql} ORDER BY {order_sql}) AS __rn_lb "
+                 f"FROM ({base}) __q")
+        outer = (f"SELECT * FROM ({inner}) WHERE __rn_lb <= {n} "
+                 f"ORDER BY {order_sql}")
+        if trailing_limit is not None:
+            outer += f" LIMIT {trailing_limit}"
+        return self.spark.sql(outer).drop("__rn_lb")
 
     def table(self, name: str) -> DataFrame:
         """Accepts ``db.table`` or ``clickhouse.db.table`` (prefix stripped)."""
@@ -396,3 +421,86 @@ def _is_insert(q: str) -> bool:
         else:
             break
     return s[:6].upper() == "INSERT"
+
+
+def _parse_limit_by(sql: str):
+    """Detect a top-level ClickHouse ``ORDER BY ... LIMIT n BY cols
+    [LIMIT m]`` tail. Returns (base_sql, order_sql, by_cols_sql, n,
+    trailing_limit|None), or None when the query has no LIMIT BY.
+
+    Token-level scan with paren-depth tracking, so ORDER BY / LIMIT
+    inside subqueries or string literals never confuse the parse.
+    """
+    from clickhouse_datafusion_spark.functions.rewrite import (
+        NUM, WORD, tokenize)
+
+    toks = tokenize(sql)
+    depth = 0
+    level = []
+    for idx, t in enumerate(toks):
+        if t.kind == "PUNCT":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        level.append(depth)
+
+    def _word(i):
+        return toks[i].kind == WORD and toks[i].text.upper()
+
+    def _next_sig(i):
+        j = i + 1
+        while j < len(toks) and toks[j].kind == "WS":
+            j += 1
+        return j
+
+    lb = None  # (limit_tok_idx, num_idx, by_idx, n)
+    for i, t in enumerate(toks):
+        if level[i] == 0 and _word(i) == "LIMIT":
+            j = _next_sig(i)
+            if j < len(toks) and toks[j].kind == NUM:
+                k = _next_sig(j)
+                if k < len(toks) and _word(k) == "BY":
+                    lb = (i, j, k, int(toks[j].text))
+                    break
+    if lb is None:
+        return None
+    limit_i, num_i, by_i, n = lb
+
+    # BY-column list runs until a top-level LIMIT (trailing) or the end
+    end = len(toks)
+    trailing = None
+    for i in range(by_i + 1, len(toks)):
+        if level[i] == 0 and _word(i) == "LIMIT":
+            j = _next_sig(i)
+            if j >= len(toks) or toks[j].kind != NUM:
+                raise SqlFrontDoorError(
+                    "trailing LIMIT after LIMIT BY must be a number")
+            trailing = int(toks[j].text)
+            end = i
+            break
+    by_sql = "".join(t.text for t in toks[by_i + 1:end]).strip().rstrip(";")
+    if not by_sql:
+        raise SqlFrontDoorError("LIMIT BY requires at least one column")
+
+    # the governing top-level ORDER BY must precede LIMIT BY
+    order_i = None
+    for i in range(limit_i):
+        if level[i] == 0 and _word(i) == "ORDER":
+            j = _next_sig(i)
+            if j < len(toks) and _word(j) == "BY":
+                order_i = (i, j)
+    if order_i is None:
+        raise SqlFrontDoorError(
+            "LIMIT BY requires a top-level ORDER BY: ClickHouse keeps "
+            "the first n rows per group in result order, which is "
+            "layout-dependent without one — this engine demands the "
+            "deterministic form")
+    o_start, o_by = order_i
+    order_sql = "".join(t.text for t in toks[o_by + 1:limit_i]).strip()
+    base = "".join(t.text for t in toks[:o_start]).strip()
+    return base, order_sql, by_sql, n, trailing
+
+
+class SqlFrontDoorError(ValueError):
+    pass

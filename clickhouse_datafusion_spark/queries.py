@@ -1835,6 +1835,81 @@ def x52_mat_view(spark, sf):
     return eng.sql("SELECT * FROM gate_mv")
 
 
+@qdef("x53_resample_locf",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                           max(struct_pack(t := ts, e := event_id,
+                                           v := value)).v AS v
+                    FROM events GROUP BY user_id, CAST(ts AS DATE)),
+          b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM d GROUP BY user_id),
+          g AS (SELECT user_id,
+                       CAST(unnest(generate_series(d0, d1,
+                                                   INTERVAL 1 DAY))
+                            AS DATE) AS day
+                FROM b),
+          j AS (SELECT g.user_id, g.day, d.v
+                FROM g LEFT JOIN d USING (user_id, day))
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                last_value(v IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value_filled
+         FROM j""",
+      tags=("pipeline", "timeseries"))
+def x53_resample(spark, sf):
+    """Time-series resample to a daily grid with LOCF fill (ClickHouse
+    ORDER BY ... WITH FILL analog): per user, one row per calendar day
+    between their first and last event, carrying the day's last value
+    forward across gap days. Composition of existing machinery — a
+    per-(user,day) argmax aggregate, a sequence() grid explode (rows
+    multiply in place), one key-shuffled left join, and the locf_fill
+    running window; grid days ≤ span days so the explode is bounded."""
+    ev = t(spark, sf, "events")
+    day = F.col("ts").cast("date")
+    best = F.max(F.struct(F.col("ts"), F.col("event_id"),
+                          F.col("value").alias("v")))
+    d = (ev.groupBy("user_id", day.alias("day"))
+         .agg(best.alias("_b")).select("user_id", "day",
+                                       F.col("_b.v").alias("v")))
+    grid = (d.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "d0", "d1",
+                        F.expr("INTERVAL 1 DAY"))).alias("day")))
+    j = grid.join(d, ["user_id", "day"], "left")
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"))
+
+
+@qdef("x54_limit_by",
+      """SELECT o_orderstatus, o_orderkey, p FROM (
+           SELECT o_orderstatus, o_orderkey,
+                  ROUND(o_totalprice, 2) AS p,
+                  row_number() OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC,
+                             o_orderkey) AS rn
+           FROM orders) WHERE rn <= 2""",
+      tags=("dict", "ext"))
+def x54_limit_by(spark, sf):
+    """ClickHouse ``LIMIT n BY cols`` through the SQL front door: top-2
+    orders per status, compiled to a group-partitioned row_number (one
+    BY-keyed shuffle, no self-join); the oracle is the window form it
+    lowers to. Un-ordered LIMIT BY is rejected (engine.py
+    _parse_limit_by) — determinism is required, not optional."""
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderstatus, o_orderkey,
+               clickhouse(round(o_totalprice, 2), 'Float64') AS p
+        FROM orders
+        ORDER BY p DESC, o_orderkey
+        LIMIT 2 BY o_orderstatus""")
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4749,6 +4824,8 @@ _GATE_PRIORITY = [
     "x5b_unpivot",
     "x51_dictget",
     "x52_mat_view",
+    "x53_resample_locf",
+    "x54_limit_by",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

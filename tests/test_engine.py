@@ -78,3 +78,39 @@ def test_projection_pruning_in_plan(engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # ReadSchema should carry only the projected column
     assert "o_totalprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_limit_by_semantics(engine, views):
+    """ClickHouse LIMIT n BY: first n rows per group in result order;
+    trailing LIMIT composes; missing ORDER BY rejected; subquery
+    ORDER BY / LIMIT tokens never confuse the top-level parse."""
+    import pytest
+
+    rows = engine.sql(
+        "SELECT o_orderstatus, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 2 BY o_orderstatus").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.o_orderstatus, []).append(r.o_orderkey)
+    assert all(len(v) <= 2 for v in per.values()) and len(per) == 3
+    # each group's keys are its two smallest (result order = o_orderkey)
+    base = engine.sql("SELECT o_orderstatus, o_orderkey FROM orders").collect()
+    mins = {}
+    for r in base:
+        mins.setdefault(r.o_orderstatus, []).append(r.o_orderkey)
+    for st, ks in per.items():
+        assert ks == sorted(mins[st])[:2]
+    # trailing LIMIT caps the total
+    assert len(engine.sql(
+        "SELECT o_orderstatus, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 2 BY o_orderstatus LIMIT 3"
+    ).collect()) == 3
+    # deterministic-form requirement
+    with pytest.raises(ValueError, match="ORDER BY"):
+        engine.sql("SELECT o_orderstatus FROM orders LIMIT 2 BY o_orderstatus")
+    # subquery with its own ORDER BY/LIMIT parses cleanly
+    n = engine.sql(
+        "SELECT * FROM (SELECT o_orderstatus, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 50) q "
+        "ORDER BY o_orderkey LIMIT 1 BY o_orderstatus").count()
+    assert n == 3
