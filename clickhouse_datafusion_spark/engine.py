@@ -174,6 +174,9 @@ class ClickHouseSparkEngine:
         if ea:
             return self.explain_analyze(query[ea.end():])
         rewritten = self.rewrite(query)
+        if re.search(r"\b(prewhere|totals|format)\b", rewritten,
+                     re.IGNORECASE):
+            rewritten = _dialect_transforms(rewritten)
         mv = _CREATE_MV_RE.match(rewritten)
         if mv:
             return self._create_mat_view(mv.group("name"),
@@ -504,3 +507,92 @@ def _parse_limit_by(sql: str):
 
 class SqlFrontDoorError(ValueError):
     pass
+
+
+def _dialect_transforms(sql: str) -> str:
+    """ClickHouse dialect conveniences, token-level and depth-aware:
+
+    - ``PREWHERE`` → ``WHERE``: PREWHERE is CH's manual early-filter
+      hint; Catalyst's predicate pushdown IS that optimization, so the
+      semantics-preserving rewrite is the plain filter (queries using
+      BOTH clauses must merge them manually — rejected with a clear
+      error rather than guessed at);
+    - ``GROUP BY cols WITH TOTALS`` → ``GROUP BY GROUPING SETS
+      ((cols), ())``: exactly the grand-total row CH appends, surfaced
+      as a null-keyed row (use grouping()/grouping_id to tell a real
+      NULL key apart, same as a10c);
+    - a trailing ``FORMAT <name>`` is stripped: output formatting is
+      the DataFrame writer's job here, but pasted CH queries carry it.
+    """
+    from clickhouse_datafusion_spark.functions.rewrite import tokenize
+
+    toks = tokenize(sql)
+    depth = 0
+    level = []
+    for t in toks:
+        if t.kind == "PUNCT":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        level.append(depth)
+
+    def w(i):
+        return toks[i].kind == "WORD" and toks[i].text.upper()
+
+    def nxt(i):
+        j = i + 1
+        while j < len(toks) and toks[j].kind == "WS":
+            j += 1
+        return j
+
+    # FORMAT <name> at the tail
+    for i in range(len(toks)):
+        if level[i] == 0 and w(i) == "FORMAT":
+            j = nxt(i)
+            if j < len(toks) and toks[j].kind == "WORD":
+                k = nxt(j)
+                rest = [t for t in toks[k:] if t.kind != "WS"
+                        and t.text != ";"]
+                if not rest:
+                    toks = toks[:i]
+                    level = level[:i]
+                    break
+
+    has_where = any(level[i] == 0 and w(i) == "WHERE"
+                    for i in range(len(toks)))
+    out = []
+    i = 0
+    while i < len(toks):
+        if level[i] == 0 and w(i) == "PREWHERE":
+            if has_where:
+                raise SqlFrontDoorError(
+                    "query has both PREWHERE and WHERE; merge them into "
+                    "one WHERE — Spark's predicate pushdown already "
+                    "applies filters as early as PREWHERE would")
+            out.append("WHERE")
+            i += 1
+            continue
+        if (level[i] == 0 and w(i) == "GROUP"
+                and w(nxt(i)) == "BY"):
+            by_i = nxt(i)
+            # find a WITH TOTALS at this depth before the next clause
+            j = by_i + 1
+            wt = None
+            while j < len(toks):
+                if level[j] == 0 and w(j) == "WITH" \
+                        and w(nxt(j)) == "TOTALS":
+                    wt = (j, nxt(j))
+                    break
+                if level[j] == 0 and w(j) in ("HAVING", "ORDER", "LIMIT",
+                                              "WINDOW", "UNION", "FORMAT"):
+                    break
+                j += 1
+            if wt:
+                cols = "".join(t.text for t in toks[by_i + 1:wt[0]]).strip()
+                out.append(f"GROUP BY GROUPING SETS (({cols}), ())")
+                i = wt[1] + 1
+                continue
+        out.append(toks[i].text)
+        i += 1
+    return "".join(out)

@@ -1910,6 +1910,32 @@ def x54_limit_by(spark, sf):
         LIMIT 2 BY o_orderstatus""")
 
 
+@qdef("x55_ch_dialect",
+      """SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) * 10000
+                     AS BIGINT) AS qty_e4
+         FROM lineitem WHERE l_quantity < 10
+         GROUP BY GROUPING SETS ((l_returnflag), ())""",
+      tags=("dict", "ext"))
+def x55_ch_dialect(spark, sf):
+    """ClickHouse dialect conveniences in one pasted-query shape:
+    PREWHERE (→ WHERE; Catalyst's pushdown IS the early filter), GROUP
+    BY ... WITH TOTALS (→ grouping sets with the grand-total row), and
+    a trailing FORMAT clause (stripped — formatting is the writer's
+    job). Oracle runs the lowered form directly. See
+    engine.py::_dialect_transforms."""
+    eng = _engine(spark, sf)
+    return eng.sql("""
+        SELECT l_returnflag,
+               clickhouse(count(*), 'Int64') AS n,
+               clickhouse(CAST(sum(CAST(l_quantity AS DECIMAL(28,4)))
+                               * 10000 AS BIGINT), 'Int64') AS qty_e4
+        FROM lineitem PREWHERE l_quantity < 10
+        GROUP BY l_returnflag WITH TOTALS
+        FORMAT JSONEachRow""")
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4826,6 +4852,7 @@ _GATE_PRIORITY = [
     "x52_mat_view",
     "x53_resample_locf",
     "x54_limit_by",
+    "x55_ch_dialect",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

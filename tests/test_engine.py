@@ -114,3 +114,24 @@ def test_limit_by_semantics(engine, views):
         "ORDER BY o_orderkey LIMIT 50) q "
         "ORDER BY o_orderkey LIMIT 1 BY o_orderstatus").count()
     assert n == 3
+
+
+def test_dialect_transforms(engine, views):
+    """PREWHERE lowers to WHERE (with pushdown doing the early-filter
+    work); WITH TOTALS appends exactly one grand-total row; FORMAT
+    tails are stripped; PREWHERE+WHERE is rejected, not guessed."""
+    import pytest
+
+    rows = engine.sql(
+        "SELECT o_orderstatus, clickhouse(count(*), 'Int64') AS n "
+        "FROM orders PREWHERE o_orderkey <= 100 "
+        "GROUP BY o_orderstatus WITH TOTALS FORMAT TabSeparated").collect()
+    by_key = {r.o_orderstatus: r.n for r in rows}
+    total = by_key.pop(None)
+    assert total == sum(by_key.values()) > 0
+    with pytest.raises(ValueError, match="PREWHERE and WHERE"):
+        engine.sql("SELECT 1 FROM orders PREWHERE o_orderkey > 1 "
+                   "WHERE o_orderkey < 10")
+    # keywords inside strings/subqueries don't trigger transforms
+    r = engine.sql("SELECT 'WITH TOTALS FORMAT x' AS s").collect()[0]
+    assert r.s == "WITH TOTALS FORMAT x"
