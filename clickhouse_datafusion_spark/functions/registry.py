@@ -300,6 +300,22 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "tuple": lambda a: f"struct({', '.join(a)})",
     # --- aggregates usable inside ch() in agg position ------------------
     "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
+    # the CH uniq* sketch family all land on Spark's HLL++ — the sketch
+    # parameters differ (documented divergence), the contract (approx
+    # distinct count) is the same
+    "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqcombined64": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqhll12": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqtheta": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "quantiletdigest": lambda a: (
+        f"percentile_approx({a[1]}, {a[0]})" if len(a) == 2
+        else f"percentile_approx({a[0]}, 0.5)"),
+    "quantiletiming": lambda a: (
+        f"percentile_approx({a[1]}, {a[0]})" if len(a) == 2
+        else f"percentile_approx({a[0]}, 0.5)"),
+    "quantileexact": lambda a: (
+        f"percentile({a[1]}, {a[0]})" if len(a) == 2
+        else f"percentile({a[0]}, 0.5)"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "avgif": lambda a: f"avg(CASE WHEN ({a[1]}) THEN ({a[0]}) END)",
     "sumif": lambda a: f"sum(CASE WHEN ({a[1]}) THEN ({a[0]}) END)",

@@ -235,6 +235,8 @@ def test_every_scalar_registry_entry_is_exercised_or_known():
         "median", "any", "anylast", "argmax", "argmin", "grouparray",
         "groupuniqarray", "minif", "maxif", "retention",
         "dictget", "dictgetordefault", "dicthas",
+        "uniqcombined", "uniqcombined64", "uniqhll12", "uniqtheta",
+        "quantiletdigest", "quantiletiming", "quantileexact",
     }
     missing = set(SCALAR_TRANSLATORS) - exercised - known_other
     assert not missing, f"registry entries with no sweep case: {sorted(missing)}"
@@ -263,6 +265,8 @@ def test_agg_position_functions(spark, views):
     """ClickHouse aggregate-function names in aggregate position."""
     sql = rewrite_sql("""
         SELECT clickhouse(uniqExact(o_orderstatus), 'Int64') AS ue,
+               clickhouse(uniqCombined(o_orderstatus), 'Int64') AS uc,
+               clickhouse(quantileExact(0.5, o_orderkey), 'Float64') AS qe,
                clickhouse(minIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS mi,
                clickhouse(maxIf(o_totalprice, o_orderstatus = 'O'), 'Float64') AS mx,
                clickhouse(countIf(o_totalprice > 100000), 'Int64') AS ci,
@@ -276,6 +280,7 @@ def test_agg_position_functions(spark, views):
     assert r.ue == 3 and r.ci > 0 and r.si > 0 and r.ai > 0
     assert r.md > 0 and r.am > 0 and len(r.ga) > 0
     assert 0 < r.mi <= r.mx
+    assert r.uc == 3 and r.qe > 0
 
 
 def test_retention_rewrite(spark, views):
