@@ -696,3 +696,55 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
                     F.coalesce("n_words_after", F.lit(0))
                     .alias("n_words_after"),
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
+def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              sep: str = "\n") -> DataFrame:
+    """CORPUS-level paragraph dedup (the Dolma/RefinedWeb step between
+    document dedup and span dedup): a paragraph occurring in many
+    documents — boilerplate headers, license blocks, navigation — is
+    kept only at its FIRST occurrence (min (doc, position)) and removed
+    everywhere else, preserving each document's paragraph order.
+    Distinct from :func:`drop_repeated_spans` (within one doc) and
+    :func:`drop_cross_doc_spans` (n-gram spans): the unit here is the
+    separator-delimited paragraph, exact match.
+
+    Returns (id, n_paras, n_kept, clean_text, clean_md5); a document
+    whose every paragraph is owned elsewhere keeps its row with empty
+    text (filter downstream — silently dropping rows loses the
+    accounting).
+
+    Scale shape: paragraphs explode in place (no shuffle); ownership is
+    ONE hash-keyed aggregate of (hash → min (id, pos)) — 16 bytes per
+    distinct paragraph; membership is a hash-keyed join of (id, pos,
+    hash) against the winners; reassembly is one id-keyed
+    sort_array+collect. Three key shuffles total, all on uniform hash
+    or id keys — no skew (a mega-duplicated paragraph contributes ONE
+    winner row; its occurrences join against a broadcast-size slice).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"))
+    paras = paras.withColumn("_h", F.md5(F.col("_p")))
+    winners = (paras.groupBy("_h")
+               .agg(F.min(F.struct(F.col(id_col).alias("_i"),
+                                   F.col("_pos").alias("_o"))).alias("_w")))
+    kept = (paras.join(winners, "_h")
+            .filter((F.col(id_col) == F.col("_w._i"))
+                    & (F.col("_pos") == F.col("_w._o"))))
+    rebuilt = (kept.groupBy(F.col(id_col))
+               .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct(F.col("_pos"), F.col("_p")))),
+                       lambda x: x["_p"]), sep).alias("clean_text"),
+                   F.count("*").cast("bigint").alias("n_kept")))
+    base = df.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), sep)).cast("bigint")
+                     .alias("n_paras"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(id_col, "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+            .withColumn("clean_md5", F.md5(F.col("clean_text"))))

@@ -1936,6 +1936,51 @@ def x55_ch_dialect(spark, sf):
         FORMAT JSONEachRow""")
 
 
+@qdef("d10_paragraph_dedup",
+      """WITH p AS (SELECT doc_id,
+                  'Shared boilerplate header paragraph' || chr(10) ||
+                  text || chr(10) || 'Copyright footer.' AS page
+                    FROM documents),
+          s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+          e AS (SELECT s.doc_id, i.i AS pos, s.ls[i.i + 1] AS para
+                FROM s, LATERAL (SELECT unnest(generate_series(
+                                   0, len(s.ls) - 1)) AS i) i),
+          w AS (SELECT para,
+                       min(struct_pack(i := doc_id, o := pos)) AS w
+                FROM e GROUP BY para),
+          k AS (SELECT e.doc_id, e.pos, e.para
+                FROM e JOIN w ON e.para = w.para
+                WHERE e.doc_id = w.w.i AND e.pos = w.w.o),
+          r AS (SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY pos)
+                         AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM k GROUP BY doc_id),
+          b AS (SELECT doc_id,
+                       CAST(len(string_split(page, chr(10))) AS BIGINT)
+                         AS n_paras
+                FROM p)
+         SELECT b.doc_id, b.n_paras, COALESCE(r.n_kept, 0) AS n_kept,
+                COALESCE(r.clean_text, '') AS clean_text,
+                md5(COALESCE(r.clean_text, '')) AS clean_md5
+         FROM b LEFT JOIN r USING (doc_id)""",
+      tags=("dedup", "pipeline"))
+def d10_paragraph_dedup(spark, sf):
+    """Corpus-level paragraph dedup (Dolma/RefinedWeb step): the gate
+    plants a shared header and footer around every doc — each survives
+    only in the min-doc_id owner, the doc's own body (unique) survives
+    everywhere, order preserved — see
+    operators/dedup.py::drop_duplicate_paragraphs."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        drop_duplicate_paragraphs)
+
+    docs = t(spark, sf, "documents")
+    page = F.concat(F.lit("Shared boilerplate header paragraph\n"),
+                    F.col("text"), F.lit("\nCopyright footer."))
+    return drop_duplicate_paragraphs(
+        docs.select("doc_id", page.alias("text")))
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4853,6 +4898,7 @@ _GATE_PRIORITY = [
     "x53_resample_locf",
     "x54_limit_by",
     "x55_ch_dialect",
+    "d10_paragraph_dedup",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

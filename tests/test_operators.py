@@ -2101,3 +2101,24 @@ def test_blocklist_filter_whole_word(spark):
     out = {r.doc_id: (r.n_hits, r.keep) for r in
            blocklist_filter(docs, ("ass",)).collect()}
     assert out == {1: (0, 1), 2: (1, 0), 3: (3, 0)}
+
+
+def test_drop_duplicate_paragraphs_semantics(spark):
+    """Shared paragraphs survive only at min (doc, pos); in-doc repeats
+    keep the first copy; fully-owned docs keep an empty-text row."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import (
+        drop_duplicate_paragraphs)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="header\nunique one\nheader"),
+        Row(doc_id=2, text="header\nunique two"),
+        Row(doc_id=3, text="header"),
+    ])
+    out = {r.doc_id: r for r in
+           drop_duplicate_paragraphs(docs).collect()}
+    assert out[1].clean_text == "header\nunique one"   # in-doc repeat cut
+    assert out[2].clean_text == "unique two"           # header owned by 1
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert (out[1].n_paras, out[1].n_kept) == (3, 2)

@@ -358,3 +358,10 @@ def test_dictget_is_joinless_projection(spark):
     assert "Join" not in plan and "PythonUDF" not in plan, plan[:1500]
     rep = plan_report(df)
     assert rep["shuffles"] == 0, rep
+
+
+def test_paragraph_dedup_bounded_shuffles(spark):
+    """d10: explode in place, ONE hash aggregate, hash join back, id
+    reassembly — bounded key shuffles, never a cartesian."""
+    rep = plan_report(q("d10_paragraph_dedup", spark))
+    assert not rep["cartesian"] and rep["shuffles"] <= 5, rep

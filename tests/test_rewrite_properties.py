@@ -82,3 +82,56 @@ def test_scalar_ch_always_rewrites(n, typ):
     out = rewrite_sql(f"SELECT clickhouse(abs({n}), '{typ}') AS v")
     assert "clickhouse" not in out.lower()
     assert "CAST" in out
+
+
+def test_sequence_count_matches_bruteforce(spark):
+    """Property: the distributed applyInPandas automaton equals a
+    straight-line Python reference on randomized event histories —
+    including tie timestamps and multi-flag events."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    import pyspark.sql.functions as F
+
+    from clickhouse_datafusion_spark.operators.funnel import sequence_count
+
+    rng = random.Random(20260814)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        n = rng.randint(0, 25)
+        for _ in range(n):
+            # coarse seconds so tie timestamps genuinely occur
+            s = rng.randint(0, 12)
+            rows.append(Row(user_id=u,
+                            ts=base + timedelta(seconds=s),
+                            event_type=rng.choice("abc")))
+    rows.append(Row(user_id=999, ts=base, event_type="c"))
+
+    def ref_count(evts, pattern):
+        # greedy automaton, strictly-later semantics (ts-level, so tie
+        # order cannot matter)
+        evts = sorted(evts, key=lambda e: e[0])
+        state, last, cnt = 0, None, 0
+        for ts, et in evts:
+            if last is not None and ts <= last:
+                continue
+            if et == pattern[state]:
+                state += 1
+                last = ts
+                if state == len(pattern):
+                    cnt += 1
+                    state = 0
+        return cnt
+
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    expected = {u: ref_count(e, "ab") for u, e in per_user.items()}
+
+    got = {r.user_id: r.n_matches for r in sequence_count(
+        spark.createDataFrame(rows),
+        [F.col("event_type") == "a",
+         F.col("event_type") == "b"]).collect()}
+    assert got == expected
