@@ -1981,6 +1981,132 @@ def d10_paragraph_dedup(spark, sf):
         docs.select("doc_id", page.alias("text")))
 
 
+_X56_ORACLE = """
+WITH p AS (SELECT doc_id,
+         'Menu home about' || chr(10) || text || '.' || chr(10) ||
+         CASE WHEN doc_id % 2 = 1
+              THEN 'Please enable javascript to continue browsing.'
+                   || chr(10) ELSE '' END ||
+         'Copyright 2024 all rights reserved worldwide.' AS page
+           FROM documents),
+ c4 AS (SELECT doc_id,
+               array_to_string(list_filter(string_split(page, chr(10)),
+                 x -> len(string_split(trim(x), ' ')) >= 5
+                      AND regexp_matches(x, '[.!?"]$')
+                      AND NOT contains(lower(x), 'javascript')),
+                 chr(10)) AS clean
+        FROM p),
+ s AS (SELECT doc_id, string_split(clean, chr(10)) AS ls FROM c4),
+ e AS (SELECT s.doc_id, i.i AS pos, s.ls[i.i + 1] AS para
+       FROM s, LATERAL (SELECT unnest(generate_series(
+                          0, len(s.ls) - 1)) AS i) i),
+ w AS (SELECT para, min(struct_pack(i := doc_id, o := pos)) AS w
+       FROM e GROUP BY para),
+ k AS (SELECT e.doc_id, e.pos, e.para FROM e JOIN w ON e.para = w.para
+       WHERE e.doc_id = w.w.i AND e.pos = w.w.o),
+ dd AS (SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY pos) AS clean
+        FROM k GROUP BY doc_id),
+ bl AS (SELECT doc_id, clean FROM dd
+        WHERE len(list_filter(string_split(clean, ' '),
+                              x -> x IN ('spark', 'hash'))) = 0),
+ wt AS (SELECT CAST(r.b AS INT) AS bucket,
+               CAST(('0x' || substring(md5('w:' || CAST(r.b AS VARCHAR)),
+                     1, 6))::INT % 2001 AS BIGINT) AS w_ppm
+        FROM range(4096) r(b)),
+ wx AS (SELECT doc_id,
+               (('0x' || substring(md5('0:' || wd), 1, 6))::INT % 4096)
+                 AS bucket
+        FROM (SELECT doc_id, unnest(string_split(clean, ' ')) AS wd
+              FROM bl)),
+ sc AS (SELECT bl.doc_id, bl.clean,
+               CAST(-1000 + COALESCE(d.dot, 0)
+                    // len(string_split(bl.clean, ' ')) AS BIGINT)
+                 AS score_ppm
+        FROM bl LEFT JOIN (SELECT doc_id,
+                                  CAST(sum(COALESCE(w_ppm, 0)) AS BIGINT)
+                                    AS dot
+                           FROM wx LEFT JOIN wt USING (bucket)
+                           GROUP BY doc_id) d USING (doc_id)),
+ fin AS (SELECT doc_id, clean, score_ppm,
+                CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         FROM sc WHERE score_ppm >= 0),
+ lb AS (SELECT doc_id, clean, score_ppm, n_tokens,
+               CAST(GREATEST(5, CASE WHEN n_tokens <= 1 THEN 0
+                                ELSE length(bin(n_tokens - 1)) END)
+                    AS INT) AS bucket
+        FROM fin),
+ rk AS (SELECT doc_id, clean, score_ppm, n_tokens, bucket,
+               row_number() OVER (
+                 PARTITION BY bucket
+                 ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+        FROM lb)
+SELECT doc_id, md5(clean) AS clean_md5, score_ppm, n_tokens, bucket,
+       CAST(CAST(bucket AS BIGINT) * 1000000000 + (rn - 1) // 8
+            AS BIGINT) AS batch_id,
+       CAST((rn - 1) % 8 AS BIGINT) AS pos
+FROM rk"""
+
+
+@qdef("x56_web_curation", _X56_ORACLE, tags=("pipeline", "chain"))
+def x56_web_curation(spark, sf):
+    """The r5e operators composed end to end — the web-crawl curation
+    front half that precedes x39's scoring chain: synthetic page →
+    C4 line cleaning → corpus-level paragraph dedup (shared copyright
+    survives once) → whole-word taboo filter → hashed-classifier
+    quality cut → length-bucketed trainer batches. Every surviving
+    doc's cleaned-text md5, classifier score, and batch assignment are
+    verified in ONE composite oracle. Shuffle ledger: the paragraph
+    ownership aggregate + join, the classifier's id reduce, and the
+    bucket rank — everything else is in-place projection."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        drop_duplicate_paragraphs)
+    from clickhouse_datafusion_spark.operators.packing import (
+        length_bucket_batches)
+    from clickhouse_datafusion_spark.operators.text import (
+        blocklist_filter, c4_line_filter, hashed_classifier_score)
+
+    docs = t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("Menu home about\n"), F.col("text"), F.lit(".\n"),
+        F.when(F.col("doc_id") % 2 == 1,
+               F.lit("Please enable javascript to continue browsing.\n"))
+         .otherwise(F.lit("")),
+        F.lit("Copyright 2024 all rights reserved worldwide."))
+    cleaned = (c4_line_filter(docs.select("doc_id", page.alias("text")),
+                              blocklist=("javascript",))
+               .select("doc_id", F.col("clean_text").alias("text")))
+    deduped = (drop_duplicate_paragraphs(cleaned)
+               .select("doc_id", F.col("clean_text").alias("text")))
+    survivors = (deduped.join(
+        blocklist_filter(deduped, ("spark", "hash"))
+        .filter(F.col("keep") == 1).select("doc_id"), "doc_id"))
+    # stage materialization: survivors feeds THREE consumers (classifier
+    # input, final join, batch ranking input); Spark re-expands shared
+    # lineage per reference, so truncate it here — the 100 TB version of
+    # this chain would persist the stage to the snapshot store the same
+    # way (x26/x31 do), the gate uses the in-memory form
+    survivors = survivors.localCheckpoint(eager=False)
+    wts = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+            1, 6), 16, 10).cast("int") % 2001).cast("bigint")
+        .alias("w_ppm"))
+    scored = (hashed_classifier_score(survivors, wts, n_buckets=4096,
+                                      bias_ppm=-1000)
+              .filter(F.col("keep") == 1)
+              .select("doc_id", "score_ppm"))
+    final = survivors.join(scored, "doc_id")
+    batched = length_bucket_batches(final, batch_size=8)
+    return (final.select("doc_id", F.md5("text").alias("clean_md5"),
+                         "score_ppm")
+            .join(batched, "doc_id")
+            .select("doc_id", "clean_md5", "score_ppm", "n_tokens",
+                    "bucket", "batch_id", "pos"))
+
+
 @qdef("x6_sessionization",
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -4899,6 +5025,7 @@ _GATE_PRIORITY = [
     "x54_limit_by",
     "x55_ch_dialect",
     "d10_paragraph_dedup",
+    "x56_web_curation",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -365,3 +365,12 @@ def test_paragraph_dedup_bounded_shuffles(spark):
     reassembly — bounded key shuffles, never a cartesian."""
     rep = plan_report(q("d10_paragraph_dedup", spark))
     assert not rep["cartesian"] and rep["shuffles"] <= 5, rep
+
+
+def test_web_curation_chain_shape(spark):
+    """x56: the composed r5e chain — no cartesian, bounded key
+    shuffles (paragraph ownership, classifier reduce, bucket rank,
+    joins between stages)."""
+    rep = plan_report(q("x56_web_curation", spark))
+    assert not rep["cartesian"], rep
+    assert rep["shuffles"] <= 12, rep
