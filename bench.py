@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     # (distributed prefix sum)
     "t11_bigram_lm_score",
     "x36_doc_bin_packing",
+    # r5e: corpus paragraph dedup (hash-keyed ownership aggregate) and
+    # the composed web-curation chain (C4 lines -> paragraph dedup ->
+    # taboo filter -> hashed classifier -> length-bucketed batches)
+    "d10_paragraph_dedup",
+    "x56_web_curation",
 ]
 
 
