@@ -59,6 +59,10 @@ QUERY_SET = [
     "s1_cosine_topk", "x6_sessionization", "x1_asof_join",
     # r5b bench-set extensions (both oracle-expressible)
     "x16_bm25_scoring", "x20_corpus_pipeline",
+    # r5d/r5e extensions: bigram LM, bin packing, paragraph dedup, and
+    # the composed web-curation chain
+    "t11_bigram_lm_score", "x36_doc_bin_packing",
+    "d10_paragraph_dedup", "x56_web_curation",
 ]
 
 

@@ -210,9 +210,12 @@ class ClickHouseSparkEngine:
         return self.spark.sql(rewritten)
 
     def _run_limit_by(self, base: str, order_sql: str, by_sql: str,
-                      n: int, trailing_limit: int | None) -> DataFrame:
+                      offset: int, n: int,
+                      trailing_limit: int | None) -> DataFrame:
         """ClickHouse ``LIMIT n BY cols``: keep the first n rows per
-        group in result order. CH leaves un-ordered LIMIT BY
+        group in result order (``LIMIT offset, n BY`` skips the
+        group's first ``offset`` rows first). CH leaves un-ordered
+        LIMIT BY
         layout-dependent; this engine REQUIRES the ORDER BY (checked in
         the parser) so the kept rows are deterministic. Because the
         query is wrapped as a subquery, the ORDER BY must reference
@@ -225,8 +228,8 @@ class ClickHouseSparkEngine:
         inner = (f"SELECT __q.*, row_number() OVER ("
                  f"PARTITION BY {by_sql} ORDER BY {order_sql}) AS __rn_lb "
                  f"FROM ({base}) __q")
-        outer = (f"SELECT * FROM ({inner}) WHERE __rn_lb <= {n} "
-                 f"ORDER BY {order_sql}")
+        outer = (f"SELECT * FROM ({inner}) WHERE __rn_lb > {offset} "
+                 f"AND __rn_lb <= {offset + n} ORDER BY {order_sql}")
         if trailing_limit is not None:
             outer += f" LIMIT {trailing_limit}"
         return self.spark.sql(outer).drop("__rn_lb")
@@ -457,18 +460,27 @@ def _parse_limit_by(sql: str):
             j += 1
         return j
 
-    lb = None  # (limit_tok_idx, num_idx, by_idx, n)
+    # LIMIT n BY cols  |  LIMIT offset, n BY cols (CH offset form)
+    lb = None  # (limit_tok_idx, by_idx, offset, n)
     for i, t in enumerate(toks):
         if level[i] == 0 and _word(i) == "LIMIT":
             j = _next_sig(i)
             if j < len(toks) and toks[j].kind == NUM:
                 k = _next_sig(j)
+                off = 0
+                if (k < len(toks) and toks[k].kind == "PUNCT"
+                        and toks[k].text == ","):
+                    m2 = _next_sig(k)
+                    if m2 < len(toks) and toks[m2].kind == NUM:
+                        off = int(toks[j].text)
+                        j = m2
+                        k = _next_sig(m2)
                 if k < len(toks) and _word(k) == "BY":
-                    lb = (i, j, k, int(toks[j].text))
+                    lb = (i, k, off, int(toks[j].text))
                     break
     if lb is None:
         return None
-    limit_i, num_i, by_i, n = lb
+    limit_i, by_i, offset, n = lb
 
     # BY-column list runs until a top-level LIMIT (trailing) or the end
     end = len(toks)
@@ -502,7 +514,7 @@ def _parse_limit_by(sql: str):
     o_start, o_by = order_i
     order_sql = "".join(t.text for t in toks[o_by + 1:limit_i]).strip()
     base = "".join(t.text for t in toks[:o_start]).strip()
-    return base, order_sql, by_sql, n, trailing
+    return base, order_sql, by_sql, offset, n, trailing
 
 
 class SqlFrontDoorError(ValueError):

@@ -203,9 +203,10 @@ def sequence_count(events: DataFrame, conds: list[Column],
 
 
 def sum_map(df: DataFrame, key_col: str, value_col: str,
-            group_cols: list[str]) -> DataFrame:
-    """ClickHouse ``sumMap(key, value)`` analog: per group, the paired
-    arrays (sorted keys, per-key value sums). Sums are exact integers in
+            group_cols: list[str], agg: str = "sum") -> DataFrame:
+    """ClickHouse ``sumMap(key, value)`` analog — ``agg="max"/"min"``
+    gives the ``maxMap``/``minMap`` siblings: per group, the paired
+    arrays (sorted keys, per-key value aggregates). Sums are exact integers in
     1e-4 units (DECIMAL accumulation, then ×10⁴ → BIGINT) so the result
     is bit-identical across engines and hash-stable inside arrays —
     divide by 10⁴ downstream when a float is wanted.
@@ -219,8 +220,9 @@ def sum_map(df: DataFrame, key_col: str, value_col: str,
     sumMap cardinality.
     """
     v = F.col(value_col).cast("decimal(28,4)")
+    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     per_key = (df.groupBy(*[F.col(c) for c in group_cols], F.col(key_col))
-               .agg((F.sum(v) * 10000).cast("bigint").alias("_v")))
+               .agg((agg_fn(v) * 10000).cast("bigint").alias("_v")))
     packed = (per_key.groupBy(*[F.col(c) for c in group_cols])
               .agg(F.sort_array(F.collect_list(
                   F.struct(F.col(key_col).alias("_k"),

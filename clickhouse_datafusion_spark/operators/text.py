@@ -357,7 +357,17 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     LM filters do; pruned bigrams simply take the backoff path, which is
     the correct LM semantics for pruning.
     """
-    lm = lm_df if lm_df is not None else df
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    # a text corpus is tiny ON DISK relative to its exploded pair stream
+    # (~100x fan-out), so a small-file scan can arrive in 1-2 splits and
+    # serialize the whole explode+join pipeline on a 32-core box (t11
+    # measured 13s single-split vs ~1.5s distributed at sf1x); at real
+    # scale the scan already has >= defaultParallelism splits and this
+    # is a no-op
+    df = _ensure_parallelism(df)
+    lm = _ensure_parallelism(lm_df) if lm_df is not None else df
     lw = lm.select(F.explode(words(text_col)).alias("w"))
     uni = lw.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
     total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))

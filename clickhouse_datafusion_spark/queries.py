@@ -1666,6 +1666,25 @@ def t16_blocklist(spark, sf):
     return blocklist_filter(t(spark, sf, "documents"), ("spark", "hash"))
 
 
+@qdef("a12b_maxmap",
+      """SELECT user_id,
+                list(k ORDER BY k) AS keys,
+                list(v ORDER BY k) AS sums_e4
+         FROM (SELECT user_id, event_type AS k,
+                      CAST(max(CAST(value AS DECIMAL(28,4))) * 10000
+                           AS BIGINT) AS v
+               FROM events GROUP BY user_id, event_type)
+         GROUP BY user_id""",
+      tags=("agg", "ext"))
+def a12b_maxmap(spark, sf):
+    """ClickHouse maxMap analog — the agg="max" sibling of a12's
+    sumMap (operators/funnel.py::sum_map)."""
+    from clickhouse_datafusion_spark.operators.funnel import sum_map
+
+    ev = t(spark, sf, "events")
+    return sum_map(ev, "event_type", "value", ["user_id"], agg="max")
+
+
 @qdef("x34_locf_backfill",
       """SELECT event_id, user_id,
                 last_value(CASE WHEN event_type <> 'error' THEN value END

@@ -135,3 +135,21 @@ def test_dialect_transforms(engine, views):
     # keywords inside strings/subqueries don't trigger transforms
     r = engine.sql("SELECT 'WITH TOTALS FORMAT x' AS s").collect()[0]
     assert r.s == "WITH TOTALS FORMAT x"
+
+
+def test_limit_by_offset_form(engine, views):
+    """ClickHouse LIMIT offset, n BY: skip each group's first `offset`
+    rows in result order, then keep n."""
+    base = engine.sql(
+        "SELECT o_orderstatus, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 1, 2 BY o_orderstatus").collect()
+    per = {}
+    for r in base:
+        per.setdefault(r.o_orderstatus, []).append(r.o_orderkey)
+    all_rows = engine.sql(
+        "SELECT o_orderstatus, o_orderkey FROM orders").collect()
+    mins = {}
+    for r in all_rows:
+        mins.setdefault(r.o_orderstatus, []).append(r.o_orderkey)
+    for st, ks in per.items():
+        assert ks == sorted(mins[st])[1:3]   # rows 2..3 per group
