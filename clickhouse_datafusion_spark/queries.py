@@ -5045,6 +5045,7 @@ _GATE_PRIORITY = [
     "x55_ch_dialect",
     "d10_paragraph_dedup",
     "x56_web_curation",
+    "a12b_maxmap",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",
