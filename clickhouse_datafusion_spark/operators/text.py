@@ -166,7 +166,10 @@ def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
                   .select(F.explode(word_ngrams(F.col(text_col), ngram))
                           .alias("g"))
                   .distinct())
-    train_grams = (train_df.select(
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    train_grams = (_ensure_parallelism(train_df).select(
         F.col(id_col),
         word_ngrams(F.col(text_col), ngram).alias("grams"))
         .select(id_col, F.size("grams").alias("n_grams"),
@@ -290,6 +293,10 @@ def corpus_frequency_score(df: DataFrame, text_col: str = "text",
     2⁶³ — beyond ~10¹² corpus words switch score_ppm to per-shard
     normalization or a double log-prob (the gate stays exact).
     """
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    df = _ensure_parallelism(df)  # explode fan-out vs byte-based splits
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     vocab = w.groupBy("w").agg(F.count("*").alias("cnt"))
     if max_vocab is not None:
@@ -839,6 +846,10 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
     (id, w_ppm) pairs. The sigmoid is monotone, so thresholding in ppm
     logit space ≡ thresholding the probability — no float ever needed.
     """
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    df = _ensure_parallelism(df)  # explode fan-out vs byte-based splits
     wd = df.select(F.col(id_col), F.explode(words(text_col)).alias("_w"))
     bkt = (F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{seed}:"), F.col("_w"))), 1, 6), 16, 10)
