@@ -159,6 +159,30 @@ class ClickHouseSparkEngine:
         shutil.rmtree(mv["path"], ignore_errors=True)
         return self._mv_result(key, mv["version"])
 
+    def _optimize_mat_view(self, name: str) -> DataFrame:
+        """``OPTIMIZE TABLE mv [FINAL]`` — ClickHouse's merge trigger,
+        mapped to small-files compaction of the materialized view's
+        current snapshot version (layout.compact_snapshot: coalesce
+        rewrite, byte-identical data, a NEW pinnable version, old pins
+        untouched). Only materialized views are optimizable here —
+        plain parquet tables are immutable-by-layout in this engine and
+        get compaction through the layout operators directly."""
+        from clickhouse_datafusion_spark.operators.layout import (
+            compact_snapshot, read_snapshot)
+
+        key = self._mv_key(name)
+        mv = self._mat_views.get(key)
+        if mv is None:
+            raise ValueError(
+                f"OPTIMIZE TABLE targets a materialized view; unknown "
+                f"{key!r} (registered: {sorted(self._mat_views)}). For "
+                "plain tables use operators.layout.compact_snapshot / "
+                "write_* directly.")
+        v = compact_snapshot(self.spark, mv["path"])
+        read_snapshot(self.spark, mv["path"], v).createOrReplaceTempView(key)
+        mv["version"] = v
+        return self._mv_result(key, v)
+
     def _show_mat_views(self) -> DataFrame:
         rows = [(k, mv["version"], mv["sql"].strip())
                 for k, mv in sorted(self._mat_views.items())]
@@ -191,6 +215,9 @@ class ClickHouseSparkEngine:
                                        if_exists=bool(dmv.group("ie")))
         if _SHOW_MV_RE.match(rewritten):
             return self._show_mat_views()
+        opt = _OPTIMIZE_RE.match(rewritten)
+        if opt:
+            return self._optimize_mat_view(opt.group("name"))
         m = _CREATE_NATIVE_RE.match(rewritten)
         if m:
             return self._create_native_table(m)
@@ -378,6 +405,10 @@ class ClickHouseSparkEngine:
 
         return sink.run_insert_sql(self.spark, rewritten)
 
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+TABLE\s+(?P<name>[\w.`]+)(?:\s+FINAL)?\s*;?\s*$",
+    re.IGNORECASE)
 
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"

@@ -375,3 +375,38 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
         raise FileNotFoundError(
             f"snapshot v={version} not found under {path}; have {versions}")
     return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def drop_expired_partitions(path: str, partition_col: str,
+                            keep_from: str) -> list[str]:
+    """TTL enforcement for Hive-partitioned corpora (the ClickHouse
+    ``TTL ... DELETE`` analog at the layout level): delete every
+    ``partition_col=<value>`` directory whose value sorts strictly below
+    ``keep_from``. Returns the dropped partition values.
+
+    This is the ONLY sane retention mechanism at 100 TB: expiry is a
+    directory unlink per partition — no data pass, no rewrite, no
+    tombstones — which is exactly why time-partitioned layouts
+    (``write_hive_partitioned`` on a date column) are the ingestion
+    default. String comparison is intentional: Hive directory values are
+    strings, and ISO dates (``day=2024-01-31``) sort correctly as
+    strings; zero-pad numeric partition values or this will misorder
+    them (documented, not guessed).
+
+    Row-level TTL inside a partition (mixed-age rows) is a different
+    operation — a filtered rewrite via ``upsert_snapshot``/compaction —
+    and deliberately not this function's job.
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped

@@ -342,3 +342,32 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     rx, _ = overlapping(rpath, "x", 10, 20)
     assert rx <= rn // 2
     assert zx <= zn // 2
+
+
+def test_ttl_partition_drop(spark, tmp_path):
+    """TTL = directory unlink: expired date partitions disappear without
+    touching surviving files; reads after the drop see only kept days."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from clickhouse_datafusion_spark.operators.layout import (
+        drop_expired_partitions, write_hive_partitioned)
+
+    path = str(tmp_path / "ttl")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-"),
+                 F.lpad((F.col("id") % 9 + 1).cast("string"), 2, "0"))
+        .alias("day"))
+    write_hive_partitioned(df, path, ["day"])
+    before = {n for n in os.listdir(path) if n.startswith("day=")}
+    assert len(before) == 9
+    dropped = drop_expired_partitions(path, "day", "2024-01-04")
+    assert dropped == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    kept = spark.read.parquet(path)
+    assert kept.select("day").distinct().count() == 6
+    # Spark infers the partition dir value as a DATE — compare as string
+    assert str(kept.agg(F.min("day")).collect()[0][0]) == "2024-01-04"
+    # idempotent: nothing left to drop below the watermark
+    assert drop_expired_partitions(path, "day", "2024-01-04") == []

@@ -304,3 +304,24 @@ def test_materialized_view_ch_functions(spark, views, tmp_path):
         assert eng.sql("SELECT count(*) AS n FROM mv_ch").collect()[0].n > 0
     finally:
         eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ch")
+
+
+def test_optimize_materialized_view(spark, views, tmp_path):
+    """OPTIMIZE TABLE compacts the MV's current version into a new one:
+    data identical, file count reduced, prior versions still pinnable."""
+    import os
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark, mat_view_dir=str(tmp_path / "mv"))
+    eng.sql("CREATE MATERIALIZED VIEW mv_opt AS "
+            "SELECT o_orderkey, o_totalprice FROM orders")
+    before = {tuple(r) for r in eng.sql("SELECT * FROM mv_opt").collect()}
+    r = eng.sql("OPTIMIZE TABLE mv_opt FINAL").collect()[0]
+    assert r.version == 2
+    after = {tuple(r) for r in eng.sql("SELECT * FROM mv_opt").collect()}
+    assert after == before
+    v2 = os.path.join(str(tmp_path / "mv" / "mv_opt"), "v=2")
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(v2))
+    assert n_files == 1
+    eng.sql("DROP MATERIALIZED VIEW mv_opt")
