@@ -198,8 +198,8 @@ class ClickHouseSparkEngine:
         if ea:
             return self.explain_analyze(query[ea.end():])
         rewritten = self.rewrite(query)
-        if re.search(r"\b(prewhere|totals|format)\b", rewritten,
-                     re.IGNORECASE):
+        if re.search(r"\b(prewhere|totals|format|global|final)\b",
+                     rewritten, re.IGNORECASE):
             rewritten = _dialect_transforms(rewritten)
         mv = _CREATE_MV_RE.match(rewritten)
         if mv:
@@ -460,6 +460,30 @@ def _is_insert(q: str) -> bool:
     return s[:6].upper() == "INSERT"
 
 
+_SQL_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "HAVING", "LIMIT",
+    "JOIN", "ON", "AS", "AND", "OR", "NOT", "IN", "UNION", "ALL", "WITH",
+    "DISTINCT", "CASE", "WHEN", "THEN", "ELSE", "END", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "USING", "TOTALS", "PREWHERE", "FORMAT",
+}
+
+
+def _prev_is_table_name(toks, i: int) -> bool:
+    """True when the token before position i is an identifier in table
+    position (a non-keyword WORD, backticked, or quoted name) — the
+    shape of ``FROM t FINAL`` / ``JOIN db.t FINAL``. Keeps a column or
+    literal merely NAMED 'final' from tripping the FINAL rejection."""
+    j = i - 1
+    while j >= 0 and toks[j].kind == "WS":
+        j -= 1
+    if j < 0:
+        return False
+    t = toks[j]
+    if t.kind in ("BTICK", "QIDENT"):
+        return True
+    return t.kind == "WORD" and t.text.upper() not in _SQL_KEYWORDS
+
+
 def _parse_limit_by(sql: str):
     """Detect a top-level ClickHouse ``ORDER BY ... LIMIT n BY cols
     [LIMIT m]`` tail. Returns (base_sql, order_sql, by_cols_sql, n,
@@ -565,7 +589,12 @@ def _dialect_transforms(sql: str) -> str:
       as a null-keyed row (use grouping()/grouping_id to tell a real
       NULL key apart, same as a10c);
     - a trailing ``FORMAT <name>`` is stripped: output formatting is
-      the DataFrame writer's job here, but pasted CH queries carry it.
+      the DataFrame writer's job here, but pasted CH queries carry it;
+    - ``GLOBAL IN`` / ``GLOBAL JOIN`` drop the hint keyword (identical
+      local semantics; Catalyst picks the distribution strategy);
+    - ``FROM t FINAL`` is REJECTED with the snapshot-upsert route —
+      read-time collapse needs the ordering key, and silently ignoring
+      FINAL would return duplicates the user asked to collapse.
     """
     from clickhouse_datafusion_spark.functions.rewrite import tokenize
 
@@ -607,6 +636,23 @@ def _dialect_transforms(sql: str) -> str:
     out = []
     i = 0
     while i < len(toks):
+        # GLOBAL IN / GLOBAL JOIN: CH's distributed-subquery hint — the
+        # local semantics are identical, so the keyword drops (Catalyst
+        # decides broadcast vs shuffle itself); FINAL is NOT ignorable
+        # (it changes read semantics) — rejected with the upsert route
+        if w(i) == "GLOBAL":
+            j = nxt(i)
+            if j < len(toks) and w(j) in ("IN", "JOIN", "LEFT", "RIGHT",
+                                          "INNER", "FULL", "ANY", "ALL"):
+                i = j
+                continue
+        if w(i) == "FINAL" and _prev_is_table_name(toks, i):
+            raise SqlFrontDoorError(
+                "FROM ... FINAL (ReplacingMergeTree read-time collapse) "
+                "is not emulatable without knowing the ordering key; "
+                "materialize collapsed state instead — "
+                "layout.upsert_snapshot / streaming.stream_upsert_snapshot "
+                "keep per-key argmax snapshots that read like FINAL")
         if level[i] == 0 and w(i) == "PREWHERE":
             if has_where:
                 raise SqlFrontDoorError(

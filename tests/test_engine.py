@@ -153,3 +153,25 @@ def test_limit_by_offset_form(engine, views):
         mins.setdefault(r.o_orderstatus, []).append(r.o_orderkey)
     for st, ks in per.items():
         assert ks == sorted(mins[st])[1:3]   # rows 2..3 per group
+
+
+def test_global_and_final_dialect(engine, views):
+    """GLOBAL IN/JOIN hints drop (identical local semantics); FROM t
+    FINAL is rejected with the snapshot-upsert route — silently
+    ignoring it would return rows the user asked to collapse; a column
+    merely named 'final' is untouched."""
+    import pytest
+
+    n = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_custkey GLOBAL IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey <= 10)"
+    ).collect()[0].n
+    assert n > 0
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM orders o GLOBAL LEFT JOIN customer c "
+        "ON o.o_custkey = c.c_custkey").collect()
+    assert rows[0].n > 0
+    with pytest.raises(ValueError, match="FINAL"):
+        engine.sql("SELECT * FROM orders FINAL")
+    assert engine.sql("SELECT 1 AS final FROM orders LIMIT 1"
+                      ).collect()[0].final == 1
