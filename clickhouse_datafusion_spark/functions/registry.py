@@ -288,6 +288,55 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "arrayzip": _passthrough("arrays_zip"),
     "arrayintersect": _passthrough("array_intersect"),
     "arrayunion": _passthrough("array_union"),
+    # array arithmetic (CH semantics: arrayDifference keeps a leading 0,
+    # arrayCompact removes CONSECUTIVE duplicates only; cumsum
+    # accumulates as BIGINT —
+    # the integer-array case CH users actually hit)
+    "arraydifference": lambda a: (
+        f"transform({a[0]}, (x, i) -> CASE WHEN i = 0 THEN x - x "
+        f"ELSE x - element_at({a[0]}, i) END)"),
+    "arraycumsum": lambda a: (
+        f"transform({a[0]}, (x, i) -> aggregate(slice({a[0]}, 1, i + 1), "
+        f"CAST(0 AS BIGINT), (acc, y) -> acc + y))"),
+    "arraycompact": lambda a: (
+        f"filter({a[0]}, (x, i) -> i = 0 "
+        f"OR NOT (x <=> element_at({a[0]}, i)))"),
+    # JSON extraction: CH JSONExtract*(json, 'key') / the legacy
+    # visitParam/simpleJSON spellings — all route through
+    # get_json_object with a $.key path and an explicit cast
+    "jsonextractstring": lambda a: _json_path(a),
+    "jsonextractraw": lambda a: _json_path(a),
+    "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
+    "jsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    "jsonhas": lambda a: f"({_json_path(a)} IS NOT NULL)",
+    "jsonlength": lambda a: f"json_array_length({a[0]})",
+    "visitparamextractstring": lambda a: _json_path(a),
+    "simplejsonextractstring": lambda a: _json_path(a),
+    # dates: toStartOfWeek keeps CH's default mode-0 SUNDAY start
+    # (Spark's date_trunc('WEEK') is Monday — that would silently shift
+    # six days of every week)
+    "toquarter": _passthrough("quarter"),
+    "toisoweek": _passthrough("weekofyear"),
+    "tostartofweek": lambda a: (
+        f"date_sub(CAST({a[0]} AS DATE), dayofweek({a[0]}) - 1)"),
+    "datetrunc": lambda a: f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)",
+    "addmonths": _passthrough("add_months"),
+    "subtractmonths": lambda a: f"add_months({a[0]}, -({a[1]}))",
+    "addhours": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))"),
+    "addminutes": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))"),
+    "addseconds": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"),
+    # bit ops
+    "bitand": _binop("&"),
+    "bitor": _binop("|"),
+    "bitxor": _binop("^"),
+    "bitnot": lambda a: f"(~({a[0]}))",
+    "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    "bitcount": _passthrough("bit_count"),
     "arraystringconcat": lambda a: "array_join({}, {})".format(
         a[0], a[1] if len(a) > 1 else "''"),
     "arraymin": _passthrough("array_min"),
@@ -343,6 +392,15 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
 def _dictionaries():
     from clickhouse_datafusion_spark.functions import dictionaries
     return dictionaries
+
+
+def _json_path(args: list[str]) -> str:
+    """CH JSONExtract key args → a get_json_object $.path. A literal
+    key inlines into the path; a computed key concatenates at runtime."""
+    j, key = args[0], args[1]
+    if key.startswith("'") and key.endswith("'"):
+        return f"get_json_object({j}, '$.{key[1:-1]}')"
+    return f"get_json_object({j}, concat('$.', {key}))"
 
 
 def _retention(conds: list[str]) -> str:

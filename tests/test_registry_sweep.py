@@ -62,6 +62,44 @@ CASES = [
     ("sinh(0)", "Float64", 0.0),
     ("cosh(0)", "Float64", 1.0),
     ("tanh(0)", "Float64", 0.0),
+    # array arithmetic (r5e registry batch)
+    ("arrayDifference(array(1, 3, 6))", "List(Int64)", [0, 2, 3]),
+    ("arrayCumSum(array(1, 2, 3))", "List(Int64)", [1, 3, 6]),
+    ("arrayCompact(array(1, 1, 2, 2, 1))", "List(Int64)", [1, 2, 1]),
+    # JSON extraction family
+    ("JSONExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
+    ("JSONExtractRaw('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
+    ("JSONExtractInt('{\"n\": 7}', 'n')", "Int64", 7),
+    ("JSONExtractFloat('{\"x\": 1.5}', 'x')", "Float64", 1.5),
+    ("JSONExtractBool('{\"b\": true}', 'b')", "Boolean", True),
+    ("JSONHas('{\"k\": 1}', 'k')", "Boolean", True),
+    ("JSONHas('{\"k\": 1}', 'z')", "Boolean", False),
+    ("JSONLength('[1, 2, 3]')", "Int64", 3),
+    ("visitParamExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
+    ("simpleJSONExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
+    # date family (toStartOfWeek = CH default mode 0, SUNDAY start)
+    ("toQuarter(toDate('2024-05-15'))", "Int64", 2),
+    ("toISOWeek(toDate('2024-01-04'))", "Int64", 1),
+    ("toString(toStartOfWeek(toDate('2024-03-15')))", "Utf8", "2024-03-10"),
+    ("toString(dateTrunc('month', toDate('2024-03-15')))", "Utf8",
+     "2024-03-01"),
+    ("toString(addMonths(toDate('2024-01-31'), 1))", "Utf8", "2024-02-29"),
+    ("toString(subtractMonths(toDate('2024-03-31'), 1))", "Utf8",
+     "2024-02-29"),
+    ("toString(addHours(toDateTime('2024-03-15 10:00:00'), 5))", "Utf8",
+     "2024-03-15 15:00:00"),
+    ("toString(addMinutes(toDateTime('2024-03-15 10:00:00'), 30))", "Utf8",
+     "2024-03-15 10:30:00"),
+    ("toString(addSeconds(toDateTime('2024-03-15 10:00:00'), 90))", "Utf8",
+     "2024-03-15 10:01:30"),
+    # bit ops
+    ("bitAnd(12, 10)", "Int64", 8),
+    ("bitOr(12, 10)", "Int64", 14),
+    ("bitXor(12, 10)", "Int64", 6),
+    ("bitNot(0)", "Int64", -1),
+    ("bitShiftLeft(1, 4)", "Int64", 16),
+    ("bitShiftRight(16, 2)", "Int64", 4),
+    ("bitCount(7)", "Int64", 3),
     ("greatest(1, 9, 4)", "Int64", 9),
     ("least(5, 2, 8)", "Int64", 2),
     ("e()", "Float64", 2.718281828459045),
