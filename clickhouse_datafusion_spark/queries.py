@@ -4565,6 +4565,91 @@ def _staged_stream_dir(sf: str, tag: str, copies: int = 1) -> str:
     return d
 
 
+@qdef("st10_streaming_retention",
+      """SELECT user_id,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     AS INT) AS r_1,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) AS INT) AS r_2,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END) AS INT) AS r_3
+         FROM events GROUP BY user_id""",
+      tags=("streaming", "funnel"))
+def st10_stream_retention(spark, sf):
+    """ClickHouse retention() over a STREAM: the per-user flags are
+    monotone, so the aggregate runs as an unwatermarked complete-mode
+    streaming groupBy — after the bounded replay the result equals the
+    batch aggregate (x44's oracle, verbatim). See
+    streaming/events.py::streaming_retention."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, run_to_memory_sink, streaming_retention)
+
+    with _utc_session(spark):
+        d = _staged_stream_dir(sf, "st10", copies=1)
+        stream = streaming_retention(
+            read_events_stream(spark, d),
+            [F.col("event_type") == "signup",
+             F.col("event_type") == "purchase",
+             F.col("event_type") == "click"])
+        out = run_to_memory_sink(stream, f"st10_{_uuid.uuid4().hex[:8]}",
+                                 output_mode="complete")
+        return out.localCheckpoint(eager=True)
+
+
+@qdef("st11_streaming_ann_append", _s2_oracle_sql(),
+      tags=("streaming", "similarity"))
+def st11_stream_ann(spark, sf):
+    """Streaming ANN-index maintenance: the embeddings replay in two
+    micro-batches through foreachBatch build/append; probing the final
+    index must equal s2's from-scratch oracle exactly (hyperplanes are
+    pure functions of (dim, seed) — batch boundaries cannot change index
+    CONTENTS, only file layout). The continuous counterpart of s9's
+    incremental build. See streaming/events.py::stream_append_ann_index."""
+    import os
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.operators.similarity import ann_query
+    from clickhouse_datafusion_spark.streaming import stream_append_ann_index
+
+    src = resolve_parquet_path(f"{sf}/embeddings.parquet")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    stage = os.path.join(_TDCACHE, "stream", sf_tag, "st11_src")
+    idx = os.path.join(_TDCACHE, "stream", sf_tag, "st11_index")
+    marker = idx + "_BUILT"
+    emb = t(spark, sf, "embeddings")
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+        # two staged files → two micro-batches (maxFilesPerTrigger=1)
+        (emb.filter(F.col("vec_id") < 250).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(stage, "b0")))
+        (emb.filter(F.col("vec_id") >= 250).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(stage, "b1")))
+        batches = sorted(
+            os.path.join(r, f) for b in ("b0", "b1")
+            for r, _, fs in [next(os.walk(os.path.join(stage, b)))]
+            for f in fs if f.endswith(".parquet"))
+        flat = os.path.join(stage, "flat")
+        os.makedirs(flat, exist_ok=True)
+        for i, f in enumerate(batches):
+            shutil.copy(f, os.path.join(flat, f"part_{i}.parquet"))
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(flat))
+        stream_append_ann_index(stream, idx, dim=64)
+        with open(marker, "w"):
+            pass
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    index = spark.read.parquet(idx)
+    return ann_query(index, qvec, k=10)
+
+
 @qdef("st1_streaming_tumbling",
       f"""WITH mx AS (SELECT max(ts) AS m FROM events)
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -5046,6 +5131,8 @@ _GATE_PRIORITY = [
     "d10_paragraph_dedup",
     "x56_web_curation",
     "a12b_maxmap",
+    "st10_streaming_retention",
+    "st11_streaming_ann_append",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

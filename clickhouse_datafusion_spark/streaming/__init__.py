@@ -17,6 +17,8 @@ from clickhouse_datafusion_spark.streaming.events import (
     stream_static_enrich,
     stream_stream_interval_join,
     stream_upsert_snapshot,
+    streaming_retention,
+    stream_append_ann_index,
     run_to_memory_sink,
 )
 
@@ -31,5 +33,7 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "stream_upsert_snapshot",
+    "streaming_retention",
+    "stream_append_ann_index",
     "run_to_memory_sink",
 ]

@@ -300,3 +300,54 @@ def stream_upsert_snapshot(stream: DataFrame, path: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_retention(events: DataFrame, conds: list,
+                        user_col: str = "user_id") -> DataFrame:
+    """ClickHouse ``retention()`` over a STREAM: the per-user conditional
+    flags are monotone (once a condition has held it stays held), so the
+    aggregate is a plain unwatermarked streaming groupBy in
+    complete/update mode — O(users) state, each row a handful of ints,
+    and late data can only turn 0-flags into 1s (no retraction ever
+    needed). The same operator code as the batch form
+    (operators/funnel.py::retention); after a bounded replay the
+    complete-mode result equals the batch aggregate exactly, which is
+    what the gate checks."""
+    from clickhouse_datafusion_spark.operators.funnel import retention
+
+    return retention(events, conds, user_col=user_col)
+
+
+def stream_append_ann_index(stream: DataFrame, path: str, dim: int,
+                            **index_kwargs) -> None:
+    """Streaming ANN-index maintenance: every micro-batch of embeddings
+    extends the persisted ``_sig_0``-partitioned LSH index via
+    ``append_ann_index`` (O(batch) work, existing files untouched,
+    probes prune exactly as on a batch-built index). The continuous
+    counterpart of the s9 incremental build — the ingest path a live
+    embedding pipeline needs. Seeded hyperplanes are pure functions of
+    (dim, seed), so signatures written by different micro-batches (or
+    different jobs entirely) are bit-compatible by construction; batch
+    boundaries cannot change the final index contents, only file
+    layout — compact via ``layout.compact_snapshot``-style maintenance
+    when small batches accrete."""
+    import os
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        append_ann_index, build_ann_index)
+
+    def fn(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        if os.path.isdir(path) and any(
+                n.startswith("_sig_0=") for n in os.listdir(path)):
+            append_ann_index(batch, path, dim=dim, **index_kwargs)
+        else:
+            build_ann_index(batch, path, dim=dim, **index_kwargs)
+
+    q = (stream.writeStream.foreachBatch(fn)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
