@@ -329,6 +329,17 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
         f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))"),
     "addseconds": lambda a: (
         f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"),
+    # string distance / phonetics (fuzzy-matching surface)
+    "soundex": _passthrough("soundex"),
+    "editdistance": _passthrough("levenshtein"),
+    "levenshteindistance": _passthrough("levenshtein"),
+    # array membership
+    "hasall": lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
+    "hasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "multisearchany": lambda a: (
+        f"exists({a[1]}, n -> contains({a[0]}, n))"),
+    "splitbywhitespace": lambda a: (
+        f"split(trim({a[0]}), '\\\\s+')"),
     # bit ops
     "bitand": _binop("&"),
     "bitor": _binop("|"),

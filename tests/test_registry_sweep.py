@@ -92,6 +92,16 @@ CASES = [
      "2024-03-15 10:30:00"),
     ("toString(addSeconds(toDateTime('2024-03-15 10:00:00'), 90))", "Utf8",
      "2024-03-15 10:01:30"),
+    # fuzzy matching + array membership (r5e batch 2)
+    ("soundex('Robert')", "Utf8", "R163"),
+    ("editDistance('kitten', 'sitting')", "Int64", 3),
+    ("levenshteinDistance('abc', 'abd')", "Int64", 1),
+    ("hasAll(array(1, 2, 3), array(1, 3))", "Boolean", True),
+    ("hasAll(array(1, 2), array(1, 9))", "Boolean", False),
+    ("hasAny(array(1, 2), array(9, 2))", "Boolean", True),
+    ("multiSearchAny('hello world', array('xyz', 'wor'))", "Boolean", True),
+    ("multiSearchAny('hello', array('xyz'))", "Boolean", False),
+    ("splitByWhitespace('  a  b c ')", "List(Utf8)", ["a", "b", "c"]),
     # bit ops
     ("bitAnd(12, 10)", "Int64", 8),
     ("bitOr(12, 10)", "Int64", 14),
