@@ -748,3 +748,36 @@ def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"))
             .withColumn("clean_md5", F.md5(F.col("clean_text"))))
+
+
+def edit_distance_verify(df: DataFrame, pairs: DataFrame,
+                         max_dist: int = 6, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """Edit-distance verification of candidate pairs — the EXACT-verify
+    stage after LSH blocking for short fields (titles, URLs, names)
+    where shingle Jaccard is too coarse: keep pairs whose Levenshtein
+    distance is ≤ ``max_dist``, returning (id_a, id_b, edit_dist).
+
+    Scale shape: the sparse candidate list joins the text relation twice
+    (two id-keyed shuffles — candidates carry ids, never text, until
+    here); a length-difference prefilter (|len_a − len_b| > max_dist can
+    never pass) runs BEFORE the quadratic compute so hopeless pairs are
+    rejected in constant time. Levenshtein is O(len_a·len_b) per
+    surviving pair — bound the field length (or chunk first) the way any
+    edit-distance dedup does; the blocking stage already made the pair
+    list sparse, which is what makes the quadratic kernel affordable.
+    """
+    a = df.select(F.col(id_col).alias(id_a),
+                  F.col(text_col).alias("_ta"),
+                  F.length(text_col).alias("_la"))
+    b = df.select(F.col(id_col).alias(id_b),
+                  F.col(text_col).alias("_tb"),
+                  F.length(text_col).alias("_lb"))
+    j = (pairs.select(id_a, id_b).join(a, id_a).join(b, id_b)
+         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist))
+    return (j.select(id_a, id_b,
+                     F.levenshtein("_ta", "_tb").cast("bigint")
+                     .alias("edit_dist"))
+            .filter(F.col("edit_dist") <= max_dist))

@@ -2537,6 +2537,29 @@ def d3_minhash(spark, sf):
                               gram_hash="md5")
 
 
+@qdef("d11_edit_distance_verify",
+      f"""WITH cand AS ({_d3_oracle_sql()})
+         SELECT c.id_a, c.id_b,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         FROM cand c
+         JOIN documents a ON c.id_a = a.doc_id
+         JOIN documents b ON c.id_b = b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 6""",
+      tags=("pipeline", "dedup"))
+def d11_edit_verify(spark, sf):
+    """LSH-blocked candidates verified by EXACT edit distance (the
+    short-field verifier Jaccard shingles are too coarse for): d3's
+    md5-family candidates filtered to Levenshtein ≤ 6, with the
+    length-difference prefilter rejecting hopeless pairs before the
+    quadratic kernel — see operators/dedup.py::edit_distance_verify."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        edit_distance_verify, minhash_candidates)
+
+    docs = t(spark, sf, "documents")
+    cands = minhash_candidates(docs, threshold=0.3, gram_hash="md5")
+    return edit_distance_verify(docs, cands, max_dist=6)
+
+
 @qdef("d3x_minhash_production", None, tags=("pipeline", "dedup"))
 def d3x_minhash_production(spark, sf):
     """The PRODUCTION MinHash configuration (xxhash64 gram hash) — rows-only
@@ -5133,6 +5156,7 @@ _GATE_PRIORITY = [
     "a12b_maxmap",
     "st10_streaming_retention",
     "st11_streaming_ann_append",
+    "d11_edit_distance_verify",
     # r3-dated block
     "q1_pricing_summary",
     "q3_shipping_priority",

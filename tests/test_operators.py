@@ -2122,3 +2122,24 @@ def test_drop_duplicate_paragraphs_semantics(spark):
     assert out[2].clean_text == "unique two"           # header owned by 1
     assert out[3].clean_text == "" and out[3].n_kept == 0
     assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+
+
+def test_edit_distance_verify_semantics(spark):
+    """Exact distances, threshold inclusive, and the length prefilter
+    never rejects a pair the distance filter would keep."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import (
+        edit_distance_verify)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="kitten"),
+        Row(doc_id=2, text="sitting"),     # dist 3
+        Row(doc_id=3, text="kitten"),      # dist 0 to 1
+        Row(doc_id=4, text="completely different and much longer text"),
+    ])
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=1, id_b=4)])
+    out = {(r.id_a, r.id_b): r.edit_dist for r in
+           edit_distance_verify(docs, pairs, max_dist=3).collect()}
+    assert out == {(1, 2): 3, (1, 3): 0}
