@@ -230,11 +230,40 @@ class ClickHouseSparkEngine:
             # writable catalog table (the connector temp view is read-only);
             # only the source query is routed to the connector view.
             return self._insert_sql(self._route_insert_source(rewritten))
+        if _SYSTEM_TABLE_RE.search(rewritten):
+            rewritten = self._route_system_tables(rewritten)
         lb = _parse_limit_by(rewritten)
         if lb is not None:
             return self._run_limit_by(*lb)
         rewritten = self._route_native_tables(rewritten)
         return self.spark.sql(rewritten)
+
+    def _route_system_tables(self, sql: str) -> str:
+        """ClickHouse ``system.*`` introspection tables, rebuilt from the
+        live Spark catalog on every reference (introspection must never
+        be stale): ``system.tables`` (database, name, engine),
+        ``system.databases`` (name), and ``system.one`` (the 1-row dual
+        with ``dummy = 0`` that CH clients probe). The information_schema
+        surface (O11) remains the ANSI route; this is the spelling pasted
+        CH queries use."""
+        spark = self.spark
+        if _SYS_ONE_RE.search(sql):
+            sql = _SYS_ONE_RE.sub(" (SELECT 0 AS dummy) ", sql)
+        if _SYS_TABLES_RE.search(sql):
+            rows = []
+            for db in spark.catalog.listDatabases():
+                for tbl in spark.catalog.listTables(db.name):
+                    rows.append((tbl.namespace[0] if tbl.namespace else "",
+                                 tbl.name, tbl.tableType or "VIEW"))
+            spark.createDataFrame(
+                rows or [("", "", "")],
+                "database string, name string, engine string")                 .where("name <> '' OR database <> ''")                 .createOrReplaceTempView("_ch_system_tables")
+            sql = _SYS_TABLES_RE.sub(" _ch_system_tables ", sql)
+        if _SYS_DATABASES_RE.search(sql):
+            rows = [(db.name,) for db in spark.catalog.listDatabases()]
+            spark.createDataFrame(rows, "name string")                 .createOrReplaceTempView("_ch_system_databases")
+            sql = _SYS_DATABASES_RE.sub(" _ch_system_databases ", sql)
+        return sql
 
     def _run_limit_by(self, base: str, order_sql: str, by_sql: str,
                       offset: int, n: int,
@@ -405,6 +434,12 @@ class ClickHouseSparkEngine:
 
         return sink.run_insert_sql(self.spark, rewritten)
 
+
+_SYSTEM_TABLE_RE = re.compile(r"\bsystem\s*\.\s*(tables|databases|one)\b",
+                              re.IGNORECASE)
+_SYS_TABLES_RE = re.compile(r"\bsystem\s*\.\s*tables\b", re.IGNORECASE)
+_SYS_DATABASES_RE = re.compile(r"\bsystem\s*\.\s*databases\b", re.IGNORECASE)
+_SYS_ONE_RE = re.compile(r"\bsystem\s*\.\s*one\b", re.IGNORECASE)
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(?P<name>[\w.`]+)(?:\s+FINAL)?\s*;?\s*$",

@@ -175,3 +175,16 @@ def test_global_and_final_dialect(engine, views):
         engine.sql("SELECT * FROM orders FINAL")
     assert engine.sql("SELECT 1 AS final FROM orders LIMIT 1"
                       ).collect()[0].final == 1
+
+
+def test_system_tables_surface(engine, views):
+    """ClickHouse system.* spellings: live catalog introspection for
+    tables/databases, and the 1-row system.one dual."""
+    r = engine.sql("SELECT dummy FROM system.one").collect()
+    assert [x.dummy for x in r] == [0]
+    names = {x.name for x in engine.sql(
+        "SELECT name FROM system.tables WHERE database = 'main'").collect()}
+    assert "orders" in names and "lineitem" in names
+    dbs = {x.name for x in
+           engine.sql("SELECT name FROM system.databases").collect()}
+    assert "main" in dbs
