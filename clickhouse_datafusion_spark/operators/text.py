@@ -932,3 +932,78 @@ def blocklist_filter(df: DataFrame, blocklist: tuple[str, ...],
         F.col(id_col),
         F.size(hits).cast("bigint").alias("n_hits"),
         (F.size(hits) == 0).cast("int").alias("keep"))
+
+
+def train_quality_classifier(labeled_df: DataFrame, n_buckets: int = 4096,
+                             label_col: str = "label",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             seed: str | int = 0,
+                             reg_param: float = 0.01,
+                             max_iter: int = 50) -> DataFrame:
+    """Train the fastText/CCNet-style quality classifier IN-CLUSTER and
+    return the integer-ppm weight relation ``hashed_classifier_score``
+    consumes — closing the filter loop (label a sample → train here →
+    score the full crawl with the broadcast weights).
+
+    Features are the SAME md5-bucketed unigram counts the scorer uses
+    (one explode + one (doc, bucket) count aggregate → a SparseVector
+    per doc), so train and inference can never disagree about
+    featurization. The model is MLlib ``LogisticRegression`` — L-BFGS
+    over the distributed feature matrix, the standard shape for a
+    linear filter at corpus scale (each iteration is one pass of
+    gradient aggregates; nothing is collected but the
+    ``n_buckets``-sized coefficient vector).
+
+    Returns (bucket INT, w_ppm BIGINT) — coefficients scaled to ppm and
+    truncated to integers; the intercept folds into
+    ``hashed_classifier_score(bias_ppm=...)`` (returned on the
+    DataFrame as ``.bias_ppm``). Iterative and seed-dependent like
+    ``bpe_train``/KMeans, so pytest-verified rather than SQL-oracled.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    spark = labeled_df.sparkSession
+    labeled_df = _ensure_parallelism(labeled_df)
+    wd = labeled_df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("_w"))
+    bkt = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("_w"))), 1, 6), 16, 10)
+        .cast("int") % n_buckets)
+    counts = (wd.select(F.col(id_col), bkt.alias("b"))
+              .groupBy(id_col, "b").agg(F.count("*").alias("c")))
+    rows = (counts.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("b"), F.col("c")))).alias("_bc"))
+            .join(labeled_df.select(id_col, F.col(label_col)
+                                    .cast("double").alias("_y")), id_col))
+
+    # VectorUDT doesn't ride Arrow batches — assemble the SparseVector
+    # with a plain UDF over the (bucket, count) struct list (runs once
+    # per TRAINING row; training samples are the labeled subset, not the
+    # corpus, so the Python hop is off the 100 TB path by construction)
+    from pyspark.sql.functions import udf
+
+    to_vec = udf(lambda bc: SparseVector(
+        n_buckets, [int(x["b"]) for x in bc],
+        [float(x["c"]) for x in bc]), VectorUDT())
+    train = rows.select(to_vec("_bc").alias("features"),
+                        F.col("_y").alias("label"))
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                               standardization=False).fit(train)
+    coefs = model.coefficients
+    w_rows = [(int(i), int(coefs[int(i)] * 1_000_000))
+              for i in coefs.indices] if hasattr(coefs, "indices") else [
+        (i, int(c * 1_000_000)) for i, c in enumerate(coefs) if c != 0.0]
+    out = spark.createDataFrame(
+        w_rows or [(0, 0)],
+        StructType([StructField("bucket", LongType()),
+                    StructField("w_ppm", LongType())]))
+    out = out.select(F.col("bucket").cast("int"), F.col("w_ppm"))
+    out.bias_ppm = int(model.intercept * 1_000_000)
+    return out

@@ -2143,3 +2143,36 @@ def test_edit_distance_verify_semantics(spark):
     out = {(r.id_a, r.id_b): r.edit_dist for r in
            edit_distance_verify(docs, pairs, max_dist=3).collect()}
     assert out == {(1, 2): 3, (1, 3): 0}
+
+
+def test_train_quality_classifier_end_to_end(spark):
+    """Closing the filter loop: train on planted good/bad docs, then the
+    learned weight table drives hashed_classifier_score to separate a
+    held-out set perfectly."""
+    import random
+
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import (
+        hashed_classifier_score, train_quality_classifier)
+
+    rng = random.Random(7)
+    good_vocab = ["clean", "prose", "article", "coherent", "useful"]
+    bad_vocab = ["zzz", "spamspam", "garbled", "clickbait", "junkjunk"]
+
+    def doc(vocab, n=12):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    train = [Row(doc_id=i, text=doc(good_vocab), label=1)
+             for i in range(40)]
+    train += [Row(doc_id=100 + i, text=doc(bad_vocab), label=0)
+              for i in range(40)]
+    wts = train_quality_classifier(spark.createDataFrame(train),
+                                   n_buckets=256)
+    held = [Row(doc_id=1000 + i, text=doc(good_vocab)) for i in range(10)]
+    held += [Row(doc_id=2000 + i, text=doc(bad_vocab)) for i in range(10)]
+    scored = {r.doc_id: r.keep for r in hashed_classifier_score(
+        spark.createDataFrame(held), wts, n_buckets=256,
+        bias_ppm=wts.bias_ppm).collect()}
+    assert all(scored[1000 + i] == 1 for i in range(10))
+    assert all(scored[2000 + i] == 0 for i in range(10))
