@@ -198,6 +198,12 @@ class ClickHouseSparkEngine:
         if ea:
             return self.explain_analyze(query[ea.end():])
         rewritten = self.rewrite(query)
+        # OPTIMIZE TABLE mv [FINAL] is matched BEFORE the dialect pass:
+        # its FINAL is the merge-trigger modifier, not the read-time
+        # collapse the dialect pass rejects on table references.
+        opt = _OPTIMIZE_RE.match(rewritten)
+        if opt:
+            return self._optimize_mat_view(opt.group("name"))
         if re.search(r"\b(prewhere|totals|format|global|final)\b",
                      rewritten, re.IGNORECASE):
             rewritten = _dialect_transforms(rewritten)
@@ -215,9 +221,6 @@ class ClickHouseSparkEngine:
                                        if_exists=bool(dmv.group("ie")))
         if _SHOW_MV_RE.match(rewritten):
             return self._show_mat_views()
-        opt = _OPTIMIZE_RE.match(rewritten)
-        if opt:
-            return self._optimize_mat_view(opt.group("name"))
         m = _CREATE_NATIVE_RE.match(rewritten)
         if m:
             return self._create_native_table(m)
