@@ -45,6 +45,7 @@ class ClickHouseSparkEngine:
         self.coercion = coercion
         self._native_tables = {}
         self._mat_views = {}
+        self._sample_keys = {}
         self._mat_view_dir = os.path.abspath(
             mat_view_dir or os.path.join("spark-warehouse", "_matviews"))
 
@@ -193,6 +194,199 @@ class ClickHouseSparkEngine:
         return self.spark.createDataFrame(
             [(key, version)], "view string, version int")
 
+    # -- mutations ---------------------------------------------------------
+    def _mutate_mat_view(self, name: str, kind: str, tail: str) -> DataFrame:
+        """``ALTER TABLE t UPDATE a = expr, ... WHERE p`` / ``ALTER TABLE t
+        DELETE WHERE p`` — ClickHouse mutations, mapped onto the snapshot
+        store exactly the way CH maps them onto parts: the mutation rewrites
+        affected data into NEW immutable storage (here: one new snapshot
+        version; there: new parts), readers pinned to an old version never
+        see it, and the table binding swaps atomically. CH semantics kept:
+        WHERE is mandatory (``WHERE 1`` mutates all rows), every RHS sees
+        PRE-mutation column values (so ``UPDATE a = b, b = a`` swaps), a
+        NULL predicate leaves the row untouched, and the assigned value is
+        cast back to the column's declared type (mutations never drift the
+        schema). Only materialized views are mutable here — plain parquet
+        tables are immutable-by-layout; route them through
+        layout.upsert_snapshot."""
+        from pyspark.sql import functions as F
+
+        from clickhouse_datafusion_spark.operators.layout import (
+            read_snapshot, write_snapshot)
+
+        key = self._mv_key(name)
+        mv = self._mat_views.get(key)
+        if mv is None:
+            raise SqlFrontDoorError(
+                f"ALTER TABLE ... {kind} (a ClickHouse mutation) targets a "
+                f"materialized view; unknown {key!r} (registered: "
+                f"{sorted(self._mat_views)}). Plain tables are immutable by "
+                "layout — use layout.upsert_snapshot for keyed merges.")
+        assigns, where = _parse_mutation_tail(kind, tail)
+        cur = read_snapshot(self.spark, mv["path"])
+        pred = F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+        if kind == "DELETE":
+            new = cur.filter(~pred)
+        else:
+            by_lower = {c.lower(): c for c in cur.columns}
+            unknown = [c for c, _ in assigns if c.lower() not in by_lower]
+            if unknown:
+                raise SqlFrontDoorError(
+                    f"UPDATE assigns unknown column(s) {unknown}; "
+                    f"columns: {cur.columns}")
+            exprs = {by_lower[c.lower()]: e for c, e in assigns}
+            sel = [F.when(pred, F.expr(exprs[f.name]).cast(f.dataType))
+                   .otherwise(F.col(f.name)).alias(f.name)
+                   if f.name in exprs else F.col(f.name)
+                   for f in cur.schema.fields]
+            new = cur.select(*sel)
+        v = write_snapshot(new, mv["path"])
+        read_snapshot(self.spark, mv["path"], v).createOrReplaceTempView(key)
+        mv["version"] = v
+        return self._mv_result(key, v)
+
+    def _truncate_table(self, name: str) -> DataFrame:
+        """``TRUNCATE TABLE`` — for a materialized view this is the empty
+        mutation (a new 0-row snapshot version; pinned readers keep their
+        data); anything else delegates to Spark's own TRUNCATE."""
+        from clickhouse_datafusion_spark.operators.layout import (
+            read_snapshot, write_snapshot)
+
+        key = self._mv_key(name)
+        mv = self._mat_views.get(key)
+        if mv is None:
+            return self.spark.sql(f"TRUNCATE TABLE {name}")
+        v = write_snapshot(read_snapshot(self.spark, mv["path"]).limit(0),
+                           mv["path"])
+        read_snapshot(self.spark, mv["path"], v).createOrReplaceTempView(key)
+        mv["version"] = v
+        return self._mv_result(key, v)
+
+    def _rename_table(self, a: str, b: str) -> DataFrame:
+        """ClickHouse ``RENAME TABLE a TO b``: a materialized view renames
+        its BINDING (the snapshot directory keeps its name — storage paths
+        are immutable here, only the catalog entry moves, which is also how
+        CH's Atomic database engine implements rename); catalog tables
+        lower to Spark's ``ALTER TABLE ... RENAME TO``."""
+        from clickhouse_datafusion_spark.operators.layout import read_snapshot
+
+        ka, kb = self._mv_key(a), self._mv_key(b)
+        if ka in self._mat_views:
+            if kb in self._mat_views:
+                raise SqlFrontDoorError(
+                    f"RENAME TABLE target {kb!r} already exists")
+            mv = self._mat_views.pop(ka)
+            self._mat_views[kb] = mv
+            read_snapshot(self.spark, mv["path"],
+                          mv["version"]).createOrReplaceTempView(kb)
+            self.spark.catalog.dropTempView(ka)
+            return self._mv_result(kb, mv["version"])
+        return self.spark.sql(f"ALTER TABLE {a} RENAME TO {b}")
+
+    # -- SAMPLE clause -----------------------------------------------------
+    def set_sample_key(self, table: str, key_col: str) -> None:
+        """Declare the sampling key for ``FROM table SAMPLE f`` — the
+        engine-side analog of MergeTree's ``SAMPLE BY`` table clause (a
+        table without one cannot be sampled in CH either)."""
+        self._sample_keys[table.replace("`", "").split(".")[-1].lower()] = \
+            key_col
+
+    def _lower_sample(self, sql: str) -> str:
+        """Lower ClickHouse's ``FROM t SAMPLE f`` (0 < f ≤ 1) to a
+        deterministic md5-bucket filter on the table's registered sample
+        key: ``t`` becomes ``(SELECT * FROM t WHERE md5-bucket(key) <
+        f·10⁶) t`` — a plain filtered subquery Catalyst collapses into the
+        scan, so sampling prunes IO instead of reading-then-dropping.
+        Divergence from CH (documented): CH samples by the raw SAMPLE BY
+        key's value range, so a skewed key skews the sample; the md5
+        bucket is uniform regardless of key distribution and reproducible
+        byte-for-byte by any engine (same family as sampling.hash_split).
+        The row-count form ``SAMPLE n`` is rejected toward
+        sampling.uniform_sample_k — exact-k needs a global rank, not a
+        per-row filter."""
+        from clickhouse_datafusion_spark.functions.rewrite import (
+            BTICK, NUM, PUNCT, QIDENT, WORD, tokenize)
+
+        toks = tokenize(sql)
+
+        def sig_prev(i):
+            j = i - 1
+            while j >= 0 and toks[j].kind == "WS":
+                j -= 1
+            return j
+
+        def sig_next(i):
+            j = i + 1
+            while j < len(toks) and toks[j].kind == "WS":
+                j += 1
+            return j
+
+        def dotted_start(end):
+            # walk `db . t` / backticked segments leftward from `end`
+            s = end
+            while True:
+                p = sig_prev(s)
+                if p >= 1 and toks[p].kind == PUNCT and toks[p].text == ".":
+                    q = sig_prev(p)
+                    if q >= 0 and toks[q].kind in (WORD, BTICK, QIDENT):
+                        s = q
+                        continue
+                return s
+
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if not (t.kind == WORD and t.text.upper() == "SAMPLE"
+                    and _prev_is_table_name(toks, i)):
+                i += 1
+                continue
+            f_i = sig_next(i)
+            if f_i >= len(toks) or toks[f_i].kind != NUM:
+                i += 1
+                continue
+            if "." not in toks[f_i].text:
+                raise SqlFrontDoorError(
+                    f"SAMPLE {toks[f_i].text} (row-count form) is not a "
+                    "per-row filter; use sampling.uniform_sample_k for an "
+                    "exact-k deterministic sample, or a fraction SAMPLE 0.1")
+            frac = float(toks[f_i].text)
+            if not 0.0 < frac <= 1.0:
+                raise SqlFrontDoorError(f"SAMPLE fraction {frac} not in (0, 1]")
+            # table ref (possibly `t alias` or `t AS alias`) before SAMPLE
+            a_end = sig_prev(i)
+            a_start = dotted_start(a_end)
+            p = sig_prev(a_start)
+            if p >= 0 and toks[p].kind == WORD and toks[p].text.upper() == "AS":
+                t_end = sig_prev(p)
+                t_start = dotted_start(t_end)
+                alias = toks[a_end].text
+            elif p >= 0 and (toks[p].kind in (BTICK, QIDENT)
+                             or (toks[p].kind == WORD
+                                 and toks[p].text.upper()
+                                 not in _SQL_KEYWORDS)):
+                t_end, t_start = p, dotted_start(p)
+                alias = toks[a_end].text
+            else:
+                t_start, t_end = a_start, a_end
+                alias = toks[a_end].text.replace("`", "")
+            table_sql = "".join(x.text for x in toks[t_start:t_end + 1])
+            base = toks[t_end].text.replace("`", "").lower()
+            key_col = self._sample_keys.get(base)
+            if key_col is None:
+                raise SqlFrontDoorError(
+                    f"table {base!r} has no sample key; call "
+                    "engine.set_sample_key(table, key_col) first (the "
+                    "analog of MergeTree's SAMPLE BY clause)")
+            k = int(round(frac * 1_000_000))
+            repl = (f"(SELECT * FROM {table_sql} WHERE "
+                    f"pmod(cast(conv(substring(md5(cast({key_col} as "
+                    f"string)), 1, 8), 16, 10) as bigint), 1000000) < {k}) "
+                    f"{alias}")
+            pre = "".join(x.text for x in toks[:t_start])
+            post = "".join(x.text for x in toks[f_i + 1:])
+            return self._lower_sample(pre + repl + post)
+        return sql
+
     def sql(self, query: str) -> DataFrame:
         ea = _EXPLAIN_ANALYZE_RE.match(query)
         if ea:
@@ -204,9 +398,22 @@ class ClickHouseSparkEngine:
         opt = _OPTIMIZE_RE.match(rewritten)
         if opt:
             return self._optimize_mat_view(opt.group("name"))
+        mut = _ALTER_MUT_RE.match(rewritten)
+        if mut:
+            return self._mutate_mat_view(
+                mut.group("name"), mut.group("kind").upper(),
+                rewritten[mut.end():])
+        tr = _TRUNCATE_RE.match(rewritten)
+        if tr:
+            return self._truncate_table(tr.group("name"))
+        rn = _RENAME_RE.match(rewritten)
+        if rn:
+            return self._rename_table(rn.group("a"), rn.group("b"))
         if re.search(r"\b(prewhere|totals|format|global|final)\b",
                      rewritten, re.IGNORECASE):
             rewritten = _dialect_transforms(rewritten)
+        if re.search(r"\bSAMPLE\b", rewritten, re.IGNORECASE):
+            rewritten = self._lower_sample(rewritten)
         mv = _CREATE_MV_RE.match(rewritten)
         if mv:
             return self._create_mat_view(mv.group("name"),
@@ -447,6 +654,79 @@ _SYS_ONE_RE = re.compile(r"\bsystem\s*\.\s*one\b", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+TABLE\s+(?P<name>[\w.`]+)(?:\s+FINAL)?\s*;?\s*$",
     re.IGNORECASE)
+
+_ALTER_MUT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+(?P<kind>UPDATE|DELETE)\b",
+    re.IGNORECASE)
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.`]+)\s*;?\s*$", re.IGNORECASE)
+
+_RENAME_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(?P<a>[\w.`]+)\s+TO\s+(?P<b>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _parse_mutation_tail(kind: str, tail: str):
+    """Split a mutation statement's tail into (assignments, where_sql).
+    UPDATE: ``a = expr, b = expr WHERE p`` — commas and the WHERE are
+    located at paren depth 0 so function calls and subqueries inside
+    expressions can't confuse the split; every RHS must be non-empty.
+    DELETE: ``WHERE p``. WHERE is mandatory for both, exactly as in
+    ClickHouse (mutate-everything is spelled ``WHERE 1``, never implied).
+    """
+    from clickhouse_datafusion_spark.functions.rewrite import (
+        PUNCT, WORD, tokenize)
+
+    toks = tokenize(tail.rstrip().rstrip(";"))
+    depth = 0
+    where_at = None
+    commas = []
+    eqs = []
+    for idx, t in enumerate(toks):
+        if t.kind == PUNCT:
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.text == ",":
+                commas.append(idx)
+            elif depth == 0 and t.text == "=":
+                eqs.append(idx)
+        elif (depth == 0 and t.kind == WORD
+              and t.text.upper() == "WHERE" and where_at is None):
+            where_at = idx
+    if where_at is None:
+        raise SqlFrontDoorError(
+            f"ALTER TABLE ... {kind} requires WHERE (ClickHouse mutation "
+            "semantics; mutate every row with WHERE 1)")
+    where_sql = "".join(t.text for t in toks[where_at + 1:]).strip()
+    if not where_sql:
+        raise SqlFrontDoorError(f"empty WHERE in ALTER TABLE ... {kind}")
+    if kind == "DELETE":
+        head = "".join(t.text for t in toks[:where_at]).strip()
+        if head:
+            raise SqlFrontDoorError(
+                f"unexpected tokens before WHERE in DELETE mutation: {head!r}")
+        return [], where_sql
+    assigns = []
+    start = 0
+    for stop in commas + [where_at]:
+        if stop > where_at:
+            break
+        eq = next((e for e in eqs if start <= e < stop), None)
+        if eq is None:
+            raise SqlFrontDoorError(
+                "UPDATE assignment must be `column = expr`: "
+                + "".join(t.text for t in toks[start:stop]).strip())
+        col = "".join(t.text for t in toks[start:eq]).strip().strip("`")
+        expr = "".join(t.text for t in toks[eq + 1:stop]).strip()
+        if not col or not expr:
+            raise SqlFrontDoorError(
+                f"malformed UPDATE assignment around {col!r}")
+        assigns.append((col, expr))
+        start = stop + 1
+    return assigns, where_sql
 
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"

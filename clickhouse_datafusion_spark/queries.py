@@ -5031,6 +5031,72 @@ def st9_stream_upsert(spark, sf):
                 .localCheckpoint(eager=True))
 
 
+@qdef("x57_ch_mutations",
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(o_totalprice AS DECIMAL(28,4)) * 2
+                          ELSE CAST(o_totalprice AS DECIMAL(28,4)) END
+                     * 10000 AS BIGINT) AS price_e4
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)""",
+      tags=("dict", "ext"))
+def x57_ch_mutations(spark, sf):
+    """ClickHouse mutations through the SQL front door: ``ALTER TABLE ...
+    UPDATE`` doubles every open order's price (decimal-exact, cast back
+    to the column type), ``ALTER TABLE ... DELETE`` removes a keyed
+    slice of finished orders — each mutation writes a NEW immutable
+    snapshot version and swaps the binding, which is exactly CH's
+    rewrite-parts-and-swap model (engine.py::_mutate_mat_view). The
+    oracle replays both mutations as CASE + NOT-filter over the base
+    table, so unmatched-rows-untouched and old-value semantics are both
+    hash-checked."""
+    import tempfile
+
+    eng = _engine(spark, sf)
+    eng._mat_view_dir = tempfile.mkdtemp(prefix="chdf_mut_gate_")
+    eng.sql("""
+        CREATE MATERIALIZED VIEW gate_mut AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""")
+    eng.sql("""
+        ALTER TABLE gate_mut
+        UPDATE o_totalprice =
+            CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 2 AS DOUBLE)
+        WHERE o_orderstatus = 'O'""")
+    eng.sql("ALTER TABLE gate_mut DELETE "
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+    return eng.sql("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 10000 AS BIGINT)
+                 AS price_e4
+        FROM gate_mut""")
+
+
+@qdef("x58_sample_clause",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) * 10000
+                     AS BIGINT) AS price_e4
+         FROM orders
+         WHERE (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  ::BIGINT % 1000000) < 250000
+         GROUP BY o_orderstatus""",
+      tags=("dict", "ext"))
+def x58_sample_clause(spark, sf):
+    """ClickHouse ``FROM t SAMPLE 0.25`` through the SQL front door,
+    lowered to the deterministic md5-bucket filter on the table's
+    registered sample key (engine.py::_lower_sample — SAMPLE BY analog).
+    The oracle recomputes the exact bucket filter, so the sampled row
+    SET (not just its size) is hash-checked; the filter sits under the
+    aggregate, so sampling prunes the scan instead of post-filtering."""
+    eng = _engine(spark, sf)
+    eng.set_sample_key("orders", "o_orderkey")
+    return eng.sql("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) * 10000
+                    AS BIGINT) AS price_e4
+        FROM orders SAMPLE 0.25
+        GROUP BY o_orderstatus""")
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -5108,6 +5174,10 @@ _GATE_PRIORITY = [
     "f9_ch_group_by_udf",
     "f10_ch_having_udf",
     "f11_ch_window_over_udf",
+    # r5 continuation: the mutation/SAMPLE front-door entries — new code,
+    # in-session verified at sf0.001/0.01; right at the expected window edge
+    "x57_ch_mutations",
+    "x58_sample_clause",
     # new in r5d — past the expected window cutoff; in-session verified
     # at three scales (COVERAGE.md), first in the r6 rotation
     "x40_near_contamination",

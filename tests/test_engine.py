@@ -188,3 +188,41 @@ def test_system_tables_surface(engine, views):
     dbs = {x.name for x in
            engine.sql("SELECT name FROM system.databases").collect()}
     assert "main" in dbs
+
+
+def test_sample_clause_lowering(spark, views):
+    """ClickHouse ``FROM t SAMPLE f``: deterministic md5-bucket filter on
+    the registered sample key — repeatable, alias-safe, and rejected with
+    an actionable error when no key is declared or the row-count form is
+    used."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.engine import (
+        ClickHouseSparkEngine, SqlFrontDoorError)
+
+    eng = ClickHouseSparkEngine(spark)
+    with _pytest.raises(SqlFrontDoorError, match="sample key"):
+        eng.sql("SELECT count(*) FROM orders SAMPLE 0.25")
+    eng.set_sample_key("orders", "o_orderkey")
+    n_all = eng.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    n_s = eng.sql("SELECT count(*) AS n FROM orders SAMPLE 0.25").collect()[0].n
+    assert 0 < n_s < n_all
+    assert abs(n_s / n_all - 0.25) < 0.08  # uniform md5 bucket, sf-small slack
+    # deterministic: the same statement returns the same rows
+    ids = lambda q: {r.o_orderkey for r in eng.sql(q).collect()}  # noqa: E731
+    q = "SELECT o_orderkey FROM orders SAMPLE 0.1"
+    assert ids(q) == ids(q)
+    # nested fractions: SAMPLE 0.1 is a subset of SAMPLE 0.25 (same key
+    # bucket space — CH's consistent-sampling property)
+    assert ids(q) <= ids("SELECT o_orderkey FROM orders SAMPLE 0.25")
+    # alias forms
+    a1 = eng.sql("SELECT o.o_orderkey FROM orders AS o SAMPLE 0.1 "
+                 "WHERE o.o_orderkey > 0").collect()
+    a2 = eng.sql("SELECT o.o_orderkey FROM orders o SAMPLE 0.1 "
+                 "WHERE o.o_orderkey > 0").collect()
+    assert {r.o_orderkey for r in a1} == ids(q) == {r.o_orderkey for r in a2}
+    with _pytest.raises(SqlFrontDoorError, match="row-count"):
+        eng.sql("SELECT count(*) FROM orders SAMPLE 1000")
+    # a string literal containing SAMPLE is untouched
+    r = eng.sql("SELECT 'keep SAMPLE 0.5 text' AS s").collect()[0].s
+    assert r == "keep SAMPLE 0.5 text"

@@ -325,3 +325,78 @@ def test_optimize_materialized_view(spark, views, tmp_path):
     n_files = sum(f.endswith(".parquet") for f in os.listdir(v2))
     assert n_files == 1
     eng.sql("DROP MATERIALIZED VIEW mv_opt")
+
+
+def _mv_engine(spark, tmp_path):
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    return ClickHouseSparkEngine(spark, mat_view_dir=str(tmp_path / "mv"))
+
+
+def test_mutation_update_sees_old_values(spark, tmp_path):
+    """ALTER TABLE ... UPDATE: only matching rows mutate, every RHS sees
+    PRE-mutation values (a = b, b = a swaps), NULL predicate leaves the
+    row untouched, and assigned values cast back to the column type."""
+    spark.createDataFrame(
+        [(1, 10, None), (2, 20, 1), (3, 30, 0)],
+        "a int, b int, flag int").createOrReplaceTempView("mut_src")
+    eng = _mv_engine(spark, tmp_path)
+    eng.sql("CREATE MATERIALIZED VIEW mut_mv AS SELECT * FROM mut_src")
+    r = eng.sql("ALTER TABLE mut_mv UPDATE a = b, b = a "
+                "WHERE flag IS NULL OR flag = 1").collect()[0]
+    assert r.version == 2
+    rows = {t.a: t for t in eng.sql("SELECT * FROM mut_mv").collect()}
+    assert (rows[10].b, rows[20].b) == (1, 2)      # swapped
+    assert (rows[3].a, rows[3].b) == (3, 30)       # flag=0 untouched
+    # NULL-pred rows untouched: this predicate evaluates to NULL for every
+    # row, so the mutation must be a no-op (CH treats NULL as not-matched)
+    eng.sql("ALTER TABLE mut_mv UPDATE a = -1 WHERE flag + NULL > 0")
+    assert {t.a for t in eng.sql("SELECT a FROM mut_mv").collect()} \
+        == {10, 20, 3}
+    # type pin: assigning a string-typed expr to INT a casts (here: fails
+    # to a NULL-free int via cast of numeric string)
+    eng.sql("ALTER TABLE mut_mv UPDATE a = '7' WHERE a = 3")
+    assert eng.sql("SELECT * FROM mut_mv").schema["a"].dataType.simpleString() \
+        == "int"
+
+
+def test_mutation_delete_truncate_versions(spark, views, tmp_path):
+    """DELETE mutates into a new version (old version still pinnable),
+    TRUNCATE is the empty mutation, WHERE is mandatory."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.engine import SqlFrontDoorError
+    from clickhouse_datafusion_spark.operators.layout import read_snapshot
+
+    eng = _mv_engine(spark, tmp_path)
+    eng.sql("CREATE MATERIALIZED VIEW del_mv AS "
+            "SELECT o_orderkey, o_orderstatus FROM orders")
+    n0 = eng.sql("SELECT count(*) c FROM del_mv").collect()[0].c
+    eng.sql("ALTER TABLE del_mv DELETE WHERE o_orderstatus = 'F'")
+    n1 = eng.sql("SELECT count(*) c FROM del_mv").collect()[0].c
+    assert 0 < n1 < n0
+    assert eng.sql("SELECT count(*) c FROM del_mv "
+                   "WHERE o_orderstatus = 'F'").collect()[0].c == 0
+    # v1 pinned read still has the deleted rows
+    path = eng._mat_views["del_mv"]["path"]
+    assert read_snapshot(spark, path, 1).count() == n0
+    eng.sql("TRUNCATE TABLE del_mv")
+    assert eng.sql("SELECT count(*) c FROM del_mv").collect()[0].c == 0
+    with _pytest.raises(SqlFrontDoorError, match="WHERE"):
+        eng.sql("ALTER TABLE del_mv DELETE")
+    with _pytest.raises(SqlFrontDoorError, match="materialized view"):
+        eng.sql("ALTER TABLE orders DELETE WHERE 1")
+
+
+def test_rename_table(spark, views, tmp_path):
+    """RENAME TABLE moves the MV binding atomically; the old name is gone,
+    the version counter survives."""
+    eng = _mv_engine(spark, tmp_path)
+    eng.sql("CREATE MATERIALIZED VIEW rn_a AS "
+            "SELECT o_orderkey FROM orders LIMIT 10")
+    eng.sql("REFRESH MATERIALIZED VIEW rn_a")
+    r = eng.sql("RENAME TABLE rn_a TO rn_b").collect()[0]
+    assert (r.view, r.version) == ("rn_b", 2)
+    assert eng.sql("SELECT count(*) c FROM rn_b").collect()[0].c == 10
+    assert "rn_a" not in eng._mat_views
+    assert not spark.catalog.tableExists("rn_a")
