@@ -352,6 +352,24 @@ class ClickHouseSparkEngine:
             frac = float(toks[f_i].text)
             if not 0.0 < frac <= 1.0:
                 raise SqlFrontDoorError(f"SAMPLE fraction {frac} not in (0, 1]")
+            # SAMPLE f OFFSET o — shift the bucket window so disjoint
+            # workers can split one table into non-overlapping samples
+            # (CH's parallel-reader idiom); lowered to [o·10⁶, (o+f)·10⁶)
+            off = 0.0
+            end_i = f_i
+            o_i = sig_next(f_i)
+            if (o_i < len(toks) and toks[o_i].kind == WORD
+                    and toks[o_i].text.upper() == "OFFSET"):
+                v_i = sig_next(o_i)
+                if v_i >= len(toks) or toks[v_i].kind != NUM \
+                        or "." not in toks[v_i].text:
+                    raise SqlFrontDoorError(
+                        "SAMPLE ... OFFSET takes a fraction (e.g. OFFSET 0.5)")
+                off = float(toks[v_i].text)
+                if not 0.0 <= off < 1.0 or off + frac > 1.0 + 1e-12:
+                    raise SqlFrontDoorError(
+                        f"SAMPLE {frac} OFFSET {off} window exceeds (0, 1]")
+                end_i = v_i
             # table ref (possibly `t alias` or `t AS alias`) before SAMPLE
             a_end = sig_prev(i)
             a_start = dotted_start(a_end)
@@ -377,13 +395,15 @@ class ClickHouseSparkEngine:
                     f"table {base!r} has no sample key; call "
                     "engine.set_sample_key(table, key_col) first (the "
                     "analog of MergeTree's SAMPLE BY clause)")
-            k = int(round(frac * 1_000_000))
-            repl = (f"(SELECT * FROM {table_sql} WHERE "
-                    f"pmod(cast(conv(substring(md5(cast({key_col} as "
-                    f"string)), 1, 8), 16, 10) as bigint), 1000000) < {k}) "
-                    f"{alias}")
+            lo = int(round(off * 1_000_000))
+            hi = int(round((off + frac) * 1_000_000))
+            bucket = (f"pmod(cast(conv(substring(md5(cast({key_col} as "
+                      f"string)), 1, 8), 16, 10) as bigint), 1000000)")
+            cond = f"{bucket} < {hi}" if lo == 0 \
+                else f"{bucket} >= {lo} AND {bucket} < {hi}"
+            repl = f"(SELECT * FROM {table_sql} WHERE {cond}) {alias}"
             pre = "".join(x.text for x in toks[:t_start])
-            post = "".join(x.text for x in toks[f_i + 1:])
+            post = "".join(x.text for x in toks[end_i + 1:])
             return self._lower_sample(pre + repl + post)
         return sql
 

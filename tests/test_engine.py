@@ -226,3 +226,18 @@ def test_sample_clause_lowering(spark, views):
     # a string literal containing SAMPLE is untouched
     r = eng.sql("SELECT 'keep SAMPLE 0.5 text' AS s").collect()[0].s
     assert r == "keep SAMPLE 0.5 text"
+
+
+def test_sample_offset_disjoint_windows(spark, views):
+    """SAMPLE f OFFSET o: shifted bucket windows partition the table into
+    disjoint, collectively-exhaustive samples (CH's parallel-reader
+    idiom)."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.set_sample_key("orders", "o_orderkey")
+    ids = lambda q: {r.o_orderkey for r in eng.sql(q).collect()}  # noqa: E731
+    parts = [ids(f"SELECT o_orderkey FROM orders SAMPLE 0.5 OFFSET {o}")
+             for o in ("0.0", "0.5")]
+    assert parts[0] & parts[1] == set()
+    assert parts[0] | parts[1] == ids("SELECT o_orderkey FROM orders")
