@@ -329,3 +329,118 @@ def group_sample_k(df: DataFrame, k: int, group_col: str,
     return (df.withColumn("_hk", hk)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(k)).drop("_hk", "_rn"))
+
+
+def temperature_mixture_plan(df: DataFrame, group_col: str = "lang",
+                             alpha: float = 0.5,
+                             budget_rows: int | None = None) -> DataFrame:
+    """Temperature-based mixture plan (XLM-R / mT5 style): per-group
+    sampling shares ∝ n_g^α, flattening the natural distribution so
+    low-resource groups (languages, sources) are over-represented
+    relative to their raw counts. Returns one row per group:
+    ``(group, n, target_rows, epochs_e6, keep_ppm)`` where ``epochs_e6``
+    is the group's repeat factor in 1e-6 units (>1e6 ⇒ the trainer
+    should upsample/repeat) and ``keep_ppm`` the downsample fraction
+    (≤1e6, for :func:`apply_mixture_plan`).
+
+    Exactness: α = 0.5 is the gated default because ``sqrt`` is
+    IEEE-correctly-rounded in every engine, and the weight is quantized
+    to integer micro-units BEFORE normalization (``w6 = floor(sqrt(n)·
+    10⁶)``), so shares and targets are pure integer arithmetic — the
+    plan is bit-identical across engines and layouts. Other α use
+    ``pow``, whose last-ulp behavior is libm-dependent (fine for
+    production, not for a hash-compared gate). DECIMAL(38,0) carries the
+    budget·w6 product (can exceed int64), mirroring the x33 HUGEINT
+    discipline.
+
+    Scale shape: one group-keyed count aggregate (map-side combined) over
+    (group) — bytes moved are O(groups); everything after operates on
+    aggregate rows only.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").alias("n"))
+    if alpha == 0.5:
+        w = F.sqrt(F.col("n"))
+    else:
+        w = F.pow(F.col("n"), F.lit(float(alpha)))
+    w6 = F.floor(w * F.lit(1_000_000.0)).cast("decimal(38,0)")
+    tot = counts.agg(F.sum("n").alias("tot_rows"))
+    budget = int(budget_rows) if budget_rows is not None else None
+    plan = (counts.withColumn("w6", w6)
+            .crossJoin(F.broadcast(tot.select(
+                "tot_rows",
+                F.lit(budget).alias("_budget"))))
+            .withColumn("z", F.sum("w6").over(W.partitionBy())))
+    b = F.coalesce(F.col("_budget").cast("decimal(38,0)"),
+                   F.col("tot_rows").cast("decimal(38,0)"))
+    target = F.floor(b * F.col("w6") / F.col("z")).cast("bigint")
+    return (plan.withColumn("target_rows", target)
+            .withColumn("epochs_e6",
+                        F.expr("target_rows * 1000000 DIV n"))
+            .withColumn("keep_ppm",
+                        F.least(F.lit(1_000_000).cast("bigint"),
+                                F.col("epochs_e6")))
+            .select(F.col("grp").alias(group_col), "n", "target_rows",
+                    "epochs_e6", "keep_ppm"))
+
+
+def apply_mixture_plan(df: DataFrame, plan: DataFrame,
+                       group_col: str = "lang",
+                       id_col: str = "doc_id",
+                       seed: str | int = 0) -> DataFrame:
+    """Apply a :func:`temperature_mixture_plan`: Bernoulli-downsample
+    over-represented groups by the deterministic md5 ppm bucket
+    (``bucket(seed‖id) < keep_ppm``) and carry ``epochs_e6`` so the
+    trainer can repeat under-represented groups — rows are never
+    duplicated here (a 100 TB corpus is repeated by the data LOADER, not
+    materialized twice). Plan join is broadcast (O(groups) rows); the
+    filter is a pure projection — zero shuffles end to end.
+    """
+    ppm = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"),
+                           F.col(id_col).cast("string"))), 1, 8),
+            16, 10).cast("bigint"),
+        F.lit(1_000_000)).cast("bigint")
+    return (df.join(F.broadcast(plan.select(
+                group_col, "keep_ppm", "epochs_e6")), group_col)
+            .filter(ppm < F.col("keep_ppm"))
+            .drop("keep_ppm"))
+
+
+def curriculum_phases(df: DataFrame, score_col: str, n_phases: int = 4,
+                      seed: str | int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Curriculum ordering: assign every row a training phase 1..P by
+    score (phase 1 = highest-quality rows first) and a seeded in-phase
+    order key — the trainer reads ``ORDER BY phase, ord`` so quality
+    anneals across training (curriculum-learning shape; the inverse
+    ordering is anti-curriculum).
+
+    EXACT and sort-free, same discipline as :func:`percentile_filter`:
+    scores are low-cardinality (quantized), so one value-keyed aggregate
+    builds the score histogram, a window over AGGREGATE rows computes
+    each score's strictly-above cumulative count, and
+    ``phase = 1 + (cum_above · P) DIV total`` broadcasts back as a pure
+    projection. Boundary ties share the earlier phase (whole score
+    groups stay together — deterministic, rank-free). No global sort
+    ever touches the data; at 100 TB the final layout is one
+    range-partitioned write keyed by (phase, ord).
+    """
+    hist = df.groupBy(F.col(score_col).alias("_s")) \
+        .agg(F.count("*").alias("_c"))
+    w = (W.orderBy(F.col("_s").desc())
+         .rowsBetween(W.unboundedPreceding, -1))
+    cuts = (hist
+            .withColumn("_above", F.coalesce(F.sum("_c").over(w),
+                                             F.lit(0)))
+            .withColumn("_tot", F.sum("_c").over(W.partitionBy()))
+            .select(F.col("_s"),
+                    (F.lit(1) + F.expr(
+                        f"_above * {int(n_phases)} DIV _tot"))
+                    .cast("int").alias("phase")))
+    ord_key = F.md5(F.concat(F.lit(f"{seed}:"),
+                             F.col(id_col).cast("string")))
+    return (df.join(F.broadcast(cuts),
+                    df[score_col] == cuts["_s"]).drop("_s")
+            .withColumn("ord", ord_key))

@@ -5097,6 +5097,76 @@ def x58_sample_clause(spark, sf):
         GROUP BY o_orderstatus""")
 
 
+@qdef("x59_temperature_mixture",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+          w AS (SELECT lang, n,
+                       CAST(floor(sqrt(n) * 1000000) AS HUGEINT) AS w6
+                FROM c),
+          z AS (SELECT sum(w6) AS z, sum(n) AS tot FROM w),
+          p AS (SELECT lang, n,
+                       CAST(CAST(tot AS HUGEINT) * w6 // z AS BIGINT)
+                         AS target_rows
+                FROM w, z),
+          k AS (SELECT lang, n, target_rows,
+                       target_rows * 1000000 // n AS epochs_e6,
+                       LEAST(1000000, target_rows * 1000000 // n)
+                         AS keep_ppm
+                FROM p)
+         SELECT d.doc_id, d.lang, k.epochs_e6
+         FROM documents d JOIN k USING (lang)
+         WHERE (('0x' || substring(md5('0:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 1000000) < k.keep_ppm""",
+      tags=("pipeline", "sampling"))
+def x59_temperature_mixture(spark, sf):
+    """Temperature-based multilingual mixture (XLM-R α=0.5): per-language
+    shares ∝ sqrt(n) in exact integer micro-units, over-represented
+    languages Bernoulli-downsampled by the md5 ppm bucket,
+    under-represented ones kept whole with an ``epochs_e6`` repeat factor
+    for the loader. The oracle recomputes plan AND application exactly —
+    sqrt is IEEE-correctly-rounded in both engines and everything after
+    is integer arithmetic (operators/sampling.py::temperature_mixture_plan
+    / apply_mixture_plan; zero data shuffles — one O(groups) count
+    aggregate + a broadcast-join projection)."""
+    from clickhouse_datafusion_spark.operators.sampling import (
+        apply_mixture_plan, temperature_mixture_plan)
+
+    docs = t(spark, sf, "documents")
+    plan = temperature_mixture_plan(docs, "lang", alpha=0.5)
+    return (apply_mixture_plan(docs, plan, "lang")
+            .select("doc_id", "lang", "epochs_e6"))
+
+
+@qdef("x60_curriculum_phases",
+      """WITH b AS (SELECT doc_id, length(text) AS s FROM documents),
+          h AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY s),
+          a AS (SELECT s,
+                       COALESCE(SUM(c) OVER (ORDER BY s DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS above,
+                       SUM(c) OVER () AS tot
+                FROM h)
+         SELECT b.doc_id, CAST(b.s AS INT) AS score,
+                CAST(1 + (a.above * 4 // a.tot) AS INT) AS phase,
+                md5('0:' || CAST(b.doc_id AS VARCHAR)) AS ord
+         FROM b JOIN a USING (s)""",
+      tags=("pipeline", "sampling"))
+def x60_curriculum_phases(spark, sf):
+    """Curriculum ordering: 4 training phases by document score (phase 1
+    = top scores), boundary-tied score groups kept together in the
+    earlier phase, seeded md5 in-phase order — exact and sort-free via
+    the score-histogram trick (one aggregate over O(distinct scores)
+    rows + a broadcast-joined projection; the data itself is never
+    globally sorted — operators/sampling.py::curriculum_phases)."""
+    from clickhouse_datafusion_spark.operators.sampling import (
+        curriculum_phases)
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("score"))
+    return (curriculum_phases(docs, "score", n_phases=4)
+            .select("doc_id", "score", "phase", "ord"))
+
+
 # -------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate walks queries() front-to-back
 # under a finite time budget (one fresh process per query) and stops around
@@ -5178,6 +5248,8 @@ _GATE_PRIORITY = [
     # in-session verified at sf0.001/0.01; right at the expected window edge
     "x57_ch_mutations",
     "x58_sample_clause",
+    "x59_temperature_mixture",
+    "x60_curriculum_phases",
     # new in r5d — past the expected window cutoff; in-session verified
     # at three scales (COVERAGE.md), first in the r6 rotation
     "x40_near_contamination",

@@ -2176,3 +2176,55 @@ def test_train_quality_classifier_end_to_end(spark):
         bias_ppm=wts.bias_ppm).collect()}
     assert all(scored[1000 + i] == 1 for i in range(10))
     assert all(scored[2000 + i] == 0 for i in range(10))
+
+
+def test_temperature_mixture_plan_math(spark):
+    """α=0.5 plan: shares ∝ sqrt(n) in exact integer micro-units; a
+    minority group's epochs rise above 1e6 (upsample) while the majority
+    drops below (downsample); targets sum to ≈ budget."""
+    from clickhouse_datafusion_spark.operators.sampling import (
+        apply_mixture_plan, temperature_mixture_plan)
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    plan = {r.lang: r for r in temperature_mixture_plan(df, "lang").collect()}
+    # w6(big)=floor(sqrt(900)*1e6)=30e6, w6(small)=10e6 -> shares 3/4, 1/4
+    assert plan["big"].target_rows == 750 and plan["small"].target_rows == 250
+    assert plan["small"].epochs_e6 == 2_500_000      # 2.5 epochs
+    assert plan["big"].keep_ppm == 833_333           # 750/900
+    out = apply_mixture_plan(
+        df, temperature_mixture_plan(df, "lang"), "lang")
+    by_lang = {r.lang: r.n for r in out.groupBy("lang")
+               .agg(F.count("*").alias("n")).collect()}
+    assert by_lang["small"] == 100                   # upsampled: all kept
+    assert abs(by_lang["big"] - 750) < 80            # Bernoulli around 750
+    # epochs metadata survives for the loader
+    assert "epochs_e6" in out.columns
+
+
+def test_curriculum_phases_boundaries(spark):
+    """Phases split by score with ties sharing the earlier phase; phase 1
+    holds the TOP scores; seeded order is deterministic."""
+    from clickhouse_datafusion_spark.operators.sampling import (
+        curriculum_phases)
+
+    rows = [(i, 10) for i in range(4)] + [(10 + i, 5) for i in range(4)] + \
+           [(20 + i, 1) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, score int")
+    out = curriculum_phases(df, "score", n_phases=3)
+    got = {r.doc_id: r.phase for r in out.collect()}
+    assert all(got[i] == 1 for i in range(4))          # top score -> phase 1
+    assert all(got[10 + i] == 2 for i in range(4))
+    assert all(got[20 + i] == 3 for i in range(4))
+    # a score group straddling a boundary stays together in the EARLIER phase
+    df2 = spark.createDataFrame(
+        [(i, 7) for i in range(5)] + [(10, 3)], "doc_id int, score int")
+    p2 = {r.doc_id: r.phase for r in
+          curriculum_phases(df2, "score", n_phases=2).collect()}
+    assert all(p2[i] == 1 for i in range(5)) and p2[10] == 2
+    # deterministic order key
+    o1 = {(r.doc_id, r.ord) for r in out.collect()}
+    o2 = {(r.doc_id, r.ord) for r in
+          curriculum_phases(df, "score", n_phases=3).collect()}
+    assert o1 == o2
