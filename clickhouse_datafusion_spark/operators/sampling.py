@@ -364,15 +364,15 @@ def temperature_mixture_plan(df: DataFrame, group_col: str = "lang",
     else:
         w = F.pow(F.col("n"), F.lit(float(alpha)))
     w6 = F.floor(w * F.lit(1_000_000.0)).cast("decimal(38,0)")
-    tot = counts.agg(F.sum("n").alias("tot_rows"))
     budget = int(budget_rows) if budget_rows is not None else None
+    # z and the default budget (total rows) come from ONE window pass over
+    # the O(groups) aggregate rows — a single tiny SinglePartition exchange
+    full = W.partitionBy()
     plan = (counts.withColumn("w6", w6)
-            .crossJoin(F.broadcast(tot.select(
-                "tot_rows",
-                F.lit(budget).alias("_budget"))))
-            .withColumn("z", F.sum("w6").over(W.partitionBy())))
-    b = F.coalesce(F.col("_budget").cast("decimal(38,0)"),
-                   F.col("tot_rows").cast("decimal(38,0)"))
+            .withColumn("z", F.sum("w6").over(full))
+            .withColumn("tot_rows", F.sum("n").over(full)))
+    b = (F.lit(budget).cast("decimal(38,0)") if budget is not None
+         else F.col("tot_rows").cast("decimal(38,0)"))
     target = F.floor(b * F.col("w6") / F.col("z")).cast("bigint")
     return (plan.withColumn("target_rows", target)
             .withColumn("epochs_e6",

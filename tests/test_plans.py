@@ -374,3 +374,37 @@ def test_web_curation_chain_shape(spark):
     rep = plan_report(q("x56_web_curation", spark))
     assert not rep["cartesian"], rep
     assert rep["shuffles"] <= 12, rep
+
+
+def test_x59_mixture_zero_data_shuffles(spark):
+    """Temperature mixture: the corpus-side path is a broadcast-joined
+    projection — the only hash shuffles belong to the O(groups) plan
+    aggregate, never to document rows."""
+    df = q("x59_temperature_mixture", spark)
+    rep = plan_report(df, execute=True)
+    assert rep["broadcasts"] >= 1, rep
+    # plan-side count agg (partial+final) may shuffle its O(groups) rows;
+    # the documents scan itself must reach the output unshuffled
+    assert rep["shuffles"] <= 2, rep
+    assert not rep["cartesian"]
+
+
+def test_x60_curriculum_histogram_only_shuffle(spark):
+    """Curriculum phases: shuffles touch only the score histogram (O(
+    distinct scores) aggregate rows); the base data flows scan→join→
+    project with a broadcast."""
+    df = q("x60_curriculum_phases", spark)
+    rep = plan_report(df, execute=True)
+    assert rep["broadcasts"] >= 1, rep
+    assert rep["shuffles"] <= 2, rep
+    assert not rep["cartesian"]
+
+
+def test_x58_sample_filter_under_aggregate(spark):
+    """SAMPLE lowering: the bucket filter sits under the aggregate (a
+    Filter over the scan), so sampling thins rows before any exchange."""
+    df = q("x58_sample_clause", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_at = plan.find("HashAggregate")
+    filt_at = plan.rfind("Filter")
+    assert agg_at != -1 and filt_at != -1 and filt_at > agg_at, plan[:1500]
