@@ -135,3 +135,59 @@ def test_sequence_count_matches_bruteforce(spark):
         [F.col("event_type") == "a",
          F.col("event_type") == "b"]).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Front-door parser robustness: mutation assignments and SAMPLE lowering are
+# token-level parses — keywords inside string literals, odd whitespace, and
+# nested parens must never confuse them.
+
+@given(st.text(alphabet=" \t\n", min_size=1, max_size=3),
+       st.sampled_from(["f(x, y)", "CASE WHEN a=1 THEN 2 ELSE 3 END",
+                        "concat('WHERE', ',', 'SAMPLE 0.5')",
+                        "(SELECT max(v) FROM (SELECT 1 v))"]))
+@settings(max_examples=40, deadline=None)
+def test_mutation_tail_parser_depth_aware(ws, expr):
+    from clickhouse_datafusion_spark.engine import _parse_mutation_tail
+
+    assigns, where = _parse_mutation_tail(
+        "UPDATE", f"{ws}a ={ws}{expr}, b = 2{ws}WHERE{ws}k > 0")
+    assert assigns == [("a", expr.strip() if False else assigns[0][1]),
+                       ("b", "2")][:2]
+    assert [c for c, _ in assigns] == ["a", "b"]
+    # the expr survives verbatim modulo outer whitespace
+    assert assigns[0][1].replace(" ", "").replace("\t", "") \
+        .replace("\n", "") == expr.replace(" ", "")
+    assert where.strip() == "k > 0"
+
+
+def test_mutation_tail_parser_string_safety():
+    from clickhouse_datafusion_spark.engine import _parse_mutation_tail
+
+    # WHERE and commas inside string literals are data, not syntax
+    assigns, where = _parse_mutation_tail(
+        "UPDATE", "note = 'keep WHERE x, y' WHERE id = 1")
+    assert assigns == [("note", "'keep WHERE x, y'")]
+    assert where == "id = 1"
+
+
+def test_sample_lowering_string_and_subquery_safety(spark):
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.set_sample_key("tsmp", "k")
+    spark.createDataFrame([(i,) for i in range(50)],
+                          "k int").createOrReplaceTempView("tsmp")
+    # SAMPLE inside a string literal must be untouched even when the query
+    # ALSO uses a real SAMPLE clause
+    rows = eng.sql("SELECT 'not a SAMPLE 0.9 clause' AS s, k "
+                   "FROM tsmp SAMPLE 0.5").collect()
+    assert all(r.s == "not a SAMPLE 0.9 clause" for r in rows)
+    assert 0 < len(rows) < 50
+    # SAMPLE on a joined table name, qualified-column refs intact
+    spark.createDataFrame([(i, i % 5) for i in range(50)],
+                          "k int, g int").createOrReplaceTempView("tsmp2")
+    eng.set_sample_key("tsmp2", "k")
+    n = eng.sql("SELECT count(*) AS n FROM tsmp2 SAMPLE 0.5 "
+                "JOIN tsmp ON tsmp2.k = tsmp.k").collect()[0].n
+    assert 0 < n < 50
