@@ -81,3 +81,24 @@ delta_sum(ev, "value", "ts", ["user_id"], tiebreak_col="event_id") \
     .orderBy("user_id").show(5)
 
 print("dialect example done")
+
+# -- mutations, TRUNCATE/RENAME, and SAMPLE (round-5 continuation) ----------
+eng.sql("CREATE MATERIALIZED VIEW hot_orders AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+eng.sql("ALTER TABLE hot_orders UPDATE o_totalprice = o_totalprice * 1.05 "
+        "WHERE o_orderstatus = 'O'")          # new snapshot version
+eng.sql("ALTER TABLE hot_orders DELETE WHERE o_totalprice < 1000")
+eng.sql("RENAME TABLE hot_orders TO priced_orders")
+eng.sql("SELECT count(*) AS rows_left FROM priced_orders").show()
+eng.sql("TRUNCATE TABLE priced_orders")
+eng.sql("DROP MATERIALIZED VIEW priced_orders")
+
+eng.set_sample_key("orders", "o_orderkey")    # SAMPLE BY analog
+eng.sql("""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders SAMPLE 0.25
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""").show()
+eng.sql("SELECT count(*) AS second_quarter "
+        "FROM orders SAMPLE 0.25 OFFSET 0.25").show()
+
+print("mutation/sample example done")
