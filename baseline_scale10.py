@@ -63,6 +63,9 @@ QUERY_SET = [
     # the composed web-curation chain
     "t11_bigram_lm_score", "x36_doc_bin_packing",
     "d10_paragraph_dedup", "x56_web_curation",
+    # r5f: mutation/SAMPLE front door + mixture/curriculum operators
+    "x57_ch_mutations", "x58_sample_clause",
+    "x59_temperature_mixture", "x60_curriculum_phases",
 ]
 
 

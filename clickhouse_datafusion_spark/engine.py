@@ -429,6 +429,25 @@ class ClickHouseSparkEngine:
         rn = _RENAME_RE.match(rewritten)
         if rn:
             return self._rename_table(rn.group("a"), rn.group("b"))
+        ex = _EXISTS_RE.match(rewritten)
+        if ex:
+            # CH client probe: `EXISTS [TABLE] t` -> one row, UInt8 analog
+            key = self._mv_key(ex.group("name"))
+            found = (key in self._mat_views
+                     or self.spark.catalog.tableExists(ex.group("name"))
+                     or self.spark.catalog.tableExists(key))
+            return self.spark.createDataFrame([(1 if found else 0,)],
+                                              "result int")
+        sc = _SHOW_CREATE_RE.match(rewritten)
+        if sc:
+            key = self._mv_key(sc.group("name"))
+            mv = self._mat_views.get(key)
+            if mv is not None:
+                stmt = (f"CREATE MATERIALIZED VIEW {key} AS "
+                        f"{mv['sql'].strip()}")
+                return self.spark.createDataFrame([(stmt,)],
+                                                  "statement string")
+            return self.spark.sql(f"SHOW CREATE TABLE {sc.group('name')}")
         if re.search(r"\b(prewhere|totals|format|global|final)\b",
                      rewritten, re.IGNORECASE):
             rewritten = _dialect_transforms(rewritten)
@@ -684,6 +703,13 @@ _TRUNCATE_RE = re.compile(
 
 _RENAME_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(?P<a>[\w.`]+)\s+TO\s+(?P<b>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE)
+
+_EXISTS_RE = re.compile(
+    r"^\s*EXISTS\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s*;?\s*$", re.IGNORECASE)
+
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.`]+)\s*;?\s*$",
     re.IGNORECASE)
 
 

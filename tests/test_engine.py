@@ -241,3 +241,20 @@ def test_sample_offset_disjoint_windows(spark, views):
              for o in ("0.0", "0.5")]
     assert parts[0] & parts[1] == set()
     assert parts[0] | parts[1] == ids("SELECT o_orderkey FROM orders")
+
+
+def test_exists_and_show_create(spark, views, tmp_path):
+    """CH client probes: `EXISTS [TABLE] t` returns a 1/0 row; SHOW CREATE
+    TABLE on a materialized view prints its defining statement."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark, mat_view_dir=str(tmp_path / "mv"))
+    assert eng.sql("EXISTS TABLE orders").collect()[0].result == 1
+    assert eng.sql("EXISTS orders").collect()[0].result == 1
+    assert eng.sql("EXISTS TABLE no_such_tbl").collect()[0].result == 0
+    eng.sql("CREATE MATERIALIZED VIEW sc_mv AS SELECT 1 AS one")
+    assert eng.sql("EXISTS TABLE sc_mv").collect()[0].result == 1
+    stmt = eng.sql("SHOW CREATE TABLE sc_mv").collect()[0].statement
+    assert stmt.startswith("CREATE MATERIALIZED VIEW sc_mv AS")
+    assert "SELECT 1 AS one" in stmt
+    eng.sql("DROP MATERIALIZED VIEW sc_mv")
