@@ -100,7 +100,37 @@ def _count_substrings(args: list[str]) -> str:
             f"CAST((length({h}) - length(replace({h}, {n}, ''))) / length({n}) AS BIGINT) END)")
 
 
+def _array_reduce(args: list[str]) -> str:
+    # arrayReduce('agg', arr): the aggregate NAME is a rewrite-time string
+    # literal, so dispatch happens during translation and the output is a
+    # plain codegen expression — no dynamic aggregation machinery needed.
+    # (CH src/udfs: the reference routes these to native CH; here each
+    # supported aggregate has a direct Spark array form.)
+    agg = args[0].strip().strip("'\"").lower()
+    if len(args) != 2:
+        raise ValueError("arrayReduce takes ('agg', array)")
+    arr = args[1]
+    forms = {
+        "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "min": f"array_min({arr})",
+        "max": f"array_max({arr})",
+        "count": f"size({arr})",
+        "avg": (f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({arr}))"),
+        "uniq": f"size(array_distinct({arr}))",
+        "uniqexact": f"size(array_distinct({arr}))",
+        "any": f"element_at({arr}, 1)",
+        "anylast": f"element_at({arr}, -1)",
+    }
+    if agg not in forms:
+        raise ValueError(
+            f"arrayReduce: unsupported aggregate {agg!r}; "
+            f"supported: {sorted(forms)}")
+    return forms[agg]
+
+
 SCALAR_TRANSLATORS: dict[str, Translator] = {
+    "arrayreduce": _array_reduce,
     # --- math -----------------------------------------------------------
     "exp": _passthrough("exp"),
     "abs": _passthrough("abs"),

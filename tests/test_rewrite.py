@@ -189,3 +189,24 @@ def test_split_by_char():
 def test_split_by_char_regex_metachar():
     out = rewrite_sql("SELECT clickhouse(splitByChar('.', s), 'List(Utf8)') FROM t")
     assert "\\\\." in out
+
+
+def test_array_reduce_dispatch(spark):
+    """arrayReduce('agg', arr): rewrite-time dispatch on the aggregate-name
+    literal; unsupported names error eagerly with the supported list."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    r = eng.sql("""
+        SELECT clickhouse(arrayReduce('sum', array(1, 2, 3)), 'Float64') AS s,
+               clickhouse(arrayReduce('max', array(1, 7, 3)), 'Int64') AS m,
+               clickhouse(arrayReduce('uniqExact',
+                                      array(1, 1, 2)), 'Int64') AS u,
+               clickhouse(arrayReduce('anyLast',
+                                      array(4, 5, 6)), 'Int64') AS al
+    """).collect()[0]
+    assert (r.s, r.m, r.u, r.al) == (6.0, 7, 2, 6)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unsupported aggregate"):
+        eng.sql("SELECT clickhouse(arrayReduce('median', array(1)), "
+                "'Float64') AS x")
