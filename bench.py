@@ -153,6 +153,11 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].spark_fn
+        # per-QUERY warm-up (untimed): queries with Python/Arrow stages
+        # ramp their workers over the first 2-3 executions (measured on
+        # d3: 9.6 -> 4.1 -> 3.3 -> 1.0 s), so timing from a cold start
+        # folds worker startup into the median and fakes a noisy operator
+        fn(spark, sf_dir).toPandas()
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()

@@ -66,6 +66,15 @@ CASES = [
     ("arrayDifference(array(1, 3, 6))", "List(Int64)", [0, 2, 3]),
     ("arrayCumSum(array(1, 2, 3))", "List(Int64)", [1, 3, 6]),
     ("arrayCompact(array(1, 1, 2, 2, 1))", "List(Int64)", [1, 2, 1]),
+    # arrayReduce: aggregate name dispatched at rewrite time
+    ("arrayReduce('sum', array(1, 2, 3))", "Float64", 6.0),
+    ("arrayReduce('avg', array(2, 4))", "Float64", 3.0),
+    ("arrayReduce('min', array(3, 1, 2))", "Int64", 1),
+    ("arrayReduce('max', array(3, 1, 2))", "Int64", 3),
+    ("arrayReduce('count', array(5, 5))", "Int64", 2),
+    ("arrayReduce('uniq', array(5, 5, 6))", "Int64", 2),
+    ("arrayReduce('any', array(7, 8))", "Int64", 7),
+    ("arrayReduce('anyLast', array(7, 8))", "Int64", 8),
     # JSON extraction family
     ("JSONExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
     ("JSONExtractRaw('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
