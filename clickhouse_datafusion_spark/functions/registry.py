@@ -100,6 +100,81 @@ def _count_substrings(args: list[str]) -> str:
             f"CAST((length({h}) - length(replace({h}, {n}, ''))) / length({n}) AS BIGINT) END)")
 
 
+def _url_part(part: str) -> Translator:
+    # ClickHouse URL functions return '' (never NULL) when the part is
+    # absent or the URL is unparseable; Spark's parse_url returns NULL.
+    return lambda a: f"coalesce(try_parse_url({a[0]}, '{part}'), '')"
+
+
+def _age(args: list[str]) -> str:
+    # age('unit', d1, d2): the unit is a rewrite-time string literal →
+    # Spark's timestampdiff, which has CH age()'s complete-units contract.
+    unit = args[0].strip().strip("'\"").upper()
+    allowed = {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+               "HOUR", "MINUTE", "SECOND"}
+    if unit not in allowed:
+        raise ValueError(f"age: unsupported unit {unit!r}; "
+                         f"supported: {sorted(allowed)}")
+    return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+
+
+def _date_name(args: list[str]) -> str:
+    # dateName('part', d): part dispatched at rewrite time.
+    part = args[0].strip().strip("'\"").lower()
+    d = args[1]
+    forms = {
+        "year": f"CAST(year({d}) AS STRING)",
+        "quarter": f"CAST(quarter({d}) AS STRING)",
+        "month": f"date_format({d}, 'MMMM')",
+        "week": f"CAST(weekofyear({d}) AS STRING)",
+        "dayofyear": f"CAST(dayofyear({d}) AS STRING)",
+        "day": f"CAST(dayofmonth({d}) AS STRING)",
+        "weekday": f"date_format({d}, 'EEEE')",
+        "hour": f"CAST(hour({d}) AS STRING)",
+        "minute": f"CAST(minute({d}) AS STRING)",
+        "second": f"CAST(second({d}) AS STRING)",
+    }
+    if part not in forms:
+        raise ValueError(f"dateName: unsupported part {part!r}; "
+                         f"supported: {sorted(forms)}")
+    return forms[part]
+
+
+def _transform_map(args: list[str]) -> str:
+    # transform(x, [from...], [to...], default) — CH's literal value remap.
+    # 3-arg form returns x itself when unmatched (arrays must then have
+    # x's type). Compiles to a map literal lookup — pure codegen.
+    if len(args) == 4:
+        x, src, dst, dflt = args
+    elif len(args) == 3:
+        x, src, dst = args
+        dflt = x
+    else:
+        raise ValueError("transform takes (x, from_array, to_array[, default])")
+    return f"coalesce(element_at(map_from_arrays({src}, {dst}), {x}), {dflt})"
+
+
+def _haversine(args: list[str]) -> str:
+    # greatCircleDistance(lon1, lat1, lon2, lat2) → meters. Spherical
+    # haversine with R = 6371 km; CH's geoDistance applies an ellipsoid
+    # correction (documented divergence ≤ 0.5%).
+    lon1, lat1, lon2, lat2 = args
+    return (f"(2 * 6371000.0 * asin(sqrt("
+            f"power(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"power(sin(radians(({lon2}) - ({lon1})) / 2), 2))))")
+
+
+def _bit_test_fold(op: str) -> Translator:
+    # bitTestAll/bitTestAny(n, p1, p2, ...): fold over literal/expr
+    # positions at rewrite time — stays a flat codegen boolean chain.
+    def tr(args: list[str]) -> str:
+        n = args[0]
+        tests = [f"((({n}) >> ({p})) & 1) = 1" for p in args[1:]]
+        return "(" + f" {op} ".join(tests) + ")"
+    return tr
+
+
 def _array_reduce(args: list[str]) -> str:
     # arrayReduce('agg', arr): the aggregate NAME is a rewrite-time string
     # literal, so dispatch happens during translation and the output is a
@@ -427,6 +502,129 @@ SCALAR_TRANSLATORS: dict[str, Translator] = {
     "dictget": lambda a: _dictionaries().dict_get(a),
     "dictgetordefault": lambda a: _dictionaries().dict_get_or_default(a),
     "dicthas": lambda a: _dictionaries().dict_has(a),
+    # --- URL family (r5g) ------------------------------------------------
+    # CH semantics: '' on unparseable input, never NULL (see _url_part).
+    "protocol": _url_part("PROTOCOL"),
+    "domain": _url_part("HOST"),
+    "path": _url_part("PATH"),
+    "querystring": _url_part("QUERY"),
+    "fragment": _url_part("REF"),
+    "netloc": _url_part("AUTHORITY"),
+    "domainwithoutwww": lambda a: (
+        f"coalesce(regexp_replace(try_parse_url({a[0]}, 'HOST'), "
+        f"'^www\\\\.', ''), '')"),
+    "topleveldomain": lambda a: (
+        f"coalesce(regexp_extract(try_parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.([^.]+)$', 1), '')"),
+    # CH resolves against a full public-suffix list; this keeps the common
+    # two-level suffixes (documented divergence for exotic ccTLD suffixes)
+    "firstsignificantsubdomain": lambda a: (
+        f"coalesce(CASE WHEN element_at(split(try_parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2) IN ('com', 'net', 'org', 'co', 'edu', 'gov', "
+        f"'mil', 'ac') THEN element_at(split(try_parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -3) ELSE element_at(split(try_parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2) END, '')"),
+    "pathfull": lambda a: (
+        f"concat(coalesce(try_parse_url({a[0]}, 'PATH'), ''), "
+        f"CASE WHEN try_parse_url({a[0]}, 'QUERY') IS NOT NULL THEN "
+        f"concat('?', try_parse_url({a[0]}, 'QUERY')) ELSE '' END)"),
+    "extracturlparameter": lambda a: (
+        f"coalesce(try_parse_url({a[0]}, 'QUERY', {a[1]}), '')"),
+    "cutquerystring": lambda a: (
+        f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"),
+    "cutfragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+    "cutquerystringandfragment": lambda a: (
+        f"regexp_replace({a[0]}, '[?#].*$', '')"),
+    "cutwww": lambda a: (
+        f"regexp_replace({a[0]}, '^(([a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\\\.', "
+        f"'$1')"),
+    "port": lambda a: (
+        f"coalesce(try_cast(regexp_extract(try_parse_url({a[0]}, 'AUTHORITY'), "
+        f"':([0-9]+)$', 1) AS INT), 0)"),
+    # --- IPv4 family (r5g) ----------------------------------------------
+    "ipv4stringtonum": lambda a: (
+        f"aggregate(split({a[0]}, '\\\\.'), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc * 256 + CAST(x AS BIGINT))"),
+    "toipv4": lambda a: (
+        f"aggregate(split({a[0]}, '\\\\.'), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc * 256 + CAST(x AS BIGINT))"),
+    "ipv4numtostring": lambda a: (
+        f"concat_ws('.', CAST((({a[0]}) >> 24) & 255 AS STRING), "
+        f"CAST((({a[0]}) >> 16) & 255 AS STRING), "
+        f"CAST((({a[0]}) >> 8) & 255 AS STRING), "
+        f"CAST(({a[0]}) & 255 AS STRING))"),
+    "isipv4string": lambda a: (
+        f"({a[0]} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.)"
+        f"{{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')"),
+    # --- geo (r5g) --------------------------------------------------------
+    "greatcircledistance": _haversine,
+    "geodistance": _haversine,
+    # --- date/time extras (r5g) ------------------------------------------
+    "tostartofquarter": lambda a: f"trunc({a[0]}, 'QUARTER')",
+    "tomonday": lambda a: (
+        f"date_sub(CAST({a[0]} AS DATE), (dayofweek({a[0]}) + 5) % 7)"),
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "addweeks": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
+    "subtractweeks": lambda a: f"date_sub({a[0]}, 7 * ({a[1]}))",
+    "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
+    "subtractyears": lambda a: f"add_months({a[0]}, -12 * ({a[1]}))",
+    "toyyyymm": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
+    "toyyyymmdd": lambda a: (
+        f"(year({a[0]}) * 10000 + month({a[0]}) * 100 + dayofmonth({a[0]}))"),
+    "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
+    "datename": _date_name,
+    "age": _age,
+    "timeslot": lambda a: (
+        f"CAST(from_unixtime(floor(unix_timestamp({a[0]}) / 1800) * 1800) "
+        f"AS TIMESTAMP)"),
+    "tostartoffiveminutes": lambda a: (
+        f"CAST(from_unixtime(floor(unix_timestamp({a[0]}) / 300) * 300) "
+        f"AS TIMESTAMP)"),
+    "tostartoffifteenminutes": lambda a: (
+        f"CAST(from_unixtime(floor(unix_timestamp({a[0]}) / 900) * 900) "
+        f"AS TIMESTAMP)"),
+    # --- value remap / bit tests / rounding (r5g) -------------------------
+    "transform": _transform_map,
+    "bittest": lambda a: f"((({a[0]}) >> ({a[1]})) & 1)",
+    "bittestall": _bit_test_fold("AND"),
+    "bittestany": _bit_test_fold("OR"),
+    "roundtoexp2": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+        f"CAST(power(2, floor(log2({a[0]}))) AS BIGINT) END)"),
+    "rounddown": lambda a: (
+        f"coalesce(array_max(filter({a[1]}, e -> e <= ({a[0]}))), "
+        f"element_at({a[1]}, 1))"),
+    # --- map functions (r5g) ----------------------------------------------
+    "map": lambda a: f"map({', '.join(a)})",
+    "mapkeys": _passthrough("map_keys"),
+    "mapvalues": _passthrough("map_values"),
+    "mapcontains": lambda a: f"array_contains(map_keys({a[0]}), {a[1]})",
+    "mapfromarrays": _passthrough("map_from_arrays"),
+    # --- math / float classification extras (r5g) --------------------------
+    "degrees": _passthrough("degrees"),
+    "radians": _passthrough("radians"),
+    "hypot": _passthrough("hypot"),
+    "intexp2": lambda a: f"CAST(power(2, {a[0]}) AS BIGINT)",
+    "intexp10": lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)",
+    "isnan": lambda a: f"isnan({a[0]})",
+    "isinfinite": lambda a: (
+        f"(abs(CAST({a[0]} AS DOUBLE)) = double('Infinity'))"),
+    "isfinite": lambda a: (
+        f"(NOT isnan({a[0]}) AND "
+        f"abs(CAST({a[0]} AS DOUBLE)) <> double('Infinity'))"),
+    "ifnotfinite": lambda a: (
+        f"(CASE WHEN isnan({a[0]}) OR abs(CAST({a[0]} AS DOUBLE)) = "
+        f"double('Infinity') THEN ({a[1]}) ELSE ({a[0]}) END)"),
+    # --- string extras (r5g) -----------------------------------------------
+    "substringutf8": lambda a: f"substring({', '.join(a)})",
+    "positionutf8": lambda a: f"locate({a[1]}, {a[0]})",
+    "concatassumeinjective": lambda a: f"concat({', '.join(a)})",
+    # CH tokens(): split on runs of non-alphanumeric; trailing/leading
+    # separators must not produce empty tokens
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z0-9_]+'), x -> x <> '')"),
+    # Spark string columns are validated UTF-8 at ingest → identity
+    "tovalidutf8": lambda a: a[0],
 }
 
 

@@ -233,6 +233,113 @@ CASES = [
     ("arrayEnumerate(array('a', 'b'))", "List(Int64)", [1, 2]),
     ("splitByChar(',', 'a,b,c')", "List(Utf8)", ["a", "b", "c"]),
     ("splitByChar('.', 'a.b')", "List(Utf8)", ["a", "b"]),
+    # URL family (r5g) — CH contract: '' when absent, never NULL
+    ("protocol('https://ex.com/p')", "Utf8", "https"),
+    ("domain('https://news.ex.com/p?q=1')", "Utf8", "news.ex.com"),
+    ("domain('not a url')", "Utf8", ""),
+    ("path('https://ex.com/a/b?q=1')", "Utf8", "/a/b"),
+    ("pathFull('https://ex.com/a/b?q=1')", "Utf8", "/a/b?q=1"),
+    ("pathFull('https://ex.com/a/b')", "Utf8", "/a/b"),
+    ("queryString('https://ex.com/p?a=1&b=2')", "Utf8", "a=1&b=2"),
+    ("queryString('https://ex.com/p')", "Utf8", ""),
+    ("fragment('https://ex.com/p#sec')", "Utf8", "sec"),
+    ("netloc('https://ex.com:8080/p')", "Utf8", "ex.com:8080"),
+    ("domainWithoutWWW('https://www.ex.com/p')", "Utf8", "ex.com"),
+    ("topLevelDomain('https://news.ex.com/p')", "Utf8", "com"),
+    ("firstSignificantSubdomain('https://news.yandex.com.tr/p')", "Utf8",
+     "yandex"),
+    ("firstSignificantSubdomain('https://news.example.com/p')", "Utf8",
+     "example"),
+    ("extractURLParameter('https://ex.com/p?a=1&b=2', 'b')", "Utf8", "2"),
+    ("extractURLParameter('https://ex.com/p?a=1', 'z')", "Utf8", ""),
+    ("cutQueryString('https://ex.com/p?a=1#frag')", "Utf8",
+     "https://ex.com/p#frag"),
+    ("cutFragment('https://ex.com/p?a=1#frag')", "Utf8",
+     "https://ex.com/p?a=1"),
+    ("cutQueryStringAndFragment('https://ex.com/p?a=1#frag')", "Utf8",
+     "https://ex.com/p"),
+    ("cutWWW('https://www.ex.com/p')", "Utf8", "https://ex.com/p"),
+    ("port('https://ex.com:8080/p')", "Int64", 8080),
+    ("port('https://ex.com/p')", "Int64", 0),
+    # IPv4 family (r5g)
+    ("IPv4StringToNum('1.2.3.4')", "Int64", 16909060),
+    ("toIPv4('127.0.0.1')", "Int64", 2130706433),
+    ("IPv4NumToString(16909060)", "Utf8", "1.2.3.4"),
+    ("isIPv4String('255.255.255.255')", "Boolean", True),
+    ("isIPv4String('256.1.1.1')", "Boolean", False),
+    ("isIPv4String('a.b.c.d')", "Boolean", False),
+    # geo (r5g) — London→Paris great-circle ≈ 343.5 km (haversine R=6371km)
+    ("round(greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566) / 1000)",
+     "Float64", 344.0),
+    ("geoDistance(0, 0, 0, 0)", "Float64", 0.0),
+    # date/time extras (r5g)
+    ("toString(toStartOfQuarter(toDate('2024-05-15')))", "Utf8",
+     "2024-04-01"),
+    ("toString(toMonday(toDate('2024-03-15')))", "Utf8", "2024-03-11"),
+    ("toString(toMonday(toDate('2024-03-11')))", "Utf8", "2024-03-11"),
+    ("toString(toMonday(toDate('2024-03-10')))", "Utf8", "2024-03-04"),
+    ("toString(addWeeks(toDate('2024-03-01'), 2))", "Utf8", "2024-03-15"),
+    ("toString(subtractWeeks(toDate('2024-03-15'), 1))", "Utf8",
+     "2024-03-08"),
+    ("toString(addYears(toDate('2024-02-29'), 1))", "Utf8", "2025-02-28"),
+    ("toString(subtractYears(toDate('2024-02-29'), 1))", "Utf8",
+     "2023-02-28"),
+    ("toYYYYMM(toDate('2024-03-15'))", "Int64", 202403),
+    ("toYYYYMMDD(toDate('2024-03-15'))", "Int64", 20240315),
+    ("monthName(toDate('2024-03-15'))", "Utf8", "March"),
+    ("dateName('month', toDate('2024-03-15'))", "Utf8", "March"),
+    ("dateName('weekday', toDate('2024-03-15'))", "Utf8", "Friday"),
+    ("dateName('year', toDate('2024-03-15'))", "Utf8", "2024"),
+    ("age('day', toDate('2024-03-01'), toDate('2024-03-15'))", "Int64", 14),
+    ("age('month', toDate('2024-01-15'), toDate('2024-03-14'))", "Int64", 1),
+    ("age('year', toDate('2020-06-01'), toDate('2024-05-31'))", "Int64", 3),
+    ("toString(timeSlot(toDateTime('2024-03-15 10:47:23')))", "Utf8",
+     "2024-03-15 10:30:00"),
+    ("toString(toStartOfFiveMinutes(toDateTime('2024-03-15 10:47:23')))",
+     "Utf8", "2024-03-15 10:45:00"),
+    ("toString(toStartOfFifteenMinutes(toDateTime('2024-03-15 10:47:23')))",
+     "Utf8", "2024-03-15 10:45:00"),
+    # transform / bit tests / rounding (r5g)
+    ("transform(2, array(1, 2, 3), array('a', 'b', 'c'), 'other')", "Utf8",
+     "b"),
+    ("transform(9, array(1, 2), array('a', 'b'), 'other')", "Utf8", "other"),
+    ("transform(9, array(1, 2), array(10, 20))", "Int64", 9),
+    ("bitTest(5, 0)", "Int64", 1),
+    ("bitTest(5, 1)", "Int64", 0),
+    ("bitTestAll(7, 0, 1, 2)", "Boolean", True),
+    ("bitTestAll(5, 0, 1)", "Boolean", False),
+    ("bitTestAny(4, 0, 2)", "Boolean", True),
+    ("bitTestAny(4, 0, 1)", "Boolean", False),
+    ("roundToExp2(100)", "Int64", 64),
+    ("roundToExp2(0)", "Int64", 0),
+    ("roundDown(5, array(2, 4, 8))", "Int64", 4),
+    ("roundDown(1, array(2, 4, 8))", "Int64", 2),
+    # map functions (r5g)
+    ("mapContains(map('a', 1, 'b', 2), 'b')", "Boolean", True),
+    ("mapContains(map('a', 1), 'z')", "Boolean", False),
+    ("mapKeys(map('a', 1, 'b', 2))", "List(Utf8)", ["a", "b"]),
+    ("mapValues(map('a', 1, 'b', 2))", "List(Int64)", [1, 2]),
+    ("mapValues(mapFromArrays(array('x'), array(9)))", "List(Int64)", [9]),
+    # math / float classification extras (r5g)
+    ("degrees(pi())", "Float64", 180.0),
+    ("radians(180) - pi()", "Float64", 0.0),
+    ("hypot(3, 4)", "Float64", 5.0),
+    ("intExp2(10)", "Int64", 1024),
+    ("intExp10(3)", "Int64", 1000),
+    ("isNaN(0.0)", "Boolean", False),
+    ("isFinite(1.5)", "Boolean", True),
+    ("isInfinite(1.5)", "Boolean", False),
+    ("isInfinite(exp(1000))", "Boolean", True),
+    ("isFinite(exp(1000))", "Boolean", False),
+    ("ifNotFinite(exp(1000), 42.0)", "Float64", 42.0),
+    ("ifNotFinite(1.5, 42.0)", "Float64", 1.5),
+    # string extras (r5g)
+    ("substringUTF8('hello', 2, 3)", "Utf8", "ell"),
+    ("positionUTF8('hello', 'll')", "Int64", 3),
+    ("concatAssumeInjective('a', 'b', 'c')", "Utf8", "abc"),
+    ("tokens('a-b c.d')", "List(Utf8)", ["a", "b", "c", "d"]),
+    ("tokens('--x--')", "List(Utf8)", ["x"]),
+    ("toValidUTF8('ok')", "Utf8", "ok"),
 ]
 
 HOF_CASES = [
@@ -277,7 +384,10 @@ def test_every_scalar_registry_entry_is_exercised_or_known():
             exercised.add(inner.lower())
     known_other = {
         # volatile / session-dependent — analyzability asserted below
-        "now", "today", "rand", "randcanonical", "pi",
+        "now", "today", "yesterday", "rand", "randcanonical", "pi",
+        # r5g: alias spellings exercised through their canonical case
+        "ipv4stringtonum", "ipv4numtostring", "querystring",
+        "isnan", "isfinite", "isinfinite", "ifnotfinite",
         # exercised via queries.py / e2e suites
         "arrayjoin", "tolowcardinality", "emptyarraystring", "tuple",
         "and", "or", "not", "splitbystring", "truncate", "substr", "lcase",
