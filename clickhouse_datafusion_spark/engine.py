@@ -271,6 +271,13 @@ class ClickHouseSparkEngine:
         from clickhouse_datafusion_spark.operators.layout import read_snapshot
 
         ka, kb = self._mv_key(a), self._mv_key(b)
+        # the SAMPLE BY registration follows the name (CH keeps SAMPLE BY
+        # through RENAME): move it for BOTH branches, and never leave the
+        # stale old-name key behind to silently apply if `a` reappears
+        sa = a.replace("`", "").split(".")[-1].lower()
+        sb = b.replace("`", "").split(".")[-1].lower()
+        if sa in self._sample_keys:
+            self._sample_keys[sb] = self._sample_keys.pop(sa)
         if ka in self._mat_views:
             if kb in self._mat_views:
                 raise SqlFrontDoorError(
@@ -344,7 +351,10 @@ class ClickHouseSparkEngine:
             if f_i >= len(toks) or toks[f_i].kind != NUM:
                 i += 1
                 continue
-            if "." not in toks[f_i].text:
+            # CH treats the bare literal 1 as the whole-table fraction
+            # (commonly emitted by query generators), NOT a 1-row sample —
+            # only integers >= 2 are the row-count form
+            if "." not in toks[f_i].text and toks[f_i].text != "1":
                 raise SqlFrontDoorError(
                     f"SAMPLE {toks[f_i].text} (row-count form) is not a "
                     "per-row filter; use sampling.uniform_sample_k for an "

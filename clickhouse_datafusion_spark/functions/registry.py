@@ -185,17 +185,36 @@ def _array_reduce(args: list[str]) -> str:
     if len(args) != 2:
         raise ValueError("arrayReduce takes ('agg', array)")
     arr = args[1]
+    # ANSI-safety + exactness (r5 ADVICE):
+    # - sum seeds the accumulator with the FIRST ELEMENT and folds the rest,
+    #   so the accumulator keeps the array's own element type — bigint
+    #   arrays (ids/hashes) sum exactly instead of losing bits above 2^53
+    #   in a DOUBLE accumulator; float arrays still sum as double. Empty
+    #   array -> 0 (CH semantics). Divergences (COVERAGE.md): CH widens
+    #   Int32 sums to Int64 — here an int-typed array keeps its type, so a
+    #   >2^31 sum of an array<int> errors under ANSI instead of widening;
+    #   DECIMAL-element arrays do not analyze (Spark decimal addition
+    #   grows precision, so no fold can keep the accumulator type) — wrap
+    #   elements in toFloat64() first.
+    # - avg uses try_divide: empty array -> NULL (CH returns nan; under
+    #   Spark ANSI a plain divide would abort the whole query).
+    # - any/anyLast use try_element_at: empty array -> NULL (plain
+    #   element_at throws INVALID_ARRAY_INDEX under ANSI).
+    sum_form = (f"coalesce(aggregate("
+                f"slice({arr}, 2, greatest(size({arr}) - 1, 0)), "
+                f"try_element_at({arr}, 1), (acc, x) -> acc + x), 0)")
+    avg_form = (f"try_divide(aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x), size({arr}))")
     forms = {
-        "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "sum": sum_form,
         "min": f"array_min({arr})",
         "max": f"array_max({arr})",
         "count": f"size({arr})",
-        "avg": (f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                f" / size({arr}))"),
+        "avg": avg_form,
         "uniq": f"size(array_distinct({arr}))",
         "uniqexact": f"size(array_distinct({arr}))",
-        "any": f"element_at({arr}, 1)",
-        "anylast": f"element_at({arr}, -1)",
+        "any": f"try_element_at({arr}, 1)",
+        "anylast": f"try_element_at({arr}, -1)",
     }
     if agg not in forms:
         raise ValueError(

@@ -69,6 +69,24 @@ R2 = lambda c: F.round(c, 2)  # noqa: E731
 R4 = lambda c: F.round(c, 4)  # noqa: E731
 
 
+def _csv_cols(df: DataFrame, *array_cols: str) -> DataFrame:
+    """Gate projection helper: replace each array column with its
+    order-preserving CSV join, renamed ``<col>_csv``. The driver's
+    canonicalizer sorts result cells with pandas and cannot sort raw
+    array cells (r2 f4b/f5b, r5 s6 gate errors) — gate entries must
+    compare scalars only; the operators themselves keep returning
+    arrays."""
+    out = []
+    for c in df.columns:
+        if c in array_cols:
+            out.append(F.array_join(
+                F.transform(F.col(c), lambda x: x.cast("string")),
+                ",").alias(f"{c}_csv"))
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
 def dsum(col, nd: int = 2):
     """Deterministic rounded sum of a double column/expression.
 
@@ -841,8 +859,13 @@ def f3(spark, sf):
 # computation (arrayMap/arrayFilter/arrayExists → transform/filter/exists,
 # ref tests/e2e.rs:1087-1220) is unchanged — the compared column is the
 # order-preserving string join of the array, which both engines express
-# exactly (concat_ws ↔ array_to_string). Raw-array variants are kept as
-# rows-only entries (f4b/f5b) so the List(Utf8) surface itself stays covered.
+# exactly (concat_ws ↔ array_to_string). The raw-array variants (f4b/f5b)
+# were REMOVED from the registry after their r2 canonicalizer failures —
+# gate entries must return scalar columns only (enforced by
+# tests/oracle_utils.compare). The raw `List(Utf8)` declared-type surface
+# (ref tests/e2e.rs:1116) stays covered by pytest instead:
+# tests/test_oracle.py::test_raw_list_utf8_surface executes both HOFs with
+# their raw array<string> outputs and checks the element values.
 
 @qdef("f4_ch_lambda_map",
       """SELECT p_partkey,
@@ -1441,8 +1464,8 @@ def x47_sequence_count(spark, sf):
 
 @qdef("a12_summap",
       """SELECT user_id,
-                list(k ORDER BY k) AS keys,
-                list(v ORDER BY k) AS sums_e4
+                array_to_string(list(k ORDER BY k), ',') AS keys_csv,
+                array_to_string(list(v ORDER BY k), ',') AS sums_e4_csv
          FROM (SELECT user_id, event_type AS k,
                       CAST(sum(CAST(value AS DECIMAL(28,4))) * 10000
                            AS BIGINT) AS v
@@ -1453,11 +1476,14 @@ def a12_summap(spark, sf):
     """ClickHouse sumMap(event_type, value) analog: per user, paired
     (sorted keys, per-key sums) arrays; sums are exact 1e-4-unit
     integers so array hashing is engine-independent — see
-    operators/funnel.py::sum_map."""
+    operators/funnel.py::sum_map. The operator returns raw arrays; the
+    GATE compares their order-preserving CSV joins (driver canonicalizer
+    cannot sort array cells — the f4/f5 pattern, queries.py:839)."""
     from clickhouse_datafusion_spark.operators.funnel import sum_map
 
     ev = t(spark, sf, "events")
-    return sum_map(ev, "event_type", "value", ["user_id"])
+    return _csv_cols(sum_map(ev, "event_type", "value", ["user_id"]),
+                     "keys", "sums_e4")
 
 
 @qdef("t14_hashed_classifier",
@@ -1568,17 +1594,21 @@ def x49_length_batches(spark, sf):
                                           ORDER BY cnt DESC, user_id)
                          AS rn
                 FROM c)
-         SELECT event_type, list(user_id ORDER BY rn) AS top_values
+         SELECT event_type,
+                array_to_string(list(user_id ORDER BY rn), ',')
+                  AS top_values_csv
          FROM r WHERE rn <= 3 GROUP BY event_type""",
       tags=("agg", "ext"))
 def a13_topk(spark, sf):
     """ClickHouse topK(3)(user_id) per event_type, exact form: most
     frequent users as a frequency-ordered array with deterministic
-    tie-break — see operators/funnel.py::top_k_values."""
+    tie-break — see operators/funnel.py::top_k_values. The operator
+    returns the raw array; the gate compares its CSV join."""
     from clickhouse_datafusion_spark.operators.funnel import top_k_values
 
     ev = t(spark, sf, "events")
-    return top_k_values(ev, "user_id", ["event_type"], k=3)
+    return _csv_cols(top_k_values(ev, "user_id", ["event_type"], k=3),
+                     "top_values")
 
 
 @qdef("a14_delta_sum",
@@ -1668,8 +1698,8 @@ def t16_blocklist(spark, sf):
 
 @qdef("a12b_maxmap",
       """SELECT user_id,
-                list(k ORDER BY k) AS keys,
-                list(v ORDER BY k) AS sums_e4
+                array_to_string(list(k ORDER BY k), ',') AS keys_csv,
+                array_to_string(list(v ORDER BY k), ',') AS sums_e4_csv
          FROM (SELECT user_id, event_type AS k,
                       CAST(max(CAST(value AS DECIMAL(28,4))) * 10000
                            AS BIGINT) AS v
@@ -1678,11 +1708,13 @@ def t16_blocklist(spark, sf):
       tags=("agg", "ext"))
 def a12b_maxmap(spark, sf):
     """ClickHouse maxMap analog — the agg="max" sibling of a12's
-    sumMap (operators/funnel.py::sum_map)."""
+    sumMap (operators/funnel.py::sum_map); gate compares CSV joins like
+    a12."""
     from clickhouse_datafusion_spark.operators.funnel import sum_map
 
     ev = t(spark, sf, "events")
-    return sum_map(ev, "event_type", "value", ["user_id"], agg="max")
+    return _csv_cols(sum_map(ev, "event_type", "value", ["user_id"],
+                             agg="max"), "keys", "sums_e4")
 
 
 @qdef("x34_locf_backfill",
@@ -3348,10 +3380,11 @@ def x24_profile(spark, sf):
 @qdef("s6_quantize_embeddings",
       """SELECT vec_id,
                 CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT) AS scale_micro,
-                CASE WHEN m > 0
-                     THEN list_transform(v, x -> CAST(FLOOR(x / m * 127 + 0.5)
-                                                      AS INT))
-                     ELSE list_transform(v, x -> 0) END AS q
+                array_to_string(
+                  CASE WHEN m > 0
+                       THEN list_transform(v, x -> CAST(FLOOR(x / m * 127 + 0.5)
+                                                        AS INT))
+                       ELSE list_transform(v, x -> 0) END, ',') AS q_csv
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> abs(x))) AS m
@@ -3360,10 +3393,16 @@ def x24_profile(spark, sf):
 def s6_quantize(spark, sf):
     """Symmetric int8 embedding quantization (4x ANN memory reduction),
     IEEE-deterministic so the arrays hash-match element-for-element — see
-    operators/similarity.py::quantize_embeddings."""
+    operators/similarity.py::quantize_embeddings.
+
+    The operator returns the raw array<int>; the GATE projection compares
+    its order-preserving CSV join (the established f4/f5 pattern — the
+    driver's canonicalizer cannot sort raw array cells, r5 gate error)."""
     from clickhouse_datafusion_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(t(spark, sf, "embeddings"))
+    q = quantize_embeddings(t(spark, sf, "embeddings"))
+    return q.select("vec_id", "scale_micro",
+                    F.array_join("q", ",").alias("q_csv"))
 
 
 @qdef("s8_hard_negatives",
@@ -3422,8 +3461,8 @@ def _s7_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
                       list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> FLOOR(x * 1000000 + 0.5)) AS q
                FROM embeddings)
-         SELECT vec_id, list_value(
-                {coords}) AS proj_micro
+         SELECT vec_id, array_to_string(list_value(
+                {coords}), ',') AS proj_micro_csv
          FROM qv"""
 
 
@@ -3432,10 +3471,12 @@ def _s7_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
 def s7_rproj(spark, sf):
     """JL random projection 64→8 dims with a seeded ±1 sign matrix —
     exact integer micro-unit output, every coordinate of every projected
-    vector hash-compared — see operators/similarity.py::random_project."""
+    vector compared via the array's CSV join (driver canonicalizer cannot
+    sort raw array cells) — see operators/similarity.py::random_project."""
     from clickhouse_datafusion_spark.operators.similarity import random_project
 
-    return random_project(t(spark, sf, "embeddings"), out_dim=8, dim=64)
+    proj = random_project(t(spark, sf, "embeddings"), out_dim=8, dim=64)
+    return _csv_cols(proj, "proj_micro")
 
 
 @qdef("x26_corpus_to_batches",
@@ -5177,168 +5218,72 @@ def x60_curriculum_phases(spark, sf):
 # d1/d2 bucket machinery), then the r2-dated f9-f11 and the r3-dated
 # q/e/x/t/s/fed block. The p/j/a/w/o/f1-f8 block re-verified green in r4
 # goes last. Pure reordering: every entry stays declared and runnable.
-# r5d note: round 5 added/changed ~64 entries against a ~50-row driver
-# window, so the window is spent deliberately: (1) the ten entries whose
-# ORACLES were upgraded this round (their old rows were rows-only — the
-# r4 verdict's top task), (2) every r5a/r5c first-gate entry, (3) the ten
-# highest-value r5d entries (bench members, the composed chains, the new
-# streaming classes). The eleven r5d entries after that cutoff were each
-# verified in-session against their oracles at sf0.001, sf0.01 AND sf0.1
-# (see COVERAGE.md) and rotate to the front of the r6 window.
+# r6 note: the gate order is now MECHANICAL (see _gate_order below) — it
+# reads the driver's own CORRECTNESS_r*.json history and fronts, in order:
+# (0) _GATE_PRIORITY — the manual head, reserved for entries whose BODY or
+#     ORACLE changed this round and must re-gate regardless of age;
+# (1) entries with no gate row ever (the r5 verdict's 49-entry backlog);
+# (2) entries whose latest row is a real error;
+# (3) entries whose latest row was rows-only (`no_oracle`) but that now
+#     carry an oracle (an oracle upgrade needs a fresh hash row);
+# (4) the rest, oldest gate round first.
+# No entry can starve: its row age monotonically pushes it forward. The
+# registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
+# exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # changed in r5 (new oracles / gate params / bodies)
-    "d3_minhash_lsh_candidates",
-    "d3x_minhash_production",
-    "d4_simhash_near_dups",
-    "d5_embedding_dup_pairs",
-    "s2_lsh_ann_topk",
-    "m1_multimodal_features",
-    "t6_repetition_scores",
-    "st1_streaming_tumbling",
-    "st3_streaming_sessions",
-    "st2_streaming_dedup",
-    # new in r5 (need first gate rows)
-    "x14_sequence_packing",
-    "x15_doc_chunking",
-    "t7_corpus_freq_score",
-    "st4_streaming_enrich",
-    "d7_intradoc_span_dedup",
-    "x16_bm25_scoring",
-    "x17_domain_cap",
-    "x18_seeded_shuffle",
-    "st5_streaming_stream_join",
-    "x19_incremental_dedup",
-    "x20_corpus_pipeline",
-    "s5_label_centroids",
-    "st6_streaming_outer_join",
-    "x21_percentile_filter",
-    "x22_importance_weights",
-    "x23_mixture_sample",
-    "x24_column_profile",
-    "t8_text_normalize",
-    "x25_jsonl_roundtrip",
+    # changed in r6: gate projection fixed (array->CSV join, r5's one red
+    # row — the f4/f5 canonicalizer pattern, see the s6 docstring)
     "s6_quantize_embeddings",
-    "d8_cross_doc_span_dedup",
-    "st7_streaming_corpus_dedup",
-    "x26_corpus_to_batches",
-    "t9_bpe_pair_counts",
-    # new in r5c (need first gate rows)
-    "x27_bloom_prefilter",
-    "x28_count_min_sketch",
-    "t10_url_canonicalize",
-    "d9_semantic_dedup",
-    "x29_hll_rollup",
-    "x30_pagerank",
-    # new in r5d — top slice inside the ~50 window (bench member, the
-    # prefix-sum packer, the MERGE cornerstone, the composed chain)
-    "t11_bigram_lm_score",
-    "x36_doc_bin_packing",
-    "x31_snapshot_upsert",
-    "x39_curated_corpus",
-    # VERDICT r4 task 1: changed-in-r4 dedup plans whose last gate rows
-    # are r3-dated — these MUST get r5 driver rows
-    "d6_dup_clusters",
-    "d1_exact_dedup_groups",
-    "d2_ngram_jaccard_pairs",
-    # VERDICT r4 task 6: function-rewrite rows r2-dated, 3 rounds stale
-    "f9_ch_group_by_udf",
-    "f10_ch_having_udf",
-    "f11_ch_window_over_udf",
-    # r5 continuation: the mutation/SAMPLE front-door entries — new code,
-    # in-session verified at sf0.001/0.01; right at the expected window edge
-    "x57_ch_mutations",
-    "x58_sample_clause",
-    "x59_temperature_mixture",
-    "x60_curriculum_phases",
-    # new in r5d — past the expected window cutoff; in-session verified
-    # at three scales (COVERAGE.md), first in the r6 rotation
-    "x40_near_contamination",
-    "st8_streaming_sliding",
-    "st9_streaming_upsert",
-    "s8_hard_negatives",
-    "x35_priority_sample",
-    "s7_random_projection",
-    "x44_retention",
-    "x45_window_funnel",
-    "a11_argmax",
-    "t12_html_strip",
-    "x32_uniform_sample_k",
-    "x33_outlier_flags",
-    "x34_locf_backfill",
-    "x37_group_quantiles",
-    "x38_snapshot_diff",
-    "x41_compaction",
-    "t13_lang_margin",
-    "x42_key_skew",
-    "x43_nested_subsamples",
-    "s9_ann_index_append",
-    # new in r5e — past the window; in-session hash-verified at
-    # sf0.001/0.01, queued behind the r5d late block for r6
-    "x46_sequence_match",
-    "x47_sequence_count",
-    "a12_summap",
-    "t14_hashed_classifier",
-    "x48_group_sample_k",
-    "x49_length_batches",
-    "a13_topk_array",
-    "a14_delta_sum",
-    "t15_c4_line_filter",
-    "t16_blocklist_filter",
-    "a10c_grouping_sets",
-    "w7_range_interval",
-    "w8_ntile_dist",
-    "x5b_unpivot",
-    "x51_dictget",
-    "x52_mat_view",
-    "x53_resample_locf",
-    "x54_limit_by",
-    "x55_ch_dialect",
-    "d10_paragraph_dedup",
-    "x56_web_curation",
-    "a12b_maxmap",
-    "st10_streaming_retention",
-    "st11_streaming_ann_append",
-    "d11_edit_distance_verify",
-    # r3-dated block
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "flagship_top_customers",
-    "e1_hourly_rollup",
-    "e2_user_activity",
-    "x1_asof_join",
-    "x2_range_join",
-    "x3_json_extract",
-    "x4_recursive_cte_date_spine",
-    "x5_pivot",
-    "x6_sessionization",
-    "x7_topk_per_group",
-    "x8_approx_aggs",
-    "x9_vocabulary_tf",
-    "x10_native_connector_scan",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_lang_id",
-    "t4_doc_fingerprint",
-    "t5_pii_redaction",
-    "s1_cosine_topk",
-    "s3_ivf_ann_topk",
-    "s4_knn_join",
-    "x11_hash_split",
-    "x12_stratified_sample",
-    "x13_contamination",
-    "fed1_memory_join_parquet",
-    "f12_ch_union_branches",
-    "f13_ch_cte_cross_ref",
-    "f14_ch_udf_join_side",
-    "f15_ch_indeterminate_join",
 ]
+
+def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
+    """Parse the driver's own CORRECTNESS_r*.json files (repo root) into
+    {entry: (latest_round, err_of_latest_row)}. Degrades to {} when the
+    files are absent (fresh checkout) — order then falls back to
+    _GATE_PRIORITY + registration order."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, tuple[int, str | None]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, (row or {}).get("err"))
+    return latest
 
 
 def _gate_order() -> list[str]:
-    rest = [n for n in QUERIES if n not in _GATE_PRIORITY]
-    return [n for n in _GATE_PRIORITY if n in QUERIES] + rest
+    """Starvation-proof gate order (r5 verdict task 3): manual head for
+    changed-this-round entries, then never-gated, then errored, then
+    oracle-upgraded rows-only, then everything else oldest-round-first.
+    Ties break on registration order, so the order is deterministic."""
+    head = [n for n in _GATE_PRIORITY if n in QUERIES]
+    latest = _latest_gate_rows()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+
+    def tier(n: str) -> tuple[int, int, int]:
+        if n not in latest:
+            return (1, 0, reg_pos[n])
+        rnd, err = latest[n]
+        if err and err != "no_oracle":
+            return (2, rnd, reg_pos[n])
+        if err == "no_oracle" and QUERIES[n].oracle:
+            return (3, rnd, reg_pos[n])
+        return (4, rnd, reg_pos[n])
+
+    rest = sorted((n for n in QUERIES if n not in head), key=tier)
+    return head + rest
 
 
 def get_queries():

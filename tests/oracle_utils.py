@@ -42,10 +42,31 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _assert_scalar_cells(df: pd.DataFrame, name: str) -> None:
+    """Driver-faithful strictness: the driver's canonicalizer sorts result
+    cells with pandas `sort_values`, which raises on list/ndarray cells
+    (r2 f4b/f5b, r5 s6 gate errors). Any oracle-gated entry returning an
+    array-typed column WILL error at the driver even if values match, so
+    fail it here first. Fix pattern: compare `array_join(col, ',')` /
+    `array_to_string(col, ',')` instead (queries.py:839)."""
+    if len(df) == 0:
+        return
+    row = df.iloc[0]
+    bad = [c for c in df.columns
+           if isinstance(row[c], (list, tuple, dict))
+           or str(type(row[c])).endswith("ndarray'>")]
+    assert not bad, (
+        f"{name}: array-typed compared column(s) {bad} — the driver's "
+        f"canonicalizer cannot sort these; gate a scalar join "
+        f"(array_join/array_to_string) instead")
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str,
             name: str = "?") -> None:
     actual = spark_df.toPandas()
     expected = con.execute(oracle).fetchdf()
+    _assert_scalar_cells(actual, name)
+    _assert_scalar_cells(expected, f"{name} (oracle)")
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch {sorted(actual.columns)} vs "
         f"{sorted(expected.columns)}")

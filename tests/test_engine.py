@@ -223,9 +223,40 @@ def test_sample_clause_lowering(spark, views):
     assert {r.o_orderkey for r in a1} == ids(q) == {r.o_orderkey for r in a2}
     with _pytest.raises(SqlFrontDoorError, match="row-count"):
         eng.sql("SELECT count(*) FROM orders SAMPLE 1000")
+    # the bare literal 1 is CH's whole-table fraction, not a 1-row sample
+    n_1 = eng.sql("SELECT count(*) AS n FROM orders SAMPLE 1").collect()[0].n
+    assert n_1 == n_all
     # a string literal containing SAMPLE is untouched
     r = eng.sql("SELECT 'keep SAMPLE 0.5 text' AS s").collect()[0].s
     assert r == "keep SAMPLE 0.5 text"
+
+
+def test_rename_table_moves_sample_key(spark, views, tmp_path):
+    """RENAME TABLE moves the SAMPLE BY registration with the name: the
+    new name samples, the old name (re-created) does NOT inherit the
+    stale key (r5 ADVICE)."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.engine import (
+        ClickHouseSparkEngine, SqlFrontDoorError)
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.sql("CREATE MATERIALIZED VIEW samp_src AS "
+            "SELECT o_orderkey FROM orders")
+    eng.set_sample_key("samp_src", "o_orderkey")
+    assert eng.sql("SELECT count(*) AS n FROM samp_src SAMPLE 0.5"
+                   ).collect()[0].n > 0
+    eng.sql("RENAME TABLE samp_src TO samp_dst")
+    # key followed the rename
+    assert eng.sql("SELECT count(*) AS n FROM samp_dst SAMPLE 0.5"
+                   ).collect()[0].n > 0
+    # a fresh table under the OLD name has no sample key
+    eng.sql("CREATE MATERIALIZED VIEW samp_src AS "
+            "SELECT o_orderkey FROM orders")
+    with _pytest.raises(SqlFrontDoorError, match="sample key"):
+        eng.sql("SELECT count(*) FROM samp_src SAMPLE 0.5")
+    eng.sql("DROP TABLE samp_src")
+    eng.sql("DROP TABLE samp_dst")
 
 
 def test_sample_offset_disjoint_windows(spark, views):

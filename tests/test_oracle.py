@@ -38,3 +38,33 @@ def test_entry_contract(spark):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_raw_list_utf8_surface(spark):
+    """The raw `List(Utf8)` declared-type surface (ref tests/e2e.rs:1116).
+
+    f4b/f5b were removed from the DRIVER gate registry because its
+    canonicalizer cannot sort raw array cells (queries.py:839); this test
+    is the recorded substitute — it executes arrayMap/arrayFilter with
+    their raw array<string> outputs and checks element values exactly.
+    """
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.catalog import register_testdata_views
+
+    register_testdata_views(spark, SF_SMOKE)
+    eng = ClickHouseSparkEngine(spark)
+    rows = eng.sql("""
+        SELECT p_partkey,
+               clickhouse(`arrayMap`($x, concat($x, '_p'),
+                                     splitByChar(' ', p_name)),
+                          'List(Utf8)') AS mapped,
+               clickhouse(`arrayFilter`($x, length($x) > 5,
+                                        splitByChar(' ', p_name)),
+                          'List(Utf8)') AS filtered
+        FROM part WHERE p_partkey <= 5""").orderBy("p_partkey").collect()
+    assert rows, "expected parts with p_partkey <= 5"
+    for r in rows:
+        assert isinstance(r.mapped, list) and r.mapped, r
+        assert all(w.endswith("_p") for w in r.mapped), r
+        assert isinstance(r.filtered, list), r
+        assert all(len(w) > 5 for w in r.filtered), r

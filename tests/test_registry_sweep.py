@@ -75,6 +75,20 @@ CASES = [
     ("arrayReduce('uniq', array(5, 5, 6))", "Int64", 2),
     ("arrayReduce('any', array(7, 8))", "Int64", 7),
     ("arrayReduce('anyLast', array(7, 8))", "Int64", 8),
+    # r5 ADVICE regressions: the element-typed accumulator keeps bigint
+    # sums exact above 2^53 (a double accumulator returns ...992.0), and
+    # empty arrays return NULL/0 instead of aborting under ANSI mode
+    ("arrayReduce('sum', array(9007199254740993, 0))", "Int64",
+     9007199254740993),
+    ("arrayReduce('sum', array(toFloat64(1.5), toFloat64(2.5)))",
+     "Float64", 4.0),
+    ("arrayReduce('sum', arraySlice(array(1), 2, 0))", "Int64", 0),
+    ("arrayReduce('avg', arraySlice(array(1.0), 2, 0))", "Float64",
+     "EXPECT_NULL"),
+    ("arrayReduce('any', arraySlice(array(1), 2, 0))", "Int64",
+     "EXPECT_NULL"),
+    ("arrayReduce('anyLast', arraySlice(array(1), 2, 0))", "Int64",
+     "EXPECT_NULL"),
     # JSON extraction family
     ("JSONExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
     ("JSONExtractRaw('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
@@ -361,6 +375,9 @@ def test_registry_case(spark, expr, typ, expected):
     row = spark.sql(sql).collect()[0]
     if expected is None:
         return  # analyzability check only
+    if expected == "EXPECT_NULL":
+        assert row.v is None, (sql, row.v)
+        return
     v = row.v
     if isinstance(v, list):
         assert [x for x in v] == expected, (sql, v)

@@ -152,10 +152,10 @@ def test_mutation_tail_parser_depth_aware(ws, expr):
 
     assigns, where = _parse_mutation_tail(
         "UPDATE", f"{ws}a ={ws}{expr}, b = 2{ws}WHERE{ws}k > 0")
-    assert assigns == [("a", expr.strip() if False else assigns[0][1]),
-                       ("b", "2")][:2]
     assert [c for c, _ in assigns] == ["a", "b"]
-    # the expr survives verbatim modulo outer whitespace
+    assert assigns[1][1] == "2"
+    # the expr survives verbatim modulo whitespace (ws may be injected
+    # inside the RHS by the generator, so compare whitespace-stripped)
     assert assigns[0][1].replace(" ", "").replace("\t", "") \
         .replace("\n", "") == expr.replace(" ", "")
     assert where.strip() == "k > 0"
