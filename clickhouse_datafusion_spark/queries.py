@@ -3820,16 +3820,26 @@ def t12_html(spark, sf):
         F.length(clean).cast("bigint").alias("n_clean_chars"))
 
 
-@qdef("x29_hll_rollup", None, tags=("pipeline",))
+@qdef("x29_hll_rollup",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                TRUE AS est_within_tol
+         FROM events GROUP BY 1""",
+      tags=("pipeline",))
 def x29_hll(spark, sf):
     """Mergeable HLL distinct-user sketches: build per (day, event_type),
     roll up to per-day estimates by merging sketches — the pre-aggregate-
     once pattern that replaces repeated exact COUNT(DISTINCT) re-scans at
-    100 TB. No SQL oracle (DataSketches register layout is
-    engine-specific — same class as x8/s3); correctness is pytest-bound:
-    error ≤1% vs exact at lgk=14 and rollup ≡ direct sketch. Returns the
-    estimates alongside the exact counts so the gate's rows-only check
-    still sees both."""
+    100 TB.
+
+    PARTIAL oracle (r5 verdict task 6, the m1 pattern): the rollup
+    STRUCTURE (one row per day) and the exact per-day count(distinct) are
+    DuckDB-expressible and hash-gated exactly; the HLL register layout is
+    engine-specific, so the estimate is gated as a bounded-tolerance
+    boolean — `est_within_tol` must be TRUE for every day (|est−exact| ≤
+    max(1, 2%·exact); the tighter ≤1% relative-error bound at lgk=14 and
+    rollup ≡ direct-sketch equivalence stay pytest-asserted in
+    tests/test_operators.py)."""
     from clickhouse_datafusion_spark.operators.sketch import (
         hll_distinct_sketches, hll_rollup)
 
@@ -3840,8 +3850,11 @@ def x29_hll(spark, sf):
     est = hll_rollup(sk, ["day"])
     exact = ev.groupBy("day").agg(
         F.countDistinct("user_id").alias("exact_distinct"))
-    return est.join(exact, "day").select("day", "est_distinct",
-                                         "exact_distinct")
+    tol = F.greatest(F.lit(1.0), F.col("exact_distinct") * 0.02)
+    return (est.join(exact, "day")
+            .select("day", "exact_distinct",
+                    (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                     <= tol).alias("est_within_tol")))
 
 
 @qdef("x30_pagerank",

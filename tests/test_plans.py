@@ -408,3 +408,59 @@ def test_x58_sample_filter_under_aggregate(spark):
     agg_at = plan.find("HashAggregate")
     filt_at = plan.rfind("Filter")
     assert agg_at != -1 and filt_at != -1 and filt_at > agg_at, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Dialect-lowering plan gates (r5 verdict stretch 8): the string-routed
+# x51–x58 surface executes through engine.py lowerings — these assertions
+# pin the lowered SHAPE so a regression to a non-pushed form cannot land
+# silently.
+
+def test_sample_lowers_to_bucket_filter_not_sample_node(spark, views):
+    """FROM t SAMPLE f must lower to a deterministic md5-bucket FILTER that
+    Catalyst collapses into the scan — never a Sample(withReplacement
+    physical node (non-deterministic, no IO pruning, not repeatable)."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.set_sample_key("orders", "o_orderkey")
+    df = eng.sql("SELECT o_orderkey FROM orders SAMPLE 0.25")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sample(withReplacement" not in plan, plan
+    assert "Sample " not in plan, plan
+    # the bucket predicate reaches a Filter (md5/hash of the sample key)
+    assert "Filter" in plan and "md5" in plan.lower(), plan
+
+
+def test_limit_by_lowers_to_ranked_window(spark, views):
+    """LIMIT n BY cols must lower to a per-group rank filter (window or
+    equivalent) — one partitioned pass, not a global sort + collect."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    df = eng.sql("SELECT o_custkey, o_orderkey FROM orders "
+                 "ORDER BY o_custkey, o_orderkey LIMIT 2 BY o_custkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan or "row_number" in plan, plan
+    # and no cartesian / global CollectLimit over the whole table
+    assert "CartesianProduct" not in plan, plan
+    # semantics: at most 2 rows per group
+    import collections
+    counts = collections.Counter(r.o_custkey for r in df.collect())
+    assert counts and max(counts.values()) <= 2
+
+
+def test_mutation_rewrite_has_no_per_row_udf(spark, views, tmp_path):
+    """ALTER TABLE ... UPDATE lowers to a CASE-projection snapshot rewrite
+    — whole-stage-codegen'able, no Python/BatchEvalPython in the plan."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.sql("CREATE MATERIALIZED VIEW mut_plan_mv AS "
+            "SELECT o_orderkey, o_totalprice FROM orders")
+    eng.sql("ALTER TABLE mut_plan_mv UPDATE o_totalprice = o_totalprice * 2 "
+            "WHERE o_orderkey % 2 = 0")
+    df = eng.sql("SELECT * FROM mut_plan_mv")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    eng.sql("DROP TABLE mut_plan_mv")
