@@ -68,3 +68,41 @@ def test_raw_list_utf8_surface(spark):
         assert all(w.endswith("_p") for w in r.mapped), r
         assert isinstance(r.filtered, list), r
         assert all(len(w) > 5 for w in r.filtered), r
+
+
+def test_gate_order_is_starvation_proof():
+    """The driver gate order (queries._gate_order) is mechanical: manual
+    changed-this-round head, then never-gated (registration order), then
+    errored, then oracle-upgraded rows-only, then oldest-round-first.
+    This pins the contract so no registry entry's gate row can starve."""
+    import json
+    from pathlib import Path
+
+    from clickhouse_datafusion_spark.queries import (
+        _GATE_PRIORITY, _gate_order, _latest_gate_rows, QUERIES)
+
+    order = _gate_order()
+    assert sorted(order) == sorted(QUERIES), "order must cover the registry"
+    latest = _latest_gate_rows()
+
+    head_len = len([n for n in _GATE_PRIORITY if n in QUERIES])
+    assert order[:head_len] == [n for n in _GATE_PRIORITY if n in QUERIES]
+
+    # correctness history present in the repo -> never-gated come before
+    # any entry with a clean gate row
+    root = Path(__file__).resolve().parent.parent
+    if list(root.glob("CORRECTNESS_r*.json")):
+        tail = order[head_len:]
+        never = [n for n in tail if n not in latest]
+        if never:
+            first_gated_clean = next(
+                (i for i, n in enumerate(tail)
+                 if n in latest and not latest[n][1]), len(tail))
+            last_never = max(tail.index(n) for n in never)
+            assert last_never < first_gated_clean, (
+                "a never-gated entry sorted after a cleanly-gated one")
+        # among cleanly-gated entries, round numbers are non-decreasing
+        rounds = [latest[n][0] for n in tail
+                  if n in latest and not latest[n][1]
+                  and not (latest[n][1] == "no_oracle" and QUERIES[n].oracle)]
+        assert rounds == sorted(rounds), "gated tail must be oldest-first"
