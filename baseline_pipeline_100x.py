@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Pipeline headliners at the next scale step: 100×-sf0.1 documents.
+
+The j4 two-scale point (baseline_j4_100x.py) showed the relational
+shuffle join crossing below DuckDB one decade up. This script asks the
+same question for the TEXT-PIPELINE headliners — the operators that are
+this engine's reason to exist at 100 TB: d3 (MinHash+LSH candidates),
+t11 (bigram-LM scoring), x56 (the composed web-curation chain), with t1
+(token counts) as the pure-scan control.
+
+The 100× corpus (``.tdcache/sf100x_docs/documents.parquet``, 500k docs)
+is built from 100 doc_id-shifted shards of sf0.1 with a PER-SHARD SEEDED
+WORD PERMUTATION of each text. Why permute: identical copies would make
+every document a 100-way exact/near dup, exploding LSH candidate pairs
+~10,000× — a different (and unrealistic) workload. Permuting word order
+preserves length/vocabulary/token statistics exactly (t1/t11 workloads
+unchanged) while decorrelating shingles across shards, so d3 sees 100
+independent corpora — the realistic shape of a big crawl. DuckDB runs
+the same oracle on the same file, so the comparison stays apples-to-
+apples at both scales.
+
+Usage: ``python baseline_pipeline_100x.py [--rebuild]`` → markdown rows
++ one JSON line, recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(HERE, ".tdcache", "sf100x_docs")
+COPIES = 100
+OFFSET = 10_000_000
+
+QUERY_SET = ["t1_token_counts", "d3_minhash_lsh_candidates",
+             "t11_bigram_lm_score", "x56_web_curation"]
+
+
+def build(rebuild: bool = False) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(OUT, "_BUILT")
+    if os.path.exists(marker) and not rebuild:
+        return OUT
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    src = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    cols = src.column_names
+    texts = src.column("text").to_pylist()
+    ids = src.column("doc_id").to_pylist()
+    path = os.path.join(OUT, "documents.parquet")
+    writer = pq.ParquetWriter(path, src.schema)
+    for i in range(COPIES):
+        if i == 0:
+            writer.write_table(src)  # shard 0 is the original, verbatim
+            continue
+        rng = random.Random(i)  # deterministic per shard
+        new_texts = []
+        for txt in texts:
+            words = txt.split(" ")
+            rng.shuffle(words)
+            new_texts.append(" ".join(words))
+        arrays = []
+        for c in cols:
+            if c == "doc_id":
+                arrays.append(pa.array([d + i * OFFSET for d in ids],
+                                       type=src.schema.field("doc_id").type))
+            elif c == "text":
+                arrays.append(pa.array(new_texts,
+                                       type=src.schema.field("text").type))
+            else:
+                arrays.append(src.column(c))
+        writer.write_table(pa.table(arrays, schema=src.schema))
+    writer.close()
+    open(marker, "w").close()
+    return OUT
+
+
+def link_other_tables(out: str) -> None:
+    """The pipeline queries only read documents, but loaders resolve the
+    whole dir — symlink the rest at sf0.1 scale."""
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            dst = os.path.join(out, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC, f), dst)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import duckdb
+
+    from clickhouse_datafusion_spark.queries import QUERIES
+    from tests.oracle_utils import TABLES
+
+    build("--rebuild" in sys.argv)
+    link_other_tables(OUT)
+    spark = (SparkSession.builder.master(
+                 f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "24g")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .appName("pipeline-scale").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for sf_label, d in (("sf0.1", SRC), ("sf100x_docs", OUT)):
+        con = duckdb.connect()
+        for t_ in TABLES:
+            con.execute(f"CREATE VIEW {t_} AS SELECT * FROM "
+                        f"'{d}/{t_}.parquet'")
+        for name in QUERY_SET:
+            qd = QUERIES[name]
+            fn = qd.spark_fn
+            fn(spark, d).count()  # warm
+            s_best = min(_timed(lambda: fn(spark, d).count())
+                         for _ in range(3))
+            if qd.oracle:
+                con.execute(qd.oracle).fetchall()  # warm
+                k_best = min(_timed(lambda: con.execute(qd.oracle).fetchall())
+                             for _ in range(3))
+            else:
+                k_best = None
+            results.setdefault(name, {})[sf_label] = {
+                "spark_sec": round(s_best, 3),
+                "duckdb_sec": round(k_best, 3) if k_best else None,
+                "ratio": round(s_best / k_best, 2) if k_best else None}
+            print(f"| {name} {sf_label} | {s_best:.2f} | "
+                  f"{k_best if k_best is None else round(k_best, 2)} |",
+                  file=sys.stderr)
+        con.close()
+    print(json.dumps({"metric": "pipeline_two_scale", "copies": COPIES,
+                      "results": results}))
+
+
+def _timed(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
