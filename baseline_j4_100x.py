@@ -58,14 +58,18 @@ def build(rebuild: bool = False) -> str:
 
 
 def time_spark(spark, sf_dir: str, iters: int = 3) -> float:
+    """bench.py / baseline_scale10.py methodology: toPandas ↔ duckdb .df()
+    — symmetric Arrow/columnar interchange on both engines, full result
+    materialization (a bare .count() would let Catalyst prune the very
+    work being measured)."""
     from clickhouse_datafusion_spark.queries import QUERIES
 
     fn = QUERIES["j4_self_join"].spark_fn
-    fn(spark, sf_dir).count()  # warm
+    fn(spark, sf_dir).toPandas()  # warm
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).toPandas()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -76,14 +80,15 @@ def time_duckdb(sf_dir: str, iters: int = 3) -> float:
     from clickhouse_datafusion_spark.queries import QUERIES
 
     con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
                 f"'{sf_dir}/lineitem.parquet'")
     sql = QUERIES["j4_self_join"].oracle
-    con.execute(sql).fetchall()  # warm
+    con.execute(sql).df()  # warm
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        con.execute(sql).fetchall()
+        con.execute(sql).df()
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -115,18 +115,22 @@ def main() -> None:
     results = {}
     for sf_label, d in (("sf0.1", SRC), ("sf100x_docs", OUT)):
         con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
         for t_ in TABLES:
             con.execute(f"CREATE VIEW {t_} AS SELECT * FROM "
                         f"'{d}/{t_}.parquet'")
         for name in QUERY_SET:
             qd = QUERIES[name]
             fn = qd.spark_fn
-            fn(spark, d).count()  # warm
-            s_best = min(_timed(lambda: fn(spark, d).count())
+            # bench.py methodology: toPandas ↔ duckdb .df() — symmetric
+            # Arrow interchange, full materialization (a bare .count()
+            # lets Catalyst prune projection-only work entirely)
+            fn(spark, d).toPandas()  # warm
+            s_best = min(_timed(lambda: fn(spark, d).toPandas())
                          for _ in range(3))
             if qd.oracle:
-                con.execute(qd.oracle).fetchall()  # warm
-                k_best = min(_timed(lambda: con.execute(qd.oracle).fetchall())
+                con.execute(qd.oracle).df()  # warm
+                k_best = min(_timed(lambda: con.execute(qd.oracle).df())
                              for _ in range(3))
             else:
                 k_best = None

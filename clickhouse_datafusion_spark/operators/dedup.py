@@ -85,18 +85,45 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
 # shingles
 # ---------------------------------------------------------------------------
 
-def word_ngrams(col, n: int = 3):
+def bind_once(col, f):
+    """Evaluate ``col`` ONCE per row and pass the result to ``f`` as a
+    higher-order-function lambda variable.
+
+    PySpark builds expression TREES by value: an expensive subtree (e.g.
+    ``split(text)``) referenced k times — worse, referenced inside a HOF
+    lambda that runs per element — is re-evaluated at every reference;
+    Catalyst's subexpression elimination does not reach across lambda
+    boundaries. Binding through a 1-element array + ``transform`` makes
+    every inner reference a ``NamedLambdaVariable`` — a guaranteed single
+    evaluation. Measured on 500k-doc gram construction (r6): 13.8 s →
+    1.8 s for identical output; the effect GROWS with text length, so at
+    100 TB this is the difference between one split per doc and one
+    split per gram×word."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
+def word_ngrams(col, n: int = 3, bound: bool = True):
     """Distinct word n-grams of a text column (array<string>).
 
     Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down*, so a
     doc with fewer than n words must short-circuit to an empty array.
+    The split is bound once per row (see :func:`bind_once`) — it is
+    referenced n+2 times below, and inside the per-gram lambda.
+    ``bound=False`` keeps the raw inlined expression: required ONLY when
+    the result feeds a pandas UDF (Spark cannot extract a PythonUDF whose
+    argument contains the bind_once wrapper — INTERNAL_ERROR at exec).
     """
-    ws = F.split(col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]))
-    return F.when(F.size(ws) >= n, F.array_distinct(grams)) \
-        .otherwise(F.array().cast("array<string>"))
+    def grams(ws):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + k) for k in range(n)]))
+        return F.when(F.size(ws) >= n, F.array_distinct(g)) \
+            .otherwise(F.array().cast("array<string>"))
+
+    if not bound:
+        return grams(F.split(col, " "))
+    return bind_once(F.split(col, " "), grams)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +147,8 @@ def _mh_params(n_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
-def gram_hashes(col, ngram: int = 3, family: str = "xx"):
+def gram_hashes(col, ngram: int = 3, family: str = "xx",
+                bound: bool = True):
     """31-bit hash per distinct word n-gram (computed ONCE per row — the
     expensive string hashing must not be repeated per hash function).
 
@@ -133,6 +161,9 @@ def gram_hashes(col, ngram: int = 3, family: str = "xx"):
       reproduces it bit-for-bit as
       ``('0x' || substring(md5(g), 1, 8))::BIGINT % 2147483647`` — the
       correctness gate pins this family while production keeps xxhash64.
+
+    ``bound`` is forwarded to :func:`word_ngrams` (pandas-UDF consumers
+    must pass ``bound=False``).
     """
     if family == "md5":
         h = lambda g: F.pmod(  # noqa: E731
@@ -140,7 +171,7 @@ def gram_hashes(col, ngram: int = 3, family: str = "xx"):
             F.lit(_MH_P))
     else:
         h = lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_P))  # noqa: E731
-    return F.transform(word_ngrams(col, ngram), h)
+    return F.transform(word_ngrams(col, ngram, bound=bound), h)
 
 
 def _sig_from_gram_hashes(gh_col, n_hashes: int):
@@ -266,7 +297,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 32,
                        bands: int = 8, ngram: int = 3,
                        threshold: float = 0.5,
-                       arrow_kernel: bool = True,
+                       arrow_kernel: bool = False,
                        gram_hash: str = "xx") -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, scored by estimated
     Jaccard (fraction of agreeing MinHashes), filtered at ``threshold``.
@@ -299,13 +330,20 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # Filter BELOW the repartition exchange — evaluated once per row in
     # the scan's (single) partition. Measured on d3 at sf0.1: 4.1 s → 1.1 s
     # for the identical output when the filter became scan-cheap.
+    # default (r6): the pure-Catalyst HOF form — no Python workers in the
+    # hot path, and with bind_once in word_ngrams it is within ~25% of
+    # the Arrow kernel's signature step while the whole query dropped
+    # 17.6 s → 6.1 s at 500k docs (the old kernel's measured advantage
+    # was mostly the re-split cost bind_once eliminated). The opt-in
+    # Arrow/numpy slot kernel must consume the UNBOUND gram expression:
+    # Spark cannot extract a PythonUDF whose argument contains the
+    # bind_once wrapper (INTERNAL_ERROR: Cannot evaluate ... PythonUDF).
+    # Outputs are bit-identical either way.
     gh = (_ensure_parallelism(df)
           .filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
           .select(F.col(id_col).alias("id"),
-                  gram_hashes(F.col(text_col), ngram, gram_hash).alias("gh")))
-    # default: Arrow/numpy slot kernel (see _mh_sig_arrow_kernel);
-    # arrow_kernel=False keeps the pure-Catalyst HOF form (no Python
-    # workers in the hot path) — outputs are bit-identical either way
+                  gram_hashes(F.col(text_col), ngram, gram_hash,
+                              bound=not arrow_kernel).alias("gh")))
     if arrow_kernel:
         sig = gh.select("id", _mh_sig_arrow_kernel(n_hashes)("gh").alias("sig"))
     else:
@@ -414,25 +452,30 @@ def simhash_col(col, bits: int = 64, word_hash: str = "xx"):
     ws = F.split(col, " ")
     if word_hash == "md5":
         assert bits <= 60, "md5 family is a 60-bit hash"
-        hashes = F.transform(
-            ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
-            .cast("bigint"))
+        hashes_of = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
     else:
-        hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    n = F.size(ws)
-    sig = F.lit(0).cast("bigint")
+        hashes_of = lambda w: F.xxhash64(w)  # noqa: E731
 
     def bit_pred(b: int):
         # single-parameter lambda: PySpark treats a 2-arg lambda as
         # (element, index), so the bit position must be closed over.
         return lambda h: F.getbit(h, F.lit(b)) == 1
 
-    for b in range(bits):
-        vote = F.size(F.filter(hashes, bit_pred(b)))
-        weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
-        sig = sig + F.when(vote * 2 > n, F.lit(weight).cast("bigint")) \
-            .otherwise(F.lit(0).cast("bigint"))
-    return sig
+    # the word-hash array is referenced `bits` times (one majority vote
+    # per bit) — bind it once per row or every vote re-splits and
+    # re-hashes the whole text (see bind_once)
+    def sig_from(hashes):
+        n = F.size(hashes)
+        sig = F.lit(0).cast("bigint")
+        for b in range(bits):
+            vote = F.size(F.filter(hashes, bit_pred(b)))
+            weight = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top
+            sig = sig + F.when(vote * 2 > n, F.lit(weight).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        return sig
+
+    return bind_once(F.transform(ws, hashes_of), sig_from)
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
