@@ -704,11 +704,18 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     the gh key when corpus boilerplate is extreme.
     """
     ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-    grams = F.when(n >= ngram, F.transform(
-        F.sequence(F.lit(1), n - ngram + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, ngram))))) \
-        .otherwise(F.array().cast("array<string>"))
+
+    # the split is referenced inside the per-gram lambda (slice per i) —
+    # without bind_once every gram re-splits the whole text: O(words²)
+    # work per doc (see bind_once)
+    def grams_of(w):
+        n = F.size(w)
+        return F.when(n >= ngram, F.transform(
+            F.sequence(F.lit(1), n - ngram + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, ngram))))) \
+            .otherwise(F.array().cast("array<string>"))
+
+    grams = bind_once(ws, grams_of)
     g = (df.select(F.col(id_col).alias("id"), grams.alias("gs"))
          .select("id", F.posexplode("gs").alias("gpos0", "gh")))
     # keeper = first corpus occurrence of the gram; every other occurrence

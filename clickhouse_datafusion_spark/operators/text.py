@@ -54,26 +54,37 @@ def token_count_cols(text_col: str = "text") -> list[Column]:
 
 
 def quality_cols(text_col: str = "text") -> list[Column]:
-    """Length/stopword/alpha statistics and a blended quality score."""
+    """Length/stopword/alpha statistics and a blended quality score.
+
+    The word array is lambda-bound per output column (see
+    ``operators.dedup.bind_once``): stop_ratio and quality each split the
+    text once instead of re-inlining the split per reference (the quality
+    score alone used to carry three splits and two stopword filters)."""
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
     c = F.col(text_col)
-    ws = words(text_col)
-    n_words = F.size(ws)
-    stop_hits = F.size(F.filter(
-        ws, lambda w: w.isin(*EN_STOPWORDS)))
     alpha_chars = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
-    mean_wlen = (F.length(c) - (n_words - 1)) / n_words
-    stop_ratio = F.floor(stop_hits * 10000 / n_words + F.lit(0.5)) / F.lit(10000.0)
-    alpha_ratio = F.floor(alpha_chars * 10000 / F.length(c) + F.lit(0.5)) / F.lit(10000.0)
-    score = F.floor(
-        (F.least(n_words / F.lit(200.0), F.lit(1.0)) * 40
-         + alpha_ratio * 40
-         + F.least(stop_ratio * 4, F.lit(1.0)) * 20) * 100 + F.lit(0.5)) / F.lit(100.0)
+    alpha_ratio = F.floor(alpha_chars * 10000 / F.length(c) + F.lit(0.5)) \
+        / F.lit(10000.0)
+
+    def stop_ratio_of(ws):
+        stop_hits = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS)))
+        return F.floor(stop_hits * 10000 / F.size(ws) + F.lit(0.5)) \
+            / F.lit(10000.0)
+
+    def score_of(ws):
+        return F.floor(
+            (F.least(F.size(ws) / F.lit(200.0), F.lit(1.0)) * 40
+             + alpha_ratio * 40
+             + F.least(stop_ratio_of(ws) * 4, F.lit(1.0)) * 20) * 100
+            + F.lit(0.5)) / F.lit(100.0)
+
+    ws_col = words(text_col)
     return [
         F.length(c).cast("bigint").alias("n_chars_m"),
-        n_words.cast("bigint").alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
+        F.size(ws_col).cast("bigint").alias("n_words"),
+        bind_once(ws_col, stop_ratio_of).alias("stop_ratio"),
         alpha_ratio.alias("alpha_ratio"),
-        score.alias("quality"),
+        bind_once(ws_col, score_of).alias("quality"),
     ]
 
 
@@ -82,15 +93,41 @@ def lang_score(text_col: str, lang: str) -> Column:
     return F.size(F.filter(words(text_col), lambda w: w.isin(*profile)))
 
 
+def _lang_scores_arr(text_col: str) -> Column:
+    """Per-language function-word hit counts as ONE bound array (element
+    order = ``sorted(LANG_PROFILES)``). The text is split once and each
+    profile filter runs once — consumers index the lambda-bound array
+    instead of re-inlining filter-over-split per reference (the CASE
+    chain in :func:`lang_id_col` used to re-evaluate ``greatest`` per
+    branch: ~k² filter+split evals per row for k languages; see
+    ``operators.dedup.bind_once``)."""
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+
+    def arr_of(ws):
+        return F.array(*[
+            F.size(F.filter(ws, lambda w: w.isin(*LANG_PROFILES[lg])))
+            .cast("bigint")
+            for lg in sorted(LANG_PROFILES)])
+
+    return bind_once(words(text_col), arr_of)
+
+
 def lang_id_col(text_col: str = "text") -> Column:
     """n-gram/function-word heuristic language ID with deterministic
     tie-breaking (alphabetical on equal score; 'und' when no hits)."""
-    scores = {lg: lang_score(text_col, lg) for lg in sorted(LANG_PROFILES)}
-    m = F.greatest(*scores.values())
-    out = F.lit("und")
-    for lg in reversed(sorted(scores)):  # build CASE chain, first lang wins ties
-        out = F.when((m > 0) & (scores[lg] == m), lg).otherwise(out)
-    return out
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+    langs = sorted(LANG_PROFILES)
+
+    def pred_of(arr):
+        m = F.array_max(arr)
+        out = F.lit("und")
+        for i, lg in reversed(list(enumerate(langs))):
+            # first lang wins ties: CASE chain, alphabetical
+            out = F.when((m > 0) & (F.element_at(arr, i + 1) == m), lg) \
+                .otherwise(out)
+        return out
+
+    return bind_once(_lang_scores_arr(text_col), pred_of)
 
 
 def lang_margin_cols(text_col: str = "text") -> list[Column]:
@@ -105,12 +142,16 @@ def lang_margin_cols(text_col: str = "text") -> list[Column]:
     Runner-up via array_sort of the per-language scores (second-from-top
     slot) — pure codegen, identical in the SQL oracle (`list_sort`).
     """
-    scores = [lang_score(text_col, lg) for lg in sorted(LANG_PROFILES)]
-    srt = F.array_sort(F.array(*[s.cast("bigint") for s in scores]))
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
     n = len(LANG_PROFILES)
-    margin = (F.element_at(srt, n) - F.element_at(srt, n - 1))
+
+    def margin_of(arr):
+        srt = F.array_sort(arr)
+        return F.element_at(srt, n) - F.element_at(srt, n - 1)
+
     return [lang_id_col(text_col).alias("lang_pred"),
-            margin.cast("bigint").alias("lang_margin")]
+            bind_once(_lang_scores_arr(text_col), margin_of)
+            .cast("bigint").alias("lang_margin")]
 
 
 def fingerprint_col(text_col: str = "text") -> Column:
