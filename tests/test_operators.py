@@ -73,6 +73,32 @@ def test_minhash_arrow_kernel_matches_hof(spark, docs):
     assert hof == arrow and len(hof) > 0
 
 
+def test_bind_once_word_ngrams_equivalence(spark, docs):
+    """bind_once is an evaluation-strategy change only: the bound (default)
+    and unbound forms of word_ngrams must agree row-for-row, including the
+    short-text empty-array branch and NULL text (the when/otherwise guard
+    turns the NULL condition into the empty-array branch in BOTH forms)."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import (
+        bind_once, word_ngrams)
+
+    edge = spark.createDataFrame(
+        [Row(doc_id=1, text="one two"), Row(doc_id=2, text=""),
+         Row(doc_id=3, text=None)], "doc_id int, text string")
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    both = corpus.select(
+        word_ngrams(F.col("text"), 3, bound=True).alias("b"),
+        word_ngrams(F.col("text"), 3, bound=False).alias("u"))
+    bad = both.filter(~(F.col("b").eqNullSafe(F.col("u")))).count()
+    assert bad == 0
+    assert both.filter(F.col("b").isNull()).count() == 0
+
+    doubled = spark.range(1).select(
+        bind_once(F.lit(21), lambda x: x + x).alias("v")).first()
+    assert doubled.v == 42
+
+
 def test_simhash_identical_and_perturbed(spark, docs):
     from clickhouse_datafusion_spark.operators.dedup import simhash_col
 
