@@ -364,15 +364,25 @@ def adjacent_word_pairs(df: DataFrame, text_col: str = "text",
     shared by the LM scorer and ``bpe_pair_counts``'s word-level cousin.
     One ``transform`` over the split array + one explode: a shuffle-free
     projection (the explode multiplies rows within the input split, it
-    does not move them)."""
-    ws = words(text_col)
-    n = F.size(ws)
+    does not move them).
+
+    The split is bound once per row (``operators.dedup.bind_once``): the
+    inner lambda references the array via ``F.get(ws, i + 1)``, and a raw
+    ``split`` subtree there is re-evaluated per pair element — O(len²)
+    re-splitting per doc, the exact pathology bind_once exists for."""
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+
     pair_t = "array<struct<w1:string,w2:string>>"
-    pairs = F.when(n >= 2, F.transform(
-        F.slice(ws, 1, n - 1),
-        lambda x, i: F.struct(x.alias("w1"),
-                              F.get(ws, i + 1).alias("w2")))) \
-        .otherwise(F.expr("array()").cast(pair_t))
+
+    def pairs_of(ws):
+        n = F.size(ws)
+        return F.when(n >= 2, F.transform(
+            F.slice(ws, 1, n - 1),
+            lambda x, i: F.struct(x.alias("w1"),
+                                  F.get(ws, i + 1).alias("w2")))) \
+            .otherwise(F.expr("array()").cast(pair_t))
+
+    pairs = bind_once(words(text_col), pairs_of)
     return (df.select(F.col(id_col), F.explode(pairs).alias("_p"))
             .select(id_col, "_p.w1", "_p.w2"))
 
@@ -419,6 +429,10 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     lw = lm.select(F.explode(words(text_col)).alias("w"))
     uni = lw.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
     total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
+    # self-scoring recomputes the pair explode for the LM build and the
+    # scoring pass; persisting the shared stream was tried (r6) and LOST
+    # — cache write+read of the ~90x-fanned pair rows costs more than the
+    # (bind_once-cheap) recompute at every scale measured.
     bi = (adjacent_word_pairs(lm, text_col, id_col)
           .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2")))
     # fold c(w1) into the bigram table at LM-BUILD time (a join between
