@@ -238,29 +238,60 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
     :func:`repetition_scores_exploded` — linear time, two (id, token)
     shuffles. All ratios use the repo's integer-arithmetic
     FLOOR(x·10⁴ + .5)/10⁴ convention so the DuckDB oracle is bit-exact."""
-    ws = words(text_col)
-    n = F.size(ws)
-    top_word = F.array_max(F.transform(
-        F.array_distinct(ws),
-        lambda w: F.size(F.filter(ws, lambda x: x == w))))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)))
-    top_bigram = F.array_max(F.transform(
-        F.array_distinct(bigrams),
-        lambda b: F.size(F.filter(bigrams, lambda x: x == b))))
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+
     r4dp = lambda num, den: F.floor(num * 10000 / den + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+
     # Degenerate docs (NULL text → NULL token array; n = 0 is impossible
     # with split semantics but guarded anyway) get explicit 0.0 fractions —
     # the same definition the exploded twin uses, so the two paths stay
     # row-for-row identical on real corpora (r4 advice: they diverged).
+    #
+    # Every reference to the split array (and to the derived bigram array)
+    # sits INSIDE a HOF lambda below — mode-counting re-reads the array
+    # once per distinct token — so both are bound once per row
+    # (``operators.dedup.bind_once``). Unbound, the raw split subtree
+    # re-evaluates per lambda element: O(distinct·words) *re-splits* on
+    # top of the intended O(distinct·words) comparisons, which turned the
+    # quality projection from seconds into unbounded at a 500k-doc corpus.
+
+    def dup_of(ws):
+        n = F.size(ws)
+        return (F.when(n >= 1, r4dp(n - F.size(F.array_distinct(ws)), n))
+                .otherwise(F.lit(0.0)))
+
+    def top_word_of(ws):
+        n = F.size(ws)
+        top_word = F.array_max(F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w))))
+        return F.when(n >= 1, r4dp(top_word, n)).otherwise(F.lit(0.0))
+
+    def top_bigram_of(ws):
+        n = F.size(ws)
+        # the n >= 2 guard must wrap the ARRAY construction, not just the
+        # final fraction: bind_once evaluates the bound subtree eagerly,
+        # and sequence(1, 0) counts DOWN, indexing past a 1-word array
+        bigrams = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                                  F.element_at(ws, i + 1)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+        def frac_of(bg):
+            top_bigram = F.array_max(F.transform(
+                F.array_distinct(bg),
+                lambda b: F.size(F.filter(bg, lambda x: x == b))))
+            return F.when(n >= 2, r4dp(top_bigram, n - 1)) \
+                .otherwise(F.lit(0.0))
+
+        return bind_once(bigrams, frac_of)
+
+    ws = words(text_col)
     return [
-        F.when(n >= 1, r4dp(n - F.size(F.array_distinct(ws)), n))
-        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
-        F.when(n >= 1, r4dp(top_word, n)).otherwise(F.lit(0.0))
-        .alias("top_word_frac"),
-        F.when(n >= 2, r4dp(top_bigram, n - 1)).otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
+        bind_once(ws, dup_of).alias("dup_word_frac"),
+        bind_once(ws, top_word_of).alias("top_word_frac"),
+        bind_once(ws, top_bigram_of).alias("top_bigram_frac"),
     ]
 
 
@@ -703,14 +734,22 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
     re-run this over a progressively merged symbol column (driver loop,
     one aggregate per merge — the standard distributed BPE shape).
     """
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+
     w = df.select(F.explode(words(text_col)).alias("w")) \
         .filter(F.length("w") >= 2)  # 1-char words carry no pairs
-    chars = F.split(F.col("w"), "")
-    pairs = w.select(F.explode(F.transform(
-        F.sequence(F.lit(1), F.size(chars) - 1),
-        lambda i: F.struct(
-            F.element_at(chars, i).alias("a"),
-            F.element_at(chars, i + 1).alias("b")))).alias("p")) \
+
+    # the char split is read per pair position inside the lambda — bind
+    # it once per word or the word re-splits O(len) times (bind_once)
+    def pairs_of(chars):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(chars) - 1),
+            lambda i: F.struct(
+                F.element_at(chars, i).alias("a"),
+                F.element_at(chars, i + 1).alias("b")))
+
+    pairs = w.select(
+        F.explode(bind_once(F.split(F.col("w"), ""), pairs_of)).alias("p")) \
         .select("p.a", "p.b")
     return (pairs.groupBy("a", "b")
             .agg(F.count("*").cast("bigint").alias("cnt"))
