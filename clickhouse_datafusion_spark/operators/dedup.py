@@ -243,6 +243,12 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
     buckets = (banded.groupBy("bk")
                .agg(F.collect_list(F.struct("id", *payload_cols)).alias("docs"))
                .filter(F.size("docs") > 1))
+    # docs is read inside the pair lambda (slice per position), so the
+    # array_sort re-runs once per bucket element — deliberately NOT
+    # bind_once'd: buckets are banding-bounded small (the re-sort is
+    # O(d² log d) on d≈2-10, noise next to the shuffle), so there is
+    # nothing to win, and keeping the explode source a plain expression
+    # leaves Generate free to consume it directly.
     docs = F.array_sort(F.col("docs"))
     pair = F.explode(F.flatten(F.transform(
         docs,

@@ -586,12 +586,22 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     Pure projection, shuffle-free; ``scale_micro`` carries the scale as an
     exact integer (micro-units) for the downstream rescale.
     """
+    from clickhouse_datafusion_spark.operators.dedup import bind_once
+
+    # the scale m is read inside the per-element quantize lambda — bind
+    # the (cast) vector and m once per row, or the array_max re-scans the
+    # whole vector per element: O(dim²) per row (bind_once)
+    def scale_of(vv):
+        return F.array_max(F.transform(vv, lambda x: F.abs(x)))
+
+    def q_of(vv):
+        return bind_once(scale_of(vv), lambda m: F.when(m > 0, F.transform(
+            vv, lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int")))
+            .otherwise(F.transform(vv, lambda x: F.lit(0))))
+
     v = _as_double(vec_col)
-    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.when(m > 0, F.transform(
-        v, lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int"))) \
-        .otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(
         F.col(id_col),
-        F.floor(m * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_micro"),
-        q.alias("q"))
+        bind_once(v, lambda vv: F.floor(scale_of(vv) * 1e6 + F.lit(0.5)))
+        .cast("bigint").alias("scale_micro"),
+        bind_once(v, q_of).alias("q"))
