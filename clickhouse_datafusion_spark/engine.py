@@ -272,12 +272,17 @@ class ClickHouseSparkEngine:
 
         ka, kb = self._mv_key(a), self._mv_key(b)
         # the SAMPLE BY registration follows the name (CH keeps SAMPLE BY
-        # through RENAME): move it for BOTH branches, and never leave the
-        # stale old-name key behind to silently apply if `a` reappears
+        # through RENAME) — but only move it AFTER the rename itself
+        # succeeds (r6 ADVICE): a failed rename (target exists, ALTER
+        # throws) must leave the source's key usable and must not graft it
+        # onto an unrelated pre-existing target.
         sa = a.replace("`", "").split(".")[-1].lower()
         sb = b.replace("`", "").split(".")[-1].lower()
-        if sa in self._sample_keys:
-            self._sample_keys[sb] = self._sample_keys.pop(sa)
+
+        def _move_sample_key() -> None:
+            if sa in self._sample_keys:
+                self._sample_keys[sb] = self._sample_keys.pop(sa)
+
         if ka in self._mat_views:
             if kb in self._mat_views:
                 raise SqlFrontDoorError(
@@ -287,8 +292,11 @@ class ClickHouseSparkEngine:
             read_snapshot(self.spark, mv["path"],
                           mv["version"]).createOrReplaceTempView(kb)
             self.spark.catalog.dropTempView(ka)
+            _move_sample_key()
             return self._mv_result(kb, mv["version"])
-        return self.spark.sql(f"ALTER TABLE {a} RENAME TO {b}")
+        out = self.spark.sql(f"ALTER TABLE {a} RENAME TO {b}")
+        _move_sample_key()
+        return out
 
     # -- SAMPLE clause -----------------------------------------------------
     def set_sample_key(self, table: str, key_col: str) -> None:

@@ -200,11 +200,19 @@ def _array_reduce(args: list[str]) -> str:
     #   Spark ANSI a plain divide would abort the whole query).
     # - any/anyLast use try_element_at: empty array -> NULL (plain
     #   element_at throws INVALID_ARRAY_INDEX under ANSI).
-    sum_form = (f"coalesce(aggregate("
-                f"slice({arr}, 2, greatest(size({arr}) - 1, 0)), "
-                f"try_element_at({arr}, 1), (acc, x) -> acc + x), 0)")
-    avg_form = (f"try_divide(aggregate({arr}, CAST(0 AS DOUBLE), "
-                f"(acc, x) -> acc + x), size({arr}))")
+    # - NULL handling (r6 ADVICE): CH's sum/avg SKIP NULL elements
+    #   ([5, NULL] -> 5), so both fold over filter(arr, x IS NOT NULL);
+    #   avg's denominator is the non-null count (CH aggregate semantics).
+    #   A NULL input ARRAY returns NULL (not a silent 0 — the pre-r7
+    #   coalesce masked it); an all-NULL/empty array sums to 0 (the sum
+    #   of nothing) and avgs to NULL.
+    nn = f"filter({arr}, x -> x IS NOT NULL)"
+    sum_form = (f"(CASE WHEN ({arr}) IS NULL THEN NULL "
+                f"ELSE coalesce(aggregate("
+                f"slice({nn}, 2, greatest(size({nn}) - 1, 0)), "
+                f"try_element_at({nn}, 1), (acc, x) -> acc + x), 0) END)")
+    avg_form = (f"try_divide(aggregate({nn}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x), size({nn}))")
     forms = {
         "sum": sum_form,
         "min": f"array_min({arr})",

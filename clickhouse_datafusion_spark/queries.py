@@ -5244,9 +5244,17 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # changed in r6: gate projection fixed (array->CSV join, r5's one red
-    # row — the f4/f5 canonicalizer pattern, see the s6 docstring)
-    "s6_quantize_embeddings",
+    # r7 (VERDICT r6 task 1): every entry whose operator BODY changed in
+    # the r6b bind_once wave AFTER its latest driver row — their shipped
+    # plans are newer than their gate evidence and must re-gate now, not
+    # when age rotation eventually reaches them.
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_candidates",
+    "d4_simhash_near_dups",
+    "d8_cross_doc_span_dedup",
+    "t6_repetition_scores",
+    "t9_bpe_pair_counts",
+    "t11_bigram_lm_score",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
@@ -5269,7 +5277,13 @@ def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
+            # degrade per-row too (r6 ADVICE): a non-dict row value (a
+            # string, a list) must not crash gate ordering at driver time
+            if row is not None and not isinstance(row, dict):
+                continue
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, (row or {}).get("err"))

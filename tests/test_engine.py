@@ -259,6 +259,33 @@ def test_rename_table_moves_sample_key(spark, views, tmp_path):
     eng.sql("DROP TABLE samp_dst")
 
 
+def test_failed_rename_leaves_sample_key_in_place(spark, views):
+    """A FAILED rename (target exists) must not move the sample key (r6
+    ADVICE): the still-existing source keeps sampling, and the unrelated
+    pre-existing target does not silently inherit the source's key."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.engine import (
+        ClickHouseSparkEngine, SqlFrontDoorError)
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.sql("CREATE MATERIALIZED VIEW rn_src AS "
+            "SELECT o_orderkey FROM orders")
+    eng.sql("CREATE MATERIALIZED VIEW rn_dst AS "
+            "SELECT o_custkey FROM orders")
+    eng.set_sample_key("rn_src", "o_orderkey")
+    with _pytest.raises(SqlFrontDoorError, match="already exists"):
+        eng.sql("RENAME TABLE rn_src TO rn_dst")
+    # source still samples with its own key
+    assert eng.sql("SELECT count(*) AS n FROM rn_src SAMPLE 0.5"
+                   ).collect()[0].n > 0
+    # target did NOT inherit the source's key
+    with _pytest.raises(SqlFrontDoorError, match="sample key"):
+        eng.sql("SELECT count(*) FROM rn_dst SAMPLE 0.5")
+    eng.sql("DROP TABLE rn_src")
+    eng.sql("DROP TABLE rn_dst")
+
+
 def test_sample_offset_disjoint_windows(spark, views):
     """SAMPLE f OFFSET o: shifted bucket windows partition the table into
     disjoint, collectively-exhaustive samples (CH's parallel-reader

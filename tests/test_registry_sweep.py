@@ -89,6 +89,14 @@ CASES = [
      "EXPECT_NULL"),
     ("arrayReduce('anyLast', arraySlice(array(1), 2, 0))", "Int64",
      "EXPECT_NULL"),
+    # r6 ADVICE regressions: sum/avg SKIP NULL elements (CH aggregate
+    # semantics, [5, NULL] -> 5), a NULL input ARRAY returns NULL (the
+    # old coalesce silently returned 0), an all-NULL array sums to 0
+    ("arrayReduce('sum', array(5, NULL))", "Int64", 5),
+    ("arrayReduce('avg', array(toFloat64(6), NULL))", "Float64", 6.0),
+    ("arrayReduce('sum', if(1 = 0, array(1), NULL))", "Int64",
+     "EXPECT_NULL"),
+    ("arrayReduce('sum', array(nullif(1, 1), nullif(2, 2)))", "Int64", 0),
     # JSON extraction family
     ("JSONExtractString('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
     ("JSONExtractRaw('{\"k\": \"v\"}', 'k')", "Utf8", "v"),
