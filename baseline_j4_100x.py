@@ -103,6 +103,9 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "24g")
              .config("spark.sql.adaptive.enabled", "true")
+             # Arrow collection, matching bench.py's get_spark — the
+             # row-at-a-time toPandas fallback otherwise taxes large results
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.enabled", "false")
              .appName("j4-scale").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -108,6 +108,10 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "24g")
              .config("spark.sql.adaptive.enabled", "true")
+             # bench.py's get_spark sets this too; without it toPandas
+             # falls back to row-at-a-time conversion (~3 s for a 500k-row
+             # result — it dominated every r6 100x ratio)
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.enabled", "false")
              .appName("pipeline-scale").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -202,7 +202,7 @@ def minhash_signature(col, n_hashes: int = 32, ngram: int = 3,
     return _sig_from_gram_hashes(gram_hashes(col, ngram, gram_hash), n_hashes)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     arrives in fewer partitions (e.g. one small parquet file). Signature
     computation is CPU-bound; without this it runs in a single task. At
@@ -212,12 +212,23 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     The partition probe is a file-split ESTIMATE (plans.explain), not
     ``df.rdd.getNumPartitions()`` — the RDD conversion re-plans the query,
     a measurable cost on wide plans. Non-file-backed inputs (in-memory
-    test corpora) conservatively repartition."""
+    test corpora) conservatively repartition.
+
+    Threshold (r7, measured at the 500k-doc corpus, 15 scan splits on 32
+    cores): the round-robin shuffle moves the FULL text payload, so it
+    only pays when per-row compute dwarfs the move. ``cpu_heavy=True``
+    (default — minhash/simhash signature kernels: repartition cut d3
+    10.5 s → 7.7 s) widens whenever splits < target. ``cpu_heavy=False``
+    (cheap streaming projections like the LM scorer: the same shuffle
+    COST t11 ~1.4 s net) widens only below target/4 — the 1-2-split
+    small-file pathology (t11: 13 s single-split vs 1.5 s at sf1x)
+    stays caught either way."""
     from clickhouse_datafusion_spark.plans.explain import estimated_scan_partitions
 
     target = df.sparkSession.sparkContext.defaultParallelism
     est = estimated_scan_partitions(df)
-    if est is None or est < target:
+    floor = target if cpu_heavy else max(1, target // 4)
+    if est is None or est < floor:
         return df.repartition(target)
     return df
 
