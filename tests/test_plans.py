@@ -464,3 +464,76 @@ def test_mutation_rewrite_has_no_per_row_udf(spark, views, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     eng.sql("DROP TABLE mut_plan_mv")
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren body of every ``lambdafunction(`` in a plan string.
+
+    Nested lambdas are included in their enclosing body too — a violation
+    is flagged regardless of nesting depth."""
+    bodies = []
+    marker = "lambdafunction("
+    i = plan.find(marker)
+    while i >= 0:
+        k = i + len(marker)
+        depth, start = 1, k
+        while depth and k < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        bodies.append(plan[start:k - 1])
+        i = plan.find(marker, i + 1)
+    return bodies
+
+
+def test_no_split_inside_hof_lambdas(spark):
+    """bind_once lint (r6 verdict task 6): Catalyst's subexpression
+    elimination does not cross HOF-lambda boundaries, so a raw
+    ``split(...)`` subtree referenced inside a ``transform``/``filter``
+    lambda re-evaluates once PER ELEMENT — the O(len²) class that made
+    t6 non-terminating at the 500k-doc corpus (r6b). Every default-path
+    operator expression must reference token arrays through a bound
+    NamedLambdaVariable (``operators.dedup.bind_once``), never the raw
+    split. This sweep renders each operator's analyzed plan and asserts
+    no ``split(`` appears inside any ``lambdafunction(`` body.
+
+    Deliberately NOT swept: ``word_ngrams(bound=False)`` (the pandas-UDF
+    feed — Spark cannot extract a PythonUDF argument containing the
+    wrapper) and ``_bucket_pairs``'s banding-bounded re-sort (no split)."""
+    from clickhouse_datafusion_spark.operators import dedup, text
+
+    F_ = __import__("pyspark.sql.functions", fromlist=["F"])
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f g")], "doc_id string, text string")
+
+    col_cases = {
+        "word_ngrams": [dedup.word_ngrams("text").alias("g")],
+        "gram_hashes": [dedup.gram_hashes("text").alias("g")],
+        "minhash_signature": [dedup.minhash_signature("text").alias("g")],
+        "simhash_col": [dedup.simhash_col("text").alias("g")],
+        "token_count_cols": text.token_count_cols(),
+        "quality_cols": text.quality_cols(),
+        "lang_id_col": [text.lang_id_col()],
+        "lang_margin_cols": text.lang_margin_cols(),
+        "fingerprint_col": [text.fingerprint_col()],
+        "repetition_cols": text.repetition_cols(),
+    }
+    df_cases = {
+        "adjacent_word_pairs": text.adjacent_word_pairs(df),
+        "_hashed_sentinel_pairs": text._hashed_sentinel_pairs(df),
+        "bpe_pair_counts": text.bpe_pair_counts(df),
+        "bigram_lm_score": text.bigram_lm_score(df),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs(df),
+        "drop_cross_doc_spans": dedup.drop_cross_doc_spans(df),
+    }
+    for name, cols in col_cases.items():
+        df_cases[name] = df.select(*cols)
+
+    offenders = {}
+    for name, out in df_cases.items():
+        plan = out._jdf.queryExecution().analyzed().toString()
+        hits = [b[:120] for b in _lambda_bodies(plan) if "split(" in b]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "raw split( inside a HOF lambda body — wrap the subtree in "
+        f"operators.dedup.bind_once: {offenders}")
