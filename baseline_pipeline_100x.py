@@ -39,7 +39,12 @@ COPIES = 100
 OFFSET = 10_000_000
 
 QUERY_SET = ["t1_token_counts", "d3_minhash_lsh_candidates",
-             "t11_bigram_lm_score", "x56_web_curation"]
+             "t11_bigram_lm_score", "x56_web_curation",
+             # r7 (VERDICT r6 task 7): the remaining heavy text operators
+             # whose bodies the bind_once wave changed — measured here
+             # against the oracle engine at both scales
+             "t6_repetition_scores", "t9_bpe_pair_counts",
+             "d8_cross_doc_span_dedup"]
 
 
 def build(rebuild: bool = False) -> str:
@@ -101,6 +106,11 @@ def main() -> None:
     from clickhouse_datafusion_spark.queries import QUERIES
     from tests.oracle_utils import TABLES
 
+    global QUERY_SET
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        QUERY_SET = [n for n in only[0].split(",") if n in QUERIES]
+
     build("--rebuild" in sys.argv)
     link_other_tables(OUT)
     spark = (SparkSession.builder.master(
@@ -132,18 +142,24 @@ def main() -> None:
             fn(spark, d).toPandas()  # warm
             s_best = min(_timed(lambda: fn(spark, d).toPandas())
                          for _ in range(3))
+            k_best: float | str | None = None
             if qd.oracle:
-                con.execute(qd.oracle).df()  # warm
-                k_best = min(_timed(lambda: con.execute(qd.oracle).df())
-                             for _ in range(3))
-            else:
-                k_best = None
+                # the oracle engine itself can fail at the 100× corpus
+                # (d8's 20-gram explode OOMs DuckDB at 500k docs while
+                # the Spark side completes) — record that, don't die
+                try:
+                    con.execute(qd.oracle).df()  # warm
+                    k_best = min(_timed(lambda: con.execute(qd.oracle).df())
+                                 for _ in range(3))
+                except Exception as e:  # noqa: BLE001
+                    k_best = f"ERROR: {type(e).__name__}"
+            timed = isinstance(k_best, float)
             results.setdefault(name, {})[sf_label] = {
                 "spark_sec": round(s_best, 3),
-                "duckdb_sec": round(k_best, 3) if k_best else None,
-                "ratio": round(s_best / k_best, 2) if k_best else None}
+                "duckdb_sec": round(k_best, 3) if timed else k_best,
+                "ratio": round(s_best / k_best, 2) if timed else None}
             print(f"| {name} {sf_label} | {s_best:.2f} | "
-                  f"{k_best if k_best is None else round(k_best, 2)} |",
+                  f"{round(k_best, 2) if timed else k_best} |",
                   file=sys.stderr)
         con.close()
     print(json.dumps({"metric": "pipeline_two_scale", "copies": COPIES,

@@ -2215,19 +2215,45 @@ def x7_topk(spark, sf):
             .filter(F.col("rn") <= 3))
 
 
-@qdef("x8_approx_aggs", None, tags=("A10", "ext"))
+@qdef("x8_approx_aggs",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                TRUE AS approx_parts_ok,
+                TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+         FROM lineitem""",
+      tags=("A10", "ext"))
 def x8_approx(spark, sf):
-    """approx_count_distinct + percentile_approx (A10 extensions) — sketch
-    results are engine-specific, so rows-only; the exact twins are
-    oracle-checked in a1/a2."""
+    """approx_count_distinct + percentile_approx (A10 extensions).
+
+    Sketch OUTPUTS are engine-specific, so the gate checks the sketch
+    CONTRACTS instead (partial oracle, r6 verdict task 8 — the x29
+    pattern): the exact distinct count hash-matches DuckDB, and each
+    sketch result is asserted inside its published error bound as a
+    boolean the oracle pins to TRUE. Bounds are generous multiples of
+    the guarantees — HLL++ default rsd = 5 % (checked at ±15 % = 3σ);
+    percentile_approx default accuracy 10⁴ bounds rank error by
+    N·10⁻⁴ (checked at ±0.02 quantile rank, 200× the guarantee) — so a
+    failure means a broken sketch, not an unlucky draw."""
     li = t(spark, sf, "lineitem")
+    apx = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75])
+    exact = F.expr("percentile(l_extendedprice, "
+                   "array(0.23, 0.27, 0.48, 0.52, 0.73, 0.77))")
+    row = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_apx"),
+        apx.alias("_p"), exact.alias("_e"))
+
+    def in_band(i, lo, hi):
+        return ((F.col("_p").getItem(i) >= F.col("_e").getItem(lo))
+                & (F.col("_p").getItem(i) <= F.col("_e").getItem(hi)))
+
     # scalar columns only: the gate canonicalizer cannot hash array cells
-    q = F.percentile_approx("l_extendedprice", [0.25, 0.75])
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        q.getItem(0).alias("p25"),
-        q.getItem(1).alias("p75"))
+    return row.select(
+        "exact_parts",
+        (F.abs(F.col("_apx") - F.col("exact_parts"))
+         <= F.col("exact_parts") * 0.15).alias("approx_parts_ok"),
+        in_band(0, 0, 1).alias("p25_ok"),
+        in_band(1, 2, 3).alias("p50_ok"),
+        in_band(2, 4, 5).alias("p75_ok"))
 
 
 @qdef("x9_vocabulary_tf",
@@ -4413,16 +4439,49 @@ def s1_topk(spark, sf):
     return cosine_topk(emb, qvec, k=10)
 
 
-@qdef("s3_ivf_ann_topk", None, tags=("pipeline", "similarity"))
+@qdef("s3_ivf_ann_topk",
+      """SELECT CAST(10 AS BIGINT) AS n, CAST(0 AS BIGINT) AS top1_vec_id,
+                1.0 AS top1_cos, TRUE AS cos_nonincreasing,
+                TRUE AS cos_in_range, TRUE AS ids_in_table""",
+      tags=("pipeline", "similarity"))
 def s3_ivf(spark, sf):
-    """IVF ANN (k-means coarse quantizer, n_probe nearest cells) — rows-only
-    check; tests measure recall on planted near-dups."""
+    """IVF ANN (k-means coarse quantizer, n_probe nearest cells).
+
+    The k-means cells depend on the fitted model, so the exact top-k set
+    is not SQL-expressible — the gate checks the probe INVARIANTS
+    instead (partial oracle, r6 verdict task 8): k rows come back (500
+    fixture vectors across 4 probed cells of 16 always hold ≥ 10); the
+    query vector retrieves ITSELF at rank 1 with cos exactly 1.0 (its
+    assigned cell is by definition the nearest centroid = the first
+    probe; floor-rounding pins 1.0-ε to 1.0); scores are sorted
+    non-increasing, all within [-1, 1]; and every returned id exists in
+    the table (anti-join count 0). Recall quality on planted near-dups
+    is pytest-measured (tests, SURVEY §5)."""
     from clickhouse_datafusion_spark.operators.similarity import ivf_ann_topk
 
     emb = t(spark, sf, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return ivf_ann_topk(emb, qvec, k=10)
+    res = ivf_ann_topk(emb, qvec, k=10)
+    w = W.orderBy(F.col("cos").desc(), "vec_id")
+    r = (res.withColumn("rn", F.row_number().over(w))
+         .withColumn("_prev", F.lag("cos").over(w)))
+    stats = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("vec_id")))
+        .cast("bigint").alias("top1_vec_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos")))
+        .cast("double").alias("top1_cos"),
+        F.min(F.col("_prev").isNull() | (F.col("cos") <= F.col("_prev")))
+        .alias("cos_nonincreasing"),
+        F.min((F.col("cos") >= -1.0) & (F.col("cos") <= 1.0))
+        .alias("cos_in_range"))
+    miss = (res.join(t(spark, sf, "embeddings").select("vec_id"),
+                     "vec_id", "left_anti")
+            .agg(F.count("*").alias("_m")))
+    return (stats.crossJoin(F.broadcast(miss))
+            .select("n", "top1_vec_id", "top1_cos", "cos_nonincreasing",
+                    "cos_in_range", (F.col("_m") == 0).alias("ids_in_table")))
 
 
 def _s2_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 8,
@@ -5255,6 +5314,10 @@ _GATE_PRIORITY = [
     "t6_repetition_scores",
     "t9_bpe_pair_counts",
     "t11_bigram_lm_score",
+    # r7 (VERDICT r6 task 8): rows-only → partial-oracle upgrades; both
+    # BODY and ORACLE changed, so they must re-gate with hash rows now.
+    "x8_approx_aggs",
+    "s3_ivf_ann_topk",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
