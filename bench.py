@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     # (pair explode + LM joins + id reduce) and whole-doc bin packing
     # (distributed prefix sum)
     "t11_bigram_lm_score",
+    # r7: the production LM shape — scoring against the persisted
+    # snapshot-store LM (t11 minus the build; the steady-state filter a
+    # crawl pipeline runs per shard). Its DuckDB twin rebuilds the LM
+    # per run, so the ratio is asymmetric by design.
+    "t11b_bigram_lm_prebuilt",
     "x36_doc_bin_packing",
     # r5e: corpus paragraph dedup (hash-keyed ownership aggregate) and
     # the composed web-curation chain (C4 lines -> paragraph dedup ->

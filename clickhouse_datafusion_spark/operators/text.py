@@ -485,6 +485,58 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     bigrams simply take the backoff path, which is the correct LM
     semantics for pruning.
     """
+    bi2, bk = build_bigram_lm(lm_df if lm_df is not None else df,
+                              text_col, id_col, alpha_num, alpha_den)
+    return score_with_bigram_lm(df, bi2, bk, text_col, id_col, broadcast_lm)
+
+
+def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", alpha_num: int = 2,
+                    alpha_den: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Build the two folded LM tables from a reference corpus:
+    ``(bigrams, backoff)`` where bigrams = (h1, h2, _seen ppm) and
+    backoff = (h2, _bo ppm). Production trains this OFFLINE (CCNet
+    trains its KenLM once) — persist with :func:`save_bigram_lm` and
+    score any number of batches with :func:`score_with_bigram_lm`.
+
+    One corpus-wide aggregate: sentinel pairs make the h1-marginal the
+    exact unigram count (every occurrence is a w1 exactly once), so the
+    separate corpus-size word explode+shuffle is gone. c(w1) folds into
+    the bigram table and the whole backoff formula
+    (α·c(w2)·10⁶ DIV (α_den·total)) into a per-word table at BUILD
+    time: the hot per-pair scoring path is then exactly two broadcast
+    hash probes + a coalesce. Folding `total` here matters — the naive
+    shape crossJoins broadcast(total) onto the 90×-fanout pair stream,
+    a BroadcastNestedLoopJoin over every pair row that measured ~3 s of
+    the old 5.2 s at the 500k-doc corpus. An h2 absent from the LM
+    coalesces to 0 = the exact c(w2)=0 backoff value."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism)
+
+    lm = _ensure_parallelism(lm_df, cpu_heavy=False)
+    bi_full = (_hashed_sentinel_pairs(lm, text_col, id_col)
+               .groupBy("h1", "h2")
+               .agg(F.count("*").cast("bigint").alias("c2")))
+    uni = bi_full.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
+    bi2 = (bi_full.filter(F.col("h2").isNotNull())
+           .join(uni, "h1")
+           .select("h1", "h2", F.expr("(c2 * 1000000) DIV c1").alias("_seen")))
+    bk = (uni.crossJoin(F.broadcast(total))
+          .select(F.col("h1").alias("h2"),
+                  F.expr(f"({int(alpha_num)} * c1 * 1000000) "
+                         f"DIV ({int(alpha_den)} * tot)").alias("_bo")))
+    return bi2, bk
+
+
+def score_with_bigram_lm(df: DataFrame, bigrams: DataFrame,
+                         backoff: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         broadcast_lm: bool = True) -> DataFrame:
+    """Score a batch against a prebuilt LM (:func:`build_bigram_lm` /
+    :func:`load_bigram_lm`): the incremental path a production filter
+    runs per crawl shard — pair projection + two broadcast hash probes
+    + one id-keyed reduce, no LM rebuild."""
     from clickhouse_datafusion_spark.operators.dedup import (
         _ensure_parallelism)
 
@@ -495,32 +547,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     # scale the scan already has >= defaultParallelism splits and this
     # is a no-op
     df = _ensure_parallelism(df, cpu_heavy=False)
-    lm = (_ensure_parallelism(lm_df, cpu_heavy=False)
-          if lm_df is not None else df)
-    # one corpus-wide aggregate: sentinel pairs make the h1-marginal the
-    # exact unigram count (every occurrence is a w1 exactly once)
-    bi_full = (_hashed_sentinel_pairs(lm, text_col, id_col)
-               .groupBy("h1", "h2")
-               .agg(F.count("*").cast("bigint").alias("c2")))
-    uni = bi_full.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))
-    total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
-    # fold c(w1) into the bigram table AND the whole backoff formula
-    # (α·c(w2)·10⁶ DIV (α_den·total)) into a per-word table at LM-BUILD
-    # time: the hot per-pair scoring path is then exactly two broadcast
-    # hash probes + a coalesce. Folding `total` here matters — the naive
-    # shape crossJoins broadcast(total) onto the 90×-fanout pair stream,
-    # a BroadcastNestedLoopJoin over every pair row that measured ~3 s of
-    # the old 5.2 s at the 500k-doc corpus. An h2 absent from the LM
-    # coalesces to 0 = the exact c(w2)=0 backoff value.
-    bi2 = (bi_full.filter(F.col("h2").isNotNull())
-           .join(uni, "h1")
-           .select("h1", "h2", F.expr("(c2 * 1000000) DIV c1").alias("_seen")))
-    bk = (uni.crossJoin(F.broadcast(total))
-          .select(F.col("h1").alias("h2"),
-                  F.expr(f"({int(alpha_num)} * c1 * 1000000) "
-                         f"DIV ({int(alpha_den)} * tot)").alias("_bo")))
     maybe_b = F.broadcast if broadcast_lm else (lambda x: x)
-
     # the sentinel rows are KEPT in the scoring stream: every doc (even a
     # pairless single-word one) then reaches the per-doc aggregate, so
     # the old `base LEFT JOIN pd` re-scan + 500k×500k join — measured
@@ -528,8 +555,8 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     # matches neither broadcast table (null join keys never match) and
     # its _contrib stays NULL: summed as 0, counted as 0 pairs.
     hp = _hashed_sentinel_pairs(df, text_col, id_col)
-    scored = (hp.join(maybe_b(bi2), ["h1", "h2"], "left")
-              .join(maybe_b(bk), "h2", "left")
+    scored = (hp.join(maybe_b(bigrams), ["h1", "h2"], "left")
+              .join(maybe_b(backoff), "h2", "left")
               .select(F.col(id_col),
                       F.when(F.col("h2").isNotNull(),
                              F.coalesce("_seen", "_bo", F.lit(0)))
@@ -541,6 +568,36 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
         id_col, "n_pairs",
         F.coalesce(F.expr("_s DIV nullif(n_pairs, 0)"),
                    F.lit(0)).cast("bigint").alias("score_ppm"))
+
+
+def save_bigram_lm(bigrams: DataFrame, backoff: DataFrame,
+                   path: str) -> int:
+    """Persist both LM tables as one pinned snapshot version (the
+    snapshot store, operators/layout.py): a scoring run months later
+    can name 'LM v3' and reproduce byte-identically while retrains keep
+    landing as new versions. Returns the version number."""
+    import os
+
+    from clickhouse_datafusion_spark.operators.layout import write_snapshot
+
+    v = write_snapshot(bigrams, os.path.join(path, "bigrams"))
+    v2 = write_snapshot(backoff, os.path.join(path, "backoff"))
+    if v != v2:  # torn write (a previous save died between the two)
+        raise RuntimeError(
+            f"snapshot version skew under {path}: bigrams v={v} "
+            f"vs backoff v={v2} — remove the orphan and retry")
+    return v
+
+
+def load_bigram_lm(spark, path: str,
+                   version: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Load a pinned (or latest) persisted LM as (bigrams, backoff)."""
+    import os
+
+    from clickhouse_datafusion_spark.operators.layout import read_snapshot
+
+    return (read_snapshot(spark, os.path.join(path, "bigrams"), version),
+            read_snapshot(spark, os.path.join(path, "backoff"), version))
 
 
 def normalize_text_col(text_col: str | Column = "text") -> Column:

@@ -3752,8 +3752,7 @@ def t10_url(spark, sf):
                  F.min("doc_id").cast("bigint").alias("first_doc")))
 
 
-@qdef("t11_bigram_lm_score",
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+_T11_ORACLE = """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
                      FROM documents),
           uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c1
                   FROM (SELECT unnest(w) AS wd FROM ws WHERE doc_id < 250)
@@ -3786,8 +3785,10 @@ def t10_url(spark, sf):
                 COALESCE(pd.n_pairs, 0) AS n_pairs,
                 CAST(COALESCE(pd.s // pd.n_pairs, 0) AS BIGINT)
                   AS score_ppm
-         FROM ws LEFT JOIN pd USING (doc_id)""",
-      tags=("pipeline", "text"))
+         FROM ws LEFT JOIN pd USING (doc_id)"""
+
+
+@qdef("t11_bigram_lm_score", _T11_ORACLE, tags=("pipeline", "text"))
 def t11_bigram_lm(spark, sf):
     """Bigram-LM familiarity with Stupid Backoff (α=2/5): the LM is built
     from the first half of the id space (a held reference corpus) and
@@ -3798,6 +3799,43 @@ def t11_bigram_lm(spark, sf):
 
     docs = t(spark, sf, "documents")
     return bigram_lm_score(docs, lm_df=docs.filter(F.col("doc_id") < 250))
+
+
+@qdef("t11b_bigram_lm_prebuilt", _T11_ORACLE, tags=("pipeline", "text"))
+def t11b_bigram_lm_prebuilt(spark, sf):
+    """t11's PRODUCTION shape (r6 verdict task 4: 'persist the LM tables
+    once ... and score incrementally — CCNet trains the LM offline'):
+    the folded LM tables are built once per corpus, persisted as a
+    pinned snapshot-store version (operators/layout.py — the artifact a
+    retrain lands as v+1 of), and every scoring run pays ONLY the
+    incremental path: hashed pair projection + two broadcast probes +
+    one id-keyed reduce. Output is bit-identical to t11 (same oracle);
+    the DuckDB oracle necessarily rebuilds its LM per run, so bench
+    ratios for this entry compare Spark's scoring-only path against
+    DuckDB's build+score — asymmetric BY DESIGN, it measures the
+    steady-state filter a crawl pipeline actually runs."""
+    import os
+
+    from clickhouse_datafusion_spark.catalog import _TDCACHE
+    from clickhouse_datafusion_spark.operators.layout import list_snapshots
+    from clickhouse_datafusion_spark.operators.text import (
+        build_bigram_lm, load_bigram_lm, save_bigram_lm,
+        score_with_bigram_lm)
+
+    docs = t(spark, sf, "documents")
+    sf_tag = os.path.basename(os.path.abspath(sf).rstrip("/"))
+    lm_path = os.path.join(_TDCACHE, "bigram_lm", sf_tag)
+    src = resolve_parquet_path(f"{sf}/documents.parquet")
+    versions = list_snapshots(os.path.join(lm_path, "bigrams"))
+    fresh = versions and (
+        os.path.getmtime(os.path.join(lm_path, "bigrams",
+                                      f"v={versions[-1]}"))
+        >= os.path.getmtime(src))
+    if not fresh:  # first run per corpus, or the corpus was regenerated
+        bi2, bk = build_bigram_lm(docs.filter(F.col("doc_id") < 250))
+        save_bigram_lm(bi2, bk, lm_path)
+    bi2, bk = load_bigram_lm(spark, lm_path)
+    return score_with_bigram_lm(docs, bi2, bk)
 
 
 _T12_PRE = ('<html><head><script type="text/javascript">var x = 1 < 2;'

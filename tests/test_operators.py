@@ -2254,3 +2254,36 @@ def test_curriculum_phases_boundaries(spark):
     o2 = {(r.doc_id, r.ord) for r in
           curriculum_phases(df, "score", n_phases=3).collect()}
     assert o1 == o2
+
+
+def test_bigram_lm_prebuilt_round_trip(spark, docs, tmp_path):
+    """The persisted-LM path (build → snapshot save → load → score) is
+    bit-identical to the inline self-contained score, pinned versions
+    survive a retrain, and a torn save (one table written, the other
+    not) is detected rather than silently mixing LM versions."""
+    from clickhouse_datafusion_spark.operators.layout import write_snapshot
+    from clickhouse_datafusion_spark.operators.text import (
+        bigram_lm_score, build_bigram_lm, load_bigram_lm, save_bigram_lm,
+        score_with_bigram_lm)
+
+    lm_src = docs.filter("doc_id < 250")
+    inline = sorted(map(tuple, bigram_lm_score(docs, lm_df=lm_src).collect()))
+
+    path = str(tmp_path / "lm")
+    bi2, bk = build_bigram_lm(lm_src)
+    assert save_bigram_lm(bi2, bk, path) == 1
+    b, k = load_bigram_lm(spark, path)
+    assert sorted(map(tuple, score_with_bigram_lm(docs, b, k).collect())) \
+        == inline
+
+    # a retrain lands as v2; pinning v1 still reproduces the old scores
+    assert save_bigram_lm(bi2, bk, path) == 2
+    b1, k1 = load_bigram_lm(spark, path, version=1)
+    assert sorted(map(tuple,
+                      score_with_bigram_lm(docs, b1, k1).collect())) == inline
+
+    # torn write: bigrams advanced to v3 without its backoff twin
+    write_snapshot(bi2, f"{path}/bigrams")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="version skew"):
+        save_bigram_lm(bi2, bk, path)
