@@ -85,6 +85,19 @@ from clickhouse_datafusion_spark.operators.text import bigram_lm_score
 bigram_lm_score(docs.limit(200), lm_df=docs.filter(F.col("doc_id") < 250)) \
     .orderBy(F.desc("score_ppm")).show(5)
 
+print("== production LM flow: train offline once, score every shard ==")
+import tempfile
+
+from clickhouse_datafusion_spark.operators.text import (
+    build_bigram_lm, load_bigram_lm, save_bigram_lm, score_with_bigram_lm)
+
+lm_dir = tempfile.mkdtemp(prefix="bigram_lm_")
+bi, bk = build_bigram_lm(docs.filter(F.col("doc_id") < 250))
+v = save_bigram_lm(bi, bk, lm_dir)          # pinned snapshot version
+bi, bk = load_bigram_lm(spark, lm_dir, v)   # any later scoring run
+score_with_bigram_lm(docs.limit(200), bi, bk) \
+    .orderBy(F.desc("score_ppm")).show(5)
+
 print("== HTML -> text extraction ==")
 from clickhouse_datafusion_spark.operators.text import strip_html_col
 

@@ -2287,3 +2287,65 @@ def test_bigram_lm_prebuilt_round_trip(spark, docs, tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="version skew"):
         save_bigram_lm(bi2, bk, path)
+
+
+def test_bigram_lm_score_property_vs_python_reference(spark):
+    """Property check of the hashed sentinel-pair LM against a direct
+    Python reference on randomized degenerate corpora — NULL texts,
+    empty strings (split(' ') of '' is [''], ONE empty-string token),
+    single words, repeated words, LM subsets that leave words/bigrams
+    unseen (backoff path), and the self-scoring shape. The sf0.01 gate
+    covers realistic data; this covers the shapes it can't draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    word = st.sampled_from(["a", "b", "c", "ab"])
+    doc = st.one_of(
+        st.none(),
+        st.lists(word, min_size=0, max_size=6).map(" ".join))
+    corpora = st.lists(doc, min_size=1, max_size=7)
+
+    def ref_scores(texts, lm_idx, an=2, ad=5):
+        from collections import Counter
+        uni, bi = Counter(), Counter()
+        for i in lm_idx:
+            if texts[i] is None:
+                continue
+            ws = texts[i].split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        tot = sum(uni.values())
+        out = {}
+        for i, txt in enumerate(texts):
+            if txt is None:
+                out[i] = (0, 0)
+                continue
+            ws = txt.split(" ")
+            pairs = list(zip(ws, ws[1:]))
+            cs = [bi[p] * 1000000 // uni[p[0]] if p in bi
+                  else (an * uni.get(p[1], 0) * 1000000) // (ad * tot)
+                  if tot else 0
+                  for p in pairs]
+            out[i] = (len(pairs), sum(cs) // len(pairs) if pairs else 0)
+        return out
+
+    @given(corpora, st.data())
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(texts, data):
+        lm_idx = data.draw(st.sets(
+            st.integers(0, len(texts) - 1), min_size=0, max_size=len(texts)))
+        df = spark.createDataFrame(
+            [(i, t_) for i, t_ in enumerate(texts)],
+            "doc_id long, text string")
+        lm = df.filter(F.col("doc_id").isin([int(i) for i in lm_idx])) \
+            if lm_idx else None
+        # empty lm_idx draws the self-scoring shape (lm_df=None → df)
+        got = {r.doc_id: (r.n_pairs, r.score_ppm)
+               for r in bigram_lm_score(df, lm_df=lm).collect()}
+        want = ref_scores(texts, lm_idx if lm_idx else range(len(texts)))
+        assert got == want
+
+    check()
