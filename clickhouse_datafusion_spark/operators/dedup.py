@@ -347,25 +347,59 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # Filter BELOW the repartition exchange — evaluated once per row in
     # the scan's (single) partition. Measured on d3 at sf0.1: 4.1 s → 1.1 s
     # for the identical output when the filter became scan-cheap.
-    # default (r6): the pure-Catalyst HOF form — no Python workers in the
-    # hot path, and with bind_once in word_ngrams it is within ~25% of
-    # the Arrow kernel's signature step while the whole query dropped
-    # 17.6 s → 6.1 s at 500k docs (the old kernel's measured advantage
-    # was mostly the re-split cost bind_once eliminated). The opt-in
-    # Arrow/numpy slot kernel must consume the UNBOUND gram expression:
-    # Spark cannot extract a PythonUDF whose argument contains the
-    # bind_once wrapper (INTERNAL_ERROR: Cannot evaluate ... PythonUDF).
-    # Outputs are bit-identical either way.
-    gh = (_ensure_parallelism(df)
-          .filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
-          .select(F.col(id_col).alias("id"),
-                  gram_hashes(F.col(text_col), ngram, gram_hash,
-                              bound=not arrow_kernel).alias("gh")))
     if arrow_kernel:
+        # opt-in Arrow/numpy slot kernel (small-corpus latency). It must
+        # consume the UNBOUND gram expression: Spark cannot extract a
+        # PythonUDF whose argument contains the bind_once wrapper
+        # (INTERNAL_ERROR: Cannot evaluate ... PythonUDF). Outputs are
+        # bit-identical to the default path.
+        gh = (_ensure_parallelism(df)
+              .filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
+              .select(F.col(id_col).alias("id"),
+                      gram_hashes(F.col(text_col), ngram, gram_hash,
+                                  bound=False).alias("gh")))
         sig = gh.select("id", _mh_sig_arrow_kernel(n_hashes)("gh").alias("sig"))
     else:
-        sig = gh.select(
-            "id", _sig_from_gram_hashes(F.col("gh"), n_hashes).alias("sig"))
+        # default (r7): explode-and-aggregate, zero HOFs in the hot path.
+        # Spark HOF lambdas are CodegenFallback — interpreted per element
+        # — so the r6 per-row form (32 × array_min(transform(gh, ...)))
+        # paid 32 interpreted passes over every gram array. Instead the
+        # gram positions come from arrays_zip of the split with its own
+        # tails (whole-stage codegen, like the t9/t11 pair extraction),
+        # and ONE groupBy(id) computes all 32 slot minima: duplicates
+        # cannot change a min, so word_ngrams' array_distinct is
+        # unnecessary here. Measured at the 500k-doc corpus: 5.45 →
+        # 3.70 s for identical output; neutral at sf0.1 (±0.05 s).
+        # Scale shape: the explode keeps gram rows in their doc's
+        # partition, so the map-side combine collapses them to one
+        # 33-column row per doc before the (tiny) shuffle — no skew
+        # hazard (one combiner row per unique id).
+        ws = F.split(F.col(text_col), " ")
+        base = (_ensure_parallelism(df)
+                .filter(F.size(ws) >= ngram)
+                .select(F.col(id_col).alias("id"), ws.alias("ws")))
+        slices = [F.col("ws").alias("g0")] + [
+            F.slice("ws", k + 1,
+                    F.greatest(F.size("ws") - k, F.lit(0))).alias(f"g{k}")
+            for k in range(1, ngram)]
+        # arrays_zip pads the shorter tails with NULL; padding is
+        # suffix-aligned, so "last component non-null" keeps exactly the
+        # size-ngram+1 real gram positions
+        g = (base.select("id", F.explode(F.arrays_zip(*slices)).alias("p"))
+             .filter(F.col(f"p.g{ngram-1}").isNotNull()))
+        gram = F.concat_ws(" ", *[F.col(f"p.g{k}") for k in range(ngram)])
+        if gram_hash == "md5":
+            h = F.pmod(F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
+                       .cast("bigint"), F.lit(_MH_P))
+        else:
+            h = F.pmod(F.xxhash64(gram), F.lit(_MH_P))
+        mins = (g.select("id", h.alias("h"))
+                .groupBy("id")
+                .agg(*[F.min(F.pmod(F.col("h") * a + b, F.lit(_MH_P)))
+                       .alias(f"m{i}")
+                       for i, (a, b) in enumerate(_mh_params(n_hashes))]))
+        sig = mins.select(
+            "id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.transform(
