@@ -756,33 +756,53 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     """
     ws = F.split(F.col(text_col), " ")
 
-    # the split is referenced inside the per-gram lambda (slice per i) —
-    # without bind_once every gram re-splits the whole text: O(words²)
-    # work per doc (see bind_once)
-    def grams_of(w):
-        n = F.size(w)
-        return F.when(n >= ngram, F.transform(
-            F.sequence(F.lit(1), n - ngram + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, ngram))))) \
-            .otherwise(F.array().cast("array<string>"))
-
-    grams = bind_once(ws, grams_of)
-    g = (df.select(F.col(id_col).alias("id"), grams.alias("gs"))
-         .select("id", F.posexplode("gs").alias("gpos0", "gh")))
+    # Gram construction (r7): posexplode the token stream once and read
+    # the other 19 gram members with LEAD over (id, wpos) — every
+    # per-position op is then whole-stage codegen. The measured
+    # alternatives at the 500k-doc corpus: per-position HOF lambda
+    # (slice+concat+md5, interpreted per element — CodegenFallback)
+    # 17.7 s; arrays_zip of 20 slices (codegen but materializes 20
+    # copies of the word array per row) 48 s; this lead-window form
+    # 9.0 s including its id-keyed exchange. Short docs (< ngram words)
+    # fall out via the trailing-lead NULL filter.
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.posexplode(ws).alias("wpos0", "w"))
+    win = W.partitionBy("id").orderBy("wpos0")
+    lead_cols = [F.col("w").alias("w0")] + [
+        F.lead("w", k).over(win).alias(f"w{k}") for k in range(1, ngram)]
+    g = (toks.select("id", "wpos0", *lead_cols)
+         .filter(F.col(f"w{ngram-1}").isNotNull())
+         .select("id", (F.col("wpos0") + 1).alias("gpos"),
+                 F.md5(F.concat_ws(
+                     " ", *[f"w{k}" for k in range(ngram)])).alias("gh")))
     # keeper = first corpus occurrence of the gram; every other occurrence
     # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index)
-    w = W.partitionBy("gh").orderBy("id", "gpos0")
+    w = W.partitionBy("gh").orderBy("id", "gpos")
     occ = g.withColumn("_rn", F.row_number().over(w)) \
         .withColumn("_cnt", F.count("*").over(W.partitionBy("gh")))
     removals = occ.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1)) \
-        .select("id", (F.col("gpos0") + 1).alias("gpos"))
+        .select("id", "gpos")
     rm_pos = (removals
               .select("id", F.explode(
                   F.sequence(F.col("gpos"),
                              F.col("gpos") + ngram - 1)).alias("wpos"))
               .distinct())
-    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws")) \
-        .select("id", F.posexplode("ws").alias("wpos0", "w")) \
+    # Rebuild ONLY documents that actually lose a span. The naive shape
+    # posexplodes EVERY doc and pushes the whole corpus token stream
+    # through an anti-join shuffle plus a collect_list shuffle; but in a
+    # deduplicated-ish corpus most docs have no removals, and at 100 TB
+    # "shuffle every word twice to rebuild the 20% of docs that changed"
+    # is the difference between a token-bounded and an affected-bounded
+    # job. rm_pos (and so rm_docs) is small — duplicate spans only —
+    # and broadcasts; untouched docs pass through as a zero-shuffle
+    # projection. Measured at the 500k-doc corpus: 21.3 s → 9.65 s
+    # (with the lead-window grams above; BASELINE.md r7b addendum) for
+    # hash-identical output.
+    rm_docs = rm_pos.select("id").distinct()
+    affected = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+                .join(F.broadcast(rm_docs), "id", "left_semi"))
+    toks = affected.select(
+        "id", F.posexplode("ws").alias("wpos0", "w")) \
         .select("id", (F.col("wpos0") + 1).alias("wpos"), "w")
     kept = toks.join(rm_pos, ["id", "wpos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
@@ -790,13 +810,26 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
         F.concat_ws(" ", F.transform(
             F.array_sort(F.collect_list(F.struct("wpos", "w"))),
             lambda s: s.w)).alias(text_col))
-    before = df.select(F.col(id_col).alias("id"),
-                       F.size(ws).cast("bigint").alias("n_words_before"))
-    return (before.join(rebuilt, "id", "left")
-            .select(F.col("id").alias(id_col), "n_words_before",
-                    F.coalesce("n_words_after", F.lit(0))
-                    .alias("n_words_after"),
-                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+    before_aff = (df.select(F.col(id_col).alias("id"),
+                            F.size(ws).cast("bigint").alias("n_words_before"))
+                  .join(F.broadcast(rm_docs), "id", "left_semi"))
+    out_aff = (before_aff.join(rebuilt, "id", "left")
+               .select("id", "n_words_before",
+                       F.coalesce("n_words_after", F.lit(0))
+                       .alias("n_words_after"),
+                       F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+    # NULL-text docs are never affected (split(NULL) explodes to nothing)
+    # so they land here — keep the rebuild path's contract for them
+    # (n_words_after 0, text ''), not a NULL passthrough.
+    untouched = (df.select(F.col(id_col).alias("id"),
+                           F.size(ws).cast("bigint").alias("n_words_before"),
+                           F.coalesce(F.size(ws).cast("bigint"), F.lit(0))
+                           .alias("n_words_after"),
+                           F.coalesce(F.col(text_col), F.lit(""))
+                           .alias(text_col))
+                 .join(F.broadcast(rm_docs), "id", "left_anti"))
+    return (untouched.unionByName(out_aff)
+            .withColumnRenamed("id", id_col))
 
 
 def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",

@@ -86,13 +86,24 @@ def estimated_scan_partitions(df: DataFrame) -> int | None:
 
 
 def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
-    """Summary of scale-relevant plan features."""
+    """Summary of scale-relevant plan features.
+
+    Counts are PHYSICAL: the AQE plan string prints the final plan
+    followed by an ``== Initial Plan ==`` section (everything doubled),
+    and ``ReusedExchange`` reference lines embed the text of the exchange
+    they reuse — both would overstate the shuffle/broadcast work an
+    executor actually performs, so the initial-plan tail is dropped and
+    reuse lines are skipped before counting."""
     p = executed_plan(df, execute=execute)
+    p = p.split("== Initial Plan ==")[0]
+    own = "\n".join(ln for ln in p.splitlines() if "ReusedExchange" not in ln)
     return {
-        "exchanges": p.count("Exchange"),
-        "broadcasts": p.count("BroadcastExchange"),
-        "shuffles": p.count("Exchange hashpartitioning")
-        + p.count("Exchange rangepartitioning"),
+        "exchanges": own.count("Exchange"),
+        "broadcasts": own.count("BroadcastExchange"),
+        "reused_exchanges": sum(
+            "ReusedExchange" in ln for ln in p.splitlines()),
+        "shuffles": own.count("Exchange hashpartitioning")
+        + own.count("Exchange rangepartitioning"),
         "has_pushed_filters": "PushedFilters: [" in p
         and "PushedFilters: []" not in p,
         "cartesian": "CartesianProduct" in p,
