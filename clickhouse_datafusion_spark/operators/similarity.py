@@ -101,50 +101,116 @@ def pairwise_cosine_dups(df: DataFrame, threshold: float = 0.9,
             .filter(F.col("cos") >= threshold))
 
 
+def lsh_block_params(n_rows: int, threshold: float,
+                     target_bucket: int = 32, recall: float = 0.999,
+                     max_planes: int = 24,
+                     max_tables: int = 64) -> tuple[int, int]:
+    """Size an LSH pair-blocking scheme ``(n_planes, n_tables)`` for a
+    corpus of ``n_rows`` embeddings and a cosine ``threshold``.
+
+    The r7 embeddings-at-200k audit showed why this cannot be a fixed
+    default: 4 planes is 16 buckets per table, so a 200k-row corpus puts
+    ~12.5k rows in each bucket and the intra-bucket expansion emits ~10⁹
+    candidate pairs per table — the plan that was fine at 2k rows is a
+    scale-killer two decades up. Sizing rule:
+
+    - ``n_planes`` targets an expected bucket size (each +1 plane halves
+      it): ``ceil(log2(n_rows / target_bucket))``. Candidate work per
+      table is then ~``n_rows × target_bucket / 2`` — linear in rows.
+    - ``n_tables`` holds the recall floor at the REQUESTED threshold
+      (conservative: true pairs sit above it, and collision probability
+      rises with cosine): smallest t with
+      ``1 − (1 − p^planes)^t ≥ recall``, ``p = 1 − acos(θ)/π``.
+
+    Low thresholds are honestly expensive — at θ = 0.4, p ≈ 0.63, so
+    holding recall with many planes needs hundreds of tables (this is
+    textbook LSH, not an implementation artifact); ``max_tables`` caps
+    the blow-up and the caller accepts the reduced recall or lowers
+    ``n_planes`` explicitly. High thresholds (the near-dup use-case) stay
+    cheap: θ = 0.9 at 200k rows → (13, 48); θ = 0.95 → (13, 21).
+    """
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    planes = 1
+    if n_rows > 2 * target_bucket:
+        planes = math.ceil(math.log2(n_rows / target_bucket))
+    planes = max(1, min(max_planes, planes))
+    hit = p ** planes
+    if hit >= 1.0:
+        return planes, 1
+    if hit <= 0.0:
+        return planes, max_tables
+    tables = math.ceil(math.log(1.0 - recall) / math.log(1.0 - hit))
+    return planes, max(1, min(max_tables, tables))
+
+
 def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        n_planes: int = 4, n_tables: int = 8,
-                        dim: int | None = None, seed: int = 42) -> DataFrame:
+                        n_planes: int | None = None,
+                        n_tables: int | None = None,
+                        dim: int | None = None, seed: int = 42,
+                        target_bucket: int = 32,
+                        recall: float = 0.999) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold) via LSH blocking — the
     default/scale path, replacing the quadratic all-pairs theta join.
 
     Plan shape: ONE scan computes all ``n_tables`` random-hyperplane
     signatures in a single projection (:func:`with_lsh_signatures`), each
-    row explodes into its ``n_tables`` bucket keys, and pairs come from
-    intra-bucket expansion after ONE groupBy(bucket-hash) shuffle
-    (``dedup._bucket_pairs`` — no self-join, no cartesian product). Exact
-    cosine is then evaluated only within buckets. Network cost is
-    O(rows × n_tables × vec bytes), not O(rows²).
+    row explodes into its ``n_tables`` bucket keys, and CANDIDATE pairs
+    come from intra-bucket expansion after ONE groupBy(bucket-hash)
+    shuffle (``dedup._bucket_pairs`` — no self-join, no cartesian
+    product). Candidates are bare ``(id_a, id_b)`` rows: the r6 shape
+    carried both 64-dim vectors through the expansion (~1 KB per
+    candidate — at 200k rows that is ~100 GB of expanded payload), and a
+    pair sharing b buckets was scored b times. Now candidates hash-dedup
+    as 16-byte rows FIRST and the vectors join back once per UNIQUE pair
+    for exact scoring — two id-keyed joins against the narrow (id, vec)
+    projection, which AQE broadcasts when it fits.
+
+    ``n_planes=None`` / ``n_tables=None`` (the default) auto-sizes from
+    ``df.count()`` via :func:`lsh_block_params` — one cheap count job
+    buys a plan whose candidate volume is linear in rows at every corpus
+    size. Pass both explicitly to pin a plan (the correctness gates do:
+    deterministic parameters the SQL oracle can reproduce).
 
     Recall: P[two rows share a bucket in ≥1 table] =
-    1 − (1 − p^n_planes)^n_tables with p = 1 − θ/π. At the defaults
-    (4 planes × 8 tables): ≈98.3% for cos = 0.8, ≈99.98% for cos = 0.95,
-    → 1 as cos → 1. Raise ``n_planes`` at larger scale to keep buckets
-    small (each +1 plane halves expected bucket size), adding tables to
-    hold recall. :func:`pairwise_cosine_dups` is the exact verifier.
+    1 − (1 − p^n_planes)^n_tables with p = 1 − θ/π; auto-sizing holds
+    this ≥ ``recall`` at the threshold cosine.
+    :func:`pairwise_cosine_dups` is the exact verifier.
     """
     from clickhouse_datafusion_spark.operators.dedup import _bucket_pairs
 
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = lsh_block_params(df.count(), threshold,
+                                          target_bucket, recall)
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     signed = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
-    v = _as_double(vec_col)
     banded = signed.select(
-        F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"),
+        F.col(id_col).alias("id"),
         F.explode(F.array(*[F.xxhash64(F.lit(t), F.col(f"_sig_{t}"))
                             for t in range(n_tables)])).alias("bk"))
-    pairs = _bucket_pairs(banded, ["v", "nrm"])
+    cand = _bucket_pairs(banded, []).distinct()
+    v = _as_double(vec_col)
+    vecs = df.select(F.col(id_col).alias("_vid"), v.alias("_v"),
+                     norm(v).alias("_nrm"))
+    pairs = (cand
+             .join(vecs.select(F.col("_vid").alias("id_a"),
+                               F.col("_v").alias("v_a"),
+                               F.col("_nrm").alias("nrm_a")), "id_a")
+             .join(vecs.select(F.col("_vid").alias("id_b"),
+                               F.col("_v").alias("v_b"),
+                               F.col("_nrm").alias("nrm_b")), "id_b"))
     c = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    # score → filter → distinct on scalars (see _bucket_pairs: dedup after
-    # dropping the vector payloads is a hash-distinct, not a sort-agg)
     return (pairs.select(
                 "id_a", "id_b",
                 (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
-            .filter(F.col("cos") >= threshold)
-            .distinct())
+            .filter(F.col("cos") >= threshold))
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   n_planes: int = 4, n_tables: int = 8,
+                   n_planes: int | None = None,
+                   n_tables: int | None = None,
                    dim: int | None = None, seed: int = 42) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -179,8 +245,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
 
 def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
                    label_col: str = "label", vec_col: str = "embedding",
-                   id_col: str = "vec_id", n_planes: int = 4,
-                   n_tables: int = 8, dim: int | None = None,
+                   id_col: str = "vec_id", n_planes: int | None = None,
+                   n_tables: int | None = None, dim: int | None = None,
                    seed: int = 42) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the ``k`` most-similar embeddings carrying a DIFFERENT label (cos ≥

@@ -5356,6 +5356,12 @@ _GATE_PRIORITY = [
     # BODY and ORACLE changed, so they must re-gate with hash rows now.
     "x8_approx_aggs",
     "s3_ivf_ann_topk",
+    # r7b: blocked_cosine_dups pair path reworked (bare-id candidates +
+    # join-back scoring, auto-sized planes/tables) — every consumer's
+    # body changed after its latest row.
+    "d5_embedding_dup_pairs",
+    "d9_semantic_dedup",
+    "s8_hard_negatives",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:

@@ -189,10 +189,39 @@ def test_blocked_cosine_dups_matches_exact_on_planted(spark, emb):
                               sorted(blocked - exact)[:5])
 
 
+def test_lsh_block_params_sizing():
+    """Auto-sizing must keep candidate volume linear in rows (planes track
+    log2(n/target)) and hold the recall bound at the threshold cosine."""
+    import math
+
+    from clickhouse_datafusion_spark.operators.similarity import lsh_block_params
+
+    for n_rows in (100, 2_000, 200_000, 20_000_000):
+        for thr in (0.8, 0.9, 0.95, 0.99):
+            planes, tables = lsh_block_params(n_rows, thr)
+            assert 1 <= planes <= 24 and 1 <= tables <= 64
+            if n_rows > 64 and planes < 24:
+                # expected bucket size stays within 2x of target
+                assert n_rows / 2 ** planes <= 2 * 32
+            p = 1.0 - math.acos(thr) / math.pi
+            recall = 1.0 - (1.0 - p ** planes) ** tables
+            if tables < 64:  # uncapped → the bound must hold
+                assert recall >= 0.999, (n_rows, thr, planes, tables, recall)
+    # low thresholds honestly cap at max_tables instead of exploding
+    assert lsh_block_params(200_000, 0.4)[1] == 64
+    # tiny corpora degrade to a single bucket, one table
+    assert lsh_block_params(10, 0.9) == (1, lsh_block_params(10, 0.9)[1])
+
+
 def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
-    """The blocked plan must contain a single-scan → groupBy(bucket) shape:
-    no nested-loop/cartesian join anywhere (the all-pairs theta join was the
-    one scale-killer pattern in the repo — VERDICT r3)."""
+    """The blocked plan must contain a scan → groupBy(bucket) shape with
+    no nested-loop/cartesian join anywhere (the all-pairs theta join was
+    the one scale-killer pattern in the repo — VERDICT r3). Since the r7
+    rework, candidates are bare id pairs and the vectors JOIN BACK for
+    scoring: the signature scan plus two narrow (id, vec) join-side scans
+    — 3 scans, all equi-joins, and crucially no vector payload rides
+    through the bucket expansion (no collect_list of the embedding
+    column)."""
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     plan = (blocked_cosine_dups(emb, threshold=0.8, dim=64)
@@ -201,7 +230,10 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan
     import re as _re
 
-    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
+    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 3, plan
+    # the bucket aggregate must collect bare ids, never the vectors
+    for m in _re.finditer(r"collect_list\(([^)]*)", plan):
+        assert "embedding" not in m.group(1), m.group(0)
 
 
 def test_ann_multiprobe_superset_recall(spark, emb):
