@@ -5362,6 +5362,12 @@ _GATE_PRIORITY = [
     "d5_embedding_dup_pairs",
     "d9_semantic_dedup",
     "s8_hard_negatives",
+    # r7c: minhash_candidates' signature pass was rebuilt (explode-and-
+    # aggregate instead of 32 HOF slots, commit b7cfac9) — d3 was already
+    # fronted above, but d11 and d3x consume the same function and their
+    # latest rows predate the change.
+    "d11_edit_distance_verify",
+    "d3x_minhash_production",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
