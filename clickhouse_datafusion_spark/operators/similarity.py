@@ -310,20 +310,104 @@ def _query_signature(query_vec: list[float], planes: list[list[float]]) -> int:
     return qsig
 
 
+def _lsh_sig_arrow_kernel(dim: int, n_planes: int, n_tables: int,
+                          seed: int):
+    """Arrow-batched signature kernel: ALL ``n_tables × n_planes``
+    hyperplane dot products as ONE BLAS matmul per batch, bit-packed in
+    vectorized int64.
+
+    Bit-compatibility with the JVM fold path is engineered, not assumed:
+    numpy's matmul uses pairwise/SIMD summation while the JVM ``dot`` is
+    a sequential left-to-right fold, so a dot product within rounding
+    slack of zero could sign-flip between them. Both summations differ
+    from the exact value by at most ``γ·Σ|vᵢpᵢ|`` (γ ≈ (dim+2)·2⁻⁵²), so
+    any matmul dot with ``|d| > 2γ·Σ|vᵢpᵢ|`` (the abs-matmul, one more
+    BLAS call) provably has the fold's sign; only the ambiguous handful
+    (measure-zero for real embeddings: exact orthogonality) re-computes
+    the sequential fold per flagged (row, plane). Sign test is
+    ``d >= 0 or isnan(d)`` — Spark SQL orders NaN above every double, so
+    ``NaN >= 0`` is TRUE there and numpy must follow.
+
+    Edge contract (mirrors the JVM expressions): a NULL embedding or one
+    whose length ≠ dim yields signature 0 for every table (``zip_with``
+    pads with NULL → the fold is NULL → every ``when(d >= 0, w)`` takes
+    the 0 branch); an all-zero vector yields all-ones signatures
+    (0 ≥ 0). Known divergence, documented: a NULL *element* inside an
+    otherwise-valid array reaches numpy as NaN, so the JVM's
+    NULL-propagating fold (bit 0) becomes the NaN rule (bit 1) — pick
+    the JVM path if element-null embeddings are a real input class.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([p for t in range(n_tables)
+                       for p in _hyperplanes(dim, n_planes, seed + t)],
+                      dtype=np.float64)
+    P = np.ascontiguousarray(planes.T)          # (dim, Ptot)
+    absP = np.abs(P)
+    gamma = 2.0 * (dim + 2) * 2.0 ** -52
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def sig(batch: pd.Series) -> pd.Series:
+        out = np.zeros((len(batch), n_tables), dtype=np.int64)
+        ok_rows: list[int] = []
+        vecs: list = []
+        for i, v in enumerate(batch):
+            if v is not None and len(v) == dim:
+                ok_rows.append(i)
+                vecs.append(v)
+        if ok_rows:
+            V = np.asarray(vecs, dtype=np.float64)
+            D = V @ P
+            A = np.abs(V) @ absP
+            amb = np.abs(D) <= gamma * A
+            if amb.any():
+                for r, c in zip(*[ix.tolist() for ix in np.nonzero(amb)]):
+                    acc = 0.0
+                    vr, pc = V[r], P[:, c]
+                    for d in range(dim):
+                        acc = acc + float(vr[d]) * float(pc[d])
+                    D[r, c] = acc
+            bits = (D >= 0) | np.isnan(D)
+            out[np.asarray(ok_rows)] = (
+                bits.reshape(len(ok_rows), n_tables, n_planes)
+                * weights).sum(axis=2)
+        return pd.Series(list(out))
+
+    sig.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<bigint>")
+
+
 def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
                         n_planes: int = 8, n_tables: int = 8,
-                        dim: int | None = None, seed: int = 42) -> DataFrame:
+                        dim: int | None = None, seed: int = 42,
+                        kernel: str = "auto") -> DataFrame:
     """Append all ``n_tables`` LSH signatures (``_sig_0`` .. ``_sig_{n-1}``)
     in ONE pass over the input.
 
-    All ``n_tables × n_planes`` hyperplanes ride in a single literal matrix
-    and ALL dot products come from one ``transform`` over it, materialized
-    as a ``_dots`` column in its own projection; each signature then just
-    bit-packs its slice (sign test × power-of-two weights). The earlier
-    shape inlined ``n_tables × n_planes`` independent aggregate expressions
-    (64 full dot pipelines in the plan) — analysis/codegen time grew with
-    the plane count and dominated small-batch latency (measured 3.7 s →
-    ~0.4 s warm on 500×64-d vectors; identical signatures).
+    Two kernels, bit-identical outputs (pinned by
+    tests/test_operators.py::test_lsh_signature_kernels_agree):
+
+    - ``jvm``: hyperplanes ride in a single literal matrix and ALL dot
+      products come from one ``transform`` over it, materialized as a
+      ``_dots`` column; each signature bit-packs its slice. No Python in
+      the path — but Spark HOF lambdas are CodegenFallback (interpreted
+      per element), so cost is ~(rows × planes × dim) interpreted evals
+      PLUS a literal expression tree that grows with the plane count.
+      Right for small plane budgets (probes, gates, the 8×8 ANN index).
+    - ``arrow``: one BLAS matmul per Arrow batch
+      (:func:`_lsh_sig_arrow_kernel`), planes regenerated from the seed
+      inside the worker — no literal matrix in the plan at all. Right
+      for auto-sized pair blocking, where 200k rows × 13 planes × 49
+      tables made the interpreted path the whole job (measured in
+      baseline_embeddings_100x.py).
+    - ``auto``: ``arrow`` when ``n_planes × n_tables > 64`` (the
+      auto-sizing regime), else ``jvm``. The dispatch threshold is a
+      plane-count, not a row-count: below it the JVM path is within
+      noise at every scale, above it the interpreted cost grows with
+      rows × planes while the matmul stays bandwidth-bound.
 
     ``dim=None`` probes the dimensionality with a driver-side ``first()``
     — one tiny Spark job per call. Every registry/bench caller passes
@@ -331,6 +415,15 @@ def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     production pipelines too, where the plan may be rebuilt per batch."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if kernel == "auto":
+        kernel = "arrow" if n_planes * n_tables > 64 else "jvm"
+    if kernel == "arrow":
+        udf = _lsh_sig_arrow_kernel(dim, n_planes, n_tables, seed)
+        sigs_arr = udf(_as_double(vec_col))
+        return (df.withColumn("_sigs", sigs_arr)
+                .select("*", *[F.element_at("_sigs", t + 1).alias(f"_sig_{t}")
+                               for t in range(n_tables)])
+                .drop("_sigs"))
     planes = [p for t in range(n_tables)
               for p in _hyperplanes(dim, n_planes, seed + t)]
     v = _as_double(vec_col)

@@ -236,6 +236,50 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
         assert "embedding" not in m.group(1), m.group(0)
 
 
+def test_lsh_signature_kernels_agree(spark, emb):
+    """The Arrow matmul kernel must be BIT-IDENTICAL to the JVM fold path
+    — the guard recomputes the sequential fold for any dot within the
+    floating-point error bound of zero, so sign tests can never diverge
+    (operators/similarity.py::_lsh_sig_arrow_kernel). Covers the edge
+    contract too: NULL embedding and wrong-length embedding → signature
+    0 everywhere; all-zero vector → all-ones (0 ≥ 0 takes the bit); and
+    an exactly-orthogonal construction that lands in the ambiguous zone
+    of the matmul-vs-fold error bound."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _hyperplanes, with_lsh_signatures)
+
+    p0 = _hyperplanes(64, 5, seed=42)[0]
+    # v·p0 == 0 exactly in double arithmetic: the two products round
+    # identically and cancel, every later term is 0*x
+    ortho = [float(p0[1]), -float(p0[0])] + [0.0] * 62
+    edge = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 10), (3, [0.0] * 64), (4, ortho)],
+        "vec_id bigint, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(edge)
+    for n_planes, n_tables in ((5, 3), (13, 12)):
+        cols = ["vec_id"] + [f"_sig_{t}" for t in range(n_tables)]
+        j = {r[0]: r[1:] for r in with_lsh_signatures(
+            corpus, dim=64, n_planes=n_planes, n_tables=n_tables,
+            kernel="jvm").select(cols).collect()}
+        a = {r[0]: r[1:] for r in with_lsh_signatures(
+            corpus, dim=64, n_planes=n_planes, n_tables=n_tables,
+            kernel="arrow").select(cols).collect()}
+        assert j == a
+        assert j[1] == tuple([0] * n_tables)      # NULL embedding
+        assert j[2] == tuple([0] * n_tables)      # wrong length
+        assert j[3] == tuple([2 ** n_planes - 1] * n_tables)  # zero vec
+    # auto dispatch: big plane budgets take the arrow kernel (one
+    # ArrowEvalPython), small ones stay pure-JVM
+    big = with_lsh_signatures(emb, dim=64, n_planes=13, n_tables=12,
+                              kernel="auto")
+    small = with_lsh_signatures(emb, dim=64, n_planes=4, n_tables=8,
+                                kernel="auto")
+    assert big._jdf.queryExecution().executedPlan().toString().count(
+        "ArrowEvalPython") == 1
+    assert "ArrowEvalPython" not in (
+        small._jdf.queryExecution().executedPlan().toString())
+
+
 def test_ann_multiprobe_superset_recall(spark, emb):
     """Multi-probe candidates are a strict superset of single-probe ones
     (every flipped-bit bucket adds rows, never removes), so recall is
