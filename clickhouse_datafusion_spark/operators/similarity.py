@@ -37,6 +37,27 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dimension dot product as an explicit 64-term (etc.) sum.
+
+    Bit-identical to :func:`dot` — same left-to-right fold order, and
+    ``element_at`` past either array's length is NULL exactly where
+    ``zip_with`` pads with NULL (pinned by
+    tests/test_operators.py::test_dot_unrolled_matches_fold) — but
+    WHOLE-STAGE CODEGEN instead of CodegenFallback: Spark evaluates HOF
+    lambdas interpreted per element, so ``dot`` costs ~dim interpreted
+    expression evals per row. On the blocked near-dup path that put
+    ~12×10⁹ interpreted evals into the pair-scoring projection at the
+    200k-row corpus (193M candidates × 64 dims) — the stage simply never
+    finished. Use this form whenever the dimension is statically known
+    (every embedding operator resolves ``dim`` anyway for plane
+    generation); keep :func:`dot` for genuinely dynamic shapes."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -48,6 +69,24 @@ def cosine(a: Column, b: Column) -> Column:
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
+
+
+def _cosine_to_query(col, query_vec: list[float]) -> Column:
+    """Cosine of every row against a fixed query vector, in the codegen
+    (unrolled) form — the expression that runs ONCE PER ROW of a full
+    corpus scan, so it must not be the interpreted HOF fold. Note the
+    denominator's ``norm(q)`` looks constant but an HOF ``aggregate``
+    over a literal array is not foldable, so the old form re-interpreted
+    it per row too. The ``size == dim`` guard reproduces ``zip_with``'s
+    NULL contract for malformed rows (shorter OR longer than the query):
+    both forms yield NULL cosine there — pinned by
+    tests/test_operators.py::test_dot_unrolled_matches_fold."""
+    dim = len(query_vec)
+    q = _lit_vec(query_vec)
+    v = _as_double(col)
+    c = (dot_unrolled(v, q, dim)
+         / (F.sqrt(dot_unrolled(v, v, dim)) * F.sqrt(dot_unrolled(q, q, dim))))
+    return F.when(F.size(v) == dim, c)
 
 
 def _lit_vec(values: list[float]) -> Column:
@@ -75,8 +114,7 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
     Returns (id, cos) rounded to 4dp with a deterministic id tiebreak.
     """
-    q = _lit_vec(query_vec)
-    c = cosine(_as_double(vec_col), q)
+    c = _cosine_to_query(vec_col, query_vec)
     return (df.select(F.col(id_col),
                       (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
             .orderBy(F.col("cos").desc(), id_col)
@@ -179,6 +217,8 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
     """
     from clickhouse_datafusion_spark.operators.dedup import _bucket_pairs
 
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     if n_planes is None or n_tables is None:
         auto_p, auto_t = lsh_block_params(df.count(), threshold,
                                           target_bucket, recall)
@@ -192,7 +232,7 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
     cand = _bucket_pairs(banded, []).distinct()
     v = _as_double(vec_col)
     vecs = df.select(F.col(id_col).alias("_vid"), v.alias("_v"),
-                     norm(v).alias("_nrm"))
+                     F.sqrt(dot_unrolled(v, v, dim)).alias("_nrm"))
     pairs = (cand
              .join(vecs.select(F.col("_vid").alias("id_a"),
                                F.col("_v").alias("v_a"),
@@ -200,7 +240,10 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
              .join(vecs.select(F.col("_vid").alias("id_b"),
                                F.col("_v").alias("v_b"),
                                F.col("_nrm").alias("nrm_b")), "id_b"))
-    c = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # the candidate stream is the scale-dominant row count (tens of
+    # millions at 200k vectors) — the cosine MUST be the codegen form
+    c = (dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
+         / (F.col("nrm_a") * F.col("nrm_b")))
     return (pairs.select(
                 "id_a", "id_b",
                 (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
@@ -549,8 +592,7 @@ def ann_query(index: DataFrame, query_vec: list[float], k: int = 10,
         cands = cands.dropDuplicates([id_col])
     else:
         cands = index.filter(functools.reduce(operator.or_, hits))
-    q = _lit_vec(query_vec)
-    c = cosine(_as_double(vec_col), q)
+    c = _cosine_to_query(vec_col, query_vec)
     return (cands.select(F.col(id_col),
                          (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
             .orderBy(F.col("cos").desc(), id_col)
@@ -610,8 +652,7 @@ def ivf_query(index: DataFrame, centers: list[list[float]],
         return sum((x - y) ** 2 for x, y in zip(c, query_vec))
 
     probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
-    q = _lit_vec(query_vec)
-    c = cosine(_as_double(vec_col), q)
+    c = _cosine_to_query(vec_col, query_vec)
     return (index.filter(F.col("_cluster").isin(probe))
             .select(F.col(id_col),
                     (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
@@ -632,18 +673,28 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                          left_vec: str = "embedding", right_vec: str = "embedding",
-                         left_id: str = "vec_id", right_id: str = "vec_id") -> DataFrame:
+                         left_id: str = "vec_id", right_id: str = "vec_id",
+                         dim: int | None = None) -> DataFrame:
     """k nearest right-rows for every left-row (broadcast the smaller side).
 
     Exact kNN join: at scale broadcast ``right`` when it fits (<~1 GB),
-    else fall back to LSH-bucketed join.
+    else fall back to LSH-bucketed join. The |left|×|right| candidate
+    stream is the dominant row count, so the cosine is the unrolled
+    codegen form (``dim=None`` probes the right side once); rows whose
+    vector length ≠ dim get NULL cosine on both forms.
     """
     from pyspark.sql import Window as W
 
+    if dim is None:
+        dim = len(right.select(right_vec).first()[0])
     r = F.broadcast(right.select(F.col(right_id).alias("rid"),
                                  _as_double(right_vec).alias("rv")))
     l_ = left.select(F.col(left_id).alias("lid"), _as_double(left_vec).alias("lv"))
-    c = cosine(F.col("lv"), F.col("rv"))
+    nl, nr = F.col("lv"), F.col("rv")
+    c = F.when((F.size(nl) == dim) & (F.size(nr) == dim),
+               dot_unrolled(nl, nr, dim)
+               / (F.sqrt(dot_unrolled(nl, nl, dim))
+                  * F.sqrt(dot_unrolled(nr, nr, dim))))
     w = W.partitionBy("lid").orderBy(F.col("cos").desc(), "rid")
     return (l_.join(r, F.col("lid") != F.col("rid"))
             .select("lid", "rid",

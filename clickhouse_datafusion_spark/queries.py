@@ -5368,6 +5368,15 @@ _GATE_PRIORITY = [
     # latest rows predate the change.
     "d11_edit_distance_verify",
     "d3x_minhash_production",
+    # r7d: the per-row cosine expression moved from the interpreted HOF
+    # fold to the unrolled codegen form (bit-identical; see
+    # similarity.dot_unrolled) — every consumer re-gates. All verified
+    # against the strict sf0.01 replica in-session (10/10 hash-pass).
+    "s1_cosine_topk",
+    "s2_lsh_ann_topk",
+    "s4_knn_join",
+    "s9_ann_index_append",
+    "st11_streaming_ann_append",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:

@@ -236,6 +236,36 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
         assert "embedding" not in m.group(1), m.group(0)
 
 
+def test_dot_unrolled_matches_fold(spark, emb):
+    """The unrolled codegen dot/cosine must be BIT-identical to the HOF
+    fold (same left-to-right accumulation), including the NULL contract:
+    a vector shorter OR longer than the fixed dim yields NULL exactly
+    where ``zip_with``'s NULL padding nulls the fold. Checked on the real
+    fixture (raw doubles, no rounding) and on malformed edge rows."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _as_double, _cosine_to_query, _lit_vec, cosine, dot, dot_unrolled)
+
+    qvec = [float(x) for x in emb.select("embedding").first()[0]]
+    q = _lit_vec(qvec)
+    v = _as_double("embedding")
+    both = emb.select(
+        dot(v, q).alias("fold"),
+        dot_unrolled(v, q, 64).alias("unrolled"),
+        cosine(v, q).alias("cos_fold"),
+        _cosine_to_query("embedding", qvec).alias("cos_unrolled"))
+    assert both.filter(
+        ~(F.col("fold") == F.col("unrolled"))
+        | ~(F.col("cos_fold") == F.col("cos_unrolled"))).count() == 0
+    edge = spark.createDataFrame(
+        [(1, [0.5] * 10), (2, [0.5] * 80), (3, None)],
+        "vec_id int, embedding array<float>")
+    rows = edge.select(
+        "vec_id", cosine(_as_double("embedding"), q).alias("a"),
+        _cosine_to_query("embedding", qvec).alias("b")).collect()
+    for r in rows:
+        assert r["a"] is None and r["b"] is None, r
+
+
 def test_lsh_signature_kernels_agree(spark, emb):
     """The Arrow matmul kernel must be BIT-IDENTICAL to the JVM fold path
     — the guard recomputes the sequential fold for any dot within the
