@@ -745,14 +745,25 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     Returns (id, n_words_before, n_words_after, text) with the rebuilt
     text.
 
-    Scale shape: gram hashing is a projection; ONE gram-keyed shuffle
-    finds duplicate grams and elects keepers (only (hash, id, pos)
-    triples move — never text); removal positions flow back through an
-    id-keyed join and the rebuild is a per-doc aggregate. Word-position
-    expansion is bounded by (dup spans × ngram). The dup-gram relation
-    is the skew point: a boilerplate gram appearing 10⁹ times shuffles
-    10⁹ triples to one reducer — pre-aggregate with a count cap or salt
-    the gh key when corpus boilerplate is extreme.
+    Scale shape: gram hashing is a projection; keeper election is ONE
+    gram-keyed AGGREGATE — min(struct(id, gpos)) + count — so map-side
+    partial aggregation bounds what any reducer receives per gram to one
+    row per map partition (only (hash, id, pos) triples move — never
+    text); removal positions flow back through an id-keyed join and the
+    rebuild is a per-doc aggregate. Word-position expansion is bounded
+    by (dup spans × ngram).
+
+    Boilerplate skew (the 100 TB case, not the pathology): a gram
+    occurring 10⁹ times is harmless in the election (partial agg), and
+    the occurrence→keeper join-back is salted — keepers replicate across
+    ``defaultParallelism`` salt values and each occurrence picks one by
+    ``xxhash64(id, gpos)``, so the join key is (gh, salt) and no reducer
+    sees more than occurrences/S rows of any single gram. The earlier
+    shape (row_number + count over a gh window) sent ALL occurrences of
+    a gram to one reducer AND sorted them there; the guard was a
+    docstring note until r8. Hash-identical output (same keep-first
+    contract: the window's _rn==1 row IS the struct-min row), pinned by
+    tests/test_operators.py::test_cross_doc_span_skew_guard.
     """
     ws = F.split(F.col(text_col), " ")
 
@@ -776,12 +787,25 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
                  F.md5(F.concat_ws(
                      " ", *[f"w{k}" for k in range(ngram)])).alias("gh")))
     # keeper = first corpus occurrence of the gram; every other occurrence
-    # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index)
-    w = W.partitionBy("gh").orderBy("id", "gpos")
-    occ = g.withColumn("_rn", F.row_number().over(w)) \
-        .withColumn("_cnt", F.count("*").over(W.partitionBy("gh")))
-    removals = occ.filter((F.col("_cnt") > 1) & (F.col("_rn") > 1)) \
-        .select("id", "gpos")
+    # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index).
+    # min(struct) orders by (id, gpos) field-wise — the keep-first key —
+    # and both aggregates are partial-aggregatable, so the skewed gram's
+    # occurrences combine map-side before the shuffle.
+    n_salt = df.sparkSession.sparkContext.defaultParallelism
+    keepers = (g.groupBy("gh")
+               .agg(F.min(F.struct("id", "gpos")).alias("_k"),
+                    F.count("*").alias("_cnt"))
+               .filter(F.col("_cnt") > 1)
+               .select("gh", F.col("_k.id").alias("_kid"),
+                       F.col("_k.gpos").alias("_kpos"),
+                       F.explode(F.sequence(
+                           F.lit(0), F.lit(n_salt - 1))).alias("_salt")))
+    removals = (g.withColumn("_salt", F.pmod(F.xxhash64("id", "gpos"),
+                                             F.lit(n_salt)).cast("int"))
+                .join(keepers, ["gh", "_salt"])
+                .filter((F.col("id") != F.col("_kid"))
+                        | (F.col("gpos") != F.col("_kpos")))
+                .select("id", "gpos"))
     rm_pos = (removals
               .select("id", F.explode(
                   F.sequence(F.col("gpos"),

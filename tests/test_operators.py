@@ -1710,6 +1710,35 @@ def test_cross_doc_span_dedup_keep_first(spark):
     assert out[5] == (2, "tiny doc")                    # sub-ngram doc kept
 
 
+def test_cross_doc_span_skew_guard(spark):
+    """Mega-boilerplate skew guard: one 10-word gram planted in 10⁴ docs
+    must (a) keep the keep-first contract — min (id, gpos) survives,
+    every other occurrence excised — and (b) run keeper election as a
+    partial-aggregatable groupBy, NOT a gh-keyed window (which would
+    single-reducer-sort all occurrences of the boilerplate gram at
+    corpus scale). The plan is asserted: a partial_min over the gram
+    stream exists and no Window operator touches gh."""
+    from clickhouse_datafusion_spark.operators.dedup import drop_cross_doc_spans
+
+    boiler = "click here to accept cookies and continue to the site"
+    rows = [(i, f"doc{i} head words " + boiler) for i in range(1, 10001)]
+    rows.append((20000, "no boilerplate in this one at all honestly"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    result = drop_cross_doc_spans(df, ngram=10)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan[:2000]
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "gh" not in line, line
+    out = {r.doc_id: r.n_words_after for r in result.collect()}
+    assert out[1] == 13            # first occurrence keeps the span
+    # "head words <boiler...>" grams are corpus-wide dups too, so later
+    # docs keep only their unique leading token
+    assert out[2] == 1
+    assert out[9999] == 1
+    assert out[20000] == 8         # untouched doc
+
+
 def test_jsonl_permissive_on_malformed_lines(spark, tmp_path):
     """Schema-pinned JSONL reads must survive malformed lines (null
     columns, not a crashed shard) and round-trip clean rows exactly."""
