@@ -181,73 +181,164 @@ def lsh_block_params(n_rows: int, threshold: float,
     return planes, max(1, min(max_tables, tables))
 
 
+def _bucket_cosine_kernel(dim: int, threshold: float):
+    """Arrow-batched in-bucket pair scorer: for each LSH bucket inside a
+    group, ONE gemm computes every intra-bucket cosine as a prefilter and
+    the sequential FOLD recomputes the survivors exactly, so candidate
+    pairs never materialize as Spark rows at all.
+
+    Bit-identity discipline (same as :func:`_lsh_sig_arrow_kernel`): the
+    gemm uses pairwise/SIMD summation, the JVM ``dot`` a left-to-right
+    fold — both within γ·Σ|aᵢbᵢ| of the exact value, far under the 1e-6
+    prefilter slack — so the gemm may only DECIDE which pairs to look at,
+    never what to emit. Every surviving pair's dot and both norms are
+    recomputed as ``acc = acc + a[d]·b[d]`` over d (vectorized ACROSS
+    pairs, sequential over dims — the exact JVM fold order), and the 4dp
+    rounding is the same IEEE op sequence (``floor(c·10⁴+0.5)`` is exact
+    in float64 for |c| ≤ 1, then one division). Edge contract mirrors
+    the JVM expressions: NULL/wrong-length vectors score NULL → never
+    pass the filter (excluded here); a zero-norm cosine is NaN → Spark's
+    FLOOR(NaN) is 0 → dropped (numpy: NaN ≥ θ is False → dropped)."""
+    import numpy as np
+    import pandas as pd
+
+    slack = 1e-6
+    triu_cache: dict = {}
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+                              "cos": np.zeros(0)})
+        vl = pdf["v"]
+        ok = np.fromiter((x is not None and len(x) == dim for x in vl),
+                         bool, len(pdf))
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(["bk", "id"], kind="mergesort",
+                              ignore_index=True)
+        V = np.asarray([np.asarray(x, dtype=np.float64)
+                        for x in pdf["v"]])
+        acc = np.zeros(len(V))
+        for d in range(dim):          # fold-exact per-row norms
+            acc = acc + V[:, d] * V[:, d]
+        nrm = np.sqrt(acc)
+        bk = pdf["bk"].to_numpy()
+        bounds = np.flatnonzero(
+            np.r_[True, bk[1:] != bk[:-1], True])
+        ka, kb = [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                n = e - s
+                if n < 2:
+                    continue
+                Vb = V[s:e]
+                C = (Vb @ Vb.T) / np.outer(nrm[s:e], nrm[s:e])
+                if n not in triu_cache:
+                    triu_cache[n] = np.triu_indices(n, 1)
+                iu, ju = triu_cache[n]
+                keep = C[iu, ju] >= threshold - slack
+                if keep.any():
+                    ka.append(s + iu[keep])
+                    kb.append(s + ju[keep])
+        if not ka:
+            return empty
+        ia = np.concatenate(ka)
+        ib = np.concatenate(kb)
+        A, B = V[ia], V[ib]
+        accd = np.zeros(len(ia))
+        for d in range(dim):          # fold-exact pair dots
+            accd = accd + A[:, d] * B[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = accd / (nrm[ia] * nrm[ib])
+        r = np.floor(cos * 10000.0 + 0.5) / 10000.0
+        m = r >= threshold            # NaN compares False, as Spark's
+        ids = pdf["id"]               # FLOOR(NaN)=0 path also drops
+        return pd.DataFrame({"id_a": ids.iloc[ia[m]].to_numpy(),
+                             "id_b": ids.iloc[ib[m]].to_numpy(),
+                             "cos": r[m]})
+
+    return score
+
+
 def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         n_planes: int | None = None,
                         n_tables: int | None = None,
                         dim: int | None = None, seed: int = 42,
                         target_bucket: int = 32,
-                        recall: float = 0.999) -> DataFrame:
+                        recall: float = 0.999,
+                        n_groups: int | None = None) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold) via LSH blocking — the
     default/scale path, replacing the quadratic all-pairs theta join.
 
-    Plan shape: ONE scan computes all ``n_tables`` random-hyperplane
-    signatures in a single projection (:func:`with_lsh_signatures`), each
-    row explodes into its ``n_tables`` bucket keys, and CANDIDATE pairs
-    come from intra-bucket expansion after ONE groupBy(bucket-hash)
-    shuffle (``dedup._bucket_pairs`` — no self-join, no cartesian
-    product). Candidates are bare ``(id_a, id_b)`` rows: the r6 shape
-    carried both 64-dim vectors through the expansion (~1 KB per
-    candidate — at 200k rows that is ~100 GB of expanded payload), and a
-    pair sharing b buckets was scored b times. Now candidates hash-dedup
-    as 16-byte rows FIRST and the vectors join back once per UNIQUE pair
-    for exact scoring — two id-keyed joins against the narrow (id, vec)
-    projection, which AQE broadcasts when it fits.
+    Plan shape (r8, the third rework of the scoring stage): ONE scan
+    computes all ``n_tables`` signatures in a single projection
+    (:func:`with_lsh_signatures`), each row explodes into its bucket
+    keys CARRYING ITS VECTOR, and ONE shuffle — keyed by a salt of the
+    bucket hash into ``n_groups`` uniform groups — feeds an Arrow
+    ``applyInPandas`` kernel that scores every intra-bucket pair with a
+    per-bucket gemm + fold-exact recompute (:func:`_bucket_cosine_kernel`).
+    Candidate pairs NEVER materialize as Spark rows; only pairs already
+    at the threshold come back, and one scalar ``distinct`` removes
+    multi-table repeats.
+
+    Why this shape won (measured at the 200k-row / auto-sized corpus,
+    BASELINE.md r8): the r7 join-back design emitted ~10⁸ bare-id
+    candidate rows through an interpreted pair-expansion HOF, hash-
+    deduped them, then joined the vectors back — but the (id, vec, norm)
+    side is ~100 MB at 200k rows, over the broadcast threshold, so both
+    joins planned as sort-merge: the wide post-join intermediate alone
+    was ~60 GB of shuffle and the stage never finished. Shuffle here is
+    rows × tables × vector (~5 GB at 200k×48) — linear in corpus size,
+    uniformly keyed, with zero joins; per-bucket output is the only
+    quadratic term, which is intrinsic to the pair contract (a bucket of
+    b near-identical vectors owes b²/2 output pairs; run exact dedup
+    first if that is your corpus).
 
     ``n_planes=None`` / ``n_tables=None`` (the default) auto-sizes from
     ``df.count()`` via :func:`lsh_block_params` — one cheap count job
-    buys a plan whose candidate volume is linear in rows at every corpus
-    size. Pass both explicitly to pin a plan (the correctness gates do:
-    deterministic parameters the SQL oracle can reproduce).
+    buys a plan whose bucket sizes stay near ``target_bucket`` at every
+    corpus size. Pass both explicitly to pin a plan (the correctness
+    gates do: deterministic parameters the SQL oracle can reproduce).
+    ``n_groups`` controls the applyInPandas group count (default
+    8×parallelism, raised automatically when the banded stream is known
+    to be large; at cluster scale size it to ~1-2M banded rows per
+    group).
 
     Recall: P[two rows share a bucket in ≥1 table] =
     1 − (1 − p^n_planes)^n_tables with p = 1 − θ/π; auto-sizing holds
     this ≥ ``recall`` at the threshold cosine.
     :func:`pairwise_cosine_dups` is the exact verifier.
     """
-    from clickhouse_datafusion_spark.operators.dedup import _bucket_pairs
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    n_rows = None
     if n_planes is None or n_tables is None:
-        auto_p, auto_t = lsh_block_params(df.count(), threshold,
+        n_rows = df.count()
+        auto_p, auto_t = lsh_block_params(n_rows, threshold,
                                           target_bucket, recall)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
+    if n_groups is None:
+        n_groups = df.sparkSession.sparkContext.defaultParallelism * 8
+        if n_rows:  # keep pandas groups to ~2M banded rows
+            n_groups = max(n_groups, (n_rows * n_tables) // 2_000_000)
     signed = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
-    banded = signed.select(
-        F.col(id_col).alias("id"),
+    banded = (signed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(F.array(*[F.xxhash64(F.lit(t), F.col(f"_sig_{t}"))
                             for t in range(n_tables)])).alias("bk"))
-    cand = _bucket_pairs(banded, []).distinct()
-    v = _as_double(vec_col)
-    vecs = df.select(F.col(id_col).alias("_vid"), v.alias("_v"),
-                     F.sqrt(dot_unrolled(v, v, dim)).alias("_nrm"))
-    pairs = (cand
-             .join(vecs.select(F.col("_vid").alias("id_a"),
-                               F.col("_v").alias("v_a"),
-                               F.col("_nrm").alias("nrm_a")), "id_a")
-             .join(vecs.select(F.col("_vid").alias("id_b"),
-                               F.col("_v").alias("v_b"),
-                               F.col("_nrm").alias("nrm_b")), "id_b"))
-    # the candidate stream is the scale-dominant row count (tens of
-    # millions at 200k vectors) — the cosine MUST be the codegen form
-    c = (dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
-         / (F.col("nrm_a") * F.col("nrm_b")))
-    return (pairs.select(
-                "id_a", "id_b",
-                (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
-            .filter(F.col("cos") >= threshold))
+        .withColumn("_g", F.pmod(F.xxhash64("bk"), F.lit(n_groups))))
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType([StructField("id_a", id_type),
+                             StructField("id_b", id_type),
+                             StructField("cos", DoubleType())])
+    kernel = _bucket_cosine_kernel(dim, threshold)
+    return (banded.groupBy("_g")
+            .applyInPandas(kernel, out_schema)
+            .distinct())
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,

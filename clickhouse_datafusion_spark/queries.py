@@ -3838,6 +3838,24 @@ def t11b_bigram_lm_prebuilt(spark, sf):
     return score_with_bigram_lm(docs, bi2, bk)
 
 
+@qdef("t11c_bigram_lm_shuffle", _T11_ORACLE, tags=("pipeline", "text"))
+def t11c_bigram_lm_shuffle(spark, sf):
+    """t11 with ``broadcast_lm=False`` — the LM-exceeds-broadcast shape
+    that IS the 100 TB plan (a web-corpus bigram table runs to tens of
+    GB; the probes then shuffle on (h1,h2)/h2 instead of broadcasting).
+    Same oracle as t11: the flag changes only the physical join
+    strategy, never a value — this row pins that claim, and
+    tests/test_operators.py::test_bigram_lm_shuffle_path_plan pins the
+    plan shape with broadcast conversion disabled (at gate scale AQE is
+    free to convert the shuffle back to broadcast; at the real LM size
+    it cannot, which is the point of the flag)."""
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    docs = t(spark, sf, "documents")
+    return bigram_lm_score(docs, lm_df=docs.filter(F.col("doc_id") < 250),
+                           broadcast_lm=False)
+
+
 _T12_PRE = ('<html><head><script type="text/javascript">var x = 1 < 2;'
             '</script><style>.c { color: red }</style></head><body>'
             '<!-- hidden --><h1>Title</h1><p>')
@@ -5341,42 +5359,26 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r7 (VERDICT r6 task 1): every entry whose operator BODY changed in
-    # the r6b bind_once wave AFTER its latest driver row — their shipped
-    # plans are newer than their gate evidence and must re-gate now, not
-    # when age rotation eventually reaches them.
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "d4_simhash_near_dups",
-    "d8_cross_doc_span_dedup",
-    "t6_repetition_scores",
-    "t9_bpe_pair_counts",
-    "t11_bigram_lm_score",
-    # r7 (VERDICT r6 task 8): rows-only → partial-oracle upgrades; both
-    # BODY and ORACLE changed, so they must re-gate with hash rows now.
-    "x8_approx_aggs",
-    "s3_ivf_ann_topk",
-    # r7b: blocked_cosine_dups pair path reworked (bare-id candidates +
-    # join-back scoring, auto-sized planes/tables) — every consumer's
-    # body changed after its latest row.
-    "d5_embedding_dup_pairs",
-    "d9_semantic_dedup",
-    "s8_hard_negatives",
-    # r7c: minhash_candidates' signature pass was rebuilt (explode-and-
-    # aggregate instead of 32 HOF slots, commit b7cfac9) — d3 was already
-    # fronted above, but d11 and d3x consume the same function and their
-    # latest rows predate the change.
-    "d11_edit_distance_verify",
-    "d3x_minhash_production",
-    # r7d: the per-row cosine expression moved from the interpreted HOF
-    # fold to the unrolled codegen form (bit-identical; see
-    # similarity.dot_unrolled) — every consumer re-gates. All verified
-    # against the strict sf0.01 replica in-session (10/10 hash-pass).
+    # r8a: the codegen dot unroll re-landed (reverts 0ab45cd, which had
+    # backed out 60c3905 with no rationale) — every per-row-cosine
+    # consumer re-gates on the shipped plan, plus the blocked-pair
+    # consumers whose scoring stage now uses it.
     "s1_cosine_topk",
     "s2_lsh_ann_topk",
+    "s3_ivf_ann_topk",
     "s4_knn_join",
     "s9_ann_index_append",
     "st11_streaming_ann_append",
+    "d5_embedding_dup_pairs",
+    "d9_semantic_dedup",
+    "s8_hard_negatives",
+    # r8b: d8's keeper election moved from a gh-keyed window to a
+    # partial-aggregatable min/count groupBy + salted join-back (the
+    # boilerplate-skew guard) — body changed after its r7 row.
+    "d8_cross_doc_span_dedup",
+    # r8c: new entry — t11's broadcast_lm=False shuffle path (the
+    # LM-exceeds-broadcast 100 TB shape) gets its own hash row.
+    "t11c_bigram_lm_shuffle",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:

@@ -214,26 +214,24 @@ def test_lsh_block_params_sizing():
 
 
 def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
-    """The blocked plan must contain a scan → groupBy(bucket) shape with
-    no nested-loop/cartesian join anywhere (the all-pairs theta join was
-    the one scale-killer pattern in the repo — VERDICT r3). Since the r7
-    rework, candidates are bare id pairs and the vectors JOIN BACK for
-    scoring: the signature scan plus two narrow (id, vec) join-side scans
-    — 3 scans, all equi-joins, and crucially no vector payload rides
-    through the bucket expansion (no collect_list of the embedding
-    column)."""
+    """The blocked plan must be ONE scan → salted-bucket shuffle → Arrow
+    in-bucket scorer → scalar distinct, with no join of any kind (the
+    all-pairs theta join was the one scale-killer pattern in the repo —
+    VERDICT r3; the r7 join-back shape died at 200k rows on two
+    sort-merge joins of the 193M-row candidate stream — BASELINE.md r8).
+    Candidate pairs must never materialize as Spark rows: scoring lives
+    in the FlatMapGroupsInPandas kernel."""
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     plan = (blocked_cosine_dups(emb, threshold=0.8, dim=64)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan
     import re as _re
 
-    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 3, plan
-    # the bucket aggregate must collect bare ids, never the vectors
-    for m in _re.finditer(r"collect_list\(([^)]*)", plan):
-        assert "embedding" not in m.group(1), m.group(0)
+    assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
 
 
 def test_dot_unrolled_matches_fold(spark, emb):
@@ -824,6 +822,43 @@ def test_bigram_lm_score_backoff_discriminates(spark):
     want = ((2 * 4 * 10**6) // 60 + (2 * 2 * 10**6) // 60
             + (2 * 2 * 10**6) // 60) // 3
     assert out[11].score_ppm == want
+
+
+def test_bigram_lm_shuffle_path_plan(spark):
+    """``broadcast_lm=False`` must (a) produce identical rows to the
+    broadcast path and (b) actually plan the LM probes as (h1,h2)/h2
+    shuffle joins when broadcast conversion is off — the
+    LM-exceeds-broadcast 100 TB shape the flag exists for. At gate scale
+    AQE may convert the shuffle back to broadcast, which is fine and not
+    what this test runs: it pins the plan with the threshold disabled."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    lm = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat"),
+         Row(doc_id=2, text="the cat sat on the rug")])
+    score_df = spark.createDataFrame(
+        [Row(doc_id=10, text="the cat sat"),
+         Row(doc_id=11, text="cat the on sat"),
+         Row(doc_id=13, text="solo")])
+    want = {r.doc_id: (r.n_pairs, r.score_ppm) for r in
+            bigram_lm_score(score_df, lm_df=lm).collect()}
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        out = bigram_lm_score(score_df, lm_df=lm, broadcast_lm=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {r.doc_id: (r.n_pairs, r.score_ppm) for r in out.collect()}
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
 
 
 def test_drop_repeated_spans_planted(spark):
