@@ -63,6 +63,14 @@ BENCH_QUERIES = [
     # taboo filter -> hashed classifier -> length-bucketed batches)
     "d10_paragraph_dedup",
     "x56_web_curation",
+    # r8: the heaviest proven text operator (cross-doc span dedup) joins
+    # the clock — its DuckDB twin OOMs at the 100x corpus but runs at
+    # sf0.1, so this is the one entry whose scale story is an asymmetry
+    # note (BASELINE.md r7/r8) rather than a ratio; and the embedding
+    # near-dup path on the in-bucket Arrow gemm kernel (the r8 rework
+    # that took 200k rows from non-terminating to ~36 s).
+    "d8_cross_doc_span_dedup",
+    "d5_embedding_dup_pairs",
 ]
 
 

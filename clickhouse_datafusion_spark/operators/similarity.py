@@ -37,27 +37,6 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Fixed-dimension dot product as an explicit 64-term (etc.) sum.
-
-    Bit-identical to :func:`dot` — same left-to-right fold order, and
-    ``element_at`` past either array's length is NULL exactly where
-    ``zip_with`` pads with NULL (pinned by
-    tests/test_operators.py::test_dot_unrolled_matches_fold) — but
-    WHOLE-STAGE CODEGEN instead of CodegenFallback: Spark evaluates HOF
-    lambdas interpreted per element, so ``dot`` costs ~dim interpreted
-    expression evals per row. On the blocked near-dup path that put
-    ~12×10⁹ interpreted evals into the pair-scoring projection at the
-    200k-row corpus (193M candidates × 64 dims) — the stage simply never
-    finished. Use this form whenever the dimension is statically known
-    (every embedding operator resolves ``dim`` anyway for plane
-    generation); keep :func:`dot` for genuinely dynamic shapes."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
-
-
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -71,22 +50,79 @@ def _as_double(col) -> Column:
     return c.cast("array<double>")
 
 
+def _fold_dot_np(V, W):
+    """Fold-exact dot products, vectorized ACROSS rows: one float64
+    multiply-add per dimension in strict left-to-right order — the exact
+    accumulation sequence of the JVM ``dot`` (and of DuckDB's
+    list_dot_product), so results are bit-identical with no γ-guard.
+    ``V``/``W`` are (n, dim) float64; returns (n,)."""
+    import numpy as np
+
+    acc = np.zeros(len(V))
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d] * W[:, d]
+    return acc
+
+
 def _cosine_to_query(col, query_vec: list[float]) -> Column:
-    """Cosine of every row against a fixed query vector, in the codegen
-    (unrolled) form — the expression that runs ONCE PER ROW of a full
-    corpus scan, so it must not be the interpreted HOF fold. Note the
-    denominator's ``norm(q)`` looks constant but an HOF ``aggregate``
-    over a literal array is not foldable, so the old form re-interpreted
-    it per row too. The ``size == dim`` guard reproduces ``zip_with``'s
-    NULL contract for malformed rows (shorter OR longer than the query):
-    both forms yield NULL cosine there — pinned by
-    tests/test_operators.py::test_dot_unrolled_matches_fold."""
+    """Cosine of every row against a fixed query vector as a fold-exact
+    Arrow kernel — the expression that runs ONCE PER ROW of a full corpus
+    scan, so it must not be the interpreted HOF fold (~dim boxed evals
+    per row; ``norm(q)`` re-interprets per row too, because HOF
+    aggregates are not foldable).
+
+    Why a kernel and not codegen: the r7 attempt (commit 60c3905,
+    reverted 0ab45cd) unrolled the three dots into a 192-term expression
+    tree — janino then fails with "Code grows beyond 64 KB" and Spark
+    DISABLES whole-stage codegen for the whole stage, which is strictly
+    worse than the fold it replaced (measured r8: WholeStageCodegenExec
+    WARNs on s1/s3/s4 at sf0.01). A single generated method cannot be
+    split below the JVM limit because the chain is one expression. The
+    Arrow kernel sidesteps codegen entirely and stays bit-identical by
+    construction: per-dimension multiply-adds run in the JVM fold's
+    exact left-to-right order (:func:`_fold_dot_np` — vectorized across
+    rows, sequential over dims), ``norm(q)`` is the same fold in Python
+    floats (IEEE doubles), and malformed rows (NULL / length ≠ dim)
+    return genuine NULLs exactly where ``zip_with``'s padding nulls the
+    fold — pinned by tests/test_operators.py::test_query_cosine_kernel_matches_fold.
+    A zero-norm row yields NaN, matching the JVM division."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
     dim = len(query_vec)
-    q = _lit_vec(query_vec)
-    v = _as_double(col)
-    c = (dot_unrolled(v, q, dim)
-         / (F.sqrt(dot_unrolled(v, v, dim)) * F.sqrt(dot_unrolled(q, q, dim))))
-    return F.when(F.size(v) == dim, c)
+    q = np.asarray(query_vec, dtype=np.float64)
+    acc = 0.0
+    for x in q:                      # fold-exact norm(q), driver-side
+        acc = acc + float(x) * float(x)
+    nq = math.sqrt(acc)
+
+    def cos(batch: pd.Series) -> pd.Series:
+        n = len(batch)
+        out = np.full(n, np.nan)
+        ok, vecs = [], []
+        for i, v in enumerate(batch):
+            if v is not None and len(v) == dim:
+                ok.append(i)
+                vecs.append(v)
+        if ok:
+            V = np.asarray(vecs, dtype=np.float64)
+            dq = _fold_dot_np(V, np.broadcast_to(q, V.shape))
+            nv = np.sqrt(_fold_dot_np(V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[np.asarray(ok)] = dq / (nv * nq)
+        # nullable Float64: malformed rows are NULL (like the fold),
+        # zero-norm rows stay NaN (like the JVM division)
+        mask = np.ones(n, dtype=bool)
+        if ok:
+            mask[np.asarray(ok)] = False
+        return pd.Series(pd.array(out, dtype="Float64")).mask(
+            pd.Series(mask), other=pd.NA)
+
+    cos.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    v = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(cos, "double")(v)
 
 
 def _lit_vec(values: list[float]) -> Column:
@@ -766,32 +802,93 @@ def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                          left_vec: str = "embedding", right_vec: str = "embedding",
                          left_id: str = "vec_id", right_id: str = "vec_id",
                          dim: int | None = None) -> DataFrame:
-    """k nearest right-rows for every left-row (broadcast the smaller side).
+    """k nearest right-rows for every left-row, with the right side
+    broadcast INTO an Arrow kernel that ranks in place.
 
-    Exact kNN join: at scale broadcast ``right`` when it fits (<~1 GB),
-    else fall back to LSH-bucketed join. The |left|×|right| candidate
-    stream is the dominant row count, so the cosine is the unrolled
-    codegen form (``dim=None`` probes the right side once); rows whose
-    vector length ≠ dim get NULL cosine on both forms.
+    Exact kNN join; the contract is a broadcast-size ``right`` (<~1 GB —
+    else use the LSH-bucketed path). The r7 shape joined broadcast(right)
+    then ranked with a window: the |left|×|right| pair stream shuffled
+    once for the window partition, and the per-pair cosine was either an
+    interpreted HOF fold or (r7d) an unrolled expression that blew
+    janino's 64 KB method limit and disabled whole-stage codegen for the
+    stage. Now the right side rides a SparkContext broadcast into a
+    ``mapInPandas`` kernel that computes all pair cosines fold-exactly
+    (:func:`_fold_dot_np` over 64 outer-product steps — the JVM
+    accumulation order, bit-identical to the SQL oracle), rounds, and
+    emits each left row's top-k directly: NO join, NO window shuffle,
+    |left|×k output rows.
+
+    Semantics pinned to the old plan (and the s4 oracle): rank by
+    rounded cos DESC then rid ASC (R is pre-sorted by rid; a stable
+    argsort on -cos preserves rid order across exact ties); rid == lid
+    pairs excluded; zero-norm cosines are NaN → Spark FLOOR(NaN) = 0 →
+    cos 0.0 (replicated explicitly); malformed/NULL vectors rank after
+    every valid pair with NULL cos, exactly where the window's
+    NULLS-LAST ordering put them.
     """
-    from pyspark.sql import Window as W
+    import numpy as np
+    import pandas as pd
 
     if dim is None:
         dim = len(right.select(right_vec).first()[0])
-    r = F.broadcast(right.select(F.col(right_id).alias("rid"),
-                                 _as_double(right_vec).alias("rv")))
-    l_ = left.select(F.col(left_id).alias("lid"), _as_double(left_vec).alias("lv"))
-    nl, nr = F.col("lv"), F.col("rv")
-    c = F.when((F.size(nl) == dim) & (F.size(nr) == dim),
-               dot_unrolled(nl, nr, dim)
-               / (F.sqrt(dot_unrolled(nl, nl, dim))
-                  * F.sqrt(dot_unrolled(nr, nr, dim))))
-    w = W.partitionBy("lid").orderBy(F.col("cos").desc(), "rid")
-    return (l_.join(r, F.col("lid") != F.col("rid"))
-            .select("lid", "rid",
-                    (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).drop("rn"))
+    rrows = sorted(right.select(F.col(right_id).alias("rid"),
+                                _as_double(right_vec).alias("rv")).collect(),
+                   key=lambda r: r["rid"])
+    rids_all = [r["rid"] for r in rrows]
+    valid = [i for i, r in enumerate(rrows)
+             if r["rv"] is not None and len(r["rv"]) == dim]
+    R = (np.asarray([rrows[i]["rv"] for i in valid], dtype=np.float64)
+         if valid else np.zeros((0, dim)))
+    rnrm = np.sqrt(_fold_dot_np(R, R)) if valid else np.zeros(0)
+    rids_v = [rids_all[i] for i in valid]
+    valid_set = set(valid)
+    rids_bad = [rids_all[i] for i in range(len(rrows))
+                if i not in valid_set]
+    bc = left.sparkSession.sparkContext.broadcast(
+        (R, rnrm, rids_v, rids_bad, rids_all))
+
+    l_ = left.select(F.col(left_id).alias("lid"),
+                     _as_double(left_vec).alias("lv"))
+    lid_t = l_.schema["lid"].dataType.simpleString()
+    rid_t = right.schema[right_id].dataType.simpleString()
+
+    def topk(batches):
+        Rv, Rn, ids_v, ids_bad, ids_all = bc.value
+        m = len(ids_v)
+        ids_v_arr = np.asarray(ids_v)
+        for pdf in batches:
+            la, ra, ca = [], [], []
+            for lid, lv in zip(pdf["lid"], pdf["lv"]):
+                if lv is not None and len(lv) == dim and m:
+                    v = np.asarray(lv, dtype=np.float64)
+                    acc = np.zeros(m)
+                    for d in range(dim):     # fold-exact, all pairs at once
+                        acc = acc + v[d] * Rv[:, d]
+                    nl = 0.0
+                    for d in range(dim):
+                        nl = nl + float(v[d]) * float(v[d])
+                    nl = math.sqrt(nl)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / (Rn * nl)
+                    r = np.floor(cos * 10000.0 + 0.5) / 10000.0
+                    r[np.isnan(r)] = 0.0     # Spark FLOOR(NaN) = 0
+                    keep = ids_v_arr != lid
+                    order = np.argsort(-r[keep], kind="stable")[:k]
+                    sel_ids = ids_v_arr[keep][order]
+                    sel_cos = r[keep][order]
+                    la.extend([lid] * len(sel_ids))
+                    ra.extend(sel_ids.tolist())
+                    ca.extend(sel_cos.tolist())
+                    pad = [b for b in ids_bad if b != lid][:k - len(sel_ids)]
+                else:                        # NULL cosine everywhere:
+                    pad = [b for b in ids_all if b != lid][:k]
+                la.extend([lid] * len(pad))
+                ra.extend(pad)
+                ca.extend([None] * len(pad))
+            yield pd.DataFrame({"lid": la, "rid": ra, "cos": ca})
+
+    schema = f"lid {lid_t}, rid {rid_t}, cos double"
+    return l_.mapInPandas(topk, schema)
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",

@@ -234,26 +234,26 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
     assert len(_re.findall(r"\bFileScan\b|\bBatchScan\b", plan)) <= 1, plan
 
 
-def test_dot_unrolled_matches_fold(spark, emb):
-    """The unrolled codegen dot/cosine must be BIT-identical to the HOF
-    fold (same left-to-right accumulation), including the NULL contract:
-    a vector shorter OR longer than the fixed dim yields NULL exactly
-    where ``zip_with``'s NULL padding nulls the fold. Checked on the real
-    fixture (raw doubles, no rounding) and on malformed edge rows."""
+def test_query_cosine_kernel_matches_fold(spark, emb):
+    """The fold-exact Arrow query-cosine kernel must be BIT-identical to
+    the JVM HOF fold (same left-to-right accumulation — no γ-guard
+    needed because the kernel IS the fold, vectorized across rows),
+    including the NULL contract: a vector shorter OR longer than the
+    query dim yields NULL exactly where ``zip_with``'s NULL padding
+    nulls the fold. Checked on the real fixture (raw doubles, no
+    rounding) and on malformed edge rows. The unrolled-codegen form this
+    replaces (60c3905/0ab45cd) blew janino's 64 KB method limit at 3
+    dots per expression and disabled whole-stage codegen for the stage."""
     from clickhouse_datafusion_spark.operators.similarity import (
-        _as_double, _cosine_to_query, _lit_vec, cosine, dot, dot_unrolled)
+        _as_double, _cosine_to_query, _lit_vec, cosine)
 
     qvec = [float(x) for x in emb.select("embedding").first()[0]]
     q = _lit_vec(qvec)
-    v = _as_double("embedding")
     both = emb.select(
-        dot(v, q).alias("fold"),
-        dot_unrolled(v, q, 64).alias("unrolled"),
-        cosine(v, q).alias("cos_fold"),
-        _cosine_to_query("embedding", qvec).alias("cos_unrolled"))
+        cosine(_as_double("embedding"), q).alias("cos_fold"),
+        _cosine_to_query("embedding", qvec).alias("cos_kernel"))
     assert both.filter(
-        ~(F.col("fold") == F.col("unrolled"))
-        | ~(F.col("cos_fold") == F.col("cos_unrolled"))).count() == 0
+        ~(F.col("cos_fold") == F.col("cos_kernel"))).count() == 0
     edge = spark.createDataFrame(
         [(1, [0.5] * 10), (2, [0.5] * 80), (3, None)],
         "vec_id int, embedding array<float>")
@@ -262,6 +262,35 @@ def test_dot_unrolled_matches_fold(spark, emb):
         _cosine_to_query("embedding", qvec).alias("b")).collect()
     for r in rows:
         assert r["a"] is None and r["b"] is None, r
+
+
+def test_knn_join_kernel_matches_window_reference(spark, emb):
+    """The mapInPandas kNN kernel must reproduce the reference
+    join+window plan row-for-row: rounded cos DESC, rid ASC tie-break,
+    self-pairs excluded."""
+    from pyspark.sql import Window as W
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _as_double, brute_force_knn_join, cosine)
+
+    left = emb.filter(F.col("vec_id") < 10)
+    right = emb.filter(F.col("vec_id") < 100)
+    got = {(r.lid, r.rid): r.cos
+           for r in brute_force_knn_join(left, right, k=3).collect()}
+    r_ = F.broadcast(right.select(F.col("vec_id").alias("rid"),
+                                  _as_double("embedding").alias("rv")))
+    l_ = left.select(F.col("vec_id").alias("lid"),
+                     _as_double("embedding").alias("lv"))
+    c = cosine(F.col("lv"), F.col("rv"))
+    w = W.partitionBy("lid").orderBy(F.col("cos").desc(), "rid")
+    want = {(r.lid, r.rid): r.cos for r in
+            (l_.join(r_, F.col("lid") != F.col("rid"))
+             .select("lid", "rid",
+                     (F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0))
+                     .alias("cos"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 3).drop("rn")).collect()}
+    assert got == want
 
 
 def test_lsh_signature_kernels_agree(spark, emb):
