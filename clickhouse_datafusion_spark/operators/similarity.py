@@ -18,9 +18,20 @@
 - ``quantize_embeddings`` — symmetric int8 (4× memory for ANN stores);
   shuffle-free projection, IEEE-deterministic.
 
-Dot products use ``zip_with`` + left-to-right ``aggregate`` in double
-precision — bit-identical to a sequential C loop, which keeps the DuckDB
-oracle exact (same accumulation order).
+Numeric discipline: every emitted cosine is the left-to-right float64
+fold (the accumulation order of a sequential C loop and of DuckDB's
+list_dot_product), so the oracle comparison is bit-exact. Three
+implementations share that contract, chosen by where the rows are:
+``dot``/``cosine`` (zip_with + aggregate HOF — fine for small/dynamic
+uses, interpreted per element, never on a hot path), the fold-exact
+Arrow kernels (:func:`_fold_dot_np` — the same fold vectorized ACROSS
+rows; powers the query-cosine scan paths, the kNN join, and the
+in-bucket pair scorer), and the signature matmul kernel (gemm + γ-bound
+sign guard, where only the SIGN must match the fold). The codegen
+middle road — unrolling the fold into a fixed-dim expression tree
+(60c3905) — is a dead end: three dots per cosine is 192 terms, janino
+fails with "Code grows beyond 64 KB", and Spark disables whole-stage
+codegen for the stage, which is slower than the HOF it replaced.
 """
 
 from __future__ import annotations
@@ -303,7 +314,8 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                         dim: int | None = None, seed: int = 42,
                         target_bucket: int = 32,
                         recall: float = 0.999,
-                        n_groups: int | None = None) -> DataFrame:
+                        n_groups: int | None = None,
+                        n_rows: int | None = None) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold) via LSH blocking — the
     default/scale path, replacing the quadratic all-pairs theta join.
 
@@ -331,11 +343,16 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
     b near-identical vectors owes b²/2 output pairs; run exact dedup
     first if that is your corpus).
 
-    ``n_planes=None`` / ``n_tables=None`` (the default) auto-sizes from
-    ``df.count()`` via :func:`lsh_block_params` — one cheap count job
-    buys a plan whose bucket sizes stay near ``target_bucket`` at every
-    corpus size. Pass both explicitly to pin a plan (the correctness
-    gates do: deterministic parameters the SQL oracle can reproduce).
+    ``n_planes=None`` / ``n_tables=None`` (the default) auto-sizes via
+    :func:`lsh_block_params` from ``n_rows`` — pass it when the count is
+    already known (snapshot-store manifests, parquet footers, a prior
+    stage's count) to skip the one extra scan; otherwise ``df.count()``
+    runs, a cheap job that buys a plan whose bucket sizes stay near
+    ``target_bucket`` at every corpus size. The sizing only picks
+    integers from log-scale formulas, so an approximate count (±20%) is
+    fine. Pass both plan parameters explicitly to pin a plan (the
+    correctness gates do: deterministic parameters the SQL oracle can
+    reproduce).
     ``n_groups`` controls the applyInPandas group count (default
     8×parallelism, raised automatically when the banded stream is known
     to be large; at cluster scale size it to ~1-2M banded rows per
@@ -350,9 +367,9 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    n_rows = None
     if n_planes is None or n_tables is None:
-        n_rows = df.count()
+        if n_rows is None:
+            n_rows = df.count()
         auto_p, auto_t = lsh_block_params(n_rows, threshold,
                                           target_bucket, recall)
         n_planes = auto_p if n_planes is None else n_planes
@@ -381,7 +398,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_planes: int | None = None,
                    n_tables: int | None = None,
-                   dim: int | None = None, seed: int = 42) -> DataFrame:
+                   dim: int | None = None, seed: int = 42,
+                   n_rows: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): drop all but one representative (the min-id member)
@@ -409,7 +427,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     from clickhouse_datafusion_spark.operators.dedup import drop_near_dups
 
     pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
-                                n_planes, n_tables, dim, seed)
+                                n_planes, n_tables, dim, seed,
+                                n_rows=n_rows)
     return drop_near_dups(df, pairs, id_col)
 
 
@@ -417,7 +436,7 @@ def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
                    label_col: str = "label", vec_col: str = "embedding",
                    id_col: str = "vec_id", n_planes: int | None = None,
                    n_tables: int | None = None, dim: int | None = None,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, n_rows: int | None = None) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the ``k`` most-similar embeddings carrying a DIFFERENT label (cos ≥
     ``threshold``) — the negatives that actually move a contrastive loss,
@@ -439,7 +458,8 @@ def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
     oracle must size tables for margin (see d9's note in queries.py).
     """
     pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
-                                n_planes, n_tables, dim, seed)
+                                n_planes, n_tables, dim, seed,
+                                n_rows=n_rows)
     sym = pairs.unionByName(pairs.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"))
     la = df.select(F.col(id_col).alias("id_a"),
