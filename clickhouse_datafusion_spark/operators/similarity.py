@@ -608,6 +608,21 @@ def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     if kernel == "auto":
         kernel = "arrow" if n_planes * n_tables > 64 else "jvm"
     if kernel == "arrow":
+        # The matmul stage is compute-DENSE per task, so a scan that
+        # arrives in fewer splits than cores serializes it AND leaves the
+        # stage straggler-bound (one slow worker extends the whole stage).
+        # Widen to 2× parallelism — small tasks schedule around
+        # stragglers. Measured at the 200k corpus (20-split parquet scan,
+        # 32 cores): 17–56 s/run erratic before, 9.6–12 s steady after;
+        # the r7 d3 repartition finding, one level up. At real scale the
+        # scan already has ≥ parallelism splits and this is a no-op.
+        # actual planned splits, not the byte-based estimate — the
+        # estimator read 40 where the scan really arrives in 20 (row
+        # groups bound splits below bytes/maxPartitionBytes), and 20
+        # heavy tasks on 32 cores is exactly the straggler regime
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(2 * target)
         udf = _lsh_sig_arrow_kernel(dim, n_planes, n_tables, seed)
         sigs_arr = udf(_as_double(vec_col))
         return (df.withColumn("_sigs", sigs_arr)
