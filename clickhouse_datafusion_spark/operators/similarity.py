@@ -228,7 +228,7 @@ def lsh_block_params(n_rows: int, threshold: float,
     return planes, max(1, min(max_tables, tables))
 
 
-def _bucket_cosine_kernel(dim: int, threshold: float):
+def _bucket_cosine_kernel(dim: int, threshold: float, tile: int = 2048):
     """Arrow-batched in-bucket pair scorer: for each LSH bucket inside a
     group, ONE gemm computes every intra-bucket cosine as a prefilter and
     the sequential FOLD recomputes the survivors exactly, so candidate
@@ -245,11 +245,21 @@ def _bucket_cosine_kernel(dim: int, threshold: float):
     in float64 for |c| ≤ 1, then one division). Edge contract mirrors
     the JVM expressions: NULL/wrong-length vectors score NULL → never
     pass the filter (excluded here); a zero-norm cosine is NaN → Spark's
-    FLOOR(NaN) is 0 → dropped (numpy: NaN ≥ θ is False → dropped)."""
+    FLOOR(NaN) is 0 → dropped (numpy: NaN ≥ θ is False → dropped).
+
+    Skewed-bucket guard: a bucket larger than ``_TILE`` rows (a corpus
+    of near-identical embeddings that auto-sizing cannot split — LSH
+    puts identical vectors in the same bucket in EVERY table) is scored
+    in ``_TILE``-square gemm tiles, so prefilter memory stays bounded
+    (~33 MB per tile) at any bucket size instead of O(bucket²). The
+    OUTPUT of such a bucket is inherently quadratic — b near-identical
+    vectors owe b²/2 pairs by the operator's contract — so the cure for
+    a corpus like that is exact dedup upstream, not a silent cap here."""
     import numpy as np
     import pandas as pd
 
     slack = 1e-6
+    _TILE = tile
     triu_cache: dict = {}
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -273,20 +283,35 @@ def _bucket_cosine_kernel(dim: int, threshold: float):
         bounds = np.flatnonzero(
             np.r_[True, bk[1:] != bk[:-1], True])
         ka, kb = [], []
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                n = e - s
-                if n < 2:
-                    continue
-                Vb = V[s:e]
-                C = (Vb @ Vb.T) / np.outer(nrm[s:e], nrm[s:e])
+
+        def prefilter_block(i0, i1, j0, j1, diag):
+            C = (V[i0:i1] @ V[j0:j1].T
+                 ) / np.outer(nrm[i0:i1], nrm[j0:j1])
+            if diag:
+                n = i1 - i0
                 if n not in triu_cache:
                     triu_cache[n] = np.triu_indices(n, 1)
                 iu, ju = triu_cache[n]
                 keep = C[iu, ju] >= threshold - slack
                 if keep.any():
-                    ka.append(s + iu[keep])
-                    kb.append(s + ju[keep])
+                    ka.append(i0 + iu[keep])
+                    kb.append(j0 + ju[keep])
+            else:
+                ii, jj = np.nonzero(C >= threshold - slack)
+                if len(ii):
+                    ka.append(i0 + ii)
+                    kb.append(j0 + jj)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
+                    continue
+                for ts in range(s, e, _TILE):
+                    te = min(ts + _TILE, e)
+                    prefilter_block(ts, te, ts, te, diag=True)
+                    for us in range(te, e, _TILE):
+                        prefilter_block(ts, te, us,
+                                        min(us + _TILE, e), diag=False)
         if not ka:
             return empty
         ia = np.concatenate(ka)

@@ -264,6 +264,32 @@ def test_query_cosine_kernel_matches_fold(spark, emb):
         assert r["a"] is None and r["b"] is None, r
 
 
+def test_bucket_kernel_tiling_matches_untiled(spark, emb):
+    """The skewed-bucket gemm tiling must be invisible in the output: a
+    bucket spanning many tiles (tile=16 over a 150-row bucket, so
+    diagonal AND off-diagonal tile paths both fire) yields exactly the
+    untiled kernel's pairs. Runs the kernel directly on one synthetic
+    bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _bucket_cosine_kernel)
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = [base + 0.3 * rng.standard_normal(64) for _ in range(150)]
+    pdf = pd.DataFrame({"id": np.arange(150, dtype=np.int64),
+                        "v": [r.astype(np.float64) for r in rows],
+                        "bk": np.zeros(150, dtype=np.int64),
+                        "_g": np.zeros(150, dtype=np.int64)})
+    untiled = _bucket_cosine_kernel(64, 0.4, tile=4096)(pdf.copy())
+    tiled = _bucket_cosine_kernel(64, 0.4, tile=16)(pdf.copy())
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"], d["cos"]))
+    assert len(untiled) > 100          # the fixture produces real pairs
+    assert key(tiled) == key(untiled)
+
+
 def test_knn_join_kernel_matches_window_reference(spark, emb):
     """The mapInPandas kNN kernel must reproduce the reference
     join+window plan row-for-row: rounded cos DESC, rid ASC tie-break,
