@@ -400,9 +400,15 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
     if n_groups is None:
+        # target ~64k banded rows (~18 MB) per pandas group: the 2M-row
+        # A/B read 467.7 s at 256 groups (500k rows/group) vs 358.2 at
+        # 1024 and 338.8 at 4096 in one session — big groups cost worker
+        # memory pressure (GCLocker retries), small ones only per-group
+        # overhead, so err small. Gate/pinned callers (n_rows unknown)
+        # keep the 8×parallelism floor.
         n_groups = df.sparkSession.sparkContext.defaultParallelism * 8
-        if n_rows:  # keep pandas groups to ~2M banded rows
-            n_groups = max(n_groups, (n_rows * n_tables) // 2_000_000)
+        if n_rows:
+            n_groups = max(n_groups, (n_rows * n_tables) // 64_000)
     signed = with_lsh_signatures(df, vec_col, n_planes, n_tables, dim, seed)
     banded = (signed.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
