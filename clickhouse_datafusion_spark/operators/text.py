@@ -514,7 +514,16 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
         _ensure_parallelism)
 
     lm = _ensure_parallelism(lm_df, cpu_heavy=False)
+    # a NULL text must contribute NOTHING to the LM: explode_outer emits
+    # one all-NULL row per such doc (the scorer NEEDS that row so
+    # pairless docs reach its per-doc aggregate), but here it would
+    # count as a phantom unigram occurrence and inflate `total`,
+    # deflating every backoff score (found by the hypothesis property
+    # test: LM corpus ['a', NULL] scored backoff 200000 vs the
+    # reference's 400000). Real sentinel rows (doc-final word, NULL h2)
+    # have h1 NOT NULL and stay.
     bi_full = (_hashed_sentinel_pairs(lm, text_col, id_col)
+               .filter(F.col("h1").isNotNull())
                .groupBy("h1", "h2")
                .agg(F.count("*").cast("bigint").alias("c2")))
     uni = bi_full.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))

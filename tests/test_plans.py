@@ -194,15 +194,20 @@ def test_mixture_sample_single_shuffle(spark):
 
 
 def test_cross_doc_span_dedup_bounded_shuffles(spark):
-    # Affected-only rebuild (r7): the physical plan owns exactly 5
-    # shuffles — token lead-window (id), keeper election (gh), removal
-    # distinct (id,wpos), affected-doc distinct (id), rebuild aggregate
-    # (id) — and the gram pipeline + rm_docs broadcast are consumed via
-    # ReusedExchange, never recomputed. Executed plan required: the
-    # static AQE plan shows every logical occurrence pre-reuse (13).
+    # Affected-only rebuild (r7) + aggregate keeper election (r8): the
+    # physical plan owns at most 6 shuffles — token lead-window (id),
+    # keeper election groupBy (gh), the salted occurrence→keeper
+    # join-back ((gh,_salt) — the r8 skew guard's one extra exchange,
+    # bought to keep any mega-boilerplate gram off a single reducer),
+    # removal distinct (id,wpos), affected-doc distinct (id), rebuild
+    # aggregate (id) — and the gram pipeline + rm_docs broadcast are
+    # consumed via ReusedExchange, never recomputed. Executed plan
+    # required: the static AQE plan shows every logical occurrence
+    # pre-reuse; AQE reuse detection makes the exact count vary by one
+    # across runs, hence <= not ==.
     rep = plan_report(q("d8_cross_doc_span_dedup", spark), execute=True)
     assert not rep["cartesian"], rep
-    assert rep["shuffles"] <= 5, rep
+    assert rep["shuffles"] <= 6, rep
     assert rep["reused_exchanges"] >= 2, rep
 
 
