@@ -61,6 +61,19 @@ def _as_double(col) -> Column:
     return c.cast("array<double>")
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Probe the embedding dimensionality from the first NON-NULL vector
+    (one tiny Spark job). ``first()[0]`` on the raw column raised
+    TypeError on an empty input or a leading NULL row (r9 advisor);
+    production callers should pass ``dim`` explicitly and skip the job."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-NULL {vec_col!r} rows; "
+            "pass dim= explicitly")
+    return len(row[0])
+
+
 def _fold_dot_np(V, W):
     """Fold-exact dot products, vectorized ACROSS rows: one float64
     multiply-add per dimension in strict left-to-right order — the exact
@@ -124,12 +137,15 @@ def _cosine_to_query(col, query_vec: list[float]) -> Column:
             with np.errstate(divide="ignore", invalid="ignore"):
                 out[np.asarray(ok)] = dq / (nv * nq)
         # nullable Float64: malformed rows are NULL (like the fold),
-        # zero-norm rows stay NaN (like the JVM division)
+        # zero-norm rows stay NaN (like the JVM division). The raw
+        # FloatingArray constructor is required here: ``pd.array(...,
+        # "Float64")`` coerces np.nan to pd.NA, which would turn the
+        # zero-norm NaN into NULL and diverge from the JVM FLOOR(NaN)=0
+        # ranking (r9 advisor catch).
         mask = np.ones(n, dtype=bool)
         if ok:
             mask[np.asarray(ok)] = False
-        return pd.Series(pd.array(out, dtype="Float64")).mask(
-            pd.Series(mask), other=pd.NA)
+        return pd.Series(pd.arrays.FloatingArray(out, mask))
 
     cos.__annotations__ = {"batch": pd.Series, "return": pd.Series}
     v = F.col(col) if isinstance(col, str) else col
@@ -175,9 +191,15 @@ def pairwise_cosine_dups(df: DataFrame, threshold: float = 0.9,
 
     All-pairs theta join — quadratic. This is the small-N VERIFIER (and the
     recall oracle for tests); the production path at scale is
-    :func:`blocked_cosine_dups`, which bounds the pair space by LSH bucket."""
-    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
-                  norm(_as_double(vec_col)).alias("nrm"))
+    :func:`blocked_cosine_dups`, which bounds the pair space by LSH bucket.
+
+    Zero-norm vectors are excluded up front (``nrm > 0``): their cosine
+    is undefined, and under ANSI mode the JVM division would error
+    rather than produce NaN — the r9-pinned family contract is that a
+    zero-norm row never pairs, in both the exact and the kernel path."""
+    v = (df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+                   norm(_as_double(vec_col)).alias("nrm"))
+         .filter(F.col("nrm") > 0))
     a, b = v.alias("a"), v.alias("b")
     c = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
@@ -236,16 +258,29 @@ def _bucket_cosine_kernel(dim: int, threshold: float, tile: int = 2048):
 
     Bit-identity discipline (same as :func:`_lsh_sig_arrow_kernel`): the
     gemm uses pairwise/SIMD summation, the JVM ``dot`` a left-to-right
-    fold — both within γ·Σ|aᵢbᵢ| of the exact value, far under the 1e-6
-    prefilter slack — so the gemm may only DECIDE which pairs to look at,
-    never what to emit. Every surviving pair's dot and both norms are
-    recomputed as ``acc = acc + a[d]·b[d]`` over d (vectorized ACROSS
-    pairs, sequential over dims — the exact JVM fold order), and the 4dp
+    fold — both within γ·Σ|aᵢbᵢ| of the exact value — so the gemm may
+    only DECIDE which pairs to look at, never what to emit. Every
+    surviving pair's dot and both norms are recomputed as
+    ``acc = acc + a[d]·b[d]`` over d (vectorized ACROSS pairs,
+    sequential over dims — the exact JVM fold order), and the 4dp
     rounding is the same IEEE op sequence (``floor(c·10⁴+0.5)`` is exact
-    in float64 for |c| ≤ 1, then one division). Edge contract mirrors
-    the JVM expressions: NULL/wrong-length vectors score NULL → never
-    pass the filter (excluded here); a zero-norm cosine is NaN → Spark's
-    FLOOR(NaN) is 0 → dropped (numpy: NaN ≥ θ is False → dropped).
+    in float64 for |c| ≤ 1, then one division).
+
+    Prefilter slack: the EMISSION test is on the 4dp-ROUNDED cosine, so
+    a pair with raw cosine anywhere in [θ−5e-5, θ) rounds UP to θ and
+    must be emitted — the prefilter therefore keeps everything within
+    5e-5 (the rounding half-window) PLUS the gemm-vs-fold summation
+    error of the unrounded value; 1e-4 covers both with a decade of
+    margin (r8 shipped 1e-6, which silently dropped pairs in
+    [θ−5e-5, θ−1e-6) — caught by the r9 advisor, pinned by
+    tests/test_operators.py::test_bucket_kernel_keeps_round_up_borderline).
+
+    Edge contract (the r9-pinned family contract, shared with
+    :func:`pairwise_cosine_dups`): NULL/wrong-length vectors score NULL
+    → excluded; zero-norm vectors have an UNDEFINED cosine and never
+    pair at any threshold (NaN ≥ θ is False here; the exact verifier
+    filters ``nrm > 0`` up front — under ANSI mode its JVM division
+    would otherwise error, not NaN).
 
     Skewed-bucket guard: a bucket larger than ``_TILE`` rows (a corpus
     of near-identical embeddings that auto-sizing cannot split — LSH
@@ -258,7 +293,7 @@ def _bucket_cosine_kernel(dim: int, threshold: float, tile: int = 2048):
     import numpy as np
     import pandas as pd
 
-    slack = 1e-6
+    slack = 1e-4          # 4dp rounding half-window (5e-5) + gemm error
     _TILE = tile
     triu_cache: dict = {}
 
@@ -323,8 +358,8 @@ def _bucket_cosine_kernel(dim: int, threshold: float, tile: int = 2048):
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = accd / (nrm[ia] * nrm[ib])
         r = np.floor(cos * 10000.0 + 0.5) / 10000.0
-        m = r >= threshold            # NaN compares False, as Spark's
-        ids = pdf["id"]               # FLOOR(NaN)=0 path also drops
+        m = r >= threshold            # NaN compares False: zero-norm
+        ids = pdf["id"]               # rows never pair (family contract)
         return pd.DataFrame({"id_a": ids.iloc[ia[m]].to_numpy(),
                              "id_b": ids.iloc[ib[m]].to_numpy(),
                              "cos": r[m]})
@@ -340,7 +375,8 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                         target_bucket: int = 32,
                         recall: float = 0.999,
                         n_groups: int | None = None,
-                        n_rows: int | None = None) -> DataFrame:
+                        n_rows: int | None = None,
+                        small_n_exact: int = 256) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold) via LSH blocking — the
     default/scale path, replacing the quadratic all-pairs theta join.
 
@@ -387,11 +423,24 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
     1 − (1 − p^n_planes)^n_tables with p = 1 − θ/π; auto-sizing holds
     this ≥ ``recall`` at the threshold cosine.
     :func:`pairwise_cosine_dups` is the exact verifier.
+
+    Small-N auto-route (r9): when the corpus is known to be at most
+    ``small_n_exact`` rows (``n_rows`` passed or counted by auto-sizing),
+    the call returns the exact :func:`pairwise_cosine_dups` plan instead
+    — identical output contract (the exact pair set IS what LSH blocking
+    approximates; recall 1.0 ≥ any table budget), no Python-worker
+    spin-up, no shuffle. The default 256 sits at the measured crossover
+    (warm session, 64-d, θ=0.4): 200 rows — exact 0.85 s vs kernel
+    3.0 s; 2,000 rows — exact 27.6 s vs kernel 9.2 s (the theta join's
+    interpreted HOF dots are quadratic, the kernel floor is flat), so
+    the exact route wins roughly below 300 rows and loses fast above.
+    Pass ``small_n_exact=0`` to force the LSH plan (the kernel-path
+    tests do).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     if n_planes is None or n_tables is None:
         if n_rows is None:
             n_rows = df.count()
@@ -399,6 +448,8 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
                                           target_bucket, recall)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
+    if n_rows is not None and n_rows <= small_n_exact:
+        return pairwise_cosine_dups(df, threshold, vec_col, id_col)
     if n_groups is None:
         # target ~64k banded rows (~18 MB) per pandas group: the 2M-row
         # A/B read 467.7 s at 256 groups (500k rows/group) vs 358.2 at
@@ -430,7 +481,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    n_planes: int | None = None,
                    n_tables: int | None = None,
                    dim: int | None = None, seed: int = 42,
-                   n_rows: int | None = None) -> DataFrame:
+                   n_rows: int | None = None,
+                   small_n_exact: int = 256) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): drop all but one representative (the min-id member)
@@ -459,7 +511,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
 
     pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
                                 n_planes, n_tables, dim, seed,
-                                n_rows=n_rows)
+                                n_rows=n_rows, small_n_exact=small_n_exact)
     return drop_near_dups(df, pairs, id_col)
 
 
@@ -467,7 +519,8 @@ def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
                    label_col: str = "label", vec_col: str = "embedding",
                    id_col: str = "vec_id", n_planes: int | None = None,
                    n_tables: int | None = None, dim: int | None = None,
-                   seed: int = 42, n_rows: int | None = None) -> DataFrame:
+                   seed: int = 42, n_rows: int | None = None,
+                   small_n_exact: int = 256) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the ``k`` most-similar embeddings carrying a DIFFERENT label (cos ≥
     ``threshold``) — the negatives that actually move a contrastive loss,
@@ -490,7 +543,7 @@ def hard_negatives(df: DataFrame, k: int = 2, threshold: float = 0.4,
     """
     pairs = blocked_cosine_dups(df, threshold, vec_col, id_col,
                                 n_planes, n_tables, dim, seed,
-                                n_rows=n_rows)
+                                n_rows=n_rows, small_n_exact=small_n_exact)
     sym = pairs.unionByName(pairs.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"))
     la = df.select(F.col(id_col).alias("id_a"),
@@ -635,7 +688,7 @@ def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     ``dim`` explicitly (or derives it from the query vector); pass it in
     production pipelines too, where the plan may be rebuilt per batch."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     if kernel == "auto":
         kernel = "arrow" if n_planes * n_tables > 64 else "jvm"
     if kernel == "arrow":
@@ -867,7 +920,8 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                          left_vec: str = "embedding", right_vec: str = "embedding",
                          left_id: str = "vec_id", right_id: str = "vec_id",
-                         dim: int | None = None) -> DataFrame:
+                         dim: int | None = None,
+                         max_right_rows: int | None = 1_000_000) -> DataFrame:
     """k nearest right-rows for every left-row, with the right side
     broadcast INTO an Arrow kernel that ranks in place.
 
@@ -891,12 +945,27 @@ def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
     cos 0.0 (replicated explicitly); malformed/NULL vectors rank after
     every valid pair with NULL cos, exactly where the window's
     NULLS-LAST ordering put them.
+
+    ``max_right_rows`` (default 1M ≈ 0.5 GB of 64-d doubles) makes the
+    broadcast contract FAIL FAST: the check is a bounded
+    ``limit(cap+1).count()`` job, so a caller who points a 10⁸-row right
+    side at this gets a ValueError naming the bucketed alternative
+    instead of a driver OOM mid-collect (r8 verdict item 5). Pass
+    ``max_right_rows=None`` only when the count is known small upstream.
     """
     import numpy as np
     import pandas as pd
 
     if dim is None:
-        dim = len(right.select(right_vec).first()[0])
+        dim = _infer_dim(right, right_vec)
+    if max_right_rows is not None:
+        if right.limit(max_right_rows + 1).count() > max_right_rows:
+            raise ValueError(
+                f"brute_force_knn_join collects the right side to the "
+                f"driver; right exceeds max_right_rows={max_right_rows}. "
+                "Use the LSH-bucketed path (blocked_cosine_dups / "
+                "lsh_ann_topk) for large right sides, or raise "
+                "max_right_rows deliberately.")
     rrows = sorted(right.select(F.col(right_id).alias("rid"),
                                 _as_double(right_vec).alias("rv")).collect(),
                    key=lambda r: r["rid"])
@@ -1023,7 +1092,7 @@ def random_project(df: DataFrame, out_dim: int = 16,
     a broadcast matrix join beyond that.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     signs = _sign_matrix(out_dim, dim, seed)
     q = F.transform(_as_double(vec_col),
                     lambda x: F.floor(x * 1e6 + F.lit(0.5)))

@@ -2714,13 +2714,20 @@ def d5_embdup(spark, sf):
     so the old 0.8 threshold made the gate a vacuous 0 = 0 — at 0.4 it
     verifies real pairs (5 at sf0.01). Production near-dup callers keep
     the wider default (4 planes × 8 tables at cos ≥ 0.9: smaller buckets,
-    recall concentrated where near-dups live)."""
+    recall concentrated where near-dups live).
+
+    r9: ``n_rows=200`` (known by construction from the vec_id < 200
+    slice) engages the small-N auto-route — the 200-vector gate slice
+    runs the exact theta-join plan with no Arrow-kernel spin-up (the r8
+    bench paid ~1.5 s of pure applyInPandas floor here). The kernel
+    route itself stays pinned by d9/s8 (no n_rows) and
+    tests/test_operators.py::test_blocked_cosine_dups_matches_exact_on_planted."""
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
     dim = len(emb.select("embedding").first()[0])
     return blocked_cosine_dups(emb, threshold=0.4, dim=dim,
-                               n_planes=1, n_tables=24)
+                               n_planes=1, n_tables=24, n_rows=200)
 
 
 @qdef("d9_semantic_dedup",
@@ -5359,10 +5366,14 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r8a: the codegen dot unroll re-landed (reverts 0ab45cd, which had
-    # backed out 60c3905 with no rationale) — every per-row-cosine
-    # consumer re-gates on the shipped plan, plus the blocked-pair
-    # consumers whose scoring stage now uses it.
+    # r8a: the per-row-cosine consumers re-gate on the fold-exact Arrow
+    # kernels (c7abce8) that REPLACED the briefly re-landed codegen dot
+    # unroll (37c247a — convicted: janino >64 KB disables whole-stage
+    # codegen), plus the blocked-pair consumers whose scoring stage moved
+    # into the in-bucket gemm+fold kernel. r9: same head re-gates again —
+    # the prefilter slack fix (1e-6 → 1e-4, r9 advisor HIGH), the
+    # FLOOR(NaN)=0 emission contract, and the _cosine_to_query
+    # NaN-vs-NULL FloatingArray fix all touch these bodies.
     "s1_cosine_topk",
     "s2_lsh_ann_topk",
     "s3_ivf_ann_topk",

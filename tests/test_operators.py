@@ -182,8 +182,8 @@ def test_blocked_cosine_dups_matches_exact_on_planted(spark, emb):
     exact = {(r.id_a, r.id_b, r.cos)
              for r in pairwise_cosine_dups(corpus, threshold=0.9).collect()}
     blocked = {(r.id_a, r.id_b, r.cos)
-               for r in blocked_cosine_dups(corpus, threshold=0.9,
-                                            dim=64).collect()}
+               for r in blocked_cosine_dups(corpus, threshold=0.9, dim=64,
+                                            small_n_exact=0).collect()}
     assert len(exact) >= 10          # every planted copy pairs with its seed
     assert blocked == exact, (sorted(exact - blocked)[:5],
                               sorted(blocked - exact)[:5])
@@ -223,7 +223,7 @@ def test_blocked_cosine_dups_plan_is_bucketed(spark, emb):
     in the FlatMapGroupsInPandas kernel."""
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
-    plan = (blocked_cosine_dups(emb, threshold=0.8, dim=64)
+    plan = (blocked_cosine_dups(emb, threshold=0.8, dim=64, small_n_exact=0)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -262,6 +262,124 @@ def test_query_cosine_kernel_matches_fold(spark, emb):
         _cosine_to_query("embedding", qvec).alias("b")).collect()
     for r in rows:
         assert r["a"] is None and r["b"] is None, r
+
+
+def test_bucket_kernel_keeps_round_up_borderline(spark):
+    """r9 advisor HIGH: the emission test is on the 4dp-ROUNDED cosine,
+    so a pair with raw cosine in [θ−5e-5, θ) rounds UP to θ and must be
+    emitted. The r8 prefilter slack (1e-6) silently dropped such pairs;
+    the fixture pair sits at raw cos θ−2.5e-5 — inside the rounding
+    window, outside the old slack."""
+    import math
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        blocked_cosine_dups, pairwise_cosine_dups)
+
+    c = 0.9 - 2.5e-5
+    s = math.sqrt(1.0 - c * c)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [c, s, 0.0, 0.0]),          # raw cos(1,2) ≈ θ−2.5e-5 → rounds to 0.9
+            (3, [0.0, 0.0, 1.0, 0.0])]      # far from both
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # 24 tables at 1 plane: miss probability of a cos≈0.9 pair ≈ 1e-20
+    blocked = {(r.id_a, r.id_b, r.cos) for r in blocked_cosine_dups(
+        df, threshold=0.9, dim=4, n_planes=1, n_tables=24,
+        small_n_exact=0).collect()}
+    exact = {(r.id_a, r.id_b, r.cos) for r in
+             pairwise_cosine_dups(df, threshold=0.9).collect()}
+    assert (1, 2, 0.9) in exact            # the contract really rounds up
+    assert blocked == exact, (exact - blocked, blocked - exact)
+
+
+def test_blocked_cosine_dups_small_n_routes_exact(spark, emb):
+    """r9: a corpus known to be ≤ small_n_exact rows must take the exact
+    theta-join plan — no Arrow kernel node, no LSH machinery — with the
+    identical output contract (measured crossover ~300 rows; the 200-row
+    d5 gate slice pays 0.85 s vs the kernel's 3 s floor)."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        blocked_cosine_dups, pairwise_cosine_dups)
+
+    sl = emb.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    routed = blocked_cosine_dups(sl, threshold=0.4, dim=64, n_rows=150)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    got = {(r.id_a, r.id_b, r.cos) for r in routed.collect()}
+    exact = {(r.id_a, r.id_b, r.cos) for r in
+             pairwise_cosine_dups(sl, threshold=0.4).collect()}
+    assert got == exact and len(exact) > 0
+    # auto-sizing counts the corpus, so the route also fires with no n_rows
+    plan2 = (blocked_cosine_dups(sl, threshold=0.4, dim=64)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" not in plan2
+
+
+def test_query_cosine_zero_norm_is_nan_not_null(spark):
+    """r9 advisor: ``pd.array(..., 'Float64')`` coerced np.nan → pd.NA,
+    returning NULL for zero-norm rows where the JVM fold divides to NaN.
+    The contract: zero-norm rows rank at cos 0.0 (FLOOR(NaN)=0 in the
+    rounding), malformed rows rank last with NULL cos."""
+    from clickhouse_datafusion_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None), (4, [-1.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r.cos for r in cosine_topk(df, [1.0, 0.0], k=4).collect()}
+    assert got[1] == 1.0 and got[4] == -1.0
+    assert got[2] == 0.0, got        # zero-norm: NaN → FLOOR(NaN)=0 → 0.0
+    assert got[3] is None, got       # malformed: NULL, ranks last
+
+
+def test_blocked_cosine_dups_zero_norm_never_pairs(spark):
+    """r9 family contract: a zero-norm vector's cosine is undefined, so
+    it never pairs — at ANY threshold, in BOTH the kernel and the exact
+    path (whose ANSI-mode JVM division would otherwise raise
+    DIVIDE_BY_ZERO rather than produce NaN; it now filters nrm > 0)."""
+    from clickhouse_datafusion_spark.operators.similarity import (
+        blocked_cosine_dups, pairwise_cosine_dups)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0]),
+         (4, [0.8, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    for thr in (0.0, -0.5, 0.4):
+        blocked = {(r.id_a, r.id_b, r.cos) for r in blocked_cosine_dups(
+            df, threshold=thr, dim=2, n_planes=1, n_tables=8,
+            small_n_exact=0).collect()}
+        exact = {(r.id_a, r.id_b, r.cos) for r in
+                 pairwise_cosine_dups(df, threshold=thr).collect()}
+        assert blocked == exact, (thr, exact - blocked, blocked - exact)
+        assert (1, 4, 1.0) in blocked            # real pairs still emit
+        assert not any(2 in p[:2] or 3 in p[:2] for p in blocked), blocked
+
+
+def test_brute_force_knn_join_right_guard(spark, emb):
+    """r8 verdict item 5: a right side over max_right_rows must fail fast
+    with a pointer to the bucketed path, never a driver-side collect."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        brute_force_knn_join)
+
+    left = emb.limit(5)
+    with _pytest.raises(ValueError, match="max_right_rows"):
+        brute_force_knn_join(left, emb, k=2, dim=64, max_right_rows=100)
+    # under the cap (and with the cap disabled) the join still runs
+    assert brute_force_knn_join(left, emb.limit(50), k=2, dim=64).count() == 10
+
+
+def test_infer_dim_guard(spark):
+    """r9 advisor: dim inference must skip leading NULL rows and raise a
+    clear error on an all-NULL/empty input instead of TypeError."""
+    import pytest as _pytest
+
+    from clickhouse_datafusion_spark.operators.similarity import _infer_dim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>")
+    assert _infer_dim(df, "embedding") == 3
+    with _pytest.raises(ValueError, match="pass dim"):
+        _infer_dim(df.filter(F.col("vec_id") == 1), "embedding")
 
 
 def test_bucket_kernel_tiling_matches_untiled(spark, emb):
