@@ -66,6 +66,8 @@ QUERY_SET = [
     # r5f: mutation/SAMPLE front door + mixture/curriculum operators
     "x57_ch_mutations", "x58_sample_clause",
     "x59_temperature_mixture", "x60_curriculum_phases",
+    # r9: join-heavy relational headliners (r8 verdict task 7)
+    "q9_product_profit", "q18_large_volume_customers",
 ]
 
 

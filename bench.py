@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     # that took 200k rows from non-terminating to ~36 s).
     "d8_cross_doc_span_dedup",
     "d5_embedding_dup_pairs",
+    # r9: the two join-heavy relational headliners (r8 verdict task 7) —
+    # Q9-style 5-table profit rollup and Q18-style heavy-agg subquery join
+    "q9_product_profit",
+    "q18_large_volume_customers",
 ]
 
 

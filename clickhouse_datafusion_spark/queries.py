@@ -1245,6 +1245,97 @@ def flagship(spark, sf):
             .orderBy(F.col("order_count").desc(), "c_name").limit(10))
 
 
+@qdef("q9_product_profit",
+      """SELECT n.n_name AS nation,
+                CAST(year(o.o_orderdate) AS INT) AS o_year,
+                CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                     AS DOUBLE) AS profit
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%bolt%'
+         GROUP BY n.n_name, year(o.o_orderdate)""",
+      tags=("bench", "J5", "J6"))
+def q9_profit(spark, sf):
+    """TPC-H Q9-style product-type profit by (nation, year) — the
+    join-heaviest relational headliner: lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ orders (r8 verdict task 7; reference contract anchor: the
+    federation join suites, tests/e2e.rs:482-809).
+
+    Scale shape: the part filter (~13% of parts → ~13% of lineitem by FK
+    uniformity) is applied through the FIRST join, so the fact stream
+    shrinks before anything wide happens; nation is force-broadcast
+    (25 rows at any scale), part/supplier are left to AQE's runtime-size
+    call (broadcast at bench scale, shuffle join at 100× instead of
+    OOMing the driver — the q3 customer rule); the one unavoidable big
+    shuffle is ⋈ orders on orderkey, feeding a 175-group aggregate with
+    map-side partials. No profit = supplycost term: the testdata schema
+    carries no partsupp table, so profit is the discounted revenue."""
+    p = t(spark, sf, "part").filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum_exact(DEC("l_extendedprice", 14, 2)
+                            * (F.lit(1) - DEC("l_discount", 4, 2)))
+                 .alias("profit")))
+
+
+@qdef("q18_large_volume_customers",
+      """SELECT c.c_name, o.o_orderkey,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+                ROUND(o.o_totalprice, 2) AS totalprice,
+                CAST(ROUND(sum(CAST(l.l_quantity AS DECIMAL(28,4))), 2)
+                     AS DOUBLE) AS sum_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderkey IN (
+             SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(28,4))) > 300)
+         GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100""",
+      tags=("bench", "J6", "O7"))
+def q18_bigvol(spark, sf):
+    """TPC-H Q18-style large-volume customers — heavy-agg subquery + 3-way
+    join (r8 verdict task 7). The oracle is the classical two-scan form
+    (IN-subquery over a fresh lineitem aggregate, then re-aggregate per
+    order); the Spark plan computes the per-order quantity sum ONCE and
+    carries it: the filtered aggregate (~0.3% of orders at threshold 300)
+    is the IN-set AND the sum_qty value, so lineitem is scanned and
+    shuffled exactly once, and the tiny survivor set broadcasts into
+    orders (semi-join semantics via inner join on the unique key). At
+    100× the only full-table shuffle is the one l_orderkey aggregate;
+    orders and customer join AQE-sized. Same result by FK uniqueness of
+    l_orderkey in the aggregate output."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("_q"))
+           .filter(F.col("_q") > 300)
+           .select("l_orderkey",
+                   F.round("_q", 2).cast("double").alias("sum_qty")))
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                    R2(F.col("o_totalprice")).alias("totalprice"),
+                    "sum_qty")
+            .orderBy(F.col("totalprice").desc(), "o_orderkey").limit(100))
+
+
 # =========================================================================
 # events (batch analytics over the stream-shaped table)
 # =========================================================================
