@@ -2716,6 +2716,12 @@ def d3x_minhash_production(spark, sf):
     signature→banding→score pipeline is hash-checked through d3, which
     differs ONLY in the 31-bit base gram hash (md5-derived, both engines);
     this entry keeps the production family benchable and gate-visible.
+    r9 (r8 verdict task 4): the xxhash64 family additionally carries a
+    recall CONTRACT through the pytest channel —
+    tests/test_operators.py::test_d3x_production_minhash_recall_contract
+    pins candidates ⊇ exact-Jaccard pairs on planted J≈0.95 near-dups at
+    THIS entry's exact config, plus estimator accuracy — so the registry
+    reads 179/179 checked-by-something despite the missing DuckDB twin.
     bench.py times BOTH: same-session the families are within ~3%
     (0.73 s vs 0.71 s steady at sf0.1 after the pushed-filter fix), so
     any larger gap in recorded numbers is the box's documented
