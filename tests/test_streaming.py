@@ -329,3 +329,68 @@ def test_stream_upsert_snapshot_batch_split_invariant(spark, tmp_path):
                for r in read_snapshot(spark, snap).collect()}
         assert got == want, (split_name, got)
         assert len(list_snapshots(snap)) >= 1   # every commit pinnable
+
+
+def test_dedup_state_evicts_behind_watermark(spark, tmp_path):
+    """r8 verdict task 5 (eviction bound): dropDuplicatesWithinWatermark
+    state must be bounded by the WATERMARK HORIZON's key population, not
+    the corpus — the property that makes ingestion-time dedup viable at
+    100 TB. Three micro-batches of 2,000 distinct keys each, one day
+    apart in event time, watermark 1 hour: by batch 3 the first two
+    batches' keys are far behind the watermark and must be GONE from the
+    state store (asserted from StreamingQueryProgress.stateOperators —
+    the same metric a production monitor reads)."""
+    import datetime as dt
+    import json as _json
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_datafusion_spark.streaming import dedup_stream
+
+    d = tmp_path / "evict"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    n, batches = 2000, 5
+    now = _time.time()
+    for b in range(batches):
+        # flat FILES (pyarrow), not df.write.parquet directories — the
+        # file stream does not descend into non-partition subdirs
+        tbl = pa.table({
+            "event_id": pa.array([b * 1_000_000 + i for i in range(n)],
+                                 pa.int64()),
+            "ts": pa.array([base + dt.timedelta(days=b, seconds=i % 600)
+                            for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 50 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([float(i) for i in range(n)]),
+            "props": pa.array(["p"] * n),
+        })
+        p = str(d / f"b{b}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + b, now + b))   # file source orders by modTime
+    stream = dedup_stream(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        watermark="1 hour")
+    name = f"ev_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        prog = [_json.loads(p.json) for p in q.recentProgress
+                if p.numInputRows > 0 and _json.loads(p.json)
+                .get("stateOperators")]
+    finally:
+        q.stop()
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
+    assert len(state_rows) >= batches
+    # the committed state holds at most the current batch's keys plus the
+    # previous batch's (eviction lags one commit: a batch's keys leave
+    # when the NEXT batch advances the watermark past them) — bounded by
+    # the horizon-adjacent population, never approaching the corpus size
+    assert max(state_rows) <= 2 * n, state_rows
+    assert state_rows[-1] <= 2 * n < batches * n, state_rows
+    # nothing was lost: every distinct event_id flowed through
+    assert (spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+            == batches * n)
