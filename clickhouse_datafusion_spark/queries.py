@@ -5480,13 +5480,16 @@ _GATE_PRIORITY = [
     "d5_embedding_dup_pairs",
     "d9_semantic_dedup",
     "s8_hard_negatives",
-    # r8b: d8's keeper election moved from a gh-keyed window to a
-    # partial-aggregatable min/count groupBy + salted join-back (the
-    # boilerplate-skew guard) — body changed after its r7 row.
-    "d8_cross_doc_span_dedup",
-    # r8c: new entry — t11's broadcast_lm=False shuffle path (the
-    # LM-exceeds-broadcast 100 TB shape) gets its own hash row.
-    "t11c_bigram_lm_shuffle",
+    # r9b: new join-heavy relational headliners (r8 verdict task 7) —
+    # never gated, so tier 1 would front them anyway; pinned here so the
+    # head is the complete changed-this-round list.
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    # r9c: the r4-era gate tail (r8 verdict task 8) — bodies unchanged,
+    # fronted once so no registry row is older than two rounds.
+    "f7_ch_eval",
+    "f8_ch_case_udf",
+    "x10_native_connector_scan",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
