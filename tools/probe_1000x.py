@@ -5,7 +5,20 @@ Extends baseline_embeddings_100x.py's corpus scheme one more decade
 shard-0), to answer the judge's actual question — does the blocked
 near-dup plan scale LINEARLY across decades, or was 200k a lucky size?
 
-Usage: python tools/probe_1000x.py [runs]
+r9 (r8 verdict task 3): the probe now VERIFIES RECALL at every decade,
+not just wall time. The corpus construction makes the full true-pair
+set computable without the quadratic oracle: every pair at cos ≥ 0.9
+lives inside a "family" — shard-0 base row j plus its planted copies
+(base_j + 0.25·|base_j|·unit-noise) across shards — because permuted
+non-planted rows decorrelate cross-shard to near-random (cos ~
+N(0, 1/8); 0.9 is ≫7σ) and intra-shard base cosines max out at ≈0.51
+on this fixture. :func:`expected_pairs` replays the seeded construction
+in numpy, scores each intra-family pair with the same fold-exact
+float64 dot + 4dp rounding the kernel and the SQL oracle use, and the
+probe reports recall = |output ∩ expected| / |expected| (the kernel can
+emit no false positives: every emitted cosine is exact).
+
+Usage: python tools/probe_1000x.py [runs] [--recall-only]
 """
 import os
 import random
@@ -65,10 +78,69 @@ def build() -> str:
     return path
 
 
+def expected_pairs(copies: int = COPIES) -> set[tuple[int, int]]:
+    """Replay the seeded corpus construction and return EVERY true pair
+    (4dp-rounded fold cosine ≥ THRESHOLD) — all of which are intra-family
+    by the construction argument in the module docstring. Pure numpy,
+    O(rows + planted²-per-family); no Spark, no quadratic oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clickhouse_datafusion_spark.operators.similarity import _fold_dot_np
+
+    src = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    ids = np.asarray(src.column("vec_id").to_pylist(), dtype=np.int64)
+    base = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
+    n, dim = base.shape
+    # families[j] = [(vec_id, float32 vector), ...], shard-0 member first
+    members_ids: list[list[int]] = [[int(ids[j])] for j in range(n)]
+    members_vecs: list[list] = [[base[j]] for j in range(n)]
+    for i in range(1, copies):
+        nrng = np.random.default_rng(i)
+        planted = nrng.random(n) < PLANT_RATE          # same call order as build()
+        if not planted.any():
+            continue
+        noise = nrng.standard_normal((int(planted.sum()), dim),
+                                     dtype=np.float32)
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        bnorm = np.linalg.norm(base[planted], axis=1, keepdims=True)
+        pv = base[planted] + 0.25 * bnorm * noise      # float32, as built
+        for k, j in enumerate(np.flatnonzero(planted)):
+            members_ids[j].append(int(ids[j] + i * OFFSET))
+            members_vecs[j].append(pv[k])
+    out: set[tuple[int, int]] = set()
+    for mids, mvecs in zip(members_ids, members_vecs):
+        m = len(mids)
+        if m < 2:
+            continue
+        V = np.asarray(mvecs, dtype=np.float64)        # the kernel's upcast
+        nrm = np.sqrt(_fold_dot_np(V, V))
+        iu, ju = np.triu_indices(m, 1)
+        cos = _fold_dot_np(V[iu], V[ju]) / (nrm[iu] * nrm[ju])
+        r = np.floor(cos * 10000.0 + 0.5) / 10000.0
+        for a, b in zip(iu[r >= THRESHOLD], ju[r >= THRESHOLD]):
+            ia, ib = mids[a], mids[b]
+            out.add((ia, ib) if ia < ib else (ib, ia))
+    return out
+
+
+def check_recall(result_df, copies: int) -> tuple[float, int, int, int]:
+    """recall of the blocked output against the replayed true-pair set.
+    Returns (recall, |expected|, |hit|, |unexpected|)."""
+    exp = expected_pairs(copies)
+    got = {(int(r.id_a), int(r.id_b)) if r.id_a < r.id_b
+           else (int(r.id_b), int(r.id_a))
+           for r in result_df.select("id_a", "id_b").collect()}
+    hit = len(exp & got)
+    return (hit / len(exp) if exp else 1.0), len(exp), hit, len(got - exp)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    recall_only = "--recall-only" in sys.argv
+    runs = int(args[0]) if args else 2
     path = build()
     spark = (SparkSession.builder.master(
                  f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -86,12 +158,18 @@ def main() -> None:
     n_rows = emb.count()
     print(f"rows={n_rows} params={lsh_block_params(n_rows, THRESHOLD)}",
           flush=True)
-    for i in range(runs):
-        t0 = time.perf_counter()
-        n = blocked_cosine_dups(emb, threshold=THRESHOLD, dim=64,
-                                n_rows=n_rows).count()
-        print(f"run{i}: {time.perf_counter()-t0:.1f}s n_pairs={n}",
-              flush=True)
+    if not recall_only:
+        for i in range(runs):
+            t0 = time.perf_counter()
+            n = blocked_cosine_dups(emb, threshold=THRESHOLD, dim=64,
+                                    n_rows=n_rows).count()
+            print(f"run{i}: {time.perf_counter()-t0:.1f}s n_pairs={n}",
+                  flush=True)
+    res = blocked_cosine_dups(emb, threshold=THRESHOLD, dim=64,
+                              n_rows=n_rows)
+    recall, n_exp, n_hit, n_extra = check_recall(res, COPIES)
+    print(f"recall={recall:.6f} expected={n_exp} hit={n_hit} "
+          f"unexpected={n_extra}", flush=True)
 
 
 if __name__ == "__main__":
