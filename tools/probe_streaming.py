@@ -134,16 +134,24 @@ def main() -> None:
     print(f"st2 output={out_n} input={in_n} "
           f"(dup shard dropped: {in_n - out_n})", flush=True)
 
-    # st7: dedup against a persistent corpus (anti join + watermark dedup)
+    # st7: dedup against a persistent corpus (anti join + watermark
+    # dedup). The hash must include event_id: the staged shards shift
+    # ids/ts but carry identical content columns, so a content-only hash
+    # would put EVERY row in the seen-set and measure nothing (first
+    # probe run did exactly that). With event_id in the key, the corpus
+    # drop hits shard 0 only and the watermark dedup drops the dup shard.
     ev0 = spark.read.parquet(os.path.join(d, "shard_00.parquet"))
-    cols = ["user_id", "event_type", "value", "props"]
+    cols = ["event_id", "event_type", "value", "props"]
     seen = (ev0.select(F.md5(F.concat_ws("\x1f", *cols)).alias("h"))
             .distinct().localCheckpoint(eager=True))
     s = dedup_against_corpus(read_events_stream(spark, d), seen,
-                             watermark="2 hours")
+                             hash_cols=cols, watermark="2 hours")
     q = (s.writeStream.outputMode("append").format("memory")
          .queryName("probe_st7").start())
     results["st7_corpus_dedup"] = report("st7_corpus_dedup", drain(q))
+    out7 = spark.sql("SELECT count(*) FROM probe_st7").first()[0]
+    print(f"st7 output={out7} (corpus-dropped shard 0, "
+          f"watermark-dropped dup shard)", flush=True)
 
     # st9: CDC upsert into the snapshot store (foreachBatch merge).
     # stream_upsert_snapshot drives the query itself (processAllAvailable
