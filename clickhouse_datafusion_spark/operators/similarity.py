@@ -135,7 +135,13 @@ def _cosine_to_query(col, query_vec: list[float]) -> Column:
             dq = _fold_dot_np(V, np.broadcast_to(q, V.shape))
             nv = np.sqrt(_fold_dot_np(V, V))
             with np.errstate(divide="ignore", invalid="ignore"):
-                out[np.asarray(ok)] = dq / (nv * nq)
+                c = dq / (nv * nq)
+            # zero-norm rows are NaN by contract; a subnormal vector
+            # whose squared norm underflows to 0 would otherwise give
+            # ±inf here (r9 property-test catch on the pair kernel) —
+            # fold to NaN so the edge ranks like any zero-norm row
+            c[~np.isfinite(c)] = np.nan
+            out[np.asarray(ok)] = c
         # nullable Float64: malformed rows are NULL (like the fold),
         # zero-norm rows stay NaN (like the JVM division). The raw
         # FloatingArray constructor is required here: ``pd.array(...,
@@ -358,8 +364,13 @@ def _bucket_cosine_kernel(dim: int, threshold: float, tile: int = 2048):
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = accd / (nrm[ia] * nrm[ib])
         r = np.floor(cos * 10000.0 + 0.5) / 10000.0
-        m = r >= threshold            # NaN compares False: zero-norm
-        ids = pdf["id"]               # rows never pair (family contract)
+        # zero-norm rows never pair (family contract). NaN (0/0) already
+        # compares False; the isfinite guard additionally covers the
+        # SUBNORMAL edge the r9 property test caught: a vector whose
+        # squared norm underflows to 0 while its dot does not gives
+        # x/0 = +inf, which would pass any threshold.
+        m = (r >= threshold) & np.isfinite(r)
+        ids = pdf["id"]
         return pd.DataFrame({"id_a": ids.iloc[ia[m]].to_numpy(),
                              "id_b": ids.iloc[ib[m]].to_numpy(),
                              "cos": r[m]})
@@ -1006,7 +1017,9 @@ def brute_force_knn_join(left: DataFrame, right: DataFrame, k: int,
                     with np.errstate(divide="ignore", invalid="ignore"):
                         cos = acc / (Rn * nl)
                     r = np.floor(cos * 10000.0 + 0.5) / 10000.0
-                    r[np.isnan(r)] = 0.0     # Spark FLOOR(NaN) = 0
+                    # Spark FLOOR(NaN) = 0; ~isfinite also folds the
+                    # subnormal-underflow ±inf edge (r9 property catch)
+                    r[~np.isfinite(r)] = 0.0
                     keep = ids_v_arr != lid
                     order = np.argsort(-r[keep], kind="stable")[:k]
                     sel_ids = ids_v_arr[keep][order]

@@ -50,6 +50,37 @@ def test_q5_broadcasts_dims(spark):
     assert_no_cartesian(df)
 
 
+def test_q9_part_filter_pushed_and_no_cartesian(spark):
+    # q9 (5-table profit rollup): the part name filter must reach the
+    # part scan, lineitem reads only its 5 referenced columns, and the
+    # whole join tree stays equi-join (no cartesian at any scale)
+    df = q("q9_product_profit", spark)
+    assert_pushed_filters(df, "p_name")
+    assert_pruned_schema(df, "l_quantity")
+    assert_pruned_schema(df, "l_shipdate")
+    assert_no_cartesian(df)
+    rep = plan_report(df, execute=True)
+    assert rep["broadcasts"] >= 3, rep      # part/supplier/nation at bench SF
+
+
+def test_q18_single_lineitem_aggregate(spark):
+    # q18: the per-order quantity sum is computed ONCE (one lineitem
+    # aggregate exchange) and the tiny survivor set broadcasts into
+    # orders — lineitem is never re-scanned or join-shuffled
+    df = q("q18_large_volume_customers", spark)
+    assert_no_cartesian(df)
+    rep = plan_report(df, execute=True)
+    assert rep["broadcasts"] >= 1, rep
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the executed AQE string prints Final AND Initial sections — count
+    # the final plan only, or one scan reads as two
+    plan = plan.split("== Initial Plan ==")[0]
+    import re as _re
+
+    li_scans = len(_re.findall(r"FileScan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1, plan[:2000]
+
+
 def test_flagship_single_shuffle_agg(spark):
     df = q("flagship_top_customers", spark)
     rep = plan_report(df, execute=True)  # AQE decides the customer join

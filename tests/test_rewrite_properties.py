@@ -191,3 +191,93 @@ def test_sample_lowering_string_and_subquery_safety(spark):
     n = eng.sql("SELECT count(*) AS n FROM tsmp2 SAMPLE 0.5 "
                 "JOIN tsmp ON tsmp2.k = tsmp.k").collect()[0].n
     assert 0 < n < 50
+
+
+# --- bucket-kernel property (r9): the in-bucket pair scorer vs brute force
+
+
+def _brute_pairs(pdf, dim, threshold):
+    """Reference implementation: per bucket, all pairs, fold-exact cosine,
+    4dp rounding, NaN (zero-norm) never pairs, malformed rows excluded."""
+    import numpy as np
+
+    out = set()
+    for bk in set(pdf["bk"]):
+        rows = [(i, v) for i, v, b in zip(pdf["id"], pdf["v"], pdf["bk"])
+                if b == bk and v is not None and len(v) == dim]
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                ia, va = rows[x]
+                ib, vb = rows[y]
+                if ia == ib:
+                    continue
+                d = na = nb = 0.0
+                for k in range(dim):
+                    d += float(va[k]) * float(vb[k])
+                    na += float(va[k]) * float(va[k])
+                    nb += float(vb[k]) * float(vb[k])
+                denom = (na ** 0.5) * (nb ** 0.5)
+                if denom == 0.0:
+                    continue                       # NaN never pairs
+                c = d / denom
+                r = np.floor(c * 10000.0 + 0.5) / 10000.0
+                if r >= threshold:
+                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                    # kernel emits (id_a, id_b) sorted within bucket by
+                    # (bk, id); ids are unique here so orient by id
+                    out.add((lo, hi, float(r)))
+    return out
+
+
+@st.composite
+def _bucket_frames(draw):
+    import numpy as np
+
+    dim = draw(st.integers(min_value=1, max_value=5))
+    n = draw(st.integers(min_value=0, max_value=24))
+    ids, vecs, bks = [], [], []
+    for i in range(n):
+        bks.append(draw(st.integers(min_value=0, max_value=2)))
+        kind = draw(st.sampled_from(["ok", "ok", "ok", "zero", "null",
+                                     "short"]))
+        if kind == "null":
+            vecs.append(None)
+        elif kind == "zero":
+            vecs.append(np.zeros(dim))
+        elif kind == "short":
+            vecs.append(np.zeros(max(0, dim - 1)))
+        else:
+            vecs.append(np.asarray([draw(st.floats(
+                min_value=-4, max_value=4, allow_nan=False))
+                for _ in range(dim)]))
+        ids.append(i)
+    thr = draw(st.sampled_from([0.9, 0.5, 0.0, -0.5]))
+    tile = draw(st.sampled_from([2, 4, 2048]))
+    return dim, ids, vecs, bks, thr, tile
+
+
+@given(_bucket_frames())
+@settings(max_examples=120, deadline=None)
+def test_bucket_cosine_kernel_matches_bruteforce(case):
+    """The gemm+fold bucket kernel (tiled and untiled) must equal the
+    all-pairs fold reference on arbitrary buckets — including zero-norm,
+    NULL, and wrong-length vectors, negative thresholds, and buckets
+    smaller than / spanning multiple gemm tiles. This is the pure-pandas
+    seam of blocked_cosine_dups, so the property runs Spark-free."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_datafusion_spark.operators.similarity import (
+        _bucket_cosine_kernel)
+
+    dim, ids, vecs, bks, thr, tile = case
+    pdf = pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                        "v": vecs,
+                        "bk": pd.array(bks, dtype="int64"),
+                        "_g": pd.array([0] * len(ids), dtype="int64")})
+    got = {(int(a), int(b), float(c)) for a, b, c in
+           _bucket_cosine_kernel(dim, thr, tile=tile)(pdf)
+           .itertuples(index=False)}
+    want = _brute_pairs(pdf, dim, thr)
+    assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5],
+                         dim, thr, tile)
