@@ -1,0 +1,158 @@
+"""Differential query fuzzing: Spark vs DuckDB on GENERATED relational
+queries (r9).
+
+The 181 registry oracles pin fixed queries; this harness samples the
+query SPACE — random projections, filter conjunctions/disjunctions,
+group-bys, and aggregates over lineitem — and asserts Spark and DuckDB
+agree row-for-row on the smoke fixture. Property tests caught a real
+engine bug in each of the last two rounds (NULL-text LM counts r8,
+subnormal cosine infinities r9) precisely because fixtures never
+contain the edge class; this extends the same adversarial channel to
+the relational core's predicate/aggregate algebra.
+
+Numeric discipline (the repo's standard): sums run on DECIMAL(28,4)
+casts and round once (exact + associative → engine-identical bits);
+min/max/count are exact by nature; float averages are deliberately
+outside the fuzzed algebra. String comparisons use only ASCII literals
+drawn from the fixture's own value sets, so collation cannot diverge.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from tests.conftest import SF_SMOKE
+
+LI = f"{SF_SMOKE}/lineitem.parquet"
+
+NUM_COLS = {"l_orderkey": (1, 6000), "l_linenumber": (1, 7),
+            "l_quantity": (1.0, 50.0), "l_extendedprice": (900.0, 100_000.0)}
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+OPS = ["<", "<=", "=", ">", ">=", "<>"]
+
+
+@st.composite
+def _predicates(draw):
+    terms = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        if draw(st.booleans()):
+            col = draw(st.sampled_from(sorted(NUM_COLS)))
+            lo, hi = NUM_COLS[col]
+            if isinstance(lo, int):
+                lit = draw(st.integers(min_value=lo, max_value=hi))
+                lit_sql = str(lit)
+            else:
+                # 2dp literals: exactly representable on both sides
+                lit = round(draw(st.floats(min_value=lo, max_value=hi,
+                                           allow_nan=False)), 2)
+                lit_sql = repr(lit)
+            op = draw(st.sampled_from(OPS))
+            terms.append(f"{col} {op} {lit_sql}")
+        else:
+            col = draw(st.sampled_from(sorted(STR_COLS)))
+            val = draw(st.sampled_from(STR_COLS[col]))
+            op = draw(st.sampled_from(["=", "<>"]))
+            terms.append(f"{col} {op} '{val}'")
+    glue = draw(st.sampled_from([" AND ", " OR "]))
+    return glue.join(terms)
+
+
+@st.composite
+def _queries(draw):
+    pred = draw(_predicates())
+    keys = draw(st.lists(st.sampled_from(GROUP_COLS), unique=True,
+                         min_size=0, max_size=2))
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+        aggs.append("CAST(ROUND(sum(CAST({c} AS DECIMAL(28,4))), 2) "
+                    "AS DOUBLE) AS s".format(c=col))
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(NUM_COLS)))
+        fn = draw(st.sampled_from(["min", "max"]))
+        aggs.append(f"{fn}({col}) AS m")
+    sel = (", ".join(keys) + (", " if keys else "")) + ", ".join(aggs)
+    sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
+@pytest.fixture(scope="module")
+def li_view(spark):
+    df = spark.read.parquet(LI)
+    df.createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM read_parquet('{LI}')")
+    return spark, con
+
+
+def _canon(rows):
+    """None-safe order-insensitive canonical form (LEFT JOIN groups can
+    carry NULL keys, which break bare tuple sorting in Python)."""
+    return sorted((tuple((v is None, v) for v in r) for r in rows))
+
+
+@given(_queries())
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spark_duckdb_agree_on_generated_queries(li_view, sql):
+    """Every generated predicate/aggregate query must return the same
+    multiset of rows in both engines (order-insensitive, exact values —
+    the decimal-sum discipline makes floats engine-identical)."""
+    spark, con = li_view
+    got = _canon(tuple(r) for r in spark.sql(sql).collect())
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3], len(got), len(want))
+
+
+ORD = f"{SF_SMOKE}/orders.parquet"
+
+
+@st.composite
+def _join_queries(draw):
+    pred = draw(_predicates())
+    o_status = draw(st.sampled_from(["O", "F", "P"]))
+    o_term = draw(st.sampled_from(
+        [f"o_orderstatus = '{o_status}'", "o_totalprice > 50000",
+         "o_orderkey % 2 = 0"]))
+    keys = draw(st.lists(
+        st.sampled_from(["o_orderstatus", "l_returnflag", "o_orderpriority"]),
+        unique=True, min_size=1, max_size=2))
+    aggs = ["CAST(count(*) AS BIGINT) AS n",
+            "CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(28,4))), 2) "
+            "AS DOUBLE) AS s",
+            "min(o_orderkey) AS m"]
+    join = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    if join == "LEFT JOIN":
+        # keep the left-join honest: the orders-side predicate must sit
+        # in the ON clause or it silently degrades to an inner join
+        sql = (f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+               f"FROM lineitem LEFT JOIN orders "
+               f"ON l_orderkey = o_orderkey AND {o_term} "
+               f"WHERE {pred} GROUP BY {', '.join(keys)}")
+    else:
+        sql = (f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+               f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+               f"WHERE ({pred}) AND {o_term} "
+               f"GROUP BY {', '.join(keys)}")
+    return sql
+
+
+@given(_join_queries())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spark_duckdb_agree_on_generated_join_queries(li_view, sql):
+    """Same contract over the join+aggregate algebra, including LEFT
+    JOIN with ON-clause predicates (NULL-extended groups must match)."""
+    spark, con = li_view
+    con.execute(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * "
+                f"FROM read_parquet('{ORD}')")
+    spark.read.parquet(ORD).createOrReplaceTempView("orders")
+    got = _canon(tuple(r) for r in spark.sql(sql).collect())
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3], len(got), len(want))
