@@ -156,3 +156,46 @@ def test_spark_duckdb_agree_on_generated_join_queries(li_view, sql):
     got = _canon(tuple(r) for r in spark.sql(sql).collect())
     want = _canon(con.execute(sql).fetchall())
     assert got == want, (sql, got[:3], want[:3], len(got), len(want))
+
+
+@st.composite
+def _window_queries(draw):
+    """Window-function algebra. Determinism rules: lag/lead/row_number
+    get a UNIQUE full ordering (ties would make them arrival-order-
+    dependent); rank/dense_rank and RANGE-framed aggregates are
+    deterministic under ties (peers share ranks / frames), so their
+    ORDER BY may be non-unique."""
+    pred = draw(_predicates())
+    pk = draw(st.sampled_from(["l_returnflag", "l_linestatus",
+                               "l_linenumber"]))
+    fn = draw(st.sampled_from(
+        ["row_number() OVER ({win})", "rank() OVER ({win})",
+         "dense_rank() OVER ({win})",
+         "CAST(count(*) OVER ({win}) AS BIGINT)",
+         "CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(28,4))) "
+         "OVER ({win}), 2) AS DOUBLE)",
+         "min(l_extendedprice) OVER ({win})",
+         "max(l_orderkey) OVER ({win})",
+         "lag(l_linenumber, 1, -1) OVER ({win})",
+         "lead(l_orderkey, 2, 0) OVER ({win})"]))
+    unique_needed = fn.startswith(("row_number", "lag", "lead"))
+    ok = draw(st.sampled_from(["l_quantity", "l_extendedprice",
+                               "l_orderkey"]))
+    order = f"{ok} {'DESC' if draw(st.booleans()) else 'ASC'}"
+    if unique_needed:
+        order += ", l_orderkey, l_linenumber"
+    expr = fn.format(win=f"PARTITION BY {pk} ORDER BY {order}")
+    return (f"SELECT l_orderkey, l_linenumber, {expr} AS w "
+            f"FROM lineitem WHERE {pred}")
+
+
+@given(_window_queries())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spark_duckdb_agree_on_generated_window_queries(li_view, sql):
+    """Window algebra: ranks, RANGE-framed aggregates (decimal-exact),
+    and lag/lead under a unique ordering must match row-for-row."""
+    spark, con = li_view
+    got = _canon(tuple(r) for r in spark.sql(sql).collect())
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3], len(got), len(want))
