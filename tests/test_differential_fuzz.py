@@ -199,3 +199,40 @@ def test_spark_duckdb_agree_on_generated_window_queries(li_view, sql):
     got = _canon(tuple(r) for r in spark.sql(sql).collect())
     want = _canon(con.execute(sql).fetchall())
     assert got == want, (sql, got[:3], want[:3], len(got), len(want))
+
+
+@st.composite
+def _setop_queries(draw):
+    """Set operations and membership subqueries: two filtered
+    projections of lineitem composed with UNION [ALL] / INTERSECT /
+    EXCEPT (distinct semantics in both engines), or an IN / NOT IN /
+    EXISTS subquery pivoting on order keys."""
+    pred_a, pred_b = draw(_predicates()), draw(_predicates())
+    cols = draw(st.sampled_from(
+        ["l_returnflag, l_linestatus", "l_linenumber",
+         "l_returnflag, l_linenumber"]))
+    kind = draw(st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "IN", "NOT IN",
+         "EXISTS"]))
+    if kind in ("UNION", "UNION ALL", "INTERSECT", "EXCEPT"):
+        return (f"SELECT {cols} FROM lineitem WHERE {pred_a} "
+                f"{kind} SELECT {cols} FROM lineitem WHERE {pred_b}")
+    if kind == "EXISTS":
+        return (f"SELECT l_orderkey, l_linenumber FROM lineitem a "
+                f"WHERE ({pred_a}) AND EXISTS (SELECT 1 FROM lineitem b "
+                f"WHERE b.l_orderkey = a.l_orderkey AND ({pred_b}) "
+                f"AND b.l_linenumber <> a.l_linenumber)")
+    return (f"SELECT l_orderkey, l_linenumber FROM lineitem "
+            f"WHERE ({pred_a}) AND l_orderkey {kind} "
+            f"(SELECT l_orderkey FROM lineitem WHERE {pred_b})")
+
+
+@given(_setop_queries())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spark_duckdb_agree_on_generated_setop_queries(li_view, sql):
+    """Set-op / membership-subquery algebra, row-identical multisets."""
+    spark, con = li_view
+    got = _canon(tuple(r) for r in spark.sql(sql).collect())
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3], len(got), len(want))
