@@ -48,6 +48,55 @@ class ClickHouseSparkEngine:
         self._sample_keys = {}
         self._mat_view_dir = os.path.abspath(
             mat_view_dir or os.path.join("spark-warehouse", "_matviews"))
+        self._remote = None
+        self._remote_db = None
+        self.last_remote_sql: str | None = None
+
+    # ---------------------------------------------------------------------
+    def attach_remote(self, remote, db: str = "remote",
+                      local_twin_dir: str | None = None) -> None:
+        """Attach a :class:`~clickhouse_datafusion_spark.sources.
+        remote_engine.RemoteEngine` as the federated backend for
+        ``clickhouse.<db>.*`` (and bare-name) references.
+
+        After attaching, :meth:`sql` ships any WHOLE statement whose
+        table references all live in the remote engine and that passes
+        the dialect gate (S7 whole-subtree exec; a remote⋈remote join
+        ships with it — J8); everything else runs locally as before.
+        ``local_twin_dir`` optionally registers the same parquet files
+        as local Spark views, so non-shippable statements over the
+        same names still resolve (the reference's TableProvider scan
+        fallback)."""
+        from clickhouse_datafusion_spark.catalog import (
+            register_testdata_views)
+
+        self._remote = remote
+        self._remote_db = db
+        if local_twin_dir is not None:
+            register_testdata_views(self.spark, local_twin_dir)
+
+    def _try_remote_exec(self, sql: str):
+        """S7/J8: return a DataFrame when the whole statement shipped,
+        else None. Never raises out of the federation seam — a remote
+        failure falls back to the local plan (recorded on
+        ``last_remote_sql`` staying None)."""
+        if self._remote is None:
+            return None
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            unparse_for_remote)
+
+        shipped = unparse_for_remote(
+            sql, next(iter(self._catalog_names)), self._remote_db or "remote",
+            self._remote.tables())
+        if shipped is None:
+            return None
+        try:
+            tbl = self._remote.execute(shipped)
+            df = self.spark.createDataFrame(tbl)
+        except Exception:
+            return None
+        self.last_remote_sql = shipped
+        return df
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
@@ -502,6 +551,21 @@ class ClickHouseSparkEngine:
         lb = _parse_limit_by(rewritten)
         if lb is not None:
             return self._run_limit_by(*lb)
+        if self._remote is not None:
+            self.last_remote_sql = None
+            remote_df = self._try_remote_exec(rewritten)
+            if remote_df is not None:
+                return remote_df
+            # local fallback for a non-shippable statement: remote-
+            # qualified names resolve to the local twin views (the
+            # reference's TableProvider scan when the analyzer cannot
+            # push the subtree)
+            rewritten = re.sub(
+                rf"(?i)\b{re.escape(self._remote_db)}\.(\w+)\b",
+                lambda m: m.group(1)
+                if m.group(1).lower() in self._remote.tables()
+                else m.group(0),
+                rewritten)
         rewritten = self._route_native_tables(rewritten)
         return self.spark.sql(rewritten)
 

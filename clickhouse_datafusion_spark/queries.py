@@ -1105,6 +1105,46 @@ def fed1(spark, sf):
             .groupBy("segment_name").agg(F.count("*").alias("n_cust")))
 
 
+@qdef("fed2_remote_subtree_exec",
+      """SELECT c.c_mktsegment AS segment,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(ROUND(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)
+                     AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderkey < 3000
+         GROUP BY c.c_mktsegment""",
+      tags=("S7", "J8", "S20", "F6", "federation"))
+def fed2_remote(spark, sf):
+    """Whole-subtree REMOTE execution (r9): both join sides live in the
+    attached remote engine, so the entire join+aggregate ships through
+    the federation seam — dialect gate → unparser → pooled remote
+    execution → Arrow hand-back (sources/remote_engine.py; reference
+    src/context.rs whole-subtree analyzer + tests/e2e.rs:482-809
+    federation joins). The gate row checks the full adapter path:
+    names, types, decimal/bigint Arrow conversion, and values must
+    survive the remote round-trip to hash-match the oracle. The
+    assertion that the statement actually SHIPPED (not a silent local
+    fallback) is pinned in tests/test_remote_engine.py."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import RemoteEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    for tname in ("orders", "customer"):
+        remote.register_parquet(
+            tname, resolve_parquet_path(f"{sf}/{tname}.parquet"))
+    eng.attach_remote(remote, db="remote")
+    df = eng.sql(
+        "SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2) "
+        "AS DOUBLE) AS total "
+        "FROM clickhouse.remote.orders o "
+        "JOIN clickhouse.remote.customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderkey < 3000 GROUP BY c.c_mktsegment")
+    assert eng.last_remote_sql is not None, "federation gate refused to ship"
+    return df.localCheckpoint(eager=True)
+
+
 # =========================================================================
 # TPC-H-style headline queries (bench set)
 # =========================================================================
@@ -5485,6 +5525,10 @@ _GATE_PRIORITY = [
     # head is the complete changed-this-round list.
     "q9_product_profit",
     "q18_large_volume_customers",
+    # r9d: the federation seam made real (S7/J8/S20/W6/F6) — whole
+    # statement ships to the attached remote engine; the gate row checks
+    # the unparse→pooled-exec→Arrow round trip end-to-end.
+    "fed2_remote_subtree_exec",
     # r9c: the r4-era gate tail (r8 verdict task 8) — bodies unchanged,
     # fronted once so no registry row is older than two rounds.
     "f7_ch_eval",
