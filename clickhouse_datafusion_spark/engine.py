@@ -98,6 +98,62 @@ class ClickHouseSparkEngine:
         self.last_remote_sql = shipped
         return df
 
+    _REMOTE_INSERT_RE = re.compile(
+        r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
+        r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*(?P<src>(select|with|"
+        r"values)\b.*)$")
+
+    def _try_remote_insert(self, sql: str):
+        """Federated INSERT (the write half of S7/S20): a statement
+        targeting a writable remote table either ships WHOLE (source
+        also all-remote: the remote engine runs INSERT..SELECT itself —
+        no data crosses the seam at all) or evaluates the source locally
+        and appends the Arrow batches through the pooled connection
+        (the reference sink shipping RecordBatches,
+        src/sink.rs:180-197). Returns the sink-contract one-row count
+        DataFrame, or None when the target is not remote. INSERT
+        OVERWRITE raises the sink's OverwriteNotSupported — parity with
+        the native path (reference src/providers/table.rs:148-152)."""
+        if self._remote is None:
+            return None
+        from clickhouse_datafusion_spark import sink
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            unparse_for_remote)
+
+        m = self._REMOTE_INSERT_RE.match(sql)
+        if not m:
+            return None
+        name = m.group("name").lower()
+        cat = next(iter(self._catalog_names))
+        db = self._remote_db or "remote"
+        bare = None
+        for p in (f"{cat}.{db}.", f"{db}."):
+            if name.startswith(p):
+                bare = name[len(p):]
+                break
+        if bare is None or "." in bare or bare not in self._remote.tables():
+            return None
+        if m.group("kind").lower() == "overwrite":
+            raise sink.OverwriteNotSupported(
+                "remote tables are append-only (INSERT OVERWRITE is "
+                "rejected, like the native sink)")
+        cols = m.group("cols") or ""
+        src = m.group("src").strip()
+        try:
+            shipped = unparse_for_remote(src, cat, db, self._remote.tables())
+            if shipped is not None:
+                n = self._remote.execute_insert(
+                    f"INSERT INTO {bare} {cols} {shipped}")
+            else:
+                df = self.sql(src)
+                n = self._remote.insert_arrow(bare, df.toArrow(), cols)
+        except ValueError:
+            raise
+        except Exception as e:
+            raise sink.SchemaValidationError(
+                f"remote insert into {bare!r} failed: {e}") from e
+        return sink._count_df(self.spark, n)
+
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
         """Expose the SQL rewrite (for tests / EXPLAIN of the rewritten text)."""
@@ -542,6 +598,9 @@ class ClickHouseSparkEngine:
             self._drop_native_mapping(d.group("name"))
             return self.spark.sql(rewritten)
         if _is_insert(rewritten):
+            remote_ins = self._try_remote_insert(rewritten)
+            if remote_ins is not None:
+                return remote_ins
             # INSERT is detected BEFORE routing: the target stays on the
             # writable catalog table (the connector temp view is read-only);
             # only the source query is routed to the connector view.

@@ -118,6 +118,7 @@ class RemoteEngine:
         for _ in range(pool_size):
             self._pool.put(self._root.cursor())
         self._tables: set[str] = set()
+        self._writable: set[str] = set()
         self._lock = threading.Lock()
 
     # -- catalog -----------------------------------------------------
@@ -143,8 +144,21 @@ class RemoteEngine:
                 f"SELECT * FROM read_parquet('{file_path}')")
             self._tables.add(name.lower())
 
+    def create_table(self, name: str, schema_sql: str) -> None:
+        """Create a WRITABLE remote table (``schema_sql`` is the column
+        list, e.g. ``"id BIGINT, v DOUBLE"``) — the MergeTree-table
+        analog the insert path targets; parquet registrations stay
+        read-only views."""
+        with self._lock:
+            self._root.execute(f"CREATE TABLE {name} ({schema_sql})")
+            self._tables.add(name.lower())
+            self._writable.add(name.lower())
+
     def tables(self) -> set[str]:
         return set(self._tables)
+
+    def writable(self) -> set[str]:
+        return set(self._writable)
 
     # -- execution ---------------------------------------------------
     def execute(self, sql: str, timeout: float | None = None):
@@ -154,6 +168,41 @@ class RemoteEngine:
         cur = self._pool.get(timeout=timeout)
         try:
             return cur.execute(sql).arrow()
+        finally:
+            self._pool.put(cur)
+
+    def execute_insert(self, sql: str) -> int:
+        """Run a remote-side INSERT...SELECT on a pooled cursor; returns
+        the inserted-row count (the reference sink's count contract)."""
+        cur = self._pool.get()
+        try:
+            return int(cur.execute(sql).fetchone()[0])
+        finally:
+            self._pool.put(cur)
+
+    def insert_arrow(self, name: str, tbl, columns: str = "") -> int:
+        """Append an Arrow table into a writable remote table through the
+        pool — the federation write path's data plane (the reference
+        ships RecordBatches through its pooled connection,
+        src/sink.rs:180-197). Registration names are unique per call so
+        concurrent pooled writers never collide."""
+        import uuid as _uuid
+
+        if name.lower() not in self._writable:
+            raise ValueError(
+                f"remote table {name!r} is a read-only view; "
+                "create_table() makes a writable one")
+        alias = f"_ins_{_uuid.uuid4().hex[:12]}"
+        cur = self._pool.get()
+        try:
+            cur.register(alias, tbl)
+            try:
+                n = int(cur.execute(
+                    f"INSERT INTO {name} {columns} "
+                    f"SELECT * FROM {alias}").fetchone()[0])
+            finally:
+                cur.unregister(alias)
+            return n
         finally:
             self._pool.put(cur)
 

@@ -190,3 +190,71 @@ def test_remote_join_exec_matches_local(fed_fuzz, spark, sql):
     got = _rows(eng.sql(sql))
     want = _rows(spark.sql(sql))
     assert got == want, (sql, eng.last_remote_sql)
+
+
+def test_remote_insert_contract(fed, spark):
+    """Federated INSERT (write half of S7/S20): whole-ship when the
+    source is all-remote (no data crosses the seam), Arrow append
+    through the pool otherwise; count-row result, OVERWRITE rejected,
+    read-only views rejected, schema mismatch typed — all parity with
+    the native sink's contract."""
+    from clickhouse_datafusion_spark.sink import (
+        OverwriteNotSupported,
+        SchemaValidationError,
+    )
+
+    eng, remote = fed
+    remote.create_table("ins_digest", "status VARCHAR, n BIGINT")
+    r = eng.sql("INSERT INTO clickhouse.remote.ins_digest "
+                "SELECT o_orderstatus, CAST(count(*) AS BIGINT) "
+                "FROM clickhouse.remote.orders GROUP BY o_orderstatus")
+    assert r.columns == ["count"] and r.first()["count"] == 3
+    r2 = eng.sql("INSERT INTO clickhouse.remote.ins_digest VALUES ('X', 42)")
+    assert r2.first()["count"] == 1
+    total = remote.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM ins_digest")
+    assert total.column("c")[0].as_py() == 4
+    with pytest.raises(OverwriteNotSupported):
+        eng.sql("INSERT OVERWRITE clickhouse.remote.ins_digest "
+                "SELECT 'Y', CAST(1 AS BIGINT)")
+    with pytest.raises(ValueError, match="read-only"):
+        eng.sql("INSERT INTO clickhouse.remote.orders VALUES (1)")
+    with pytest.raises(SchemaValidationError):
+        eng.sql("INSERT INTO clickhouse.remote.ins_digest "
+                "SELECT 'Z', CAST(1 AS BIGINT), 99")
+
+
+def test_remote_insert_write_stress_over_subscribed(fed):
+    """e2e_stress.rs:69-239 parity on the REMOTE write path: 16
+    concurrent writers over a pool of 4 append disjoint batches; every
+    row arrives exactly once, no deadlock, no error."""
+    import pyarrow as pa
+
+    _, remote = fed
+    remote.create_table("ins_stress", "wid BIGINT, v BIGINT")
+    rows_per = 5_000
+    errs: list[Exception] = []
+
+    def writer(wid: int):
+        try:
+            tbl = pa.table({
+                "wid": pa.array([wid] * rows_per, pa.int64()),
+                "v": pa.array(range(rows_per), pa.int64())})
+            n = remote.insert_arrow("ins_stress", tbl)
+            assert n == rows_per
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:2]
+    chk = remote.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT wid) AS BIGINT) AS w, "
+        "CAST(sum(v) AS BIGINT) AS s FROM ins_stress")
+    assert chk.column("n")[0].as_py() == 16 * rows_per
+    assert chk.column("w")[0].as_py() == 16
+    assert chk.column("s")[0].as_py() == 16 * (rows_per - 1) * rows_per // 2
