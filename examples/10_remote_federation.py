@@ -1,0 +1,42 @@
+"""Remote-engine federation (reference examples/05 + the whole-subtree
+analyzer in src/context.rs): attach a pooled remote engine, ship
+eligible statements whole, fall back locally, and INSERT through the
+pool."""
+
+from _common import SF_DIR, engine
+
+from clickhouse_datafusion_spark.sources.remote_engine import RemoteEngine
+
+eng = engine()
+
+remote = RemoteEngine(pool_size=4)
+remote.register_parquet_dir(SF_DIR, tables=["orders", "customer"])
+eng.attach_remote(remote, db="remote", local_twin_dir=SF_DIR)
+
+# Both tables are remote -> the whole join+aggregate executes in the
+# remote engine; only the 5-row result crosses the seam.
+eng.sql("""
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM clickhouse.remote.orders o
+    JOIN clickhouse.remote.customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY n DESC
+""").show()
+print("shipped remote SQL:", eng.last_remote_sql)
+
+# The dialect gate keeps same-name traps local (Spark LOG is ln,
+# the remote engine's LOG is log10) — this runs on the local twin.
+eng.sql("""
+    SELECT round(log(o_totalprice), 4) AS ln_price
+    FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 3
+""").show()
+print("stayed local:", eng.last_remote_sql is None)
+
+# Federated INSERT: an all-remote source ships whole (remote-side
+# INSERT..SELECT — no data crosses the seam).
+remote.create_table("order_digest", "status VARCHAR, n BIGINT")
+eng.sql("""
+    INSERT INTO clickhouse.remote.order_digest
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT)
+    FROM clickhouse.remote.orders GROUP BY o_orderstatus
+""").show()
+eng.sql("SELECT * FROM clickhouse.remote.order_digest ORDER BY n DESC").show()
