@@ -237,11 +237,14 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
         return None
     if _LOCAL_ONLY_RE.search(s):
         return None
-    refs = table_refs(s)
+    # all structural scans run on the literal-stripped text — string
+    # contents are data, not syntax
+    scan = _SQL_STRING_RE.sub("''", s)
+    refs = table_refs(scan)
     if not refs:
         return None
     cte_names = {m.group(1).lower() for m in re.finditer(
-        r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", s)}
+        r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
     prefixes = (f"{catalog}.{db}.".lower(), f"{db}.".lower())
     for r in refs - cte_names:
         bare = r
@@ -251,18 +254,26 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
                 break
         if "." in bare or bare not in remote_tables:
             return None
-    for m in _OVER_FN_RE.finditer(s):
+    for m in _OVER_FN_RE.finditer(scan):
         if m.group(1).lower() not in SUPPORTED_WINDOW_FUNCS:
             return None
     # F6 allowlist: strip string literals first (a quoted "foo(" must
     # not read as a call), then every call-shaped identifier must be a
     # proven-shared function. Failing ANY name keeps the whole
     # statement local — never a silent semantic divergence.
-    bare_sql = _SQL_STRING_RE.sub("''", s)
-    for m in _IDENT_CALL_RE.finditer(bare_sql):
+    for m in _IDENT_CALL_RE.finditer(scan):
         if m.group(1).lower() not in SUPPORTED_REMOTE_FUNCS:
             return None
-    out = s
+    # Qualifier stripping OUTSIDE string literals only: a literal like
+    # 'remote.orders' is DATA and must cross the seam untouched (the
+    # r9 self-review catch; pinned by
+    # tests/test_remote_engine.py::test_unparser_preserves_literals).
+    parts = _SQL_STRING_RE.split(s)
+    lits = _SQL_STRING_RE.findall(s)
     for p in (f"{catalog}.{db}.", f"{db}."):
-        out = re.sub(re.escape(p), "", out, flags=re.IGNORECASE)
+        parts = [re.sub(re.escape(p), "", seg, flags=re.IGNORECASE)
+                 for seg in parts]
+    out = parts[0]
+    for lit, seg in zip(lits, parts[1:]):
+        out += lit + seg
     return out

@@ -258,3 +258,28 @@ def test_remote_insert_write_stress_over_subscribed(fed):
     assert chk.column("n")[0].as_py() == 16 * rows_per
     assert chk.column("w")[0].as_py() == 16
     assert chk.column("s")[0].as_py() == 16 * (rows_per - 1) * rows_per // 2
+
+
+def test_unparser_preserves_literals(fed, spark):
+    """r9 self-review catch: qualifier stripping must not touch string
+    LITERALS — a value like 'remote.orders' is data and crosses the
+    seam untouched; and literal contents never trip the structural
+    scans (function gate, table refs)."""
+    eng, _ = fed
+    df = eng.sql("SELECT 'remote.orders' AS tag, "
+                 "CAST(count(*) AS BIGINT) AS n "
+                 "FROM clickhouse.remote.orders WHERE o_orderkey < 100")
+    assert eng.last_remote_sql is not None          # shipped
+    assert "'remote.orders'" in eng.last_remote_sql  # literal intact
+    row = df.first()
+    assert row.tag == "remote.orders" and row.n > 0
+    # a literal containing gate-refused tokens ('sample', 'log(') keeps
+    # the statement LOCAL (those markers scan the raw text by design —
+    # the safe direction: they can only refuse to ship, never mis-ship)
+    # and the local fallback still answers correctly
+    df2 = eng.sql("SELECT 'free sample log(' AS s, "
+                  "CAST(count(*) AS BIGINT) AS n "
+                  "FROM clickhouse.remote.orders GROUP BY 1")
+    assert eng.last_remote_sql is None
+    r2 = df2.first()
+    assert r2.s == "free sample log(" and r2.n == 1500
