@@ -51,6 +51,14 @@ class ClickHouseSparkEngine:
         self._remote = None
         self._remote_db = None
         self.last_remote_sql: str | None = None
+        # observability of the federation seam (r10): the swallowed
+        # fallback exception (a remote outage is distinguishable from a
+        # dialect-gate refusal) and the INSERT ship mode
+        # ('whole' | 'arrow' | None).
+        self.last_remote_error: Exception | None = None
+        self.last_remote_insert: str | None = None
+        self._remote_spool_dir = os.path.abspath(
+            os.path.join("spark-warehouse", "_remote_spool"))
 
     # ---------------------------------------------------------------------
     def attach_remote(self, remote, db: str = "remote",
@@ -78,25 +86,88 @@ class ClickHouseSparkEngine:
     def _try_remote_exec(self, sql: str):
         """S7/J8: return a DataFrame when the whole statement shipped,
         else None. Never raises out of the federation seam — a remote
-        failure falls back to the local plan (recorded on
-        ``last_remote_sql`` staying None)."""
+        failure falls back to the local plan, recorded on
+        ``last_remote_error`` (so an outage is distinguishable from a
+        dialect-gate refusal, where the attribute stays None).
+
+        Scale contract (r10): output-REDUCING statements (GROUP BY /
+        non-windowed aggregate / LIMIT) hand back one Arrow table
+        directly — that is what federation exists to ship. Everything
+        else STREAMS batch-by-batch through a parquet spool
+        (``_spool_remote_stream``), so an unaggregated
+        ``SELECT * FROM remote.lineitem`` never materializes the full
+        result in driver memory — the reference's RecordBatchStream
+        hand-back (src/stream.rs:110-131). Bare table names resolve
+        LOCAL-first (nearest scope): a statement whose bare ref is
+        shadowed by an existing local table/view stays local."""
         if self._remote is None:
             return None
+        import re as _re
+
         from clickhouse_datafusion_spark.sources.remote_engine import (
-            unparse_for_remote)
+            is_output_reducing,
+            unparse_for_remote,
+        )
 
         shipped = unparse_for_remote(
             sql, next(iter(self._catalog_names)), self._remote_db or "remote",
-            self._remote.tables())
+            self._remote.tables(), local_tables=self._remote_shadows(sql))
         if shipped is None:
             return None
         try:
-            tbl = self._remote.execute(shipped)
-            df = self.spark.createDataFrame(tbl)
-        except Exception:
+            if is_output_reducing(_re.sub(r"'(?:[^']|'')*'", "''", shipped)):
+                tbl = self._remote.execute(shipped)
+                df = self.spark.createDataFrame(tbl)
+            else:
+                df = self._spool_remote_stream(shipped)
+        except Exception as e:
+            self.last_remote_error = e
             return None
         self.last_remote_sql = shipped
         return df
+
+    def _remote_shadows(self, sql: str) -> set[str]:
+        """Bare table refs of ``sql`` that exist BOTH remotely and as a
+        local table/view — those resolve local (nearest scope) and keep
+        the statement from shipping."""
+        import re as _re
+
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            table_refs)
+
+        remote_tables = self._remote.tables()
+        scan = _re.sub(r"'(?:[^']|'')*'", "''", sql)
+        return {r for r in table_refs(scan)
+                if "." not in r and r in remote_tables
+                and self.spark.catalog.tableExists(r)}
+
+    def _spool_remote_stream(self, shipped: str) -> DataFrame:
+        """Stream a shippable-but-not-reducing remote result to a
+        parquet spool one RecordBatch at a time (bounded driver
+        memory), then hand Spark the distributed scan of the spool.
+        Empty results fall back to the direct path — a zero-row Arrow
+        table is by definition bounded."""
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._remote_spool_dir, uuid.uuid4().hex)
+        os.makedirs(path, exist_ok=True)
+        writer = None
+        try:
+            for batch in self._remote.execute_stream(shipped):
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(path, "part-00000.parquet"),
+                        batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return self.spark.createDataFrame(self._remote.execute(shipped))
+        return self.spark.read.parquet(path)
 
     _REMOTE_INSERT_RE = re.compile(
         r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
@@ -139,20 +210,88 @@ class ClickHouseSparkEngine:
                 "rejected, like the native sink)")
         cols = m.group("cols") or ""
         src = m.group("src").strip()
+        # Source analysis runs OUTSIDE the remote-failure wrap: a typo in
+        # the SELECT is a local AnalysisException and must surface as
+        # itself, not be mislabeled a remote schema problem (r10).
+        shipped = unparse_for_remote(src, cat, db, self._remote.tables(),
+                                     local_tables=self._remote_shadows(src))
+        src_df = self.sql(src) if shipped is None else None
         try:
-            shipped = unparse_for_remote(src, cat, db, self._remote.tables())
             if shipped is not None:
-                n = self._remote.execute_insert(
-                    f"INSERT INTO {bare} {cols} {shipped}")
+                stmt = f"INSERT INTO {bare} {cols} {shipped}"
+                n = self._remote.execute_insert(stmt)
+                self.last_remote_sql = stmt
+                self.last_remote_insert = "whole"
             else:
-                df = self.sql(src)
-                n = self._remote.insert_arrow(bare, df.toArrow(), cols)
+                n = self._remote.insert_arrow(bare, src_df.toArrow(), cols)
+                self.last_remote_insert = "arrow"
         except ValueError:
             raise
         except Exception as e:
             raise sink.SchemaValidationError(
                 f"remote insert into {bare!r} failed: {e}") from e
         return sink._count_df(self.spark, n)
+
+    _REMOTE_CREATE_RE = re.compile(
+        r"(?is)^\s*create\s+table\s+(?:(?P<ine>if\s+not\s+exists)\s+)?"
+        r"(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*;?\s*$")
+    _REMOTE_DROP_RE = re.compile(
+        r"(?is)^\s*drop\s+table\s+(?:(?P<ie>if\s+exists)\s+)?"
+        r"(?P<name>[\w.]+)\s*;?\s*$")
+    _REMOTE_SHOW_RE = re.compile(
+        r"(?is)^\s*show\s+tables\s+(?:from|in)\s+(?P<db>[\w.]+)\s*;?\s*$")
+
+    def _remote_bare(self, name: str) -> str | None:
+        """The bare remote table name when ``name`` is qualified into the
+        attached remote db (``<db>.<t>`` or ``<catalog>.<db>.<t>``),
+        else None — unqualified and other-db names belong to the local
+        handlers."""
+        cat = next(iter(self._catalog_names))
+        db = (self._remote_db or "remote").lower()
+        low = name.lower().strip("`")
+        for p in (f"{cat}.{db}.", f"{db}."):
+            if low.startswith(p):
+                bare = low[len(p):]
+                return bare if "." not in bare else None
+        return None
+
+    def _try_remote_ddl(self, sql: str):
+        """Remote DDL through the SQL front door (reference
+        src/providers/table_factory.rs:216-275 CREATE/DROP routing +
+        src/providers/catalog.rs:54-69 catalog refresh/listing):
+        ``CREATE TABLE <db>.<t> (cols)`` / ``DROP TABLE [IF EXISTS]
+        <db>.<t>`` targeting the attached remote db execute THERE;
+        ``SHOW TABLES FROM <db>`` re-lists the live remote catalog
+        (refresh-on-read — introspection is never stale). Statements
+        not aimed at the remote db return None for the local path."""
+        db = (self._remote_db or "remote").lower()
+        cat = next(iter(self._catalog_names))
+        sh = self._REMOTE_SHOW_RE.match(sql)
+        if sh and sh.group("db").lower() in (db, f"{cat}.{db}"):
+            rows = [(db, t, "REMOTE") for t in sorted(self._remote.refresh())]
+            return self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "namespace string, tableName string, engine string"
+            ).where("tableName <> ''")
+        c = self._REMOTE_CREATE_RE.match(sql)
+        if c:
+            bare = self._remote_bare(c.group("name"))
+            if bare is None:
+                return None
+            if bare in self._remote.tables():
+                if c.group("ine"):
+                    return self.spark.createDataFrame([], "result string")
+                raise ValueError(f"remote table {bare!r} already exists")
+            self._remote.create_table(bare, c.group("cols"))
+            return self.spark.createDataFrame([], "result string")
+        d = self._REMOTE_DROP_RE.match(sql)
+        if d:
+            bare = self._remote_bare(d.group("name"))
+            if bare is None:
+                return None
+            self._remote.drop_table(bare, if_exists=bool(d.group("ie")))
+            return self.spark.createDataFrame([], "result string")
+        return None
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:
@@ -534,6 +673,11 @@ class ClickHouseSparkEngine:
         ea = _EXPLAIN_ANALYZE_RE.match(query)
         if ea:
             return self.explain_analyze(query[ea.end():])
+        # federation observability resets for EVERY statement kind, so a
+        # probe after an INSERT/DDL never reads a stale prior answer
+        self.last_remote_sql = None
+        self.last_remote_error = None
+        self.last_remote_insert = None
         rewritten = self.rewrite(query)
         # OPTIMIZE TABLE mv [FINAL] is matched BEFORE the dialect pass:
         # its FINAL is the merge-trigger modifier, not the read-time
@@ -590,6 +734,10 @@ class ClickHouseSparkEngine:
                                        if_exists=bool(dmv.group("ie")))
         if _SHOW_MV_RE.match(rewritten):
             return self._show_mat_views()
+        if self._remote is not None:
+            rddl = self._try_remote_ddl(rewritten)
+            if rddl is not None:
+                return rddl
         m = _CREATE_NATIVE_RE.match(rewritten)
         if m:
             return self._create_native_table(m)
@@ -611,16 +759,19 @@ class ClickHouseSparkEngine:
         if lb is not None:
             return self._run_limit_by(*lb)
         if self._remote is not None:
-            self.last_remote_sql = None
             remote_df = self._try_remote_exec(rewritten)
             if remote_df is not None:
                 return remote_df
             # local fallback for a non-shippable statement: remote-
             # qualified names resolve to the local twin views (the
             # reference's TableProvider scan when the analyzer cannot
-            # push the subtree)
-            rewritten = re.sub(
-                rf"(?i)\b{re.escape(self._remote_db)}\.(\w+)\b",
+            # push the subtree). Literal-safe: a string like
+            # 'remote.orders' is data and must not be rewritten.
+            from clickhouse_datafusion_spark.sources.remote_engine import (
+                sub_outside_literals)
+
+            rewritten = sub_outside_literals(
+                rf"\b{re.escape(self._remote_db)}\.(\w+)\b",
                 lambda m: m.group(1)
                 if m.group(1).lower() in self._remote.tables()
                 else m.group(0),

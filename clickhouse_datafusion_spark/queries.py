@@ -1354,11 +1354,19 @@ def q18_bigvol(spark, sf):
     order); the Spark plan computes the per-order quantity sum ONCE and
     carries it: the filtered aggregate (~0.3% of orders at threshold 300)
     is the IN-set AND the sum_qty value, so lineitem is scanned and
-    shuffled exactly once, and the tiny survivor set broadcasts into
-    orders (semi-join semantics via inner join on the unique key). At
-    100× the only full-table shuffle is the one l_orderkey aggregate;
-    orders and customer join AQE-sized. Same result by FK uniqueness of
-    l_orderkey in the aggregate output."""
+    shuffled exactly once, and the survivor set joins into orders
+    AQE-sized (semi-join semantics via inner join on the unique key).
+    At 100× the only full-table shuffle is the one l_orderkey
+    aggregate; orders and customer join AQE-sized. Same result by FK
+    uniqueness of l_orderkey in the aggregate output.
+
+    r10 (r9 verdict task 4): the survivor join was a forced
+    ``F.broadcast(big)`` — a hint Spark honors regardless of size, and
+    the survivor population GROWS with data (~0.3% of orders), so at
+    some decade the forced build side outgrows executor memory. Now it
+    is the same AQE runtime-size call as q9's part/supplier sides (the
+    repo's q3 customer rule): AQE sees the post-HAVING aggregate's true
+    size at the shuffle boundary and broadcasts while it fits."""
     li = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer").select("c_custkey", "c_name")
@@ -1367,7 +1375,7 @@ def q18_bigvol(spark, sf):
            .filter(F.col("_q") > 300)
            .select("l_orderkey",
                    F.round("_q", 2).cast("double").alias("sum_qty")))
-    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .select("c_name", "o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
@@ -5503,37 +5511,22 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r8a: the per-row-cosine consumers re-gate on the fold-exact Arrow
-    # kernels (c7abce8) that REPLACED the briefly re-landed codegen dot
-    # unroll (37c247a — convicted: janino >64 KB disables whole-stage
-    # codegen), plus the blocked-pair consumers whose scoring stage moved
-    # into the in-bucket gemm+fold kernel. r9: same head re-gates again —
-    # the prefilter slack fix (1e-6 → 1e-4, r9 advisor HIGH), the
-    # FLOOR(NaN)=0 emission contract, and the _cosine_to_query
-    # NaN-vs-NULL FloatingArray fix all touch these bodies.
-    "s1_cosine_topk",
-    "s2_lsh_ann_topk",
-    "s3_ivf_ann_topk",
-    "s4_knn_join",
-    "s9_ann_index_append",
-    "st11_streaming_ann_append",
-    "d5_embedding_dup_pairs",
-    "d9_semantic_dedup",
-    "s8_hard_negatives",
-    # r9b: new join-heavy relational headliners (r8 verdict task 7) —
-    # never gated, so tier 1 would front them anyway; pinned here so the
-    # head is the complete changed-this-round list.
-    "q9_product_profit",
-    "q18_large_volume_customers",
-    # r9d: the federation seam made real (S7/J8/S20/W6/F6) — whole
-    # statement ships to the attached remote engine; the gate row checks
-    # the unparse→pooled-exec→Arrow round trip end-to-end.
+    # r10a: the federation seam's dialect gate tightened (r9 advisor
+    # HIGH: raw-double ROUND / NULL-concat divergences out of the
+    # allowlist; guarded decimal-round in; comma-join table_refs;
+    # local-shadow rule; streaming hand-back for non-reducing ships) —
+    # fed2 re-gates on the changed ship path.
     "fed2_remote_subtree_exec",
-    # r9c: the r4-era gate tail (r8 verdict task 8) — bodies unchanged,
-    # fronted once so no registry row is older than two rounds.
-    "f7_ch_eval",
-    "f8_ch_case_udf",
-    "x10_native_connector_scan",
+    # r10b: q18's survivor-set broadcast de-forced to AQE sizing (r9
+    # verdict task 4) and q9 re-gated alongside its bucketed-layout A/B
+    # (task 1) — both bodies changed this round.
+    "q18_large_volume_customers",
+    "q9_product_profit",
+    # r10c: the r5-era streaming gate tail (r9 verdict task 6) — bodies
+    # unchanged, fronted so no registry entry's hard signal is older
+    # than r7.
+    "st6_streaming_outer_join",
+    "st7_streaming_corpus_dedup",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:

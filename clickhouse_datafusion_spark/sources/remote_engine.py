@@ -64,15 +64,25 @@ SUPPORTED_WINDOW_FUNCS = {
 # semantics between the local and remote dialects may ship — the
 # reference's unparser refuses expressions it cannot prove translate
 # (src/dialect.rs), and same-name/different-semantics traps are real
-# (Spark LOG is ln, DuckDB LOG is log10; Spark double ROUND is
-# HALF_UP, DuckDB's is rint — kept out except through the repo's
-# decimal discipline, where rounding is exact in both). A statement
-# containing ANY call outside this set stays local.
+# (probed r10, both engines, same literal inputs):
+#   LOG        — Spark ln vs DuckDB log10            → never ships
+#   ROUND      — double scale-round: Spark HALF_UP shortest-string
+#                (round(1.015d,2)=1.02) vs DuckDB 1.01 → guarded:
+#                ships ONLY when every round() argument span contains
+#                a decimal cast and no double/float cast (decimal
+#                rounding is exact + HALF_UP in both engines)
+#   CONCAT     — NULL arg: Spark → NULL, DuckDB skips → never ships
+#                (concat_ws skips NULLs in BOTH — stays allowed)
+#   SUBSTRING  — start 0: Spark 'ab', DuckDB 'a'     → guarded:
+#                ships only with a positive integer literal start
+#   CEIL/FLOOR — same VALUES but Spark returns BIGINT, DuckDB DOUBLE
+#                → silent schema divergence, never ships
+# A statement containing ANY call outside this set stays local.
 SUPPORTED_REMOTE_FUNCS = SUPPORTED_WINDOW_FUNCS | {
     # scalar, verified-shared
-    "cast", "coalesce", "nullif", "greatest", "least", "abs", "floor",
-    "ceil", "ceiling", "round", "upper", "lower", "length", "substring",
-    "substr", "concat", "concat_ws", "trim", "ltrim", "rtrim", "replace",
+    "cast", "coalesce", "nullif", "greatest", "least", "abs",
+    "upper", "lower", "length",
+    "concat_ws", "trim", "ltrim", "rtrim", "replace",
     "year", "month", "day", "hour", "minute", "second", "date_trunc",
     # type names inside CAST(... AS T(p,s))
     "decimal", "numeric", "varchar", "char",
@@ -82,6 +92,56 @@ SUPPORTED_REMOTE_FUNCS = SUPPORTED_WINDOW_FUNCS | {
     "over", "on", "where", "and", "or", "not", "select", "from",
     "when", "then", "else", "union", "all", "intersect", "except",
     "by", "having", "distinct", "as", "join", "using", "between",
+}
+
+
+def _call_spans(scan: str, name: str):
+    """Yield the balanced-paren argument text of every ``name(...)``
+    call in ``scan`` (literal-stripped text). Unbalanced → yield None
+    once, which guards treat as not-provable (stay local)."""
+    for m in re.finditer(rf"(?i)\b{name}\s*\(", scan):
+        depth, i = 1, m.end()
+        while i < len(scan) and depth:
+            if scan[i] == "(":
+                depth += 1
+            elif scan[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            yield None
+            return
+        yield scan[m.end():i - 1]
+
+
+_DEC_CAST_RE = re.compile(r"(?i)\bas\s+(?:decimal|numeric)\b")
+_FP_CAST_RE = re.compile(r"(?i)\bas\s+(?:double|float|real)\b")
+_POS_INT_START_RE = re.compile(r"^[^,]+,\s*[1-9]\d*\s*(?:,|$)")
+
+
+def _round_guard(scan: str) -> bool:
+    """ROUND ships only under the decimal discipline: every call's
+    argument span carries a decimal/numeric cast and no explicit
+    floating cast — decimal scale-rounding is exact and HALF_UP in
+    both engines; double rounding diverges (see allowlist header)."""
+    return all(span is not None and _DEC_CAST_RE.search(span)
+               and not _FP_CAST_RE.search(span)
+               for span in _call_spans(scan, "round"))
+
+
+def _substr_guard(scan: str) -> bool:
+    """SUBSTRING/SUBSTR ship only with a positive integer literal start
+    (start 0 / negative starts diverge between the dialects)."""
+    return all(span is not None and _POS_INT_START_RE.match(span)
+               for name in ("substring", "substr")
+               for span in _call_spans(scan, name))
+
+
+# Functions allowed through the gate only when a per-call syntactic
+# guard proves the divergent argument class is absent.
+GUARDED_REMOTE_FUNCS = {
+    "round": _round_guard,
+    "substring": _substr_guard,
+    "substr": _substr_guard,
 }
 
 _IDENT_CALL_RE = re.compile(r"(?i)\b([a-z_][a-z_0-9]*)\s*\(")
@@ -94,8 +154,19 @@ _LOCAL_ONLY_RE = re.compile(
     r"|\bsample\b|\bsystem\s*\.|\binformation_schema\b|\bdictGet"
     r"|\bprewhere\b|\bwith\s+totals\b|\bformat\s+\w+\s*;?\s*$")
 
+# A FROM/JOIN head captures the whole comma-separated list (implicit
+# joins: ``FROM orders o, customer c``), each item optionally aliased —
+# the r9 blind spot where only the first item was seen. The alias slot
+# must NOT swallow clause keywords (``FROM orders JOIN ...``), so it
+# carries a reserved-word lookahead.
+_KEYWORDS = (
+    "join|inner|left|right|full|cross|outer|natural|semi|anti|lateral"
+    "|on|where|group|order|having|limit|union|intersect|except|using"
+    "|window|qualify|sample|values|tablesample|as")
+_ALIAS = rf"(?:\s+(?:as\s+)?(?!(?:{_KEYWORDS})\b)[A-Za-z_]\w*)?"
 _TABLE_REF_RE = re.compile(
-    r"(?i)\b(?:from|join)\s+([A-Za-z_][\w.]*)")
+    rf"(?i)\b(?:from|join)\s+"
+    rf"([A-Za-z_][\w.]*{_ALIAS}(?:\s*,\s*[A-Za-z_][\w.]*{_ALIAS})*)")
 
 _OVER_FN_RE = re.compile(r"(?i)\b([A-Za-z_][A-Za-z_0-9]*)\s*\([^()]*\)\s+over\s*\(")
 
@@ -154,6 +225,36 @@ class RemoteEngine:
             self._tables.add(name.lower())
             self._writable.add(name.lower())
 
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        """Drop a remote table or view — the SQL-front-door DDL analog
+        of the reference's remote DROP (src/providers/table_factory.rs
+        drop path)."""
+        low = name.lower()
+        with self._lock:
+            if low not in self._tables:
+                if if_exists:
+                    return
+                raise ValueError(f"remote table {name!r} does not exist")
+            kind = "TABLE" if low in self._writable else "VIEW"
+            self._root.execute(f"DROP {kind} {name}")
+            self._tables.discard(low)
+            self._writable.discard(low)
+
+    def refresh(self) -> set[str]:
+        """Re-list the remote catalog from the engine's own
+        information_schema, picking up tables created or dropped
+        out-of-band — the reference catalog's refresh contract
+        (src/providers/catalog.rs:54-69). Returns the refreshed set."""
+        with self._lock:
+            rows = self._root.execute(
+                "SELECT table_name, table_type "
+                "FROM information_schema.tables "
+                "WHERE table_schema = 'main'").fetchall()
+            self._tables = {r[0].lower() for r in rows}
+            self._writable = {r[0].lower() for r in rows
+                              if r[1] == "BASE TABLE"}
+        return set(self._tables)
+
     def tables(self) -> set[str]:
         return set(self._tables)
 
@@ -168,6 +269,23 @@ class RemoteEngine:
         cur = self._pool.get(timeout=timeout)
         try:
             return cur.execute(sql).arrow()
+        finally:
+            self._pool.put(cur)
+
+    def execute_stream(self, sql: str, batch_rows: int = 65536):
+        """Run ``sql`` on a pooled cursor and yield pyarrow
+        RecordBatches incrementally — the reference's
+        ``RecordBatchStream`` hand-back (src/stream.rs:110-131). At no
+        point does more than one batch live in driver memory, which is
+        what makes an unaggregated shippable SELECT safe at 100 TB;
+        the direct :meth:`execute` path stays reserved for
+        output-reducing statements. The cursor returns to the pool when
+        the generator is exhausted or closed."""
+        cur = self._pool.get()
+        try:
+            reader = cur.execute(sql).fetch_record_batch(batch_rows)
+            for batch in reader:
+                yield batch
         finally:
             self._pool.put(cur)
 
@@ -209,28 +327,115 @@ class RemoteEngine:
 
 def table_refs(sql: str) -> set[str]:
     """Table references of a SELECT, lowercased, catalog-qualified or
-    bare. Regex over FROM/JOIN heads — the same pragmatic level as the
-    front door's other routing passes; anything it cannot see (derived
-    tables resolve to their inner FROMs, CTE names show up as refs and
-    simply won't match remote tables) errs toward NOT shipping."""
+    bare — including every member of a comma-separated (implicit-join)
+    FROM list. Regex over FROM/JOIN heads — the same pragmatic level as
+    the front door's other routing passes; anything it cannot see
+    (derived tables resolve to their inner FROMs, CTE names show up as
+    refs and simply won't match remote tables) errs toward NOT
+    shipping."""
     refs = set()
     for m in _TABLE_REF_RE.finditer(sql):
-        tok = m.group(1).lower().rstrip(";,)")
-        refs.add(tok)
+        for item in m.group(1).split(","):
+            tok = item.strip().split()[0].lower().rstrip(";,)")
+            if tok:
+                refs.add(tok)
     return refs
 
 
+_CLAUSE_TOKEN_RE = re.compile(
+    r"(?i)[(),]|\b(select|from|where|group|order|having|limit|union"
+    r"|intersect|except|window|qualify)\b")
+
+
+def has_unseen_from_comma(scan: str) -> bool:
+    """True when a depth-0 comma inside a FROM zone was NOT part of a
+    comma-list the ref regex captured — e.g. ``FROM a JOIN b ON x = y,
+    c``, where the continuation hangs off the ON expression. Such a
+    statement has a table reference the gate cannot see and must stay
+    local (the err-toward-NOT-shipping direction)."""
+    seen = set()
+    for m in _TABLE_REF_RE.finditer(scan):
+        for i, ch in enumerate(m.group(1), m.start(1)):
+            if ch == ",":
+                seen.add(i)
+    depth, in_from = 0, False
+    for m in _CLAUSE_TOKEN_RE.finditer(scan):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth = max(0, depth - 1)
+        elif tok == ",":
+            if depth == 0 and in_from and m.start() not in seen:
+                return True
+        elif depth == 0:
+            in_from = tok.lower() == "from"
+    return False
+
+
+def sub_outside_literals(pattern: str, repl, sql: str) -> str:
+    """Apply ``re.sub`` only to the non-literal segments of ``sql`` —
+    string literals are DATA and must never be rewritten (the r9
+    self-review catch, factored here so the unparser and the engine's
+    local-fallback qualifier rewrite share one literal-safe seam)."""
+    parts = _SQL_STRING_RE.split(sql)
+    lits = _SQL_STRING_RE.findall(sql)
+    parts = [re.sub(pattern, repl, seg, flags=re.IGNORECASE)
+             for seg in parts]
+    out = parts[0]
+    for lit, seg in zip(lits, parts[1:]):
+        out += lit + seg
+    return out
+
+
+_AGG_CALL_RE = re.compile(
+    r"(?i)\b(count|sum|min|max|avg)\s*\(")
+_LIMIT_RE = re.compile(r"(?i)\blimit\s+\d+")
+_GROUP_BY_RE = re.compile(r"(?i)\bgroup\s+by\b")
+
+
+def is_output_reducing(scan: str) -> bool:
+    """True when the statement provably returns (far) fewer rows than it
+    reads: a GROUP BY, a LIMIT, or at least one NON-windowed aggregate
+    call. This is the ship-size gate for the direct Arrow hand-back —
+    anything else streams (the reference's RecordBatchStream contract,
+    src/stream.rs:110-131) so an unbounded remote result never
+    materializes on the driver. ``scan`` is the literal-stripped text."""
+    if _GROUP_BY_RE.search(scan) or _LIMIT_RE.search(scan):
+        return True
+    for m in _AGG_CALL_RE.finditer(scan):
+        depth, i = 1, m.end()
+        while i < len(scan) and depth:
+            if scan[i] == "(":
+                depth += 1
+            elif scan[i] == ")":
+                depth -= 1
+            i += 1
+        if not re.match(r"(?i)\s*(?:filter\s*\([^()]*\)\s*)?over\b",
+                        scan[i:]):
+            return True                       # a plain (reducing) aggregate
+    return False
+
+
 def unparse_for_remote(sql: str, catalog: str, db: str,
-                       remote_tables: set[str]) -> str | None:
+                       remote_tables: set[str],
+                       local_tables: set[str] | frozenset = frozenset()
+                       ) -> str | None:
     """F6: translate the engine-surface SQL to the remote dialect, or
     None when the statement must stay local.
 
     Shippable means: a SELECT/WITH statement, every table reference
     resolves to a remote table (bare, ``db.t``, or
-    ``catalog.db.t``), no local-only construct markers, and every
-    windowed function name is in :data:`SUPPORTED_WINDOW_FUNCS` (W6).
-    The translation itself is qualifier stripping — the shared surface
-    is ANSI SQL; divergent constructs are excluded by the gate.
+    ``catalog.db.t``), no local-only construct markers, every windowed
+    function name is in :data:`SUPPORTED_WINDOW_FUNCS` (W6), every
+    call-shaped name passes the allowlist + per-call guards, AND no
+    BARE reference is shadowed by a local table of the same name
+    (``local_tables``) — bare names resolve local-first, the standard
+    nearest-scope rule, so attaching a remote can never silently
+    re-point an existing local view; qualified ``db.t`` references
+    state intent and always ship. The translation itself is qualifier
+    stripping — the shared surface is ANSI SQL; divergent constructs
+    are excluded by the gate.
     """
     s = sql.strip().rstrip(";")
     if not re.match(r"(?i)\s*(select|with)\b", s):
@@ -243,6 +448,8 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     refs = table_refs(scan)
     if not refs:
         return None
+    if has_unseen_from_comma(scan):
+        return None                 # a table ref the gate cannot attribute
     cte_names = {m.group(1).lower() for m in re.finditer(
         r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
     prefixes = (f"{catalog}.{db}.".lower(), f"{db}.".lower())
@@ -254,26 +461,29 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
                 break
         if "." in bare or bare not in remote_tables:
             return None
+        if bare == r and r in local_tables:
+            return None                     # bare name, local shadow wins
     for m in _OVER_FN_RE.finditer(scan):
         if m.group(1).lower() not in SUPPORTED_WINDOW_FUNCS:
             return None
     # F6 allowlist: strip string literals first (a quoted "foo(" must
     # not read as a call), then every call-shaped identifier must be a
-    # proven-shared function. Failing ANY name keeps the whole
+    # proven-shared function — with per-call syntactic guards for the
+    # conditionally-shared ones (ROUND's decimal discipline, SUBSTRING's
+    # positive-literal start). Failing ANY name keeps the whole
     # statement local — never a silent semantic divergence.
     for m in _IDENT_CALL_RE.finditer(scan):
-        if m.group(1).lower() not in SUPPORTED_REMOTE_FUNCS:
+        name = m.group(1).lower()
+        if name in GUARDED_REMOTE_FUNCS:
+            if not GUARDED_REMOTE_FUNCS[name](scan):
+                return None
+        elif name not in SUPPORTED_REMOTE_FUNCS:
             return None
     # Qualifier stripping OUTSIDE string literals only: a literal like
     # 'remote.orders' is DATA and must cross the seam untouched (the
     # r9 self-review catch; pinned by
     # tests/test_remote_engine.py::test_unparser_preserves_literals).
-    parts = _SQL_STRING_RE.split(s)
-    lits = _SQL_STRING_RE.findall(s)
+    out = s
     for p in (f"{catalog}.{db}.", f"{db}."):
-        parts = [re.sub(re.escape(p), "", seg, flags=re.IGNORECASE)
-                 for seg in parts]
-    out = parts[0]
-    for lit, seg in zip(lits, parts[1:]):
-        out += lit + seg
+        out = sub_outside_literals(re.escape(p), "", out)
     return out
