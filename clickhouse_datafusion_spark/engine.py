@@ -65,7 +65,10 @@ class ClickHouseSparkEngine:
                       local_twin_dir: str | None = None) -> None:
         """Attach a :class:`~clickhouse_datafusion_spark.sources.
         remote_engine.RemoteEngine` as the federated backend for
-        ``clickhouse.<db>.*`` (and bare-name) references.
+        ``clickhouse.<db>.*`` / ``<db>.*`` references; bare names also
+        resolve remote, but only while no LOCAL table or view of the
+        same name exists (nearest-scope rule — attaching a remote never
+        silently re-points an existing local view).
 
         After attaching, :meth:`sql` ships any WHOLE statement whose
         table references all live in the remote engine and that passes

@@ -93,6 +93,11 @@ def decode_wav_pcm(payload: bytes) -> dict:
         pos += 8
         chunk = payload[pos:pos + size]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                # r10 property-sweep catch: a truncated fmt chunk raised
+                # struct.error out of the Arrow batch loop instead of the
+                # typed decode error
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
             data = chunk
@@ -102,6 +107,10 @@ def decode_wav_pcm(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if channels == 0 or sample_rate == 0:
+        # r10 property-sweep catch: zero channels/rate survived decode and
+        # became a ZeroDivisionError in the duration feature
+        raise ValueError("WAV fmt declares zero channels or sample rate")
     if bits == 16:
         n = len(data) // 2
         samples = [s / 32768.0 for s in struct.unpack(f"<{n}h", data[:n * 2])]
@@ -132,6 +141,11 @@ def decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval <= 0:
+        # r10 property-sweep catch: a forged negative header dimension
+        # made `need` negative, so the truncation check could not fire
+        # and garbage decoded "successfully"
+        raise ValueError("non-positive PPM header field")
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     need = width * height * 3
@@ -164,7 +178,10 @@ def decode_png(payload: bytes) -> dict:
         chunk = payload[pos:pos + size]
         pos += size + 4  # skip CRC
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
+            if len(chunk) < 13:
+                # r10 property-sweep catch: short IHDR raised struct.error
+                raise ValueError("truncated PNG IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", chunk[:13])
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
@@ -178,7 +195,12 @@ def decode_png(payload: bytes) -> dict:
                          "(palette needs PLTE handling)")
     if depth != 8 or interlace != 0:
         raise ValueError("only 8-bit non-interlaced PNG supported")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # r10 property-sweep catch: a truncated/corrupt IDAT stream raised
+        # zlib.error out of the Arrow batch loop instead of the typed error
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
