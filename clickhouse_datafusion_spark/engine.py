@@ -78,9 +78,25 @@ class ClickHouseSparkEngine:
         as local Spark views, so non-shippable statements over the
         same names still resolve (the reference's TableProvider scan
         fallback)."""
+        import os
+        import shutil
+        import time as _time
+
         from clickhouse_datafusion_spark.catalog import (
             register_testdata_views)
 
+        # best-effort GC of prior sessions' remote-result spools: a spool
+        # is a read-once scan input for one streamed hand-back, so
+        # anything older than a few hours is dead weight
+        try:
+            if os.path.isdir(self._remote_spool_dir):
+                cutoff = _time.time() - 6 * 3600
+                for d in os.listdir(self._remote_spool_dir):
+                    p = os.path.join(self._remote_spool_dir, d)
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
         self._remote = remote
         self._remote_db = db
         if local_twin_dir is not None:

@@ -81,6 +81,46 @@ def write_bucketed(df: DataFrame, table: str, key_cols: list[str],
        .saveAsTable(table))
 
 
+def register_bucketed(spark, table: str, path: str, key_cols: list[str],
+                      n_buckets: int, sort_cols: list[str] | None = None,
+                      schema_ddl: str | None = None) -> None:
+    """Re-attach an EXISTING bucketed parquet layout as a catalog table.
+
+    :func:`write_bucketed` pays the co-partitioning shuffle once; this is
+    the other half of the deployment contract — every later session (or
+    another cluster reading the same storage) re-registers the files and
+    inherits the exchange-free joins, instead of re-writing 100 TB. Spark
+    reads the bucket id from the writer's file names (``..._00042.c000``)
+    but the bucket SPEC lives in the catalog, so ``key_cols``/
+    ``n_buckets`` here MUST match what :func:`write_bucketed` used — a
+    mismatch silently reintroduces the shuffle rather than erroring (the
+    planner just stops trusting the layout).
+
+    ``schema_ddl`` overrides the schema (otherwise inferred from one
+    parquet footer read). Raises if ``table`` already exists — dropping a
+    same-name MANAGED table would delete the very files being attached,
+    so replacement is deliberately left to the caller.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if spark.catalog.tableExists(table):
+        raise ValueError(f"table {table!r} already exists; drop it "
+                         "explicitly before re-registering")
+    sort_cols = sort_cols or key_cols
+    if schema_ddl is None:
+        sch = spark.read.parquet(path).schema
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields)
+    keys = ", ".join(f"`{c}`" for c in key_cols)
+    sorts = ", ".join(f"`{c}`" for c in sort_cols)
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({keys}) SORTED BY ({sorts}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+
+
 def write_hive_partitioned(df: DataFrame, path: str,
                            partition_cols: list[str],
                            files_per_partition: int | None = 1,

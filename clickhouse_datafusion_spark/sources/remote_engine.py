@@ -6,9 +6,14 @@ DuckDB playing the remote ClickHouse server:
   analyzer shipping the largest all-ClickHouse subtree): when every
   table a SELECT references lives in the attached remote engine and
   the statement unparses to the remote dialect, the WHOLE statement
-  executes remotely and the result returns as one Arrow table — the
-  federation move that matters at 100 TB, where shipping a
-  1000-row aggregate beats scanning the table into the local engine.
+  executes remotely. Output-REDUCING results (GROUP BY / aggregate /
+  LIMIT) hand back as one Arrow table — the federation move that
+  matters at 100 TB, where shipping a 1000-row aggregate beats
+  scanning the table into the local engine; everything else STREAMS
+  batch-by-batch (:meth:`RemoteEngine.execute_stream`, the
+  reference's RecordBatchStream contract, src/stream.rs:110-131)
+  through a parquet spool so an unaggregated full-scan ship never
+  materializes on the driver.
 - **J8 remote join pushdown** (``tests/e2e.rs`` federation join
   suites): a join whose sides are all remote ships as part of that
   subtree — the remote engine joins locally to ITS data.

@@ -371,3 +371,56 @@ def test_ttl_partition_drop(spark, tmp_path):
     assert str(kept.agg(F.min("day")).collect()[0][0]) == "2024-01-04"
     # idempotent: nothing left to drop below the watermark
     assert drop_expired_partitions(path, "day", "2024-01-04") == []
+
+
+def test_register_bucketed_reattaches_exchange_free_layout(spark, views):
+    """The deployment round trip (r10): write_bucketed pays the
+    co-partitioning shuffle ONCE; register_bucketed re-attaches the same
+    files under a new catalog entry (what a later session does instead
+    of re-writing 100 TB) and the join is still exchange-free. A
+    mis-declared bucket spec must not error — it silently loses the
+    layout (documented) — but the matching spec must keep it."""
+    from clickhouse_datafusion_spark.operators.layout import (
+        register_bucketed,
+        write_bucketed,
+    )
+
+    a = f"ra_{uuid.uuid4().hex[:8]}"
+    b = f"rb_{uuid.uuid4().hex[:8]}"
+    write_bucketed(spark.table("orders")
+                   .select("o_orderkey", "o_totalprice"),
+                   a, ["o_orderkey"], n_buckets=8)
+    write_bucketed(spark.table("lineitem").select("l_orderkey", "l_quantity"),
+                   b, ["l_orderkey"], n_buckets=8)
+    loc_a = spark.sql(f"DESCRIBE EXTENDED {a}").where(
+        "col_name = 'Location'").first()["data_type"]
+    loc_b = spark.sql(f"DESCRIBE EXTENDED {b}").where(
+        "col_name = 'Location'").first()["data_type"]
+    a2, b2 = f"{a}_re", f"{b}_re"
+    try:
+        register_bucketed(spark, a2, loc_a, ["o_orderkey"], n_buckets=8)
+        register_bucketed(spark, b2, loc_b, ["l_orderkey"], n_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = (spark.table(a2).join(
+                  spark.table(b2),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+              .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q")))
+        p = executed_plan(df)
+        join_seg = p.split("SortMergeJoin")[0]
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in join_seg, p[:3000]
+        # re-registered tables read the same rows as the originals
+        assert df.count() == spark.table(a).join(
+            spark.table(b),
+            F.col("o_orderkey") == F.col("l_orderkey")) \
+            .select("o_orderkey").distinct().count()
+        # same-name double registration refuses (a managed-table drop
+        # would delete the attached files)
+        with pytest.raises(ValueError, match="already exists"):
+            register_bucketed(spark, a2, loc_a, ["o_orderkey"], n_buckets=8)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        for t in (a2, b2):   # external: drop leaves files for the owners
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for t in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
