@@ -1145,6 +1145,44 @@ def fed2_remote(spark, sf):
     return df.localCheckpoint(eager=True)
 
 
+@qdef("fed3_remote_stream_scan",
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey < 500 AND o_orderstatus <> 'P'""",
+      tags=("S7", "F6", "federation", "streaming"))
+def fed3_remote_stream(spark, sf):
+    """The STREAMED half of the federation hand-back (r10, r9 verdict
+    task 2): a shippable statement with NO aggregate/LIMIT/GROUP BY is
+    not output-reducing, so the seam must not materialize it as one
+    driver-side Arrow table — it flows batch-by-batch through
+    ``RemoteEngine.execute_stream`` into a parquet spool and hands
+    Spark the distributed scan (the reference's RecordBatchStream
+    contract, src/stream.rs:110-131). The gate row proves the streamed
+    path end-to-end: names, types, and values of a multi-batch scan
+    must survive the spool round trip to hash-match the oracle; the
+    in-body asserts pin that it SHIPPED and that the reducing fast
+    path was not what ran (tests/test_remote_engine.py pins the
+    never-materialize property with an execute() spy)."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine, is_output_reducing)
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    remote.register_parquet(
+        "orders", resolve_parquet_path(f"{sf}/orders.parquet"))
+    eng.attach_remote(remote, db="remote")
+    df = eng.sql(
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) AS price "
+        "FROM clickhouse.remote.orders "
+        "WHERE o_orderkey < 500 AND o_orderstatus <> 'P'")
+    assert eng.last_remote_sql is not None, "federation gate refused to ship"
+    assert not is_output_reducing(eng.last_remote_sql), \
+        "statement should have taken the streamed path"
+    return df.localCheckpoint(eager=True)
+
+
 # =========================================================================
 # TPC-H-style headline queries (bench set)
 # =========================================================================
@@ -5532,6 +5570,10 @@ _GATE_PRIORITY = [
     # local-shadow rule; streaming hand-back for non-reducing ships) —
     # fed2 re-gates on the changed ship path.
     "fed2_remote_subtree_exec",
+    # r10a2: the streamed hand-back gate row (never-gated; would front
+    # in tier 1 anyway — pinned so the head is the complete
+    # changed-this-round list)
+    "fed3_remote_stream_scan",
     # r10b: q18's survivor-set broadcast de-forced to AQE sizing (r9
     # verdict task 4) and q9 re-gated alongside its bucketed-layout A/B
     # (task 1) — both bodies changed this round.
