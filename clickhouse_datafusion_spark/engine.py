@@ -254,6 +254,9 @@ class ClickHouseSparkEngine:
     _REMOTE_CREATE_RE = re.compile(
         r"(?is)^\s*create\s+table\s+(?:(?P<ine>if\s+not\s+exists)\s+)?"
         r"(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*;?\s*$")
+    _REMOTE_CTAS_RE = re.compile(
+        r"(?is)^\s*create\s+table\s+(?:(?P<ine>if\s+not\s+exists)\s+)?"
+        r"(?P<name>[\w.]+)\s+as\s+(?P<src>(?:select|with)\b.*)$")
     _REMOTE_DROP_RE = re.compile(
         r"(?is)^\s*drop\s+table\s+(?:(?P<ie>if\s+exists)\s+)?"
         r"(?P<name>[\w.]+)\s*;?\s*$")
@@ -303,6 +306,16 @@ class ClickHouseSparkEngine:
                 raise ValueError(f"remote table {bare!r} already exists")
             self._remote.create_table(bare, c.group("cols"))
             return self.spark.createDataFrame([], "result string")
+        ct = self._REMOTE_CTAS_RE.match(sql)
+        if ct:
+            bare = self._remote_bare(ct.group("name"))
+            if bare is None:
+                return None
+            if bare in self._remote.tables():
+                if ct.group("ine"):
+                    return self.spark.createDataFrame([], "result string")
+                raise ValueError(f"remote table {bare!r} already exists")
+            return self._remote_ctas(bare, ct.group("src").strip())
         d = self._REMOTE_DROP_RE.match(sql)
         if d:
             bare = self._remote_bare(d.group("name"))
@@ -311,6 +324,51 @@ class ClickHouseSparkEngine:
             self._remote.drop_table(bare, if_exists=bool(d.group("ie")))
             return self.spark.createDataFrame([], "result string")
         return None
+
+    # Spark simpleString -> remote-dialect column type for the local-eval
+    # CTAS path. Conservative: complex/nested types raise rather than
+    # silently mistranslate.
+    _REMOTE_COL_TYPES = {
+        "string": "VARCHAR", "int": "INTEGER", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "DOUBLE",
+        "float": "FLOAT", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "binary": "BLOB",
+    }
+
+    def _remote_col_type(self, dt) -> str:
+        s = dt.simpleString()
+        if s in self._REMOTE_COL_TYPES:
+            return self._REMOTE_COL_TYPES[s]
+        if s.startswith("decimal"):
+            return s.upper()
+        raise ValueError(f"remote CTAS cannot map column type {s!r}")
+
+    def _remote_ctas(self, bare: str, src: str):
+        """CREATE TABLE <db>.<t> AS SELECT — the write form of the
+        whole-subtree decision (reference
+        src/providers/table_factory.rs:216-275): an all-remote source
+        runs CTAS remotely (zero data crosses the seam); otherwise the
+        source evaluates locally, the remote table is created from the
+        result schema, and the Arrow batches append through the pool."""
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            unparse_for_remote)
+
+        cat = next(iter(self._catalog_names))
+        db = self._remote_db or "remote"
+        shipped = unparse_for_remote(src, cat, db, self._remote.tables(),
+                                     local_tables=self._remote_shadows(src))
+        if shipped is not None:
+            self._remote.create_table_as(bare, shipped)
+            self.last_remote_sql = f"CREATE TABLE {bare} AS {shipped}"
+        else:
+            df = self.sql(src)
+            schema_sql = ", ".join(
+                f"{f.name} {self._remote_col_type(f.dataType)}"
+                for f in df.schema.fields)
+            self._remote.create_table(bare, schema_sql)
+            self._remote.insert_arrow(bare, df.toArrow())
+            self.last_remote_insert = "arrow"
+        return self.spark.createDataFrame([], "result string")
 
     # ---------------------------------------------------------------------
     def rewrite(self, query: str) -> str:

@@ -230,6 +230,15 @@ class RemoteEngine:
             self._tables.add(name.lower())
             self._writable.add(name.lower())
 
+    def create_table_as(self, name: str, select_sql: str) -> None:
+        """Remote-side CTAS: the table materializes FROM a remote query
+        without any data crossing the seam — the whole-ship write form
+        of the front door's ``CREATE TABLE <db>.<t> AS SELECT ...``."""
+        with self._lock:
+            self._root.execute(f"CREATE TABLE {name} AS {select_sql}")
+            self._tables.add(name.lower())
+            self._writable.add(name.lower())
+
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         """Drop a remote table or view — the SQL-front-door DDL analog
         of the reference's remote DROP (src/providers/table_factory.rs

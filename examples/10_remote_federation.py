@@ -40,3 +40,26 @@ eng.sql("""
     FROM clickhouse.remote.orders GROUP BY o_orderstatus
 """).show()
 eng.sql("SELECT * FROM clickhouse.remote.order_digest ORDER BY n DESC").show()
+
+# r10: the STREAMED hand-back — a shippable statement that is not
+# output-reducing (no aggregate/LIMIT) never materializes on the
+# driver; it flows batch-by-batch through a parquet spool into a
+# distributed scan (the reference's RecordBatchStream contract).
+wide = eng.sql("""
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+    FROM clickhouse.remote.orders WHERE o_orderstatus <> 'P'
+""")
+print("streamed rows:", wide.count(), "| shipped:", eng.last_remote_sql)
+
+# r10: remote DDL through the SQL front door — CREATE/DROP/CTAS on the
+# remote db route to the attached engine; SHOW TABLES re-lists the
+# LIVE remote catalog (refresh-on-read).
+eng.sql("""
+    CREATE TABLE clickhouse.remote.seg_digest AS
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+    FROM clickhouse.remote.customer GROUP BY c_mktsegment
+""")
+print("remote CTAS shipped:", eng.last_remote_sql)
+eng.sql("SHOW TABLES FROM remote").show()
+eng.sql("SELECT * FROM clickhouse.remote.seg_digest ORDER BY n DESC").show()
+eng.sql("DROP TABLE clickhouse.remote.seg_digest")

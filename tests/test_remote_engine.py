@@ -552,3 +552,58 @@ def test_remote_ddl_front_door(fed, spark):
         eng.sql("CREATE TABLE remote.ddl2 (k BIGINT)")
     eng.sql("CREATE TABLE IF NOT EXISTS remote.ddl2 (k BIGINT)")
     eng.sql("DROP TABLE remote.ddl2")
+
+
+def test_remote_ctas_whole_ship_and_local_eval(fed, spark):
+    """CREATE TABLE <db>.<t> AS SELECT (r10): an all-remote source runs
+    CTAS remotely — zero data crosses the seam; an unshippable source
+    (log() forces local) evaluates locally and the Arrow batches append
+    into a table created from the result schema. Both forms read back
+    identically through the front door."""
+    eng, remote = fed
+    try:
+        eng.sql("CREATE TABLE clickhouse.remote.ctas_digest AS "
+                "SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n "
+                "FROM clickhouse.remote.orders GROUP BY o_orderstatus")
+        assert eng.last_remote_sql.startswith("CREATE TABLE ctas_digest")
+        assert "ctas_digest" in remote.writable()
+        rows = {r.st: r.n for r in eng.sql(
+            "SELECT st, n FROM clickhouse.remote.ctas_digest").collect()}
+        want = {r.o_orderstatus: r.cnt for r in spark.sql(
+            "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+            "GROUP BY o_orderstatus").collect()}
+        assert rows == want
+        # duplicate name refuses; IF NOT EXISTS no-ops
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE TABLE remote.ctas_digest AS "
+                    "SELECT 1 AS x FROM clickhouse.remote.orders LIMIT 1")
+        eng.sql("CREATE TABLE IF NOT EXISTS remote.ctas_digest AS "
+                "SELECT 1 AS x FROM clickhouse.remote.orders LIMIT 1")
+        # local-eval path: log() keeps the source local; the result
+        # lands remotely with the schema mapped from the local plan
+        eng.sql("CREATE TABLE remote.ctas_local AS "
+                "SELECT o_orderkey, log(o_totalprice) AS lnp "
+                "FROM clickhouse.remote.orders WHERE o_orderkey < 50")
+        assert eng.last_remote_insert == "arrow"
+        got = eng.sql("SELECT CAST(count(*) AS BIGINT) AS n, "
+                      "CAST(max(o_orderkey) AS BIGINT) AS mx "
+                      "FROM clickhouse.remote.ctas_local").first()
+        wnt = spark.sql("SELECT count(*) AS n, max(o_orderkey) AS mx "
+                        "FROM orders WHERE o_orderkey < 50").first()
+        assert (got.n, got.mx) == (wnt.n, wnt.mx)
+    finally:
+        remote.drop_table("ctas_digest", if_exists=True)
+        remote.drop_table("ctas_local", if_exists=True)
+
+
+def test_local_ctas_untouched_by_remote_hook(fed, spark):
+    """A CTAS naming a LOCAL table must fall through the remote DDL hook
+    to the existing local handling."""
+    eng, _ = fed
+    eng.sql("DROP TABLE IF EXISTS local_ctas_probe")
+    eng.sql("CREATE TABLE local_ctas_probe AS "
+            "SELECT 1 AS a, 'x' AS b")
+    try:
+        assert spark.table("local_ctas_probe").count() == 1
+    finally:
+        eng.sql("DROP TABLE IF EXISTS local_ctas_probe")
