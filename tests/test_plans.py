@@ -578,3 +578,19 @@ def test_no_split_inside_hof_lambdas(spark):
     assert not offenders, (
         "raw split( inside a HOF lambda body — wrap the subtree in "
         f"operators.dedup.bind_once: {offenders}")
+
+
+def test_q9_orderkey_join_is_shuffled_hash(spark):
+    # r10: the orders join carries a scoped shuffle_hash hint (the SMJ
+    # default paid a two-sided sort worth 4.3x at 600M rows —
+    # BASELINE.md r10). The hint must survive planning: the orderkey
+    # join is a ShuffledHashJoin, never a SortMergeJoin, and the rest
+    # of the plan keeps its shape (no cartesian, part filter pushed).
+    df = q("q9_product_profit", spark)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    joins = [ln for ln in plan.splitlines()
+             if "ShuffledHashJoin" in ln and "orderkey" in ln.lower()]
+    assert joins, plan[:2000]
