@@ -356,6 +356,85 @@ def table_refs(sql: str) -> set[str]:
     return refs
 
 
+_ORDER_BY_RE = re.compile(r"(?i)\border\s+by\b")
+_ORDER_END_RE = re.compile(
+    r"(?i)^(limit|offset|rows|range|groups|union|intersect|except|fetch"
+    r"|window)\b")
+_NULLS_EXPLICIT_RE = re.compile(r"(?i)\bnulls\s+(first|last)\s*$")
+_DESC_TAIL_RE = re.compile(r"(?i)\bdesc\s*$")
+
+
+def make_nulls_explicit(sql: str) -> str:
+    """F6 translation: append Spark's default null ordering to every
+    ORDER BY item that lacks an explicit one — ``NULLS FIRST`` for
+    ASC/unspecified, ``NULLS LAST`` for DESC. Spark defaults ASC to
+    NULLS FIRST while the remote dialect defaults to NULLS LAST (probed
+    r10: row_number() OVER (ORDER BY v) ranks a NULL row 1 locally and
+    3 remotely), so a shipped windowed rank or top-k over a nullable
+    column would otherwise silently diverge. Explicit qualifiers are
+    valid in both dialects, so the rewrite is semantics-preserving by
+    construction. Handles both windowed (inside OVER(...)) and
+    top-level ORDER BY; string literals are skipped."""
+    lit_spans = [m.span() for m in _SQL_STRING_RE.finditer(sql)]
+
+    def in_literal(p: int) -> bool:
+        return any(a <= p < b for a, b in lit_spans)
+
+    out, i = [], 0
+    while True:
+        m = _ORDER_BY_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        if in_literal(m.start()):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        out.append(sql[i:m.end()])
+        j, depth, item_start = m.end(), 0, m.end()
+        spans: list[tuple[int, int]] = []
+        while j < len(sql):
+            ch = sql[j]
+            if ch == "'":
+                k = j + 1
+                while k < len(sql):
+                    if sql[k] == "'":
+                        if sql[k + 1:k + 2] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+                j = k
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break                       # end of the OVER clause
+                depth -= 1
+            elif ch == "," and depth == 0:
+                spans.append((item_start, j))
+                item_start = j + 1
+            elif (depth == 0 and ch.isalpha()
+                  and not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+                  and _ORDER_END_RE.match(sql[j:])):
+                break
+            j += 1
+        spans.append((item_start, j))
+        rebuilt = []
+        for a, b in spans:
+            item = sql[a:b]
+            core = item.rstrip()
+            if not core or _NULLS_EXPLICIT_RE.search(core):
+                rebuilt.append(item)
+            elif _DESC_TAIL_RE.search(core):
+                rebuilt.append(core + " NULLS LAST" + item[len(core):])
+            else:
+                rebuilt.append(core + " NULLS FIRST" + item[len(core):])
+        out.append(",".join(rebuilt))
+        i = j
+    return "".join(out)
+
+
 _CLAUSE_TOKEN_RE = re.compile(
     r"(?i)[(),]|\b(select|from|where|group|order|having|limit|union"
     r"|intersect|except|window|qualify)\b")
@@ -500,4 +579,7 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     out = s
     for p in (f"{catalog}.{db}.", f"{db}."):
         out = sub_outside_literals(re.escape(p), "", out)
-    return out
+    # dialect defaults diverge on null ordering (Spark ASC = NULLS
+    # FIRST, remote = NULLS LAST) — translate by making the local
+    # defaults explicit, which both dialects accept
+    return make_nulls_explicit(out)

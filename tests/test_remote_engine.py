@@ -607,3 +607,57 @@ def test_local_ctas_untouched_by_remote_hook(fed, spark):
         assert spark.table("local_ctas_probe").count() == 1
     finally:
         eng.sql("DROP TABLE IF EXISTS local_ctas_probe")
+
+
+def test_nulls_ordering_translation_unit():
+    """F6 r10: the unparser makes Spark's null-ordering defaults
+    explicit (ASC → NULLS FIRST, DESC → NULLS LAST) in every ORDER BY —
+    windowed and top-level — because the remote dialect defaults ASC to
+    NULLS LAST (probed divergence: a NULL row ranks 1 locally, 3
+    remotely)."""
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        make_nulls_explicit)
+
+    assert make_nulls_explicit(
+        "SELECT row_number() OVER (ORDER BY v) AS r FROM t") == \
+        "SELECT row_number() OVER (ORDER BY v NULLS FIRST) AS r FROM t"
+    assert make_nulls_explicit(
+        "SELECT * FROM t ORDER BY a DESC, b ASC, c LIMIT 3") == \
+        ("SELECT * FROM t ORDER BY a DESC NULLS LAST,"
+         " b ASC NULLS FIRST, c NULLS FIRST LIMIT 3")
+    # explicit qualifiers pass through; literals are not ORDER BY
+    assert make_nulls_explicit(
+        "SELECT 'order by x' AS s FROM t ORDER BY a NULLS LAST") == \
+        "SELECT 'order by x' AS s FROM t ORDER BY a NULLS LAST"
+    # function args inside an item keep their commas
+    assert make_nulls_explicit(
+        "SELECT rank() OVER (ORDER BY coalesce(a, b) DESC) FROM t") == \
+        "SELECT rank() OVER (ORDER BY coalesce(a, b) DESC NULLS LAST) FROM t"
+
+
+def test_nullable_order_by_ships_with_spark_semantics(fed, spark):
+    """End-to-end: a shipped windowed rank and a shipped ORDER BY+LIMIT
+    over a NULLABLE column must return exactly the local plan's rows —
+    the null-ordering translation is what makes this hold."""
+    eng, remote = fed
+    remote.create_table("nullable_t", "k BIGINT, v BIGINT")
+    spark.createDataFrame([(1, 10), (2, None), (3, 5), (4, None), (5, 7)],
+                          "k bigint, v bigint") \
+         .createOrReplaceTempView("nullable_t_local")
+    eng.sql("INSERT INTO clickhouse.remote.nullable_t "
+            "SELECT k, v FROM nullable_t_local")
+    try:
+        win = ("SELECT k, row_number() OVER (ORDER BY v, k) AS r FROM {t}")
+        got = eng.sql(win.format(t="clickhouse.remote.nullable_t"))
+        assert eng.last_remote_sql is not None          # it shipped
+        assert "NULLS FIRST" in eng.last_remote_sql     # translated
+        assert _rows(got) == _rows(spark.sql(
+            win.format(t="nullable_t_local")))
+        topk = "SELECT k, v FROM {t} ORDER BY v, k LIMIT 2"
+        got2 = eng.sql(topk.format(t="clickhouse.remote.nullable_t"))
+        assert eng.last_remote_sql is not None
+        assert _rows(got2) == _rows(spark.sql(
+            topk.format(t="nullable_t_local")))         # NULL rows win top-2
+    finally:
+        remote.drop_table("nullable_t")
+        spark.catalog.dropTempView("nullable_t_local")
