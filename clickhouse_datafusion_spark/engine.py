@@ -128,6 +128,15 @@ class ClickHouseSparkEngine:
             unparse_for_remote,
         )
 
+        # sub-day time extraction is session-timezone-dependent in Spark
+        # but tz-naive in the remote engine: identical ONLY when the
+        # session runs UTC — otherwise those statements stay local
+        # (errs toward not shipping, like every other gate).
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+                and _re.search(r"(?i)\b(hour|minute|second|date_trunc)"
+                               r"\s*\(", sql)):
+            return None
         shipped = unparse_for_remote(
             sql, next(iter(self._catalog_names)), self._remote_db or "remote",
             self._remote.tables(), local_tables=self._remote_shadows(sql))

@@ -189,6 +189,11 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, _comp, _filt, interlace = ihdr
+    if width == 0 or height == 0:
+        # r10 property-sweep catch: the spec forbids zero dimensions, and
+        # a zero-width header slipped past the truncation check (stride 0)
+        # into an empty pixel buffer the feature kernel then indexed
+        raise ValueError("zero-dimension PNG")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color} "

@@ -661,3 +661,25 @@ def test_nullable_order_by_ships_with_spark_semantics(fed, spark):
     finally:
         remote.drop_table("nullable_t")
         spark.catalog.dropTempView("nullable_t_local")
+
+
+def test_non_utc_session_keeps_time_extraction_local(fed, spark):
+    """Sub-day time extraction is session-timezone-dependent in Spark
+    but tz-naive remotely: under a non-UTC session those statements
+    must stay local; date-level functions and UTC sessions ship."""
+    eng, _ = fed
+    q = ("SELECT CAST(count(*) AS BIGINT) AS n, "
+         "CAST(max(year(o_orderdate)) AS INT) AS y "
+         "FROM clickhouse.remote.orders")
+    eng.sql(q).collect()
+    assert eng.last_remote_sql is not None          # date-level: ships
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        eng.sql(q).collect()
+        assert eng.last_remote_sql is not None      # year() still fine
+        eng.sql("SELECT CAST(max(hour(CAST(o_orderdate AS TIMESTAMP))) "
+                "AS INT) AS h FROM clickhouse.remote.orders").collect()
+        assert eng.last_remote_sql is None          # hour(): local
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
