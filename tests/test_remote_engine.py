@@ -683,3 +683,28 @@ def test_non_utc_session_keeps_time_extraction_local(fed, spark):
         assert eng.last_remote_sql is None          # hour(): local
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_remote_spool_gc_on_attach(spark, tmp_path):
+    """attach_remote garbage-collects spool directories older than the
+    TTL (a spool is a read-once scan input) and leaves fresh ones."""
+    import os
+    import time as _time
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    os.makedirs(eng._remote_spool_dir, exist_ok=True)
+    old = os.path.join(eng._remote_spool_dir, "gc_old_probe")
+    new = os.path.join(eng._remote_spool_dir, "gc_new_probe")
+    os.makedirs(old, exist_ok=True)
+    os.makedirs(new, exist_ok=True)
+    stale = _time.time() - 7 * 3600
+    os.utime(old, (stale, stale))
+    remote = RemoteEngine(pool_size=1)
+    try:
+        eng.attach_remote(remote, db="gcprobe")
+        assert not os.path.exists(old)
+        assert os.path.exists(new)
+    finally:
+        os.rmdir(new)
