@@ -82,12 +82,18 @@ SUPPORTED_WINDOW_FUNCS = {
 #                ships only with a positive integer literal start
 #   CEIL/FLOOR — same VALUES but Spark returns BIGINT, DuckDB DOUBLE
 #                → silent schema divergence, never ships
+#   TRIM/LTRIM/RTRIM — two-arg forms take OPPOSITE argument order
+#                (Spark trim(trimStr, src) vs remote trim(src, chars):
+#                trim('xxabcxx','x') = '' vs 'abc') → guarded: ships
+#                only as the single-argument whitespace form
+#   UPPER/LOWER — Unicode case mapping diverges (upper('straße') =
+#                'STRASSE' vs 'STRAẞE') → never ships
 # A statement containing ANY call outside this set stays local.
 SUPPORTED_REMOTE_FUNCS = SUPPORTED_WINDOW_FUNCS | {
     # scalar, verified-shared
     "cast", "coalesce", "nullif", "greatest", "least", "abs",
-    "upper", "lower", "length",
-    "concat_ws", "trim", "ltrim", "rtrim", "replace",
+    "length",
+    "concat_ws", "replace",
     "year", "month", "day", "hour", "minute", "second", "date_trunc",
     # type names inside CAST(... AS T(p,s))
     "decimal", "numeric", "varchar", "char",
@@ -141,12 +147,35 @@ def _substr_guard(scan: str) -> bool:
                for span in _call_spans(scan, name))
 
 
+def _trim_guard(scan: str) -> bool:
+    """TRIM/LTRIM/RTRIM ship only in the single-argument whitespace
+    form: the two-argument forms take OPPOSITE argument order in the
+    two dialects (Spark trim(trimStr, src) vs remote trim(src, chars) —
+    probed: trim('xxabcxx','x') = '' locally, 'abc' remotely)."""
+    for name in ("trim", "ltrim", "rtrim"):
+        for span in _call_spans(scan, name):
+            if span is None:
+                return False
+            depth = 0
+            for ch in span:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    return False              # two-arg form: stay local
+    return True
+
+
 # Functions allowed through the gate only when a per-call syntactic
 # guard proves the divergent argument class is absent.
 GUARDED_REMOTE_FUNCS = {
     "round": _round_guard,
     "substring": _substr_guard,
     "substr": _substr_guard,
+    "trim": _trim_guard,
+    "ltrim": _trim_guard,
+    "rtrim": _trim_guard,
 }
 
 _IDENT_CALL_RE = re.compile(r"(?i)\b([a-z_][a-z_0-9]*)\s*\(")

@@ -213,7 +213,8 @@ def _divergent_queries(draw):
     CONCAT, start-0 SUBSTRING, BIGINT-vs-DOUBLE CEIL/FLOOR — each must
     stay LOCAL (the guard refuses), and the local answer must match
     spark.sql exactly."""
-    kind = draw(st.sampled_from(["round", "concat", "substr", "floor"]))
+    kind = draw(st.sampled_from(
+        ["round", "concat", "substr", "floor", "trim2", "case"]))
     if kind == "round":
         scale = draw(st.integers(min_value=0, max_value=3))
         expr = f"round(o_totalprice / 3, {scale})"
@@ -222,6 +223,12 @@ def _divergent_queries(draw):
     elif kind == "substr":
         start = draw(st.sampled_from([0, -2, -1]))
         expr = f"substring(o_orderpriority, {start}, 3)"
+    elif kind == "trim2":
+        fn = draw(st.sampled_from(["trim", "ltrim", "rtrim"]))
+        expr = f"{fn}('O', o_orderstatus)"       # two-arg: opposite order
+    elif kind == "case":
+        fn = draw(st.sampled_from(["upper", "lower"]))
+        expr = f"{fn}(o_orderpriority)"          # unicode case divergence
     else:
         fn = draw(st.sampled_from(["floor", "ceil"]))
         expr = f"{fn}(o_totalprice / 7)"
@@ -708,3 +715,22 @@ def test_remote_spool_gc_on_attach(spark, tmp_path):
         assert os.path.exists(new)
     finally:
         os.rmdir(new)
+
+
+def test_single_arg_trim_ships_two_arg_stays_local(fed, spark):
+    """The trim family's guard: single-argument whitespace trim is
+    shared and ships; the two-argument form takes opposite argument
+    order across the dialects and must stay local (and still answer
+    with Spark's semantics through the twin views)."""
+    eng, _ = fed
+    q1 = ("SELECT trim(o_orderpriority) AS t, CAST(count(*) AS BIGINT) "
+          "AS n FROM clickhouse.remote.orders GROUP BY 1")
+    got = _rows(eng.sql(q1))
+    assert eng.last_remote_sql is not None
+    assert got == _rows(spark.sql(
+        q1.replace("clickhouse.remote.", "")))
+    q2 = ("SELECT ltrim('1', o_orderpriority) AS t FROM "
+          "clickhouse.remote.orders ORDER BY o_orderkey LIMIT 3")
+    got2 = _rows(eng.sql(q2))
+    assert eng.last_remote_sql is None          # two-arg: refused
+    assert got2 == _rows(spark.sql(q2.replace("clickhouse.remote.", "")))
