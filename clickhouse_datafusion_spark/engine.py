@@ -142,6 +142,45 @@ class ClickHouseSparkEngine:
             self._remote.tables(), local_tables=self._remote_shadows(sql))
         if shipped is None:
             return None
+        # Schema fidelity (r10b): the LOCAL analyzed schema is the engine
+        # surface's contract; remote result dtypes legitimately differ
+        # (sum(int) -> HUGEINT, date_trunc(_, DATE) -> DATE, year/length
+        # -> BIGINT, greatest -> DOUBLE — probed,
+        # tools/probe_dialect_divergence_r10b.py). Analysis is lazy and
+        # driver-only. A local ParseException means the statement is not
+        # valid on the engine surface at all — shipping would execute
+        # what the surface rejects (e.g. DuckDB-only `2 ** 3`), so stay
+        # local and let the fallback raise the user-visible error. An
+        # AnalysisException (no local twins registered) ships uncast,
+        # best-effort.
+        local_form = self._local_form(sql)
+        try:
+            # parse-only (no table resolution needed, no JVM error log):
+            # the local surface must at least PARSE anything that ships
+            self.spark._jsparkSession.sessionState().sqlParser() \
+                .parsePlan(local_form)
+        except Exception as e:
+            if ("ParseException" in type(e).__name__
+                    or "PARSE_SYNTAX_ERROR" in str(e)
+                    or "ParseException" in str(e)):
+                return None
+        local_schema = None
+        if self._local_twins_resolve(local_form):
+            try:
+                local_schema = self.spark.sql(local_form).schema
+            except Exception:
+                pass
+        # Decimal division/modulo computes EXACT decimal arithmetic
+        # locally but binary DOUBLE remotely (probed r10b: decimal / int
+        # -> DOUBLE in the remote dialect) — last-digit HALF_UP flips at
+        # rounding boundaries are possible. Ship arithmetic `/ %` only
+        # when the analyzed output proves no decimal is involved.
+        if _re.search(r"[/%]", _re.sub(r"'(?:[^']|'')*'", "''", sql)):
+            from pyspark.sql.types import DecimalType
+            if local_schema is None or any(
+                    isinstance(f.dataType, DecimalType)
+                    for f in local_schema.fields):
+                return None
         try:
             if is_output_reducing(_re.sub(r"'(?:[^']|'')*'", "''", shipped)):
                 tbl = self._remote.execute(shipped)
@@ -151,7 +190,62 @@ class ClickHouseSparkEngine:
         except Exception as e:
             self.last_remote_error = e
             return None
+        df = self._align_remote_schema(df, local_schema)
         self.last_remote_sql = shipped
+        return df
+
+    def _local_twins_resolve(self, local_form: str) -> bool:
+        """True when every (non-CTE) table ref of the local form exists
+        in the local catalog — the precondition for the driver-only
+        schema analysis (avoids a spurious JVM TABLE_OR_VIEW_NOT_FOUND
+        error log when no twin views were registered)."""
+        import re as _re
+
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            table_refs)
+
+        scan = _re.sub(r"'(?:[^']|'')*'", "''", local_form)
+        ctes = {m.group(1).lower() for m in _re.finditer(
+            r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
+        try:
+            return all(self.spark.catalog.tableExists(r)
+                       for r in table_refs(scan) - ctes)
+        except Exception:  # pragma: no cover - defensive
+            return False
+
+    def _local_form(self, stmt: str) -> str:
+        """The statement as the LOCAL fallback would run it: remote db
+        qualifiers stripped (literal-safe) so twin views resolve — the
+        exact rewrite :meth:`sql` applies when the gate refuses."""
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            sub_outside_literals)
+
+        return sub_outside_literals(
+            rf"\b{re.escape(self._remote_db)}\.(\w+)\b",
+            lambda m: m.group(1)
+            if m.group(1).lower() in self._remote.tables()
+            else m.group(0),
+            stmt)
+
+    def _align_remote_schema(self, df, local_schema):
+        """Cast a remote hand-back to the locally-analyzed schema so
+        ship-vs-local is schema-identical BY CONSTRUCTION — the
+        reference enforces its logical schema on returned RecordBatches
+        the same way (src/stream.rs schema contract). Best-effort: any
+        arity/name mismatch skips the cast rather than failing the
+        ship."""
+        if local_schema is None:
+            return df
+        try:
+            from pyspark.sql import functions as F
+            if (len(local_schema) == len(df.columns)
+                    and [f.name.lower() for f in local_schema.fields]
+                    == [c.lower() for c in df.columns]):
+                return df.select([
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(df.columns, local_schema.fields)])
+        except Exception:  # pragma: no cover - defensive
+            pass
         return df
 
     def _remote_shadows(self, sql: str) -> set[str]:
@@ -853,15 +947,7 @@ class ClickHouseSparkEngine:
             # reference's TableProvider scan when the analyzer cannot
             # push the subtree). Literal-safe: a string like
             # 'remote.orders' is data and must not be rewritten.
-            from clickhouse_datafusion_spark.sources.remote_engine import (
-                sub_outside_literals)
-
-            rewritten = sub_outside_literals(
-                rf"\b{re.escape(self._remote_db)}\.(\w+)\b",
-                lambda m: m.group(1)
-                if m.group(1).lower() in self._remote.tables()
-                else m.group(0),
-                rewritten)
+            rewritten = self._local_form(rewritten)
         rewritten = self._route_native_tables(rewritten)
         return self.spark.sql(rewritten)
 

@@ -167,6 +167,32 @@ def _trim_guard(scan: str) -> bool:
     return True
 
 
+# Operator-token divergences the call-shaped allowlist cannot see
+# (probed r10b, tools/probe_dialect_divergence_r10b.py):
+#   ^   — bitwise XOR locally, POWER remotely (2 ^ 3 = 1 vs 8.0)
+#   **  — invalid locally, power remotely (the engine-level local
+#         ParseException refusal also covers this; belt and braces)
+_DIVERGENT_OP_RE = re.compile(r"\^|\*\*")
+
+_DIVISOR_LIT_RE = re.compile(r"[/%]\s*(\d+(?:\.\d+)?)")
+
+
+def _div_mod_guard(scan: str) -> bool:
+    """Division/modulo ship only with a NONZERO NUMERIC LITERAL divisor:
+    ``x / 0`` raises DIVIDE_BY_ZERO locally (ANSI) but returns NULL
+    remotely (probed r10b), so any data-dependent divisor is a silent
+    error-vs-value divergence and stays local. ``scan`` is
+    literal-stripped, so ``%`` inside LIKE patterns / date formats and
+    ``/`` inside paths never trip this; a ``/*`` comment opener fails
+    the literal test and conservatively keeps the statement local."""
+    lits = {m.start(): m.group(1) for m in _DIVISOR_LIT_RE.finditer(scan)}
+    for m in re.finditer(r"[/%]", scan):
+        lit = lits.get(m.start())
+        if lit is None or float(lit) == 0.0:
+            return False
+    return True
+
+
 # Functions allowed through the gate only when a per-call syntactic
 # guard proves the divergent argument class is absent.
 GUARDED_REMOTE_FUNCS = {
@@ -572,6 +598,10 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
         return None
     if has_unseen_from_comma(scan):
         return None                 # a table ref the gate cannot attribute
+    if _DIVERGENT_OP_RE.search(scan):
+        return None                 # ^ is XOR locally, power remotely
+    if not _div_mod_guard(scan):
+        return None                 # data-dependent divisor: x/0 diverges
     cte_names = {m.group(1).lower() for m in re.finditer(
         r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
     prefixes = (f"{catalog}.{db}.".lower(), f"{db}.".lower())

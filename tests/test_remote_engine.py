@@ -214,8 +214,18 @@ def _divergent_queries(draw):
     stay LOCAL (the guard refuses), and the local answer must match
     spark.sql exactly."""
     kind = draw(st.sampled_from(
-        ["round", "concat", "substr", "floor", "trim2", "case"]))
-    if kind == "round":
+        ["round", "concat", "substr", "floor", "trim2", "case",
+         "caret", "divisor", "decdiv"]))
+    if kind == "caret":
+        n = draw(st.integers(min_value=1, max_value=7))
+        expr = f"o_orderkey ^ {n}"               # XOR local, power remote
+    elif kind == "divisor":
+        col = draw(st.sampled_from(["o_orderkey + 1", "o_custkey + 1"]))
+        expr = f"CAST(o_totalprice AS DOUBLE) / ({col})"
+    elif kind == "decdiv":
+        d = draw(st.integers(min_value=2, max_value=9))
+        expr = f"CAST(o_totalprice AS DECIMAL(18,2)) / {d}"
+    elif kind == "round":
         scale = draw(st.integers(min_value=0, max_value=3))
         expr = f"round(o_totalprice / 3, {scale})"
     elif kind == "concat":
@@ -734,3 +744,93 @@ def test_single_arg_trim_ships_two_arg_stays_local(fed, spark):
     got2 = _rows(eng.sql(q2))
     assert eng.last_remote_sql is None          # two-arg: refused
     assert got2 == _rows(spark.sql(q2.replace("clickhouse.remote.", "")))
+
+
+# -- r10b: operator-token / arithmetic divergences + schema fidelity ----
+
+def test_caret_xor_vs_power_never_ships(fed, spark):
+    """`^` is bitwise XOR locally but POWER remotely (probed r10b:
+    2 ^ 3 = 1 vs 8.0) — invisible to the call-shaped allowlist, so the
+    gate carries an operator-token check. Stays local, answers with
+    Spark's XOR."""
+    eng, _ = fed
+    q = ("SELECT o_orderkey, o_orderkey ^ 3 AS v FROM "
+         "clickhouse.remote.orders ORDER BY o_orderkey LIMIT 4")
+    got = _rows(eng.sql(q))
+    assert eng.last_remote_sql is None
+    assert got == _rows(spark.sql(q.replace("clickhouse.remote.", "")))
+
+
+def test_data_dependent_divisor_stays_local(fed, spark):
+    """x / 0 raises DIVIDE_BY_ZERO locally (ANSI) but returns NULL
+    remotely — a data-dependent divisor can hide a zero, so division
+    ships only with a nonzero numeric literal divisor."""
+    eng, _ = fed
+    q = ("SELECT CAST(o_totalprice AS DOUBLE) / o_custkey AS v FROM "
+         "clickhouse.remote.orders WHERE o_custkey > 0 "
+         "ORDER BY o_orderkey LIMIT 3")
+    got = _rows(eng.sql(q))
+    assert eng.last_remote_sql is None
+    assert got == _rows(spark.sql(q.replace("clickhouse.remote.", "")))
+    # and the divergence is REAL in this data: o_custkey contains 0, so
+    # the unguarded ship would have silently returned NULL rows where
+    # the local surface raises DIVIDE_BY_ZERO
+    q0 = ("SELECT CAST(o_totalprice AS DOUBLE) / o_custkey AS v FROM "
+          "clickhouse.remote.orders")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        eng.sql(q0).collect()
+    assert eng.last_remote_sql is None
+    # literal zero divisor likewise refused (stays local -> local error
+    # semantics preserved)
+    assert unparse_for_remote(
+        "SELECT o_orderkey % 0 AS v FROM remote.orders LIMIT 1",
+        "clickhouse", "remote", {"orders"}) is None
+
+
+def test_decimal_division_stays_local_double_ships(fed, spark):
+    """Decimal division is EXACT decimal arithmetic locally but binary
+    DOUBLE remotely (probed r10b) — rounding-boundary flips are
+    possible, so `/` ships only when the analyzed output carries no
+    decimal. Double-domain division with a literal divisor ships."""
+    eng, _ = fed
+    qdec = ("SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) / 4 "
+            "AS v FROM clickhouse.remote.orders ORDER BY o_orderkey "
+            "LIMIT 3")
+    got = _rows(eng.sql(qdec))
+    assert eng.last_remote_sql is None           # decimal output: local
+    assert got == _rows(spark.sql(qdec.replace("clickhouse.remote.", "")))
+    qdbl = ("SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / 4 AS v "
+            "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 3")
+    got2 = _rows(eng.sql(qdbl))
+    assert eng.last_remote_sql is not None       # double domain: ships
+    assert got2 == _rows(spark.sql(qdbl.replace("clickhouse.remote.", "")))
+
+
+def test_remote_handback_schema_fidelity(fed, spark):
+    """The shipped result must carry the LOCAL analyzed schema: the
+    remote dialect returns sum(bigint) as HUGEINT/decimal(38,0) and
+    year() as BIGINT (probed r10b); the seam casts the hand-back so
+    ship-vs-local is schema-identical by construction."""
+    eng, _ = fed
+    q = ("SELECT o_orderstatus AS st, sum(o_orderkey) AS s, "
+         "year(o_orderdate) AS y FROM clickhouse.remote.orders "
+         "GROUP BY o_orderstatus, year(o_orderdate)")
+    df = eng.sql(q)
+    assert eng.last_remote_sql is not None
+    local = spark.sql(q.replace("clickhouse.remote.", ""))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+           [f.dataType.simpleString() for f in local.schema.fields]
+    assert _rows(df) == _rows(local)
+
+
+def test_remote_only_syntax_refused_by_parse_check(fed, spark):
+    """A statement the LOCAL surface cannot parse must never ship even
+    when the remote dialect would accept it (SIMILAR TO is remote-only):
+    the seam's parse check keeps it local, where the user sees the
+    surface's own error."""
+    eng, _ = fed
+    with pytest.raises(Exception) as ei:
+        eng.sql("SELECT o_orderkey FROM clickhouse.remote.orders "
+                "WHERE o_orderstatus SIMILAR TO 'F' LIMIT 1").collect()
+    assert eng.last_remote_sql is None
+    assert "PARSE" in str(ei.value).upper() or "SYNTAX" in str(ei.value).upper()
