@@ -264,3 +264,135 @@ def test_decoder_roundtrips_still_exact():
     wav = decode_wav_pcm(_valid_wav())
     assert wav["sample_rate"] == 8000 and len(wav["samples"]) == 8
     assert abs(wav["samples"][3] - 32767 / 32768) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# r10b: sketch kernels — exact invariants the fixture gate cannot see
+# ---------------------------------------------------------------------
+
+@st.composite
+def _key_sets(draw):
+    """Inserted keys + disjoint probe keys (unicode, empties, near-
+    collisions by shared prefixes)."""
+    ins = draw(st.lists(
+        st.text(alphabet="abcxyz0189é中", min_size=0, max_size=8),
+        min_size=1, max_size=25, unique=True))
+    probes = draw(st.lists(
+        st.text(alphabet="abcxyz0189é中", min_size=0, max_size=8),
+        min_size=1, max_size=25, unique=True))
+    return ins, [p for p in probes if p not in set(ins)]
+
+
+@given(_key_sets())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_no_false_negatives(spark, keysets):
+    """The Bloom contract: might_contain = 1 for EVERY inserted key (no
+    false negatives, a hard invariant) — and at this sizing (n<=25 keys
+    in 2^20 bits, k=7) a false positive on a disjoint probe has
+    probability ~1e-26, so we assert exact separation both ways."""
+    from clickhouse_datafusion_spark.operators.sketch import (
+        bloom_build, bloom_probe)
+
+    ins, probes = keysets
+    df = spark.createDataFrame([(k,) for k in ins], "h string")
+    bloom = bloom_build(df, "h")
+    got_in = {r.doc_id: r.might_contain for r in bloom_probe(
+        df.withColumnRenamed("h", "hh").selectExpr("hh AS h", "hh AS doc_id"),
+        bloom, "h", id_col="doc_id").collect()}
+    assert all(v == 1 for v in got_in.values()), (ins, got_in)
+    if probes:
+        pdf = spark.createDataFrame([(k, k) for k in probes],
+                                    "h string, doc_id string")
+        got_out = {r.doc_id: r.might_contain
+                   for r in bloom_probe(pdf, bloom, "h").collect()}
+        assert all(v == 0 for v in got_out.values()), (ins, probes, got_out)
+
+
+@st.composite
+def _token_streams(draw):
+    toks = draw(st.lists(
+        st.text(alphabet="abctü", min_size=1, max_size=5),
+        min_size=1, max_size=30))
+    return toks
+
+
+@given(_token_streams(), _token_streams())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_lower_bound_and_linearity(spark, toks_a, toks_b):
+    """Two CMS invariants that hold EXACTLY: (1) est >= true count for
+    every token (the one-sided error guarantee; at <=60 tokens in a
+    16384-wide sketch a 4-row simultaneous collision is ~1e-11, so est
+    == true here); (2) linearity — the sketch of A++B equals the
+    elementwise sum of the sketches of A and B (what makes CMS
+    mergeable across ingest partitions at 100 TB)."""
+    from collections import Counter
+
+    from clickhouse_datafusion_spark.operators.sketch import (
+        cms_build, cms_estimate)
+
+    df_a = spark.createDataFrame([(t,) for t in toks_a], "tok string")
+    df_b = spark.createDataFrame([(t,) for t in toks_b], "tok string")
+    df_ab = spark.createDataFrame([(t,) for t in toks_a + toks_b],
+                                  "tok string")
+    sk_a = {(r.r, r.c): r.cnt for r in cms_build(df_a).collect()}
+    sk_b = {(r.r, r.c): r.cnt for r in cms_build(df_b).collect()}
+    sk_ab = {(r.r, r.c): r.cnt for r in cms_build(df_ab).collect()}
+    summed = Counter()
+    for sk in (sk_a, sk_b):
+        for k, v in sk.items():
+            summed[k] += v
+    assert dict(summed) == sk_ab, "CMS linearity violated"
+    true = Counter(toks_a + toks_b)
+    est = {r.tok: r.est_count
+           for r in cms_estimate(df_ab, cms_build(df_ab)).collect()}
+    for t, n in true.items():
+        assert est[t] >= n, (t, n, est[t])
+        assert est[t] == n, (t, n, est[t])   # collision-free at this size
+
+
+@given(st.lists(st.tuples(st.text(alphabet="uvwxyz12", min_size=1,
+                                  max_size=6),
+                          st.integers(min_value=0, max_value=3)),
+                min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_partition_merge_invariance(spark, keyed):
+    """HLL register union is lossless: sketching arbitrary partitions of
+    the data and merging (hll_rollup) must give EXACTLY the estimate of
+    sketching the whole — the invariant that makes sketch-once,
+    merge-later safe at 100 TB (operators/sketch.py:179)."""
+    from clickhouse_datafusion_spark.operators.sketch import (
+        hll_distinct_sketches, hll_rollup)
+
+    df = spark.createDataFrame(
+        [(k, g, 1) for k, g in keyed], "k string, g int, one int")
+    fine = hll_distinct_sketches(df, "k", ["one", "g"])
+    merged = hll_rollup(fine, ["one"]).collect()[0].est_distinct
+    direct = hll_rollup(hll_distinct_sketches(df, "k", ["one"]),
+                        ["one"]).collect()[0].est_distinct
+    assert merged == direct, (keyed, merged, direct)
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "délta"]),
+                min_size=1, max_size=12),
+       st.randoms(use_true_random=False))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_word_permutation_invariance(spark, words, rnd):
+    """SimHash is a function of the word multiset: permuting the words
+    of a document must not change the signature (the property LSH
+    bucketing relies on for shingle-order-insensitive near-dup
+    detection)."""
+    from clickhouse_datafusion_spark.operators.dedup import simhash_col
+
+    shuffled = list(words)
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(" ".join(words), " ".join(shuffled))], "a string, b string")
+    row = df.select(simhash_col(__import__("pyspark").sql.functions.col("a"))
+                    .alias("sa"),
+                    simhash_col(__import__("pyspark").sql.functions.col("b"))
+                    .alias("sb")).collect()[0]
+    assert row.sa == row.sb, (words, shuffled, row)
