@@ -181,8 +181,10 @@ class ClickHouseSparkEngine:
                     isinstance(f.dataType, DecimalType)
                     for f in local_schema.fields):
                 return None
+        reduced = is_output_reducing(
+            _re.sub(r"'(?:[^']|'')*'", "''", shipped))
         try:
-            if is_output_reducing(_re.sub(r"'(?:[^']|'')*'", "''", shipped)):
+            if reduced:
                 tbl = self._remote.execute(shipped)
                 df = self.spark.createDataFrame(tbl)
             else:
@@ -190,7 +192,7 @@ class ClickHouseSparkEngine:
         except Exception as e:
             self.last_remote_error = e
             return None
-        df = self._align_remote_schema(df, local_schema)
+        df = self._align_remote_schema(df, local_schema, rebuild_ok=reduced)
         self.last_remote_sql = shipped
         return df
 
@@ -227,26 +229,38 @@ class ClickHouseSparkEngine:
             else m.group(0),
             stmt)
 
-    def _align_remote_schema(self, df, local_schema):
-        """Cast a remote hand-back to the locally-analyzed schema so
+    def _align_remote_schema(self, df, local_schema,
+                             rebuild_ok: bool = False):
+        """Align a remote hand-back to the locally-analyzed schema so
         ship-vs-local is schema-identical BY CONSTRUCTION — the
         reference enforces its logical schema on returned RecordBatches
-        the same way (src/stream.rs schema contract). Best-effort: any
-        arity/name mismatch skips the cast rather than failing the
-        ship."""
-        if local_schema is None:
+        the same way (src/stream.rs schema contract). Alignment is
+        POSITIONAL: both schemas come from the SAME statement, so
+        column order is identical by definition, while auto-generated
+        names diverge (``count(*)`` is ``count(1)`` locally but
+        ``count_star()`` remotely — probed r10b) — the local name wins.
+        Best-effort: an arity mismatch skips the alignment rather than
+        failing the ship."""
+        if local_schema is None or len(local_schema) != len(df.columns):
             return df
+        out = df.toDF(*[f.name for f in local_schema.fields])
         try:
             from pyspark.sql import functions as F
-            if (len(local_schema) == len(df.columns)
-                    and [f.name.lower() for f in local_schema.fields]
-                    == [c.lower() for c in df.columns]):
-                return df.select([
-                    F.col(c).cast(f.dataType).alias(f.name)
-                    for c, f in zip(df.columns, local_schema.fields)])
+            names = [f.name for f in local_schema.fields]
+            if len({n.lower() for n in names}) == len(names):
+                out = out.select([
+                    F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                    for f in local_schema.fields])
+            if rebuild_ok and out.schema != local_schema:
+                # the residual delta is nullability (count(1) is
+                # non-nullable locally, the Arrow hand-back nullable);
+                # the direct path's result is output-reduced and already
+                # materialized, so a rebuild is a driver-local no-op
+                out = self.spark.createDataFrame(out.collect(),
+                                                 local_schema)
         except Exception:  # pragma: no cover - defensive
             pass
-        return df
+        return out
 
     def _remote_shadows(self, sql: str) -> set[str]:
         """Bare table refs of ``sql`` that exist BOTH remotely and as a

@@ -834,3 +834,19 @@ def test_remote_only_syntax_refused_by_parse_check(fed, spark):
                 "WHERE o_orderstatus SIMILAR TO 'F' LIMIT 1").collect()
     assert eng.last_remote_sql is None
     assert "PARSE" in str(ei.value).upper() or "SYNTAX" in str(ei.value).upper()
+
+
+def test_remote_handback_name_alignment_positional(fed, spark):
+    """Auto-generated column names diverge across the dialects
+    (count(*) is `count(1)` locally, `count_star()` remotely — probed
+    r10b); alignment is positional because both schemas come from the
+    SAME statement, so the shipped result must carry the LOCAL names."""
+    eng, _ = fed
+    q = ("SELECT count(*), min(o_orderkey + 1) FROM "
+         "clickhouse.remote.orders")
+    df = eng.sql(q)
+    assert eng.last_remote_sql is not None
+    local = spark.sql(q.replace("clickhouse.remote.", ""))
+    assert df.columns == local.columns
+    assert df.schema == local.schema
+    assert _rows(df) == _rows(local)
