@@ -137,9 +137,14 @@ class ClickHouseSparkEngine:
                 and _re.search(r"(?i)\b(hour|minute|second|date_trunc)"
                                r"\s*\(", sql)):
             return None
+        try:
+            dec_cols = self._remote.decimal_columns()
+        except Exception:  # pragma: no cover - remote without the API
+            dec_cols = frozenset()
         shipped = unparse_for_remote(
             sql, next(iter(self._catalog_names)), self._remote_db or "remote",
-            self._remote.tables(), local_tables=self._remote_shadows(sql))
+            self._remote.tables(), local_tables=self._remote_shadows(sql),
+            decimal_cols=dec_cols)
         if shipped is None:
             return None
         # Schema fidelity (r10b): the LOCAL analyzed schema is the engine

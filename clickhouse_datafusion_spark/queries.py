@@ -5564,6 +5564,12 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
+    # r10d (this session): the ship path changed again — operator-token
+    # (^, **), division/modulo, backslash and double-quote lexical
+    # guards; local parse-refusal; schema/name/nullability alignment of
+    # hand-backs. fed2 (direct Arrow hand-back) and fed3 (streamed
+    # spool) re-gate on it; both also verified in-session by the strict
+    # sweep replica.
     # r10a: the federation seam's dialect gate tightened (r9 advisor
     # HIGH: raw-double ROUND / NULL-concat divergences out of the
     # allowlist; guarded decimal-round in; comma-join table_refs;

@@ -193,6 +193,31 @@ def _div_mod_guard(scan: str) -> bool:
     return True
 
 
+_DEC_LITERAL_RE = re.compile(r"\d+\.\d")
+
+
+def _make_avg_guard(decimal_cols: frozenset):
+    """avg() ships only when NO argument span can be decimal-typed:
+    the remote dialect accumulates avg(DECIMAL) in binary DOUBLE
+    (probed r10b: result type DOUBLE vs the local exact
+    decimal(p+4, s+4)) — low-digit divergence at corpus scale. A span
+    is suspect when it carries a decimal/numeric cast, a decimal
+    literal (1.00 is DECIMAL in both dialects), or any column name the
+    remote catalog types as DECIMAL."""
+    col_res = [re.compile(rf"(?i)\b{re.escape(c)}\b")
+               for c in decimal_cols]
+
+    def guard(scan: str) -> bool:
+        for span in _call_spans(scan, "avg"):
+            if (span is None or _DEC_CAST_RE.search(span)
+                    or _DEC_LITERAL_RE.search(span)
+                    or any(r.search(span) for r in col_res)):
+                return False
+        return True
+
+    return guard
+
+
 # Functions allowed through the gate only when a per-call syntactic
 # guard proves the divergent argument class is absent.
 GUARDED_REMOTE_FUNCS = {
@@ -326,6 +351,21 @@ class RemoteEngine:
 
     def tables(self) -> set[str]:
         return set(self._tables)
+
+    def decimal_columns(self) -> frozenset[str]:
+        """Lowercased names of DECIMAL-typed columns across every
+        registered remote table — the type knowledge the avg guard
+        needs: the remote dialect computes avg(DECIMAL) in binary
+        DOUBLE (probed r10b) while the local surface keeps exact
+        decimal arithmetic, so an averaged decimal column must keep
+        the statement local."""
+        with self._lock:
+            rows = self._root.execute(
+                "SELECT DISTINCT lower(column_name) "
+                "FROM information_schema.columns "
+                "WHERE table_schema = 'main' "
+                "AND data_type LIKE 'DECIMAL%'").fetchall()
+        return frozenset(r[0] for r in rows)
 
     def writable(self) -> set[str]:
         return set(self._writable)
@@ -567,7 +607,8 @@ def is_output_reducing(scan: str) -> bool:
 
 def unparse_for_remote(sql: str, catalog: str, db: str,
                        remote_tables: set[str],
-                       local_tables: set[str] | frozenset = frozenset()
+                       local_tables: set[str] | frozenset = frozenset(),
+                       decimal_cols: frozenset = frozenset()
                        ) -> str | None:
     """F6: translate the engine-surface SQL to the remote dialect, or
     None when the statement must stay local.
@@ -589,6 +630,16 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     if not re.match(r"(?i)\s*(select|with)\b", s):
         return None
     if _LOCAL_ONLY_RE.search(s):
+        return None
+    # Lexical divergences (probed r10b, both engines, same input):
+    #   backslash — Spark interprets escape sequences in string
+    #     literals ('a\nb' is a newline; LIKE 'a\_b' escapes the _),
+    #     the remote dialect takes them literally → any backslash
+    #     anywhere keeps the statement local;
+    #   double quote — a STRING LITERAL locally ("c" = 'c') but an
+    #     IDENTIFIER remotely ("c" = column c): same statement, both
+    #     valid, different values → never ships.
+    if "\\" in s or '"' in s:
         return None
     # all structural scans run on the literal-stripped text — string
     # contents are data, not syntax
@@ -624,9 +675,13 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     # conditionally-shared ones (ROUND's decimal discipline, SUBSTRING's
     # positive-literal start). Failing ANY name keeps the whole
     # statement local — never a silent semantic divergence.
+    avg_guard = _make_avg_guard(decimal_cols)
     for m in _IDENT_CALL_RE.finditer(scan):
         name = m.group(1).lower()
-        if name in GUARDED_REMOTE_FUNCS:
+        if name == "avg":
+            if not avg_guard(scan):
+                return None
+        elif name in GUARDED_REMOTE_FUNCS:
             if not GUARDED_REMOTE_FUNCS[name](scan):
                 return None
         elif name not in SUPPORTED_REMOTE_FUNCS:

@@ -850,3 +850,49 @@ def test_remote_handback_name_alignment_positional(fed, spark):
     assert df.columns == local.columns
     assert df.schema == local.schema
     assert _rows(df) == _rows(local)
+
+
+def test_backslash_and_double_quote_never_ship(fed, spark):
+    """Lexical divergences (probed r10b): Spark interprets backslash
+    escapes in string literals and treats double-quoted tokens as
+    STRING LITERALS, while the remote dialect takes backslashes
+    literally and double quotes as IDENTIFIERS — same statement, both
+    valid, different values. Any backslash or double quote keeps the
+    statement local, where Spark's semantics answer."""
+    eng, _ = fed
+    q1 = (r"SELECT count(*) AS n FROM clickhouse.remote.orders "
+          r"WHERE o_orderpriority LIKE '%\_%'")
+    got = _rows(eng.sql(q1))
+    assert eng.last_remote_sql is None
+    assert got == _rows(spark.sql(q1.replace("clickhouse.remote.", "")))
+    q2 = ('SELECT "o_orderstatus" AS v FROM clickhouse.remote.orders '
+          "ORDER BY o_orderkey LIMIT 2")
+    got2 = _rows(eng.sql(q2))
+    assert eng.last_remote_sql is None
+    # locally "o_orderstatus" is the STRING 'o_orderstatus', not the col
+    assert got2 == [((False, "o_orderstatus"),)] * 2
+
+
+def test_avg_decimal_guard(fed, spark):
+    """avg(DECIMAL) accumulates in binary DOUBLE remotely but exact
+    decimal locally (probed r10b) — an avg whose span carries a decimal
+    cast, a decimal literal, or a remotely-decimal-typed column keeps
+    the statement local; double/int avg still ships."""
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        _make_avg_guard)
+
+    g = _make_avg_guard(frozenset({"price"}))
+    assert not g("SELECT avg(CAST(x AS DECIMAL(10,2))) FROM t")
+    assert not g("SELECT avg(x * 1.00) FROM t")
+    assert not g("SELECT avg(price) FROM t")
+    assert g("SELECT avg(x) FROM t")
+    eng, _ = fed
+    q = ("SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) AS a "
+         "FROM clickhouse.remote.orders")
+    got = _rows(eng.sql(q))
+    assert eng.last_remote_sql is None
+    assert got == _rows(spark.sql(q.replace("clickhouse.remote.", "")))
+    q2 = "SELECT avg(o_totalprice) AS a FROM clickhouse.remote.orders"
+    got2 = _rows(eng.sql(q2))
+    assert eng.last_remote_sql is not None      # double-typed col: ships
+    assert got2 == _rows(spark.sql(q2.replace("clickhouse.remote.", "")))
