@@ -88,6 +88,17 @@ SUPPORTED_WINDOW_FUNCS = {
 #                only as the single-argument whitespace form
 #   UPPER/LOWER — Unicode case mapping diverges (upper('straße') =
 #                'STRASSE' vs 'STRAẞE') → never ships
+#   AVG        — avg(DECIMAL) accumulates in binary DOUBLE remotely
+#                but exact decimal locally → guarded: ships only when
+#                no argument span can be decimal-typed (cast, literal,
+#                or remote-catalog column type)
+# Non-call divergences guarded in unparse_for_remote (r10b probes):
+#   ^ / **     — XOR locally vs power remotely / remote-only syntax
+#   / and %    — x/0 raises locally (ANSI) but is NULL remotely →
+#                only nonzero literal divisors ship, and the engine
+#                additionally keeps decimal-output division local
+#   backslash  — escape sequence locally, literal remotely
+#   "..."      — string literal locally, IDENTIFIER remotely
 # A statement containing ANY call outside this set stays local.
 SUPPORTED_REMOTE_FUNCS = SUPPORTED_WINDOW_FUNCS | {
     # scalar, verified-shared
@@ -275,6 +286,7 @@ class RemoteEngine:
             self._pool.put(self._root.cursor())
         self._tables: set[str] = set()
         self._writable: set[str] = set()
+        self._dec_cols: frozenset | None = None   # decimal_columns cache
         self._lock = threading.Lock()
 
     # -- catalog -----------------------------------------------------
@@ -299,6 +311,7 @@ class RemoteEngine:
                 f"CREATE OR REPLACE VIEW {name} AS "
                 f"SELECT * FROM read_parquet('{file_path}')")
             self._tables.add(name.lower())
+            self._dec_cols = None
 
     def create_table(self, name: str, schema_sql: str) -> None:
         """Create a WRITABLE remote table (``schema_sql`` is the column
@@ -308,6 +321,7 @@ class RemoteEngine:
         with self._lock:
             self._root.execute(f"CREATE TABLE {name} ({schema_sql})")
             self._tables.add(name.lower())
+            self._dec_cols = None
             self._writable.add(name.lower())
 
     def create_table_as(self, name: str, select_sql: str) -> None:
@@ -317,6 +331,7 @@ class RemoteEngine:
         with self._lock:
             self._root.execute(f"CREATE TABLE {name} AS {select_sql}")
             self._tables.add(name.lower())
+            self._dec_cols = None
             self._writable.add(name.lower())
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
@@ -332,6 +347,7 @@ class RemoteEngine:
             kind = "TABLE" if low in self._writable else "VIEW"
             self._root.execute(f"DROP {kind} {name}")
             self._tables.discard(low)
+            self._dec_cols = None
             self._writable.discard(low)
 
     def refresh(self) -> set[str]:
@@ -347,6 +363,7 @@ class RemoteEngine:
             self._tables = {r[0].lower() for r in rows}
             self._writable = {r[0].lower() for r in rows
                               if r[1] == "BASE TABLE"}
+            self._dec_cols = None
         return set(self._tables)
 
     def tables(self) -> set[str]:
@@ -359,13 +376,15 @@ class RemoteEngine:
         DOUBLE (probed r10b) while the local surface keeps exact
         decimal arithmetic, so an averaged decimal column must keep
         the statement local."""
-        with self._lock:
-            rows = self._root.execute(
-                "SELECT DISTINCT lower(column_name) "
-                "FROM information_schema.columns "
-                "WHERE table_schema = 'main' "
-                "AND data_type LIKE 'DECIMAL%'").fetchall()
-        return frozenset(r[0] for r in rows)
+        if self._dec_cols is None:
+            with self._lock:
+                rows = self._root.execute(
+                    "SELECT DISTINCT lower(column_name) "
+                    "FROM information_schema.columns "
+                    "WHERE table_schema = 'main' "
+                    "AND data_type LIKE 'DECIMAL%'").fetchall()
+                self._dec_cols = frozenset(r[0] for r in rows)
+        return self._dec_cols
 
     def writable(self) -> set[str]:
         return set(self._writable)
