@@ -57,6 +57,7 @@ class ClickHouseSparkEngine:
         # ('whole' | 'arrow' | None).
         self.last_remote_error: Exception | None = None
         self.last_remote_insert: str | None = None
+        self.last_remote_refusal: str | None = None
         self._remote_spool_dir = os.path.abspath(
             os.path.join("spark-warehouse", "_remote_spool"))
 
@@ -102,32 +103,25 @@ class ClickHouseSparkEngine:
         if local_twin_dir is not None:
             register_testdata_views(self.spark, local_twin_dir)
 
-    def _try_remote_exec(self, sql: str):
-        """S7/J8: return a DataFrame when the whole statement shipped,
-        else None. Never raises out of the federation seam — a remote
-        failure falls back to the local plan, recorded on
-        ``last_remote_error`` (so an outage is distinguishable from a
-        dialect-gate refusal, where the attribute stays None).
-
-        Scale contract (r10): output-REDUCING statements (GROUP BY /
-        non-windowed aggregate / LIMIT) hand back one Arrow table
-        directly — that is what federation exists to ship. Everything
-        else STREAMS batch-by-batch through a parquet spool
-        (``_spool_remote_stream``), so an unaggregated
-        ``SELECT * FROM remote.lineitem`` never materializes the full
-        result in driver memory — the reference's RecordBatchStream
-        hand-back (src/stream.rs:110-131). Bare table names resolve
-        LOCAL-first (nearest scope): a statement whose bare ref is
-        shadowed by an existing local table/view stays local."""
-        if self._remote is None:
-            return None
+    def _remote_gate(self, sql: str, reasons: list | None = None):
+        """Every check that decides WHETHER a statement ships — shared
+        by the executing path (:meth:`_try_remote_exec`) and the
+        dry-run diagnostics surface (:meth:`remote_decision`, EXPLAIN).
+        Returns ``(shipped_sql | None, local_schema | None)``; on
+        refusal the WHY is appended to ``reasons`` — the analog of the
+        reference analyzer's not-pushed diagnostics."""
         import re as _re
 
         from clickhouse_datafusion_spark.sources.remote_engine import (
-            is_output_reducing,
-            unparse_for_remote,
-        )
+            unparse_for_remote)
 
+        def refuse(why: str):
+            if reasons is not None:
+                reasons.append(why)
+            return None, None
+
+        if self._remote is None:
+            return refuse("no remote engine attached")
         # sub-day time extraction is session-timezone-dependent in Spark
         # but tz-naive in the remote engine: identical ONLY when the
         # session runs UTC — otherwise those statements stay local
@@ -136,7 +130,9 @@ class ClickHouseSparkEngine:
         if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
                 and _re.search(r"(?i)\b(hour|minute|second|date_trunc)"
                                r"\s*\(", sql)):
-            return None
+            return refuse(f"sub-day time extraction under non-UTC "
+                          f"session timezone ({tz}) is tz-dependent "
+                          "locally but tz-naive remotely")
         try:
             dec_cols = self._remote.decimal_columns()
         except Exception:  # pragma: no cover - remote without the API
@@ -144,9 +140,9 @@ class ClickHouseSparkEngine:
         shipped = unparse_for_remote(
             sql, next(iter(self._catalog_names)), self._remote_db or "remote",
             self._remote.tables(), local_tables=self._remote_shadows(sql),
-            decimal_cols=dec_cols)
+            decimal_cols=dec_cols, reasons=reasons)
         if shipped is None:
-            return None
+            return None, None                   # reason already recorded
         # Schema fidelity (r10b): the LOCAL analyzed schema is the engine
         # surface's contract; remote result dtypes legitimately differ
         # (sum(int) -> HUGEINT, date_trunc(_, DATE) -> DATE, year/length
@@ -168,7 +164,8 @@ class ClickHouseSparkEngine:
             if ("ParseException" in type(e).__name__
                     or "PARSE_SYNTAX_ERROR" in str(e)
                     or "ParseException" in str(e)):
-                return None
+                return refuse("statement does not parse on the local "
+                              "surface (remote-only syntax)")
         local_schema = None
         if self._local_twins_resolve(local_form):
             try:
@@ -185,7 +182,69 @@ class ClickHouseSparkEngine:
             if local_schema is None or any(
                     isinstance(f.dataType, DecimalType)
                     for f in local_schema.fields):
-                return None
+                return refuse("division/modulo with decimal involvement"
+                              " (exact decimal locally, binary double "
+                              "remotely) or unverifiable output schema")
+        return shipped, local_schema
+
+    def remote_decision(self, query: str) -> dict:
+        """Gate-only dry run: would ``query`` ship to the attached
+        remote engine, and if not, why not — the reference analyzer's
+        federation diagnostics surfaced as an API (``EXPLAIN`` prepends
+        the same verdict to the plan text). Never executes anything."""
+        reasons: list = []
+        shipped, _ = self._remote_gate(self.rewrite(query), reasons)
+        return {"ships": shipped is not None,
+                "remote_sql": shipped,
+                "reason": "; ".join(reasons) or None}
+
+    def _explain_with_federation(self, mode: str, inner: str):
+        """``EXPLAIN [mode] <stmt>`` with a remote attached: the local
+        plan text (over twin views when they resolve), headed by the
+        federation verdict — RemoteEngineExec + the exact shipped SQL,
+        or the gate's refusal reason (src/context.rs EXPLAIN shows the
+        federated exec nodes the same way)."""
+        d = self.remote_decision(inner)
+        if d["ships"]:
+            head = ("== Remote Federation ==\nRemoteEngineExec "
+                    f"[db={self._remote_db}]: {d['remote_sql']}")
+        else:
+            head = f"== Remote Federation ==\nlocal ({d['reason']})"
+        try:
+            body = self.spark.sql(self._local_form(
+                f"EXPLAIN {mode or ''} {inner}")).collect()[0][0]
+        except Exception:
+            body = "(local plan unavailable: no twin views registered)"
+        return self.spark.createDataFrame([(f"{head}\n\n{body}",)],
+                                          "plan string")
+
+    def _try_remote_exec(self, sql: str):
+        """S7/J8: return a DataFrame when the whole statement shipped,
+        else None. Never raises out of the federation seam — a remote
+        failure falls back to the local plan, recorded on
+        ``last_remote_error`` (so an outage is distinguishable from a
+        dialect-gate refusal, which records ``last_remote_refusal``).
+
+        Scale contract (r10): output-REDUCING statements (GROUP BY /
+        non-windowed aggregate / LIMIT) hand back one Arrow table
+        directly — that is what federation exists to ship. Everything
+        else STREAMS batch-by-batch through a parquet spool
+        (``_spool_remote_stream``), so an unaggregated
+        ``SELECT * FROM remote.lineitem`` never materializes the full
+        result in driver memory — the reference's RecordBatchStream
+        hand-back (src/stream.rs:110-131). Bare table names resolve
+        LOCAL-first (nearest scope): a statement whose bare ref is
+        shadowed by an existing local table/view stays local."""
+        import re as _re
+
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            is_output_reducing)
+
+        reasons: list = []
+        shipped, local_schema = self._remote_gate(sql, reasons)
+        if shipped is None:
+            self.last_remote_refusal = "; ".join(reasons) or None
+            return None
         reduced = is_output_reducing(
             _re.sub(r"'(?:[^']|'')*'", "''", shipped))
         try:
@@ -877,6 +936,7 @@ class ClickHouseSparkEngine:
         self.last_remote_sql = None
         self.last_remote_error = None
         self.last_remote_insert = None
+        self.last_remote_refusal = None
         rewritten = self.rewrite(query)
         # OPTIMIZE TABLE mv [FINAL] is matched BEFORE the dialect pass:
         # its FINAL is the merge-trigger modifier, not the read-time
@@ -958,6 +1018,10 @@ class ClickHouseSparkEngine:
         if lb is not None:
             return self._run_limit_by(*lb)
         if self._remote is not None:
+            ex = _EXPLAIN_PLAIN_RE.match(rewritten)
+            if ex:
+                return self._explain_with_federation(
+                    ex.group("mode") or "", rewritten[ex.end():])
             remote_df = self._try_remote_exec(rewritten)
             if remote_df is not None:
                 return remote_df
@@ -1286,6 +1350,9 @@ _OPTION_RE = re.compile(r"(\w+)\s*=?\s*'([^']*)'")
 _STRING_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*')")
 
 _EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+", re.IGNORECASE)
+_EXPLAIN_PLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:(?P<mode>EXTENDED|CODEGEN|COST|FORMATTED)\s+)?"
+    r"(?=SELECT|WITH)", re.IGNORECASE)
 
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*;?\s*$",

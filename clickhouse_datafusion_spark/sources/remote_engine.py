@@ -627,8 +627,8 @@ def is_output_reducing(scan: str) -> bool:
 def unparse_for_remote(sql: str, catalog: str, db: str,
                        remote_tables: set[str],
                        local_tables: set[str] | frozenset = frozenset(),
-                       decimal_cols: frozenset = frozenset()
-                       ) -> str | None:
+                       decimal_cols: frozenset = frozenset(),
+                       reasons: list | None = None) -> str | None:
     """F6: translate the engine-surface SQL to the remote dialect, or
     None when the statement must stay local.
 
@@ -645,11 +645,19 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     stripping — the shared surface is ANSI SQL; divergent constructs
     are excluded by the gate.
     """
+    def refuse(why: str):
+        """Record WHY the gate kept the statement local — the analog of
+        the reference analyzer's not-pushed diagnostics."""
+        if reasons is not None:
+            reasons.append(why)
+        return None
+
     s = sql.strip().rstrip(";")
     if not re.match(r"(?i)\s*(select|with)\b", s):
-        return None
+        return refuse("not a SELECT/WITH statement")
     if _LOCAL_ONLY_RE.search(s):
-        return None
+        return refuse("local-only construct (clickhouse()/LIMIT BY/"
+                      "SAMPLE/system tables/...)")
     # Lexical divergences (probed r10b, both engines, same input):
     #   backslash — Spark interprets escape sequences in string
     #     literals ('a\nb' is a newline; LIKE 'a\_b' escapes the _),
@@ -658,20 +666,25 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     #   double quote — a STRING LITERAL locally ("c" = 'c') but an
     #     IDENTIFIER remotely ("c" = column c): same statement, both
     #     valid, different values → never ships.
-    if "\\" in s or '"' in s:
-        return None
+    if "\\" in s:
+        return refuse("backslash: escape sequence locally, literal "
+                      "remotely")
+    if '"' in s:
+        return refuse('double quote: string literal locally, '
+                      'identifier remotely')
     # all structural scans run on the literal-stripped text — string
     # contents are data, not syntax
     scan = _SQL_STRING_RE.sub("''", s)
     refs = table_refs(scan)
     if not refs:
-        return None
+        return refuse("no table references")
     if has_unseen_from_comma(scan):
-        return None                 # a table ref the gate cannot attribute
+        return refuse("comma-list table ref the gate cannot attribute")
     if _DIVERGENT_OP_RE.search(scan):
-        return None                 # ^ is XOR locally, power remotely
+        return refuse("operator ^/**: XOR locally, power remotely")
     if not _div_mod_guard(scan):
-        return None                 # data-dependent divisor: x/0 diverges
+        return refuse("division/modulo without a nonzero literal "
+                      "divisor (x/0 raises locally, NULL remotely)")
     cte_names = {m.group(1).lower() for m in re.finditer(
         r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
     prefixes = (f"{catalog}.{db}.".lower(), f"{db}.".lower())
@@ -682,12 +695,12 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
                 bare = r[len(p):]
                 break
         if "." in bare or bare not in remote_tables:
-            return None
+            return refuse(f"table ref not in the remote catalog: {r}")
         if bare == r and r in local_tables:
-            return None                     # bare name, local shadow wins
+            return refuse(f"bare name shadowed by a local table: {r}")
     for m in _OVER_FN_RE.finditer(scan):
         if m.group(1).lower() not in SUPPORTED_WINDOW_FUNCS:
-            return None
+            return refuse(f"unsupported window function: {m.group(1)}")
     # F6 allowlist: strip string literals first (a quoted "foo(" must
     # not read as a call), then every call-shaped identifier must be a
     # proven-shared function — with per-call syntactic guards for the
@@ -699,12 +712,15 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
         name = m.group(1).lower()
         if name == "avg":
             if not avg_guard(scan):
-                return None
+                return refuse("avg over a (possibly) decimal argument:"
+                              " remote accumulates in double")
         elif name in GUARDED_REMOTE_FUNCS:
             if not GUARDED_REMOTE_FUNCS[name](scan):
-                return None
+                return refuse(f"guard refused: {name} (divergent "
+                              "argument class not provably absent)")
         elif name not in SUPPORTED_REMOTE_FUNCS:
-            return None
+            return refuse(f"function not in the proven-shared "
+                          f"allowlist: {name}")
     # Qualifier stripping OUTSIDE string literals only: a literal like
     # 'remote.orders' is DATA and must cross the seam untouched (the
     # r9 self-review catch; pinned by

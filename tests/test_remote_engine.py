@@ -896,3 +896,31 @@ def test_avg_decimal_guard(fed, spark):
     got2 = _rows(eng.sql(q2))
     assert eng.last_remote_sql is not None      # double-typed col: ships
     assert got2 == _rows(spark.sql(q2.replace("clickhouse.remote.", "")))
+
+
+def test_remote_decision_and_explain_diagnostics(fed, spark):
+    """The gate's refusal REASONS are observable (the reference
+    analyzer's not-pushed diagnostics): remote_decision() dry-runs the
+    gate, EXPLAIN prepends the federation verdict to the plan text,
+    and last_remote_refusal records why a statement ran locally."""
+    eng, _ = fed
+    d = eng.remote_decision(
+        "SELECT count(*) AS n FROM clickhouse.remote.orders")
+    assert d["ships"] and d["remote_sql"] == "SELECT count(*) AS n FROM orders"
+    d2 = eng.remote_decision(
+        "SELECT log(o_totalprice) FROM clickhouse.remote.orders LIMIT 1")
+    assert not d2["ships"] and "log" in d2["reason"]
+    d3 = eng.remote_decision(
+        "SELECT o_orderkey ^ 2 FROM clickhouse.remote.orders LIMIT 1")
+    assert not d3["ships"] and "XOR" in d3["reason"]
+    plan = eng.sql("EXPLAIN SELECT count(*) AS n FROM "
+                   "clickhouse.remote.orders").collect()[0][0]
+    assert "RemoteEngineExec" in plan and "== Physical Plan ==" in plan
+    plan2 = eng.sql("EXPLAIN SELECT log(o_totalprice) AS l FROM "
+                    "clickhouse.remote.orders LIMIT 1").collect()[0][0]
+    assert "local (" in plan2 and "allowlist: log" in plan2
+    eng.sql("SELECT log(o_totalprice) AS l FROM clickhouse.remote.orders "
+            "LIMIT 1").collect()
+    assert "log" in eng.last_remote_refusal
+    eng.sql("SELECT count(*) AS n FROM clickhouse.remote.orders").collect()
+    assert eng.last_remote_refusal is None      # shipped: no refusal
