@@ -63,3 +63,14 @@ print("remote CTAS shipped:", eng.last_remote_sql)
 eng.sql("SHOW TABLES FROM remote").show()
 eng.sql("SELECT * FROM clickhouse.remote.seg_digest ORDER BY n DESC").show()
 eng.sql("DROP TABLE clickhouse.remote.seg_digest")
+
+# r10d: federation diagnostics — WHY did a statement ship or stay
+# local? remote_decision() dry-runs the gate; EXPLAIN prepends the
+# verdict (RemoteEngineExec + shipped SQL, or the refusal reason) to
+# the plan text; last_remote_refusal records it per statement.
+print(eng.remote_decision(
+    "SELECT count(*) AS n FROM clickhouse.remote.orders"))
+print(eng.remote_decision(
+    "SELECT o_orderkey ^ 2 AS v FROM clickhouse.remote.orders LIMIT 1"))
+print(eng.sql("EXPLAIN SELECT count(*) AS n FROM clickhouse.remote.orders")
+      .collect()[0][0].split("\n")[1])

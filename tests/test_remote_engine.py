@@ -187,8 +187,16 @@ def test_remote_exec_matches_local_on_generated_queries(fed_fuzz, spark, sql):
     plan's rows. Queries the gate refuses run locally — also compared,
     so a fallback can never silently change results."""
     eng, _ = fed_fuzz
-    got = _rows(eng.sql(_qualify(sql)))
-    want = _rows(spark.sql(sql))
+    rdf = eng.sql(_qualify(sql))
+    ldf = spark.sql(sql)
+    # schema fidelity under fuzz: names AND dtypes must match whether
+    # the statement shipped or fell back (nullability is rebuilt only
+    # on the reduced path, so it is asserted in the dedicated test)
+    assert ([(f.name, f.dataType) for f in rdf.schema.fields]
+            == [(f.name, f.dataType) for f in ldf.schema.fields]), \
+        (sql, eng.last_remote_sql)
+    got = _rows(rdf)
+    want = _rows(ldf)
     assert got == want, (sql, eng.last_remote_sql)
 
 
