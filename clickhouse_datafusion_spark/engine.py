@@ -249,16 +249,35 @@ class ClickHouseSparkEngine:
             _re.sub(r"'(?:[^']|'')*'", "''", shipped))
         try:
             if reduced:
-                tbl = self._remote.execute(shipped)
-                df = self.spark.createDataFrame(tbl)
+                df = self._arrow_to_df(self._remote.execute(shipped),
+                                       local_schema)
             else:
                 df = self._spool_remote_stream(shipped)
         except Exception as e:
             self.last_remote_error = e
             return None
-        df = self._align_remote_schema(df, local_schema, rebuild_ok=reduced)
+        if local_schema is None or df.schema != local_schema:
+            df = self._align_remote_schema(df, local_schema,
+                                           rebuild_ok=reduced)
         self.last_remote_sql = shipped
         return df
+
+    def _arrow_to_df(self, tbl, local_schema):
+        """Arrow table -> DataFrame in ONE conversion: rename + cast on
+        the Arrow side to the local analyzed schema (exact names, dtypes
+        AND nullability), falling back to the generic conversion +
+        :meth:`_align_remote_schema` when the cast cannot apply."""
+        if local_schema is not None and len(local_schema) == tbl.num_columns:
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                cast = (tbl.rename_columns(
+                    [f.name for f in local_schema.fields])
+                    .cast(to_arrow_schema(local_schema)))
+                return self.spark.createDataFrame(cast,
+                                                  schema=local_schema)
+            except Exception:
+                pass
+        return self.spark.createDataFrame(tbl)
 
     def _local_twins_resolve(self, local_form: str) -> bool:
         """True when every (non-CTE) table ref of the local form exists
