@@ -122,17 +122,20 @@ class ClickHouseSparkEngine:
 
         if self._remote is None:
             return refuse("no remote engine attached")
-        # sub-day time extraction is session-timezone-dependent in Spark
-        # but tz-naive in the remote engine: identical ONLY when the
-        # session runs UTC — otherwise those statements stay local
-        # (errs toward not shipping, like every other gate).
+        # ALL time extraction is session-timezone-dependent in Spark
+        # (timestamps are instants rendered in the session tz — even
+        # year() flips on a New Year's Eve instant) but tz-naive in the
+        # remote engine: identical ONLY when the session runs UTC —
+        # otherwise those statements stay local (errs toward not
+        # shipping, like every other gate). r10d widened this from the
+        # sub-day set: year/month/day are equally tz-dependent.
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
         if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
-                and _re.search(r"(?i)\b(hour|minute|second|date_trunc)"
-                               r"\s*\(", sql)):
-            return refuse(f"sub-day time extraction under non-UTC "
-                          f"session timezone ({tz}) is tz-dependent "
-                          "locally but tz-naive remotely")
+                and _re.search(r"(?i)\b(year|month|day|hour|minute"
+                               r"|second|date_trunc)\s*\(", sql)):
+            return refuse(f"time extraction under non-UTC session "
+                          f"timezone ({tz}) is tz-dependent locally "
+                          "but tz-naive remotely")
         try:
             dec_cols = self._remote.decimal_columns()
         except Exception:  # pragma: no cover - remote without the API

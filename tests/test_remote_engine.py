@@ -689,20 +689,26 @@ def test_nullable_order_by_ships_with_spark_semantics(fed, spark):
 
 
 def test_non_utc_session_keeps_time_extraction_local(fed, spark):
-    """Sub-day time extraction is session-timezone-dependent in Spark
-    but tz-naive remotely: under a non-UTC session those statements
-    must stay local; date-level functions and UTC sessions ship."""
+    """Time extraction over an LTZ timestamp is session-timezone-
+    dependent in Spark (year(TIMESTAMP '1996-01-01 00:00 UTC') = 1995
+    under America/New_York — probed r10d) but tz-naive remotely. The
+    gate is syntactic — it cannot see whether a column is NTZ or LTZ —
+    so under a non-UTC session EVERY extraction function (r10d widened
+    this from the sub-day set to year/month/day too) keeps the
+    statement local; under UTC they ship."""
     eng, _ = fed
     q = ("SELECT CAST(count(*) AS BIGINT) AS n, "
          "CAST(max(year(o_orderdate)) AS INT) AS y "
          "FROM clickhouse.remote.orders")
     eng.sql(q).collect()
-    assert eng.last_remote_sql is not None          # date-level: ships
+    assert eng.last_remote_sql is not None          # UTC session: ships
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        eng.sql(q).collect()
-        assert eng.last_remote_sql is not None      # year() still fine
+        got = _rows(eng.sql(q))
+        assert eng.last_remote_sql is None          # year(): local now
+        assert "time extraction" in eng.last_remote_refusal
+        assert got == _rows(spark.sql(q.replace("clickhouse.remote.", "")))
         eng.sql("SELECT CAST(max(hour(CAST(o_orderdate AS TIMESTAMP))) "
                 "AS INT) AS h FROM clickhouse.remote.orders").collect()
         assert eng.last_remote_sql is None          # hour(): local
