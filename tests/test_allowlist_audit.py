@@ -15,3 +15,15 @@ def test_allowlist_battery_compact():
     checked, div = run(compact=True)
     assert checked > 300, checked
     assert not div, div
+
+
+def test_window_func_battery():
+    """Every SUPPORTED_WINDOW_FUNCS entry over identical rows in both
+    engines: frames (default RANGE-to-current with peers, ROWS,
+    sliding, empty OVER), ties, NULL order keys — result multisets
+    must be equal or the W6 set is wrong."""
+    from tools.audit_remote_allowlist import run_window_battery
+
+    checked, div = run_window_battery()
+    assert checked >= 18, checked
+    assert not div, div

@@ -69,6 +69,90 @@ BATTERY: list[tuple[str, list[list[str]], bool]] = [
 ]
 
 
+# Window battery: every SUPPORTED_WINDOW_FUNCS entry over a shared
+# 12-row table (two groups, duplicate values for peer/tie behavior,
+# NULLs in the order key). ORDER BY always carries explicit NULLS
+# (that is what ships after the gate's make_nulls_explicit
+# translation); nondeterministic-under-ties functions get the unique
+# tiebreaker s.
+_WIN_ROWS = [(1, 1, 1), (1, 1, 2), (1, 2, 3), (1, None, 4), (1, 3, 5),
+             (2, 5, 6), (2, None, 7), (2, None, 8), (2, 5, 9),
+             (2, 7, 10), (1, 2, 11), (2, 4, 12)]
+
+_WIN_EXPRS = [
+    # ranking — ties resolved by the unique key where semantics need it
+    "row_number() OVER (PARTITION BY g ORDER BY v NULLS FIRST, s)",
+    "rank() OVER (PARTITION BY g ORDER BY v NULLS FIRST)",
+    "rank() OVER (PARTITION BY g ORDER BY v DESC NULLS LAST)",
+    "dense_rank() OVER (PARTITION BY g ORDER BY v NULLS LAST)",
+    "ntile(3) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s)",
+    # offsets
+    "lag(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s)",
+    "lag(v, 2) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s)",
+    "lead(v, 1) OVER (PARTITION BY g ORDER BY v NULLS LAST, s)",
+    # boundary values
+    "first_value(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s)",
+    ("last_value(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+    # aggregates over frames: default RANGE-to-current (peers!), rows
+    # frames, sliding windows, empty-OVER
+    "sum(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST)",
+    "count(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST)",
+    "count(*) OVER (PARTITION BY g ORDER BY v NULLS FIRST)",
+    ("sum(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    ("min(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s "
+     "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"),
+    ("max(v) OVER (PARTITION BY g ORDER BY s "
+     "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)"),
+    "sum(v) OVER ()",
+    "avg(s) OVER (PARTITION BY g)",
+]
+
+
+def run_window_battery(verbose: bool = False):
+    """Every supported window function, same statement text in both
+    engines over identical rows — result multisets must be equal."""
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    con = duckdb.connect()
+    spark.createDataFrame(_WIN_ROWS, "g int, v int, s int") \
+         .createOrReplaceTempView("wt")
+    con.execute("CREATE TABLE wt (g INT, v INT, s INT)")
+    con.executemany("INSERT INTO wt VALUES (?, ?, ?)", _WIN_ROWS)
+
+    div, checked = [], 0
+    for expr in _WIN_EXPRS:
+        stmt = f"SELECT g, v, s, {expr} AS w FROM wt"
+        try:
+            srows = sorted((tuple((x is None, x) for x in r))
+                           for r in spark.sql(stmt).collect())
+            s_err = None
+        except Exception as e:
+            srows, s_err = None, type(e).__name__
+        try:
+            drows = sorted((tuple((x is None, x) for x in r))
+                           for r in con.sql(stmt).fetchall())
+            d_err = None
+        except Exception as e:
+            drows, d_err = None, type(e).__name__
+        checked += 1
+        bad = ((s_err is None and d_err is None and srows != drows)
+               or (s_err is not None and d_err is None))
+        if bad:
+            div.append(("window", stmt, s_err or "rows-differ",
+                        d_err or "rows-differ", False))
+        if verbose:
+            print(("!!" if bad else "  ") + f" {stmt}")
+    con.execute("DROP TABLE wt")
+    spark.catalog.dropTempView("wt")
+    return checked, div
+
+
 def _norm(v):
     """Engine-neutral value: Decimal -> exact float when it fits, NaN
     canonicalized, a DATE and the midnight TIMESTAMP of the same day
@@ -150,8 +234,11 @@ def run(compact: bool = False, verbose: bool = False):
 def main() -> int:
     verbose = "-v" in sys.argv
     checked, div = run(verbose=verbose)
-    print(f"\nallowlist audit: {checked} statements, "
-          f"{len(div)} divergent")
+    wc, wdiv = run_window_battery(verbose=verbose)
+    checked += wc
+    div += wdiv
+    print(f"\nallowlist audit: {checked} statements "
+          f"(incl. {wc} window), {len(div)} divergent")
     for fn, stmt, s, d, guarded in div:
         tag = "GUARDED-FORM" if guarded else "UNGUARDED"
         print(f"  [{tag}] {stmt}\n     spark={s} duckdb={d}")
