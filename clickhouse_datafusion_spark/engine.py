@@ -410,8 +410,6 @@ class ClickHouseSparkEngine:
         if self._remote is None:
             return None
         from clickhouse_datafusion_spark import sink
-        from clickhouse_datafusion_spark.sources.remote_engine import (
-            unparse_for_remote)
 
         m = self._REMOTE_INSERT_RE.match(sql)
         if not m:
@@ -435,8 +433,14 @@ class ClickHouseSparkEngine:
         # Source analysis runs OUTSIDE the remote-failure wrap: a typo in
         # the SELECT is a local AnalysisException and must surface as
         # itself, not be mislabeled a remote schema problem (r10).
-        shipped = unparse_for_remote(src, cat, db, self._remote.tables(),
-                                     local_tables=self._remote_shadows(src))
+        # The source goes through the FULL gate (_remote_gate), not just
+        # the unparser: a divergent source (tz-dependent extraction,
+        # decimal division, remote-only syntax) shipped whole would
+        # WRITE wrong rows silently — worse than returning them (r10d).
+        reasons: list = []
+        shipped, _ = self._remote_gate(src, reasons)
+        if shipped is None:
+            self.last_remote_refusal = "; ".join(reasons) or None
         src_df = self.sql(src) if shipped is None else None
         try:
             if shipped is not None:
@@ -553,13 +557,12 @@ class ClickHouseSparkEngine:
         runs CTAS remotely (zero data crosses the seam); otherwise the
         source evaluates locally, the remote table is created from the
         result schema, and the Arrow batches append through the pool."""
-        from clickhouse_datafusion_spark.sources.remote_engine import (
-            unparse_for_remote)
-
-        cat = next(iter(self._catalog_names))
-        db = self._remote_db or "remote"
-        shipped = unparse_for_remote(src, cat, db, self._remote.tables(),
-                                     local_tables=self._remote_shadows(src))
+        # full gate, not just the unparser: a divergent CTAS source
+        # shipped whole would MATERIALIZE wrong rows remotely (r10d)
+        reasons: list = []
+        shipped, _ = self._remote_gate(src, reasons)
+        if shipped is None:
+            self.last_remote_refusal = "; ".join(reasons) or None
         if shipped is not None:
             self._remote.create_table_as(bare, shipped)
             self.last_remote_sql = f"CREATE TABLE {bare} AS {shipped}"

@@ -938,3 +938,44 @@ def test_remote_decision_and_explain_diagnostics(fed, spark):
     assert "log" in eng.last_remote_refusal
     eng.sql("SELECT count(*) AS n FROM clickhouse.remote.orders").collect()
     assert eng.last_remote_refusal is None      # shipped: no refusal
+
+
+def test_insert_and_ctas_sources_go_through_full_gate(fed, spark):
+    """The write paths use the FULL gate, not just the unparser: a
+    divergent source shipped whole would WRITE wrong rows silently.
+    A source with a same-name trap (log = ln vs log10) must evaluate
+    locally and Arrow-append Spark's values; a clean all-remote source
+    still whole-ships."""
+    import math
+
+    eng, remote = fed
+    remote.create_table("gate_ins", "k BIGINT, l DOUBLE")
+    try:
+        eng.sql("INSERT INTO clickhouse.remote.gate_ins "
+                "SELECT o_orderkey, log(o_totalprice) "
+                "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 3")
+        assert eng.last_remote_insert == "arrow"      # gate refused ship
+        assert "log" in eng.last_remote_refusal
+        got = remote.execute(
+            "SELECT l FROM gate_ins ORDER BY k LIMIT 1").column(0)[0].as_py()
+        price = spark.sql("SELECT o_totalprice FROM orders "
+                          "ORDER BY o_orderkey LIMIT 1").first()[0]
+        assert abs(got - math.log(price)) < 1e-9      # ln, not log10
+        eng.sql("INSERT INTO clickhouse.remote.gate_ins "
+                "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) "
+                "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 2")
+        assert eng.last_remote_insert == "whole"      # clean source ships
+    finally:
+        remote.drop_table("gate_ins")
+    eng.sql("CREATE TABLE clickhouse.remote.gate_ctas AS "
+            "SELECT o_orderkey AS k, log(o_totalprice) AS l "
+            "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 2")
+    try:
+        assert eng.last_remote_insert == "arrow"      # CTAS gate refused
+        got = remote.execute(
+            "SELECT l FROM gate_ctas ORDER BY k LIMIT 1").column(0)[0].as_py()
+        price = spark.sql("SELECT o_totalprice FROM orders "
+                          "ORDER BY o_orderkey LIMIT 1").first()[0]
+        assert abs(got - math.log(price)) < 1e-9
+    finally:
+        remote.drop_table("gate_ctas")
