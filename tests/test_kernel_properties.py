@@ -396,3 +396,34 @@ def test_simhash_word_permutation_invariance(spark, words, rnd):
                     simhash_col(__import__("pyspark").sql.functions.col("b"))
                     .alias("sb")).collect()[0]
     assert row.sa == row.sb, (words, shuffled, row)
+
+
+@st.composite
+def _bpe_cases(draw):
+    """Random unicode corpora + random (possibly nonsensical) merge
+    tables — encode must SEGMENT, never alter: concatenating a word's
+    tokens reproduces the word byte-for-byte under ANY merge list."""
+    alpha = "abßé中 "
+    docs = draw(st.lists(st.text(alphabet=alpha, min_size=0, max_size=24),
+                         min_size=1, max_size=6))
+    chars = "abßé中"
+    merges = draw(st.lists(
+        st.tuples(st.text(alphabet=chars, min_size=1, max_size=2),
+                  st.text(alphabet=chars, min_size=1, max_size=2)),
+        min_size=0, max_size=8))
+    return docs, merges
+
+
+@given(_bpe_cases())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_encode_is_lossless_segmentation(spark, case):
+    from clickhouse_datafusion_spark.operators.text import bpe_encode
+
+    docs, merges = case
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    out = {r.doc_id: r.tokens for r in
+           bpe_encode(df, merges).collect()}
+    for i, t in enumerate(docs):
+        assert "".join(out[i]) == "".join(t.split()), (t, merges, out[i])
