@@ -175,19 +175,6 @@ class ClickHouseSparkEngine:
                 local_schema = self.spark.sql(local_form).schema
             except Exception:
                 pass
-        # Decimal division/modulo computes EXACT decimal arithmetic
-        # locally but binary DOUBLE remotely (probed r10b: decimal / int
-        # -> DOUBLE in the remote dialect) — last-digit HALF_UP flips at
-        # rounding boundaries are possible. Ship arithmetic `/ %` only
-        # when the analyzed output proves no decimal is involved.
-        if _re.search(r"[/%]", _re.sub(r"'(?:[^']|'')*'", "''", sql)):
-            from pyspark.sql.types import DecimalType
-            if local_schema is None or any(
-                    isinstance(f.dataType, DecimalType)
-                    for f in local_schema.fields):
-                return refuse("division/modulo with decimal involvement"
-                              " (exact decimal locally, binary double "
-                              "remotely) or unverifiable output schema")
         return shipped, local_schema
 
     def remote_decision(self, query: str) -> dict:
@@ -214,10 +201,12 @@ class ClickHouseSparkEngine:
         else:
             head = f"== Remote Federation ==\nlocal ({d['reason']})"
         try:
-            body = self.spark.sql(self._local_form(
-                f"EXPLAIN {mode or ''} {inner}")).collect()[0][0]
-        except Exception:
-            body = "(local plan unavailable: no twin views registered)"
+            stmt = self._route_native_tables(
+                self._local_form(f"EXPLAIN {mode or ''} {inner}"))
+            body = self.spark.sql(stmt).collect()[0][0]
+        except Exception as e:
+            body = (f"(local plan unavailable: {type(e).__name__}: "
+                    f"{str(e)[:200]})")
         return self.spark.createDataFrame([(f"{head}\n\n{body}",)],
                                           "plan string")
 
@@ -439,9 +428,11 @@ class ClickHouseSparkEngine:
         # WRITE wrong rows silently — worse than returning them (r10d).
         reasons: list = []
         shipped, _ = self._remote_gate(src, reasons)
-        if shipped is None:
-            self.last_remote_refusal = "; ".join(reasons) or None
         src_df = self.sql(src) if shipped is None else None
+        if shipped is None:
+            # set AFTER the nested self.sql(src), which resets the
+            # per-statement diagnostics (r10d review)
+            self.last_remote_refusal = "; ".join(reasons) or None
         try:
             if shipped is not None:
                 stmt = f"INSERT INTO {bare} {cols} {shipped}"
@@ -561,13 +552,14 @@ class ClickHouseSparkEngine:
         # shipped whole would MATERIALIZE wrong rows remotely (r10d)
         reasons: list = []
         shipped, _ = self._remote_gate(src, reasons)
-        if shipped is None:
-            self.last_remote_refusal = "; ".join(reasons) or None
         if shipped is not None:
             self._remote.create_table_as(bare, shipped)
             self.last_remote_sql = f"CREATE TABLE {bare} AS {shipped}"
         else:
             df = self.sql(src)
+            # set AFTER the nested self.sql(src), which resets the
+            # per-statement diagnostics (r10d review)
+            self.last_remote_refusal = "; ".join(reasons) or None
             schema_sql = ", ".join(
                 f"{f.name} {self._remote_col_type(f.dataType)}"
                 for f in df.schema.fields)

@@ -205,28 +205,23 @@ def _div_mod_guard(scan: str) -> bool:
 
 
 _DEC_LITERAL_RE = re.compile(r"\d+\.\d")
+_DIV_AVG_RE = re.compile(r"(?i)[/%]|\bavg\s*\(")
 
 
-def _make_avg_guard(decimal_cols: frozenset):
-    """avg() ships only when NO argument span can be decimal-typed:
-    the remote dialect accumulates avg(DECIMAL) in binary DOUBLE
-    (probed r10b: result type DOUBLE vs the local exact
-    decimal(p+4, s+4)) — low-digit divergence at corpus scale. A span
-    is suspect when it carries a decimal/numeric cast, a decimal
-    literal (1.00 is DECIMAL in both dialects), or any column name the
-    remote catalog types as DECIMAL."""
-    col_res = [re.compile(rf"(?i)\b{re.escape(c)}\b")
-               for c in decimal_cols]
-
-    def guard(scan: str) -> bool:
-        for span in _call_spans(scan, "avg"):
-            if (span is None or _DEC_CAST_RE.search(span)
-                    or _DEC_LITERAL_RE.search(span)
-                    or any(r.search(span) for r in col_res)):
-                return False
+def decimal_involved(scan: str, decimal_cols: frozenset) -> bool:
+    """True when ANY decimal value can flow through the statement: a
+    decimal/numeric cast, a decimal literal (1.00 is DECIMAL in both
+    dialects), or a column name the remote catalog types as DECIMAL —
+    anywhere in the literal-stripped text. Statement-level on purpose:
+    span- or output-schema-level checks are defeated by CTE/alias
+    renames and CAST-to-double wrappers (r10d review), while any data
+    flow from a decimal column must reference its name SOMEWHERE in
+    the statement, so the statement-wide name scan is sound
+    (conservative toward staying local)."""
+    if _DEC_CAST_RE.search(scan) or _DEC_LITERAL_RE.search(scan):
         return True
-
-    return guard
+    return any(re.search(rf"(?i)\b{re.escape(c)}\b", scan)
+               for c in decimal_cols)
 
 
 # Functions allowed through the gate only when a per-call syntactic
@@ -685,6 +680,16 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     if not _div_mod_guard(scan):
         return refuse("division/modulo without a nonzero literal "
                       "divisor (x/0 raises locally, NULL remotely)")
+    # Decimal arithmetic through / % or avg computes EXACT decimal
+    # locally but binary DOUBLE remotely (probed r10b: decimal/int and
+    # avg(DECIMAL) both return DOUBLE in the remote dialect) —
+    # low-digit HALF_UP flips at scale. Statement-level involvement
+    # check: sound against CTE/alias renames and CAST-to-double
+    # wrappers, needs no local twin views.
+    if _DIV_AVG_RE.search(scan) and decimal_involved(scan, decimal_cols):
+        return refuse("division/modulo/avg with possible decimal "
+                      "involvement (exact decimal locally, binary "
+                      "double remotely)")
     cte_names = {m.group(1).lower() for m in re.finditer(
         r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
     prefixes = (f"{catalog}.{db}.".lower(), f"{db}.".lower())
@@ -707,14 +712,9 @@ def unparse_for_remote(sql: str, catalog: str, db: str,
     # conditionally-shared ones (ROUND's decimal discipline, SUBSTRING's
     # positive-literal start). Failing ANY name keeps the whole
     # statement local — never a silent semantic divergence.
-    avg_guard = _make_avg_guard(decimal_cols)
     for m in _IDENT_CALL_RE.finditer(scan):
         name = m.group(1).lower()
-        if name == "avg":
-            if not avg_guard(scan):
-                return refuse("avg over a (possibly) decimal argument:"
-                              " remote accumulates in double")
-        elif name in GUARDED_REMOTE_FUNCS:
+        if name in GUARDED_REMOTE_FUNCS:
             if not GUARDED_REMOTE_FUNCS[name](scan):
                 return refuse(f"guard refused: {name} (divergent "
                               "argument class not provably absent)")

@@ -889,17 +889,23 @@ def test_backslash_and_double_quote_never_ship(fed, spark):
 
 def test_avg_decimal_guard(fed, spark):
     """avg(DECIMAL) accumulates in binary DOUBLE remotely but exact
-    decimal locally (probed r10b) — an avg whose span carries a decimal
-    cast, a decimal literal, or a remotely-decimal-typed column keeps
-    the statement local; double/int avg still ships."""
+    decimal locally (probed r10b). The involvement check is
+    STATEMENT-level (decimal cast, decimal literal, or a
+    remotely-decimal-typed column name anywhere), so CTE/alias renames
+    cannot smuggle a decimal column past it (r10d review);
+    double/int avg still ships."""
     from clickhouse_datafusion_spark.sources.remote_engine import (
-        _make_avg_guard)
+        decimal_involved)
 
-    g = _make_avg_guard(frozenset({"price"}))
-    assert not g("SELECT avg(CAST(x AS DECIMAL(10,2))) FROM t")
-    assert not g("SELECT avg(x * 1.00) FROM t")
-    assert not g("SELECT avg(price) FROM t")
-    assert g("SELECT avg(x) FROM t")
+    dc = frozenset({"price"})
+    assert decimal_involved("SELECT avg(CAST(x AS DECIMAL(10,2))) FROM t", dc)
+    assert decimal_involved("SELECT avg(x * 1.00) FROM t", dc)
+    assert decimal_involved("SELECT avg(price) FROM t", dc)
+    # the alias-rename bypass: price only appears inside the CTE body,
+    # but the statement-wide scan still sees it
+    assert decimal_involved(
+        "WITH s AS (SELECT price AS p FROM t) SELECT avg(p) FROM s", dc)
+    assert not decimal_involved("SELECT avg(x) FROM t", dc)
     eng, _ = fed
     q = ("SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) AS a "
          "FROM clickhouse.remote.orders")
@@ -979,3 +985,44 @@ def test_insert_and_ctas_sources_go_through_full_gate(fed, spark):
         assert abs(got - math.log(price)) < 1e-9
     finally:
         remote.drop_table("gate_ctas")
+
+
+def test_decimal_involvement_is_statement_level(fed, spark):
+    """r10d review regressions: (1) decimal division hidden in a WHERE
+    predicate (output schema shows no decimal) must stay local;
+    (2) avg over a CTE-renamed decimal column must stay local;
+    (3) provably-decimal-free division ships even with NO local twin
+    views (the involvement check needs no analysis)."""
+    from decimal import Decimal
+
+    eng, remote = fed
+    remote.create_table("dec_t", "c DECIMAL(12,2)")
+    try:
+        remote.execute_insert(
+            "INSERT INTO dec_t VALUES (0.15), (0.16), (0.14)")
+        spark.createDataFrame(
+            [(Decimal("0.15"),), (Decimal("0.16"),), (Decimal("0.14"),)],
+            "c decimal(12,2)").createOrReplaceTempView("dec_t")
+        q = ("SELECT CAST(count(*) AS BIGINT) AS n FROM "
+             "clickhouse.remote.dec_t WHERE c / 2 >= 0.075")
+        got = _rows(eng.sql(q))
+        assert eng.last_remote_sql is None          # predicate division
+        assert "decimal" in eng.last_remote_refusal
+        assert got == _rows(spark.sql(q.replace("clickhouse.remote.", "")))
+        q2 = ("WITH s AS (SELECT c AS p FROM clickhouse.remote.dec_t) "
+              "SELECT CAST(avg(p) AS DOUBLE) AS a FROM s")
+        got2 = _rows(eng.sql(q2))
+        assert eng.last_remote_sql is None          # CTE alias rename
+        assert got2 == _rows(spark.sql(q2.replace("clickhouse.remote.", "")))
+    finally:
+        remote.drop_table("dec_t")
+        spark.catalog.dropTempView("dec_t")
+    remote.create_table("notwin_t", "a BIGINT, b DOUBLE")
+    try:
+        remote.execute_insert("INSERT INTO notwin_t VALUES (1, 8.0), (2, 6.0)")
+        df = eng.sql("SELECT a, b / 2 AS h FROM clickhouse.remote.notwin_t "
+                     "ORDER BY a LIMIT 2")
+        assert eng.last_remote_sql is not None      # twin-less, ships
+        assert [tuple(r) for r in df.collect()] == [(1, 4.0), (2, 3.0)]
+    finally:
+        remote.drop_table("notwin_t")
