@@ -227,8 +227,6 @@ class ClickHouseSparkEngine:
         hand-back (src/stream.rs:110-131). Bare table names resolve
         LOCAL-first (nearest scope): a statement whose bare ref is
         shadowed by an existing local table/view stays local."""
-        import re as _re
-
         from clickhouse_datafusion_spark.sources.remote_engine import (
             is_output_reducing)
 
@@ -237,8 +235,9 @@ class ClickHouseSparkEngine:
         if shipped is None:
             self.last_remote_refusal = "; ".join(reasons) or None
             return None
-        reduced = is_output_reducing(
-            _re.sub(r"'(?:[^']|'')*'", "''", shipped))
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            _SQL_STRING_RE)
+        reduced = is_output_reducing(_SQL_STRING_RE.sub("''", shipped))
         try:
             if reduced:
                 df = self._arrow_to_df(self._remote.execute(shipped),
@@ -281,7 +280,9 @@ class ClickHouseSparkEngine:
         from clickhouse_datafusion_spark.sources.remote_engine import (
             table_refs)
 
-        scan = _re.sub(r"'(?:[^']|'')*'", "''", local_form)
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            _SQL_STRING_RE)
+        scan = _SQL_STRING_RE.sub("''", local_form)
         ctes = {m.group(1).lower() for m in _re.finditer(
             r"(?i)\b(?:with|,)\s*([A-Za-z_]\w*)\s+as\s*\(", scan)}
         try:
@@ -341,13 +342,13 @@ class ClickHouseSparkEngine:
         """Bare table refs of ``sql`` that exist BOTH remotely and as a
         local table/view — those resolve local (nearest scope) and keep
         the statement from shipping."""
-        import re as _re
-
         from clickhouse_datafusion_spark.sources.remote_engine import (
             table_refs)
 
         remote_tables = self._remote.tables()
-        scan = _re.sub(r"'(?:[^']|'')*'", "''", sql)
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            _SQL_STRING_RE)
+        scan = _SQL_STRING_RE.sub("''", sql)
         return {r for r in table_refs(scan)
                 if "." not in r and r in remote_tables
                 and self.spark.catalog.tableExists(r)}
