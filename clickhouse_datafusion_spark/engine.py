@@ -182,10 +182,21 @@ class ClickHouseSparkEngine:
         remote engine, and if not, why not — the reference analyzer's
         federation diagnostics surfaced as an API (``EXPLAIN`` prepends
         the same verdict to the plan text). Never executes anything."""
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            _SQL_STRING_RE,
+            is_output_reducing,
+        )
+
         reasons: list = []
         shipped, _ = self._remote_gate(self.rewrite(query), reasons)
+        mode = None
+        if shipped is not None:
+            mode = ("direct-arrow"
+                    if is_output_reducing(_SQL_STRING_RE.sub("''", shipped))
+                    else "streamed-spool")
         return {"ships": shipped is not None,
                 "remote_sql": shipped,
+                "mode": mode,
                 "reason": "; ".join(reasons) or None}
 
     def _explain_with_federation(self, mode: str, inner: str):

@@ -927,6 +927,11 @@ def test_remote_decision_and_explain_diagnostics(fed, spark):
     d = eng.remote_decision(
         "SELECT count(*) AS n FROM clickhouse.remote.orders")
     assert d["ships"] and d["remote_sql"] == "SELECT count(*) AS n FROM orders"
+    assert d["mode"] == "direct-arrow"
+    ds = eng.remote_decision(
+        "SELECT o_orderkey FROM clickhouse.remote.orders WHERE "
+        "o_orderkey > 7")
+    assert ds["ships"] and ds["mode"] == "streamed-spool"
     d2 = eng.remote_decision(
         "SELECT log(o_totalprice) FROM clickhouse.remote.orders LIMIT 1")
     assert not d2["ships"] and "log" in d2["reason"]
