@@ -236,3 +236,39 @@ def test_spark_duckdb_agree_on_generated_setop_queries(li_view, sql):
     got = _canon(tuple(r) for r in spark.sql(sql).collect())
     want = _canon(con.execute(sql).fetchall())
     assert got == want, (sql, got[:3], want[:3], len(got), len(want))
+
+
+# -- r10d: double-domain arithmetic algebra ------------------------------
+# The federation gate ships division only in the provably-decimal-free
+# domain; this family validates that claim broadly — +,-,*,/ chains over
+# DOUBLE casts with literal nonzero divisors are exact IEEE ops and must
+# be bit-identical in both engines.
+
+@st.composite
+def _double_arith_queries(draw):
+    col = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    expr = f"CAST({col} AS DOUBLE)"
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        op = draw(st.sampled_from(["+", "-", "*", "/"]))
+        if op == "/":
+            lit = draw(st.sampled_from([2, 4, 3, 7, 10]))
+        else:
+            lit = draw(st.integers(min_value=1, max_value=99))
+        expr = f"({expr} {op} {lit})"
+    pred = draw(_predicates())
+    agg = draw(st.sampled_from(["min", "max"]))
+    return (f"SELECT {agg}({expr}) AS v, CAST(count(*) AS BIGINT) AS n "
+            f"FROM lineitem WHERE {pred}")
+
+
+@given(_double_arith_queries())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_double_arithmetic_is_engine_identical(li_view, sql):
+    """min/max over +,-,*,/ chains in the double domain: exact IEEE ops,
+    identical bits in both engines — the arithmetic class the gate
+    allows to ship."""
+    spark, con = li_view
+    got = _canon(tuple(r) for r in spark.sql(sql).collect())
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, (sql, got, want)
