@@ -99,6 +99,11 @@ SUPPORTED_WINDOW_FUNCS = {
 #                additionally keeps decimal-output division local
 #   backslash  — escape sequence locally, literal remotely
 #   "..."      — string literal locally, IDENTIFIER remotely
+# Probed-SHARED semantics (r10d, not guarded): GROUP BY / DISTINCT over
+# double keys treat ±0.0 as one group and all NaNs as one group in BOTH
+# engines; the surviving difference is the representative bit pattern
+# (-0.0 vs 0.0), which is IEEE-equal. Float SUM association order is an
+# inherent property of any parallel engine, not a dialect divergence.
 # A statement containing ANY call outside this set stays local.
 SUPPORTED_REMOTE_FUNCS = SUPPORTED_WINDOW_FUNCS | {
     # scalar, verified-shared

@@ -3,7 +3,13 @@
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# executor python workers import the package too (UDF closures pickle
+# package functions); they see PYTHONPATH, not the driver's sys.path —
+# set it BEFORE the JVM launches so running from any cwd works
+os.environ["PYTHONPATH"] = (
+    _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 from clickhouse_datafusion_spark import ClickHouseSparkEngine, get_spark  # noqa: E402
 
