@@ -427,3 +427,60 @@ def test_bpe_encode_is_lossless_segmentation(spark, case):
            bpe_encode(df, merges).collect()}
     for i, t in enumerate(docs):
         assert "".join(out[i]) == "".join(t.split()), (t, merges, out[i])
+
+
+# ---------------------------------------------------------------------
+# r10d: skew-salting equivalence — salted plans must equal unsalted
+# ---------------------------------------------------------------------
+
+@st.composite
+def _skewed_rows(draw):
+    """Adversarial key distributions: one hot key with most rows, NULL
+    values, negative/zero values, plus a salt count sweep (1 = salting
+    degenerates to the plain plan; 16 > distinct rows per key)."""
+    n_hot = draw(st.integers(min_value=1, max_value=25))
+    rows = [("hot", draw(st.sampled_from([0, 1, -5, 2**40, None])))
+            for _ in range(n_hot)]
+    for i in range(draw(st.integers(min_value=0, max_value=8))):
+        rows.append((f"k{i % 3}", draw(st.integers(min_value=-9,
+                                                   max_value=9))))
+    n_salts = draw(st.sampled_from([1, 3, 16]))
+    return rows, n_salts
+
+
+@given(_skewed_rows())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_count_sum_equals_unsalted(spark, case):
+    from clickhouse_datafusion_spark.operators.skew import salted_count_sum
+
+    rows, n_salts = case
+    df = spark.createDataFrame(rows, "k string, v bigint").repartition(4)
+    got = {r.k: (r.n, r.total) for r in
+           salted_count_sum(df, "k", "v", n_salts=n_salts).collect()}
+    want = {r.k: (r.n, r.total) for r in
+            df.groupBy("k").agg(
+                __import__("pyspark").sql.functions.count("*").alias("n"),
+                __import__("pyspark").sql.functions.sum("v").alias("total")
+            ).collect()}
+    assert got == want, (rows, n_salts, got, want)
+
+
+@given(_skewed_rows())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_equals_plain_join(spark, case):
+    from clickhouse_datafusion_spark.operators.skew import salted_join
+
+    rows, n_salts = case
+    probe = spark.createDataFrame(rows, "k string, v bigint")
+    build = spark.createDataFrame(
+        [("hot", 100), ("k0", 200), ("unmatched", 300)],
+        "k string, b bigint")
+    for how in ("inner", "left"):
+        got = sorted(tuple((x is None, x) for x in r) for r in
+                     salted_join(probe, build, "k", n_salts=n_salts,
+                                 how=how).collect())
+        want = sorted(tuple((x is None, x) for x in r) for r in
+                      probe.join(build, "k", how).collect())
+        assert got == want, (rows, n_salts, how)
