@@ -29,7 +29,13 @@ def main() -> int:
     from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
     from clickhouse_datafusion_spark.sources.remote_engine import (
         RemoteEngine)
-    from tests.test_differential_fuzz import _join_queries, _queries
+    from tests.test_differential_fuzz import (
+        _double_arith_queries,
+        _join_queries,
+        _queries,
+        _setop_queries,
+        _window_queries,
+    )
     from tests.test_remote_engine import (
         _divergent_queries,
         _implicit_join_queries,
@@ -62,6 +68,10 @@ def main() -> int:
     families = [
         ("relational", _queries(), lambda s: (s, _qualify(s))),
         ("join", _join_queries(), lambda s: (s, _qualify(s))),
+        ("window", _window_queries(), lambda s: (s, _qualify(s))),
+        ("setop", _setop_queries(), lambda s: (s, _qualify(s))),
+        ("double-arith", _double_arith_queries(),
+         lambda s: (s, _qualify(s))),
         ("divergent", _divergent_queries(),
          lambda s: (s.format(t="orders"),
                     s.format(t="clickhouse.remote.orders"))),
