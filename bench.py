@@ -182,16 +182,25 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].spark_fn
-        # per-QUERY warm-up (untimed), TWICE: queries with Python/Arrow
-        # stages ramp their workers over the first executions (measured
-        # on d3: 9.6 -> 4.1 -> 3.3 -> 1.0 s; r10 adjudication of the
-        # d3x official drift measured the full ramp 2.9 -> 2.2 -> 2.1 ->
-        # 1.9 -> 1.55 -> steady — ONE warm-up put the r9 official best
-        # at the mid-ramp 1.98, not the 1.55 steady state). Two
-        # warm-ups + 4 timed iters reach steady state inside the timed
-        # window for every benched query.
-        fn(spark, sf_dir).toPandas()
-        fn(spark, sf_dir).toPandas()
+        # per-QUERY warm-up (untimed), ADAPTIVE: queries with
+        # Python/Arrow stages ramp their workers over the first
+        # executions (measured on d3: 9.6 -> 4.1 -> 3.3 -> 1.0 s; the
+        # r10 d3x adjudication measured the full ramp 2.9 -> 2.2 ->
+        # 2.1 -> 1.9 -> 1.55 -> steady — FIVE executions to steady
+        # state, so a fixed two warm-ups left the timed median
+        # mid-ramp: q1 read median 2.11 vs best 0.64 in the r10d
+        # session-start run). Warm until the latest run is within 15%
+        # of the best warm run (min 2, max 5), so the timed window
+        # starts at steady state and best ~= median on a quiet box.
+        warm_times = []
+        while True:
+            w0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            warm_times.append(time.perf_counter() - w0)
+            if len(warm_times) >= 5 or (
+                    len(warm_times) >= 2
+                    and warm_times[-1] <= 1.15 * min(warm_times)):
+                break
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
