@@ -484,3 +484,75 @@ def test_salted_join_equals_plain_join(spark, case):
         want = sorted(tuple((x is None, x) for x in r) for r in
                       probe.join(build, "k", how).collect())
         assert got == want, (rows, n_salts, how)
+
+
+# ---------------------------------------------------------------------
+# r10d: funnel_depths vs a from-scratch serial oracle
+# ---------------------------------------------------------------------
+
+def _funnel_oracle(rows, window_s: int, k: int = 3):
+    """Serial re-statement of the windowFunnel contract: for each user,
+    for EVERY step-1 event t1, greedily take the earliest strictly-later
+    event of each next step with all steps <= t1 + window; the user's
+    depth is the max over chains."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, step, t in rows:
+        by_user[u].append((t, step))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        best = 0
+        for t1, s in evs:
+            if s != 0:
+                continue
+            depth, cur = 1, t1
+            for want in range(1, k):
+                nxt = [t for t, st in evs
+                       if st == want and t > cur and t <= t1 + window_s]
+                if not nxt:
+                    break
+                cur = min(nxt)
+                depth += 1
+            best = max(best, depth)
+        if best:
+            out[u] = best
+    return out
+
+
+@st.composite
+def _event_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for _ in range(n):
+        rows.append((draw(st.integers(min_value=0, max_value=3)),
+                     draw(st.integers(min_value=0, max_value=2)),
+                     draw(st.integers(min_value=0, max_value=20))))
+    w = draw(st.sampled_from([1, 3, 10]))
+    return rows, w
+
+
+@given(_event_streams())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_depths_matches_serial_oracle(spark, case):
+    """Adversarial streams: same-timestamp events (strictly-later
+    semantics), multiple step-1 starts per user, missing middle steps,
+    window boundaries hit exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.funnel import funnel_depths
+
+    rows, w = case
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, s, base + datetime.timedelta(seconds=t))
+            for u, s, t in rows]
+    df = spark.createDataFrame(data, "user_id int, step int, ts timestamp")
+    got = {r.user_id: r.depth for r in funnel_depths(
+        df, [F.col("step") == i for i in range(3)],
+        F.expr(f"INTERVAL {w} SECONDS")).collect()}
+    want = _funnel_oracle(rows, w)
+    assert got == want, (rows, w, got, want)
