@@ -556,3 +556,82 @@ def test_funnel_depths_matches_serial_oracle(spark, case):
         F.expr(f"INTERVAL {w} SECONDS")).collect()}
     want = _funnel_oracle(rows, w)
     assert got == want, (rows, w, got, want)
+
+
+def _seq_match_oracle(rows, k: int = 3):
+    """Per user: 1 iff greedy nested-min chaining (t_i = min ts with
+    cond_i and ts > t_{i-1}) completes all k steps."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, step, t in rows:
+        by_user[u].append((t, step))
+    out = {}
+    for u, evs in by_user.items():
+        cur, ok = None, True
+        for want in range(k):
+            cand = [t for t, s in evs
+                    if s == want and (cur is None or t > cur)]
+            if not cand:
+                ok = False
+                break
+            cur = min(cand)
+        out[u] = 1 if ok else 0
+    return out
+
+
+def _seq_count_oracle(rows, k: int = 3):
+    """Per user: greedy automaton over time-sorted events counting
+    non-overlapping chains, strictly-later between ALL accepted steps."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, step, t in rows:
+        by_user[u].append((t, step))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n = state = 0
+        last_t = None
+        for t, s in evs:
+            if last_t is not None and t <= last_t:
+                continue
+            if s == state:
+                state += 1
+                last_t = t
+                if state == k:
+                    n += 1
+                    state = 0
+        out[u] = n
+    return out
+
+
+@given(_event_streams())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_match_and_count_match_serial_oracles(spark, case):
+    """sequence_match (as-of-join chaining) and sequence_count (the
+    module's one sequential automaton) against from-scratch serial
+    oracles on streams with same-timestamp collisions and duplicate
+    steps — the classes where strictly-later semantics bite."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_datafusion_spark.operators.funnel import (
+        sequence_count,
+        sequence_match,
+    )
+
+    rows, _ = case
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, s, base + datetime.timedelta(seconds=t))
+            for u, s, t in rows]
+    df = spark.createDataFrame(data, "user_id int, step int, ts timestamp")
+    conds = [F.col("step") == i for i in range(3)]
+    got_m = {r.user_id: r.matched
+             for r in sequence_match(df, conds).collect()}
+    assert got_m == _seq_match_oracle(rows), (rows, got_m)
+    got_c = {r.user_id: r.n_matches
+             for r in sequence_count(df, conds).collect()}
+    assert got_c == _seq_count_oracle(rows), (rows, got_c)
