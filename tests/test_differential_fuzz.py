@@ -212,9 +212,9 @@ def _setop_queries(draw):
         ["l_returnflag, l_linestatus", "l_linenumber",
          "l_returnflag, l_linenumber"]))
     kind = draw(st.sampled_from(
-        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "IN", "NOT IN",
-         "EXISTS"]))
-    if kind in ("UNION", "UNION ALL", "INTERSECT", "EXCEPT"):
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT",
+         "EXCEPT ALL", "IN", "NOT IN", "EXISTS"]))
+    if kind.split()[0] in ("UNION", "INTERSECT", "EXCEPT"):
         return (f"SELECT {cols} FROM lineitem WHERE {pred_a} "
                 f"{kind} SELECT {cols} FROM lineitem WHERE {pred_b}")
     if kind == "EXISTS":
