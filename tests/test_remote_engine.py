@@ -1031,3 +1031,16 @@ def test_decimal_involvement_is_statement_level(fed, spark):
         assert [tuple(r) for r in df.collect()] == [(1, 4.0), (2, 3.0)]
     finally:
         remote.drop_table("notwin_t")
+
+
+def test_empty_streamed_ship_keeps_schema(fed, spark):
+    """A shippable non-reducing statement with ZERO result rows takes
+    the spool's empty-fallback branch — it must still ship, return an
+    empty DataFrame, and carry the exact local schema."""
+    eng, _ = fed
+    q = ("SELECT o_orderkey, o_orderstatus FROM clickhouse.remote.orders "
+         "WHERE o_orderkey < 0")
+    df = eng.sql(q)
+    assert eng.last_remote_sql is not None
+    assert df.count() == 0
+    assert df.schema == spark.sql(q.replace("clickhouse.remote.", "")).schema
