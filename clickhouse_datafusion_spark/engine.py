@@ -60,6 +60,9 @@ class ClickHouseSparkEngine:
         self.last_remote_refusal: str | None = None
         self._remote_spool_dir = os.path.abspath(
             os.path.join("spark-warehouse", "_remote_spool"))
+        # pooled writers for the streamed federated write path (the
+        # reference sink's write_concurrency, src/sink.rs:129-211)
+        self.write_concurrency = 4
 
     # ---------------------------------------------------------------------
     def attach_remote(self, remote, db: str = "remote",
@@ -392,6 +395,45 @@ class ClickHouseSparkEngine:
             return self.spark.createDataFrame(self._remote.execute(shipped))
         return self.spark.read.parquet(path)
 
+    def _stream_insert_local(self, bare: str, src_df,
+                             cols: str = "") -> int:
+        """Append a locally-evaluated INSERT/CTAS source into a
+        writable remote table WITHOUT ever materializing it on the
+        driver — the write-direction twin of
+        :meth:`_spool_remote_stream`. The source DataFrame writes to a
+        parquet spool DISTRIBUTED (executors write their partitions;
+        the driver holds no rows), then the spool streams back as
+        Arrow RecordBatches through ``write_concurrency`` pooled
+        writers (:meth:`RemoteEngine.insert_arrow_batches` — the
+        reference sink's ``buffer_unordered(write_concurrency)``
+        streaming append, src/sink.rs:129-211). At most
+        ``write_concurrency`` 64k-row batches exist in driver memory
+        at any instant, so a 100 TB ``INSERT INTO remote.t
+        SELECT ...`` with an unshippable source is bounded by batch
+        size, not source size."""
+        import os
+        import shutil
+        import uuid
+
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self._remote_spool_dir,
+                            "w_" + uuid.uuid4().hex)
+        try:
+            src_df.write.parquet(path)
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith("."))
+            if not files:          # zero-partition empty source: no-op
+                return 0
+            batches = pads.dataset(files, format="parquet").to_batches(
+                batch_size=65536)
+            return self._remote.insert_arrow_batches(
+                bare, batches, cols,
+                write_concurrency=self.write_concurrency)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     _REMOTE_INSERT_RE = re.compile(
         r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
         r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*(?P<src>(select|with|"
@@ -452,8 +494,8 @@ class ClickHouseSparkEngine:
                 self.last_remote_sql = stmt
                 self.last_remote_insert = "whole"
             else:
-                n = self._remote.insert_arrow(bare, src_df.toArrow(), cols)
-                self.last_remote_insert = "arrow"
+                n = self._stream_insert_local(bare, src_df, cols)
+                self.last_remote_insert = "arrow-stream"
         except ValueError:
             raise
         except Exception as e:
@@ -576,8 +618,8 @@ class ClickHouseSparkEngine:
                 f"{f.name} {self._remote_col_type(f.dataType)}"
                 for f in df.schema.fields)
             self._remote.create_table(bare, schema_sql)
-            self._remote.insert_arrow(bare, df.toArrow())
-            self.last_remote_insert = "arrow"
+            self._stream_insert_local(bare, df)
+            self.last_remote_insert = "arrow-stream"
         return self.spark.createDataFrame([], "result string")
 
     # ---------------------------------------------------------------------

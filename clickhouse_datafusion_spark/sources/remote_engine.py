@@ -452,6 +452,44 @@ class RemoteEngine:
         finally:
             self._pool.put(cur)
 
+    def insert_arrow_batches(self, name: str, batches, columns: str = "",
+                             write_concurrency: int = 4) -> int:
+        """Append an ITERATOR of Arrow RecordBatches through up to
+        ``write_concurrency`` concurrent pooled writers — the write
+        direction of the streaming seam (the reference sink drains its
+        batch stream through ``buffer_unordered(write_concurrency)``
+        over pooled connections, src/sink.rs:129-211 +
+        src/connection.rs:45-72). At most ``write_concurrency`` batches
+        are in flight (and therefore in driver memory) at once: the
+        iterator is pulled only when a writer slot frees, so an
+        arbitrarily large source streams through bounded memory.
+        Returns the total appended row count. Append-only semantics:
+        a mid-stream failure leaves earlier batches appended (same
+        contract as the reference's streaming sink — no cross-batch
+        transaction)."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+
+        if name.lower() not in self._writable:
+            raise ValueError(
+                f"remote table {name!r} is a read-only view; "
+                "create_table() makes a writable one")
+        workers = max(1, int(write_concurrency))
+        total = 0
+        pending: collections.deque = collections.deque()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for batch in batches:
+                if len(pending) >= workers:
+                    total += pending.popleft().result()
+                pending.append(ex.submit(
+                    self.insert_arrow, name,
+                    pa.Table.from_batches([batch]), columns))
+            while pending:
+                total += pending.popleft().result()
+        return total
+
 
 def table_refs(sql: str) -> set[str]:
     """Table references of a SELECT, lowercased, catalog-qualified or

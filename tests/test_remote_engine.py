@@ -507,7 +507,7 @@ def test_remote_observability_bookkeeping(fed, spark):
         assert eng.last_remote_insert == "whole"
         assert eng.last_remote_sql.lstrip().upper().startswith("INSERT")
         eng.sql("INSERT INTO clickhouse.remote.obs_t VALUES (99, 2.5)")
-        assert eng.last_remote_insert == "arrow"
+        assert eng.last_remote_insert == "arrow-stream"
         eng.sql("SELECT 1 AS one").collect()
         assert eng.last_remote_sql is None          # reset, not stale
         assert eng.last_remote_insert is None
@@ -609,7 +609,7 @@ def test_remote_ctas_whole_ship_and_local_eval(fed, spark):
         eng.sql("CREATE TABLE remote.ctas_local AS "
                 "SELECT o_orderkey, log(o_totalprice) AS lnp "
                 "FROM clickhouse.remote.orders WHERE o_orderkey < 50")
-        assert eng.last_remote_insert == "arrow"
+        assert eng.last_remote_insert == "arrow-stream"
         got = eng.sql("SELECT CAST(count(*) AS BIGINT) AS n, "
                       "CAST(max(o_orderkey) AS BIGINT) AS mx "
                       "FROM clickhouse.remote.ctas_local").first()
@@ -965,7 +965,7 @@ def test_insert_and_ctas_sources_go_through_full_gate(fed, spark):
         eng.sql("INSERT INTO clickhouse.remote.gate_ins "
                 "SELECT o_orderkey, log(o_totalprice) "
                 "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 3")
-        assert eng.last_remote_insert == "arrow"      # gate refused ship
+        assert eng.last_remote_insert == "arrow-stream"      # gate refused ship
         assert "log" in eng.last_remote_refusal
         got = remote.execute(
             "SELECT l FROM gate_ins ORDER BY k LIMIT 1").column(0)[0].as_py()
@@ -982,7 +982,7 @@ def test_insert_and_ctas_sources_go_through_full_gate(fed, spark):
             "SELECT o_orderkey AS k, log(o_totalprice) AS l "
             "FROM clickhouse.remote.orders ORDER BY o_orderkey LIMIT 2")
     try:
-        assert eng.last_remote_insert == "arrow"      # CTAS gate refused
+        assert eng.last_remote_insert == "arrow-stream"      # CTAS gate refused
         got = remote.execute(
             "SELECT l FROM gate_ctas ORDER BY k LIMIT 1").column(0)[0].as_py()
         price = spark.sql("SELECT o_totalprice FROM orders "
@@ -1044,3 +1044,140 @@ def test_empty_streamed_ship_keeps_schema(fed, spark):
     assert eng.last_remote_sql is not None
     assert df.count() == 0
     assert df.schema == spark.sql(q.replace("clickhouse.remote.", "")).schema
+
+
+# -- r11: streamed federated WRITE path (verdict task 1) ---------------
+
+def test_federated_insert_streams_not_materializes(fed, spark):
+    """The write-direction twin of the r10 read-side spool pin: a
+    federated INSERT whose source must run locally (gate-refused) must
+    NOT materialize the source on the driver via toArrow() — it spools
+    the source to parquet (distributed write) and appends batch-wise
+    through insert_arrow_batches (the reference sink's streaming
+    append, src/sink.rs:129-211). Pinned by spying DataFrame.toArrow
+    (must never run) and RemoteEngine.insert_arrow_batches (must run
+    once, and receive an ITERATOR it can pull lazily)."""
+    from pyspark.sql import DataFrame as _DF
+
+    eng, remote = fed
+    calls = {"toArrow": 0, "batches": 0, "batch_count": 0}
+    orig_to_arrow = _DF.toArrow
+    orig_iab = remote.insert_arrow_batches
+
+    def spy_to_arrow(self):
+        calls["toArrow"] += 1
+        return orig_to_arrow(self)
+
+    def spy_iab(name, batches, columns="", write_concurrency=4):
+        calls["batches"] += 1
+
+        def counted():
+            for b in batches:
+                calls["batch_count"] += 1
+                yield b
+        return orig_iab(name, counted(), columns,
+                        write_concurrency=write_concurrency)
+
+    _DF.toArrow = spy_to_arrow
+    remote.insert_arrow_batches = spy_iab
+    remote.create_table("stream_ins", "k BIGINT, l DOUBLE")
+    try:
+        # log() is gate-refused (ln vs log10 divergence) -> local source
+        eng.sql("INSERT INTO clickhouse.remote.stream_ins "
+                "SELECT o_orderkey, log(o_totalprice) "
+                "FROM clickhouse.remote.orders")
+        assert eng.last_remote_insert == "arrow-stream"
+        assert calls["toArrow"] == 0          # never driver-materialized
+        assert calls["batches"] == 1
+        assert calls["batch_count"] >= 1
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM stream_ins"
+        ).column(0)[0].as_py()
+        assert n == 1500
+    finally:
+        _DF.toArrow = orig_to_arrow
+        remote.insert_arrow_batches = orig_iab
+        remote.drop_table("stream_ins")
+
+
+def test_federated_ctas_streams_and_empty_insert_is_noop(fed, spark):
+    """CTAS with a gate-refused source takes the same streamed path
+    (toArrow never called); an INSERT whose local source is EMPTY
+    appends zero rows without error."""
+    from pyspark.sql import DataFrame as _DF
+
+    eng, remote = fed
+    calls = {"toArrow": 0}
+    orig_to_arrow = _DF.toArrow
+
+    def spy_to_arrow(self):
+        calls["toArrow"] += 1
+        return orig_to_arrow(self)
+
+    _DF.toArrow = spy_to_arrow
+    try:
+        eng.sql("CREATE TABLE clickhouse.remote.stream_ctas AS "
+                "SELECT o_orderkey AS k, log(o_totalprice) AS l "
+                "FROM clickhouse.remote.orders")
+        try:
+            assert eng.last_remote_insert == "arrow-stream"
+            assert calls["toArrow"] == 0
+            n = remote.execute(
+                "SELECT CAST(count(*) AS BIGINT) FROM stream_ctas"
+            ).column(0)[0].as_py()
+            assert n == 1500
+            # empty local source -> zero-row append, no error
+            eng.sql("INSERT INTO clickhouse.remote.stream_ctas "
+                    "SELECT o_orderkey, log(o_totalprice) "
+                    "FROM clickhouse.remote.orders WHERE o_orderkey < 0")
+            assert eng.last_remote_insert == "arrow-stream"
+            assert remote.execute(
+                "SELECT CAST(count(*) AS BIGINT) FROM stream_ctas"
+            ).column(0)[0].as_py() == 1500
+        finally:
+            remote.drop_table("stream_ctas")
+    finally:
+        _DF.toArrow = orig_to_arrow
+
+
+def test_insert_arrow_batches_bounded_inflight_and_concurrent():
+    """insert_arrow_batches pulls its iterator LAZILY: with
+    write_concurrency=W, at most W+1 batches have been pulled when any
+    given append starts (bounded driver memory), and the total count
+    is exact across many batches."""
+    import pyarrow as pa
+
+    remote = RemoteEngine(pool_size=4)
+    remote.create_table("iab_t", "k BIGINT")
+    try:
+        state = {"pulled": 0, "max_ahead": 0, "appended": 0}
+
+        def gen(n_batches):
+            for i in range(n_batches):
+                state["pulled"] += 1
+                ahead = state["pulled"] - state["appended"]
+                state["max_ahead"] = max(state["max_ahead"], ahead)
+                yield pa.record_batch(
+                    [pa.array([i * 10 + j for j in range(10)],
+                              type=pa.int64())], names=["k"])
+
+        orig = remote.insert_arrow
+
+        def counting_insert(name, tbl, columns=""):
+            n = orig(name, tbl, columns)
+            state["appended"] += 1
+            return n
+
+        remote.insert_arrow = counting_insert
+        total = remote.insert_arrow_batches(
+            "iab_t", gen(40), write_concurrency=3)
+        remote.insert_arrow = orig
+        assert total == 400
+        # lazily pulled: never ran unboundedly ahead of the appends
+        assert state["max_ahead"] <= 3 + 1
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM iab_t"
+        ).column(0)[0].as_py()
+        assert n == 400
+    finally:
+        remote.drop_table("iab_t")
