@@ -197,9 +197,14 @@ def main() -> None:
             w0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             warm_times.append(time.perf_counter() - w0)
+            # stop only when the newest run no longer improves on the
+            # best of the PRIOR runs by >15% (r11, advice: comparing
+            # against a min() that includes the latest run is vacuous
+            # whenever the latest run IS the new best — it stopped a
+            # monotonically improving ramp after 2 iterations)
             if len(warm_times) >= 5 or (
                     len(warm_times) >= 2
-                    and warm_times[-1] <= 1.15 * min(warm_times)):
+                    and warm_times[-1] >= 0.85 * min(warm_times[:-1])):
                 break
         times = []
         for _ in range(iters):

@@ -56,6 +56,7 @@ class ClickHouseSparkEngine:
         # dialect-gate refusal) and the INSERT ship mode
         # ('whole' | 'arrow' | None).
         self.last_remote_error: Exception | None = None
+        self.last_remote_align_error: Exception | None = None
         self.last_remote_insert: str | None = None
         self.last_remote_refusal: str | None = None
         self._remote_spool_dir = os.path.abspath(
@@ -132,14 +133,44 @@ class ClickHouseSparkEngine:
         # otherwise those statements stay local (errs toward not
         # shipping, like every other gate). r10d widened this from the
         # sub-day set: year/month/day are equally tz-dependent.
+        from clickhouse_datafusion_spark.sources.remote_engine import (
+            _SQL_STRING_RE, table_refs)
+
+        scan = _SQL_STRING_RE.sub("''", sql)
+        refs = table_refs(scan)
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
-        if (tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
-                and _re.search(r"(?i)\b(year|month|day|hour|minute"
-                               r"|second|date_trunc)\s*\(", sql)):
-            return refuse(f"time extraction under non-UTC session "
-                          f"timezone ({tz}) is tz-dependent locally "
-                          "but tz-naive remotely")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            if _re.search(r"(?i)\b(year|month|day|hour|minute"
+                          r"|second|date_trunc)\s*\(", sql):
+                return refuse(f"time extraction under non-UTC session "
+                              f"timezone ({tz}) is tz-dependent locally "
+                              "but tz-naive remotely")
+            # r11 widening (advice): extraction functions are not the
+            # only tz-dependent construct — ANY flow of a remote
+            # TIMESTAMP column (bare projection, comparison, CAST to
+            # date/string, SELECT *) renders instants in the session tz
+            # locally but naively remotely. Scoped to the statement's
+            # referenced tables; errs toward staying local.
+            try:
+                ts_cols = self._remote.timestamp_columns(tables=refs)
+            except Exception:  # pragma: no cover - remote w/o the API
+                ts_cols = frozenset()
+            # select-list star only (count(*) is not a column flow):
+            star = _re.search(r"(?i)(?:\bselect\s+(?:distinct\s+)?|,\s*)"
+                              r"(?:[\w.]+\.)?\*", scan)
+            if ts_cols and (star or any(
+                    _re.search(rf"(?i)\b{_re.escape(c)}\b", scan)
+                    for c in ts_cols)):
+                return refuse(
+                    f"remote timestamp column under non-UTC session "
+                    f"timezone ({tz}): rendering is tz-dependent "
+                    "locally but tz-naive remotely")
         try:
+            # scoped to the referenced tables (r11, advice): a decimal
+            # column name in an unrelated remote table must not
+            # de-federate statements that merely reuse the word
+            dec_cols = self._remote.decimal_columns(tables=refs)
+        except TypeError:  # pragma: no cover - legacy remote signature
             dec_cols = self._remote.decimal_columns()
         except Exception:  # pragma: no cover - remote without the API
             dec_cols = frozenset()
@@ -180,18 +211,25 @@ class ClickHouseSparkEngine:
                 pass
         return shipped, local_schema
 
-    def remote_decision(self, query: str) -> dict:
+    def remote_decision(self, query: str,
+                        pre_rewritten: bool = False) -> dict:
         """Gate-only dry run: would ``query`` ship to the attached
         remote engine, and if not, why not — the reference analyzer's
         federation diagnostics surfaced as an API (``EXPLAIN`` prepends
-        the same verdict to the plan text). Never executes anything."""
+        the same verdict to the plan text). Never executes anything.
+        ``pre_rewritten=True`` skips the dialect rewrite — the EXPLAIN
+        path passes text :meth:`sql` already rewrote, and the diagnosed
+        statement must stay byte-identical to what the executing gate
+        sees (r11, advice: a non-idempotent rewrite pass must not make
+        the dry-run verdict diverge from the executed decision)."""
         from clickhouse_datafusion_spark.sources.remote_engine import (
             _SQL_STRING_RE,
             is_output_reducing,
         )
 
         reasons: list = []
-        shipped, _ = self._remote_gate(self.rewrite(query), reasons)
+        stmt = query if pre_rewritten else self.rewrite(query)
+        shipped, _ = self._remote_gate(stmt, reasons)
         mode = None
         if shipped is not None:
             mode = ("direct-arrow"
@@ -208,7 +246,7 @@ class ClickHouseSparkEngine:
         federation verdict — RemoteEngineExec + the exact shipped SQL,
         or the gate's refusal reason (src/context.rs EXPLAIN shows the
         federated exec nodes the same way)."""
-        d = self.remote_decision(inner)
+        d = self.remote_decision(inner, pre_rewritten=True)
         if d["ships"]:
             head = ("== Remote Federation ==\nRemoteEngineExec "
                     f"[db={self._remote_db}]: {d['remote_sql']}")
@@ -273,6 +311,7 @@ class ClickHouseSparkEngine:
         AND nullability), falling back to the generic conversion +
         :meth:`_align_remote_schema` when the cast cannot apply."""
         if local_schema is not None and len(local_schema) == tbl.num_columns:
+            import pyarrow as pa
             try:
                 from pyspark.sql.pandas.types import to_arrow_schema
                 cast = (tbl.rename_columns(
@@ -280,8 +319,15 @@ class ClickHouseSparkEngine:
                     .cast(to_arrow_schema(local_schema)))
                 return self.spark.createDataFrame(cast,
                                                   schema=local_schema)
-            except Exception:
-                pass
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError, ValueError, TypeError,
+                    KeyError) as e:
+                # narrow on purpose (r11, advice): only the known
+                # cast/rename/unsupported-type failures fall through to
+                # the generic conversion (which the caller still
+                # positionally aligns); anything else raises. The fall-
+                # through is OBSERVABLE, not silent:
+                self.last_remote_align_error = e
         return self.spark.createDataFrame(tbl)
 
     def _local_twins_resolve(self, local_form: str) -> bool:
@@ -1006,6 +1052,7 @@ class ClickHouseSparkEngine:
         # probe after an INSERT/DDL never reads a stale prior answer
         self.last_remote_sql = None
         self.last_remote_error = None
+        self.last_remote_align_error = None
         self.last_remote_insert = None
         self.last_remote_refusal = None
         rewritten = self.rewrite(query)

@@ -369,22 +369,52 @@ class RemoteEngine:
     def tables(self) -> set[str]:
         return set(self._tables)
 
-    def decimal_columns(self) -> frozenset[str]:
-        """Lowercased names of DECIMAL-typed columns across every
-        registered remote table — the type knowledge the avg guard
-        needs: the remote dialect computes avg(DECIMAL) in binary
-        DOUBLE (probed r10b) while the local surface keeps exact
-        decimal arithmetic, so an averaged decimal column must keep
-        the statement local."""
+    def _typed_col_map(self) -> dict:
+        """column -> set of owning tables, for the two type classes the
+        gate needs (DECIMAL: avg/div divergence; TIMESTAMP: session-tz
+        rendering divergence). Cached; any DDL invalidates."""
         if self._dec_cols is None:
             with self._lock:
                 rows = self._root.execute(
-                    "SELECT DISTINCT lower(column_name) "
-                    "FROM information_schema.columns "
+                    "SELECT lower(column_name), lower(table_name), "
+                    "data_type FROM information_schema.columns "
                     "WHERE table_schema = 'main' "
-                    "AND data_type LIKE 'DECIMAL%'").fetchall()
-                self._dec_cols = frozenset(r[0] for r in rows)
+                    "AND (data_type LIKE 'DECIMAL%' "
+                    "  OR data_type LIKE 'TIMESTAMP%')").fetchall()
+                m: dict = {"dec": {}, "ts": {}}
+                for col, tbl, dt in rows:
+                    kind = "dec" if dt.startswith("DECIMAL") else "ts"
+                    m[kind].setdefault(col, set()).add(tbl)
+                self._dec_cols = m
         return self._dec_cols
+
+    def _cols_of(self, kind: str, tables=None) -> frozenset[str]:
+        m = self._typed_col_map()[kind]
+        if tables is None:
+            return frozenset(m)
+        want = {t.split(".")[-1].lower() for t in tables}
+        return frozenset(c for c, owners in m.items() if owners & want)
+
+    def decimal_columns(self, tables=None) -> frozenset[str]:
+        """Lowercased names of DECIMAL-typed columns — the type
+        knowledge the avg guard needs: the remote dialect computes
+        avg(DECIMAL) in binary DOUBLE (probed r10b) while the local
+        surface keeps exact decimal arithmetic, so an averaged decimal
+        column must keep the statement local. ``tables`` scopes the
+        set to the statement's actual referenced tables (r11, advice):
+        a common decimal column name in an UNRELATED table no longer
+        de-federates statements that merely reuse the word as an
+        alias."""
+        return self._cols_of("dec", tables)
+
+    def timestamp_columns(self, tables=None) -> frozenset[str]:
+        """Lowercased names of TIMESTAMP-typed columns (optionally
+        scoped to ``tables``) — under a non-UTC session timezone Spark
+        renders timestamp instants in the session tz while the remote
+        engine and its naive Arrow hand-backs do not, so statements
+        touching remote timestamp columns must stay local (r11 gate
+        widening)."""
+        return self._cols_of("ts", tables)
 
     def writable(self) -> set[str]:
         return set(self._writable)

@@ -1181,3 +1181,101 @@ def test_insert_arrow_batches_bounded_inflight_and_concurrent():
         assert n == 400
     finally:
         remote.drop_table("iab_t")
+
+
+# -- r11: advice items — gate widening, scoping, observability ---------
+
+def test_non_utc_session_refuses_remote_timestamp_columns(fed, spark):
+    """r11 gate widening (advice): extraction functions are not the
+    only tz-dependent construct — a bare projection, comparison, or
+    CAST of a remote TIMESTAMP column (and SELECT *) renders instants
+    in the session tz locally but naively remotely. Under non-UTC the
+    gate refuses any statement touching a timestamp column of a
+    referenced table; timestamp-free statements over the same table
+    still ship, and unrelated tables are unaffected (scoped, not
+    global)."""
+    eng, remote = fed
+    remote.create_table("ts_gate_t", "k BIGINT, ev TIMESTAMP")
+    remote.execute_insert(
+        "INSERT INTO ts_gate_t VALUES (1, TIMESTAMP '1996-01-01 00:30:00')")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # bare timestamp projection: refused
+        d = eng.remote_decision(
+            "SELECT k, ev FROM clickhouse.remote.ts_gate_t")
+        assert not d["ships"] and "timestamp" in d["reason"]
+        # CAST to string (allowlisted function, tz-dependent value)
+        d = eng.remote_decision("SELECT CAST(ev AS STRING) AS s "
+                                "FROM clickhouse.remote.ts_gate_t")
+        assert not d["ships"] and "timestamp" in d["reason"]
+        # SELECT * over a timestamp-bearing table: refused
+        d = eng.remote_decision(
+            "SELECT * FROM clickhouse.remote.ts_gate_t")
+        assert not d["ships"]
+        # timestamp-free statement over the SAME table: ships
+        d = eng.remote_decision("SELECT CAST(count(*) AS BIGINT) AS n "
+                                "FROM clickhouse.remote.ts_gate_t "
+                                "WHERE k > 0")
+        assert d["ships"], d["reason"]
+        # unrelated table (no ts columns): unaffected by the widening
+        d = eng.remote_decision("SELECT CAST(count(*) AS BIGINT) AS n "
+                                "FROM clickhouse.remote.orders")
+        assert d["ships"], d["reason"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        remote.drop_table("ts_gate_t")
+
+
+def test_decimal_gate_scoped_to_referenced_tables(fed, spark):
+    """r11 scoping (advice): a decimal column name in an UNRELATED
+    remote table must not de-federate a division statement that merely
+    reuses the word as an alias over a decimal-free table."""
+    eng, remote = fed
+    remote.create_table("decfar_t", "price DECIMAL(10,2)")
+    remote.create_table("decfree_t", "a BIGINT, b BIGINT")
+    remote.execute_insert("INSERT INTO decfree_t VALUES (8, 2), (6, 2)")
+    try:
+        # 'price' is decimal ONLY in decfar_t; this statement never
+        # references decfar_t, so the avg ships (avg is the decimal-
+        # divergent construct: remote computes avg(DECIMAL) in DOUBLE)
+        d = eng.remote_decision(
+            "SELECT avg(a) AS price FROM clickhouse.remote.decfree_t")
+        assert d["ships"], d["reason"]
+        # referencing the decimal-bearing table still refuses
+        d = eng.remote_decision(
+            "SELECT avg(price) AS h FROM clickhouse.remote.decfar_t")
+        assert not d["ships"]
+    finally:
+        remote.drop_table("decfar_t")
+        remote.drop_table("decfree_t")
+
+
+def test_align_failure_is_observable_not_silent(fed, spark):
+    """r11 (advice): _arrow_to_df's fall-through to the generic
+    conversion is narrow and OBSERVABLE — a failing Arrow-side cast
+    records last_remote_align_error instead of silently passing."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    eng, _ = fed
+    tbl = pa.table({"v": pa.array(["not-a-number"], type=pa.string())})
+    want = StructType([StructField("v", LongType(), False)])
+    eng.last_remote_align_error = None
+    df = eng._arrow_to_df(tbl, want)
+    assert eng.last_remote_align_error is not None     # recorded
+    assert df.collect()[0][0] == "not-a-number"        # generic fallback
+
+
+def test_explain_verdict_matches_executed_decision(fed, spark):
+    """r11 (advice): the EXPLAIN federation verdict diagnoses the SAME
+    byte-identical statement the executing gate sees (no double
+    rewrite) — the shipped SQL in the EXPLAIN head equals
+    last_remote_sql after executing the statement."""
+    eng, _ = fed
+    q = ("SELECT CAST(count(*) AS BIGINT) AS n "
+         "FROM clickhouse.remote.orders WHERE o_orderkey < 50")
+    head = eng.sql(f"EXPLAIN {q}").first()[0]
+    eng.sql(q).collect()
+    assert eng.last_remote_sql is not None
+    assert eng.last_remote_sql in head
