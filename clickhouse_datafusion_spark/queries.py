@@ -5564,32 +5564,16 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r10d (this session): the ship path changed again — operator-token
-    # (^, **), division/modulo, backslash and double-quote lexical
-    # guards; local parse-refusal; schema/name/nullability alignment of
-    # hand-backs. fed2 (direct Arrow hand-back) and fed3 (streamed
-    # spool) re-gate on it; both also verified in-session by the strict
-    # sweep replica.
-    # r10a: the federation seam's dialect gate tightened (r9 advisor
-    # HIGH: raw-double ROUND / NULL-concat divergences out of the
-    # allowlist; guarded decimal-round in; comma-join table_refs;
-    # local-shadow rule; streaming hand-back for non-reducing ships) —
-    # fed2 re-gates on the changed ship path.
+    # r11: the seam's gate changed again (non-UTC timestamp-column
+    # widening, table-scoped decimal set, single-rewrite EXPLAIN,
+    # observable align fallback) and the federated WRITE path is now
+    # streamed (spool + pooled batch appends) — fed2 (direct Arrow
+    # hand-back) and fed3 (streamed spool) re-gate on the changed ship
+    # path. Everything else mechanical: the r6/r7-stale 45-entry tail
+    # (x59/x60 first) fronts via tier 4 oldest-round-first, so after
+    # r11 no entry's hard driver row is older than r8 (verdict task 2).
     "fed2_remote_subtree_exec",
-    # r10a2: the streamed hand-back gate row (never-gated; would front
-    # in tier 1 anyway — pinned so the head is the complete
-    # changed-this-round list)
     "fed3_remote_stream_scan",
-    # r10b: q18's survivor-set broadcast de-forced to AQE sizing (r9
-    # verdict task 4) and q9 re-gated alongside its bucketed-layout A/B
-    # (task 1) — both bodies changed this round.
-    "q18_large_volume_customers",
-    "q9_product_profit",
-    # r10c: the r5-era streaming gate tail (r9 verdict task 6) — bodies
-    # unchanged, fronted so no registry entry's hard signal is older
-    # than r7.
-    "st6_streaming_outer_join",
-    "st7_streaming_corpus_dedup",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
