@@ -1279,3 +1279,63 @@ def test_explain_verdict_matches_executed_decision(fed, spark):
     eng.sql(q).collect()
     assert eng.last_remote_sql is not None
     assert eng.last_remote_sql in head
+
+
+# -- r11: correlated-subquery gate family (verdict task 5) -------------
+
+@st.composite
+def _correlated_subquery_queries(draw):
+    """Correlated scalar / EXISTS subqueries through the gate — the
+    reference's known-failure territory (tests/e2e.rs:1262-1294 runs
+    correlated scalars against ClickHouse and documents the failures).
+    Whatever the gate decides (ship or refuse -> local fallback), rows
+    and schema must match the plain local plan; divergence is the only
+    failure."""
+    pred = draw(st.sampled_from(
+        ["o.o_totalprice > 100000", "o.o_orderstatus = 'F'",
+         "o.o_orderkey < 2000", "o.o_orderpriority LIKE '1%'"]))
+    k = draw(st.integers(min_value=20, max_value=120))
+    shape = draw(st.sampled_from(
+        ["scalar_count", "scalar_max", "scalar_where", "exists_agg",
+         "not_exists"]))
+    if shape == "scalar_count":
+        return ("SELECT c.c_custkey, (SELECT CAST(count(*) AS BIGINT) "
+                "FROM {o} o WHERE o.o_custkey = c.c_custkey "
+                f"AND {pred}) AS n "
+                "FROM {c} c WHERE c.c_custkey < " + str(k) +
+                " ORDER BY c.c_custkey")
+    if shape == "scalar_max":
+        return ("SELECT c.c_custkey, (SELECT max(o.o_totalprice) "
+                "FROM {o} o WHERE o.o_custkey = c.c_custkey "
+                f"AND {pred}) AS m "
+                "FROM {c} c WHERE c.c_custkey < " + str(k) +
+                " ORDER BY c.c_custkey")
+    if shape == "scalar_where":
+        return ("SELECT c.c_custkey, c.c_mktsegment FROM {c} c "
+                "WHERE c.c_custkey < " + str(k) + " AND c.c_acctbal > "
+                "(SELECT CAST(sum(o.o_totalprice) AS DOUBLE) / 1e4 "
+                "FROM {o} o WHERE o.o_custkey = c.c_custkey "
+                f"AND {pred}) ORDER BY c.c_custkey")
+    if shape == "exists_agg":
+        return ("SELECT c.c_mktsegment AS seg, "
+                "CAST(count(*) AS BIGINT) AS n FROM {c} c "
+                "WHERE EXISTS (SELECT 1 FROM {o} o "
+                "WHERE o.o_custkey = c.c_custkey "
+                f"AND {pred}) GROUP BY c.c_mktsegment")
+    return ("SELECT CAST(count(*) AS BIGINT) AS n FROM {c} c "
+            "WHERE c.c_custkey < " + str(k) + " AND NOT EXISTS ("
+            "SELECT 1 FROM {o} o WHERE o.o_custkey = c.c_custkey "
+            f"AND {pred})")
+
+
+@given(_correlated_subquery_queries())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_correlated_subqueries_ship_or_refuse_never_diverge(
+        fed_fuzz, spark, sql):
+    eng, _ = fed_fuzz
+    got = _rows(eng.sql(sql.format(o="clickhouse.remote.orders",
+                                   c="clickhouse.remote.customer")))
+    want = _rows(spark.sql(sql.format(o="orders", c="customer")))
+    assert got == want, (sql, eng.last_remote_sql,
+                         eng.last_remote_refusal)

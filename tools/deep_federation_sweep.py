@@ -37,6 +37,7 @@ def main() -> int:
         _window_queries,
     )
     from tests.test_remote_engine import (
+        _correlated_subquery_queries,
         _divergent_queries,
         _implicit_join_queries,
         _qualify,
@@ -76,6 +77,13 @@ def main() -> int:
          lambda s: (s.format(t="orders"),
                     s.format(t="clickhouse.remote.orders"))),
         ("implicit-join", _implicit_join_queries(),
+         lambda s: (s.format(o="orders", c="customer"),
+                    s.format(o="clickhouse.remote.orders",
+                             c="clickhouse.remote.customer"))),
+        # r11 (verdict task 5): correlated scalar/EXISTS subqueries —
+        # the reference's known-failure territory (tests/e2e.rs:
+        # 1262-1294); ship or refuse, never diverge
+        ("correlated-subquery", _correlated_subquery_queries(),
          lambda s: (s.format(o="orders", c="customer"),
                     s.format(o="clickhouse.remote.orders",
                              c="clickhouse.remote.customer"))),
