@@ -786,6 +786,13 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
          .select("id", (F.col("wpos0") + 1).alias("gpos"),
                  F.md5(F.concat_ws(
                      " ", *[f"w{k}" for k in range(ngram)])).alias("gh")))
+    # The gram stream has TWO consumers (keeper election, occurrence
+    # join-back) — without a stage cut Spark recomputes the
+    # posexplode + LEAD window + md5 pipeline for each. Materialize it
+    # once on the executors; at 100 TB this is the standard ExactSubstr
+    # tradeoff (the gram stream is (id, gpos, gh) — far smaller than
+    # re-scanning and re-windowing the text twice).
+    g = g.localCheckpoint(eager=False)
     # keeper = first corpus occurrence of the gram; every other occurrence
     # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index).
     # min(struct) orders by (id, gpos) field-wise — the keep-first key —

@@ -526,7 +526,17 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
                .filter(F.col("h1").isNotNull())
                .groupBy("h1", "h2")
                .agg(F.count("*").cast("bigint").alias("c2")))
-    uni = bi_full.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    # bi_full feeds BOTH the unigram rollup and the seen-bigram join;
+    # uni feeds the total, the join, and the backoff table — without a
+    # stage cut each consumer recomputes the pair extraction +
+    # aggregate chain (and the broadcast build runs it once more per
+    # table). Materialize each once; both are count tables (distinct
+    # pairs / distinct words), far smaller than the pair stream they
+    # fold (r11 stage pass).
+    bi_full = bi_full.localCheckpoint(eager=False)
+    uni = (bi_full.groupBy("h1")
+           .agg(F.sum("c2").cast("bigint").alias("c1"))
+           .localCheckpoint(eager=False))
     total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
     bi2 = (bi_full.filter(F.col("h2").isNotNull())
            .join(uni, "h1")

@@ -5574,6 +5574,12 @@ _GATE_PRIORITY = [
     # r11 no entry's hard driver row is older than r8 (verdict task 2).
     "fed2_remote_subtree_exec",
     "fed3_remote_stream_scan",
+    # r11 stage pass: the d8 gram stream and the t11 LM-build tables
+    # gained lineage cuts (localCheckpoint) — bodies changed, so the
+    # whole family re-gates (t11/t11b already front via the r7 tail;
+    # d8/t11c pinned here).
+    "d8_cross_doc_span_dedup",
+    "t11c_bigram_lm_shuffle",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
