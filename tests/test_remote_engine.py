@@ -1339,3 +1339,31 @@ def test_correlated_subqueries_ship_or_refuse_never_diverge(
     want = _rows(spark.sql(sql.format(o="orders", c="customer")))
     assert got == want, (sql, eng.last_remote_sql,
                          eng.last_remote_refusal)
+
+
+def test_streamed_insert_timestamp_roundtrip(fed, spark):
+    """The write spool round-trips TIMESTAMP values exactly (Spark
+    parquet write → pyarrow batch read → remote append): microsecond
+    instants survive unshifted under the UTC session."""
+    from pyspark.sql import functions as F
+
+    eng, remote = fed
+    remote.create_table("ts_ins_t", "k BIGINT, ev TIMESTAMP")
+    try:
+        src = spark.sql(
+            "SELECT CAST(id AS BIGINT) AS k, "
+            "timestampadd(SECOND, CAST(id AS INT), "
+            "  TIMESTAMP '1996-12-31 23:59:58.123456') AS ev, "
+            "log(id + 1) AS junk FROM range(3)")
+        src.createOrReplaceTempView("ts_src")
+        eng.sql("INSERT INTO clickhouse.remote.ts_ins_t "
+                "SELECT k, ev FROM ts_src WHERE log(k + 1) >= 0")
+        assert eng.last_remote_insert == "arrow-stream"
+        got = [str(v) for v in remote.execute(
+            "SELECT ev FROM ts_ins_t ORDER BY k").column(0).to_pylist()]
+        assert got == ["1996-12-31 23:59:58.123456",
+                       "1996-12-31 23:59:59.123456",
+                       "1997-01-01 00:00:00.123456"]
+    finally:
+        remote.drop_table("ts_ins_t")
+        spark.catalog.dropTempView("ts_src")
