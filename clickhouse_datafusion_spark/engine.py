@@ -61,9 +61,12 @@ class ClickHouseSparkEngine:
         self.last_remote_refusal: str | None = None
         self._remote_spool_dir = os.path.abspath(
             os.path.join("spark-warehouse", "_remote_spool"))
-        # pooled writers for the streamed federated write path (the
-        # reference sink's write_concurrency, src/sink.rs:129-211)
+        # pooled writers + batch granularity for the streamed federated
+        # write path (the reference sink's write_concurrency +
+        # batch_size matrix, src/sink.rs:129-211,
+        # examples/10_large_scale.rs:253-276)
         self.write_concurrency = 4
+        self.write_batch_rows = 65536
 
     # ---------------------------------------------------------------------
     def attach_remote(self, remote, db: str = "remote",
@@ -473,7 +476,7 @@ class ClickHouseSparkEngine:
             if not files:          # zero-partition empty source: no-op
                 return 0
             batches = pads.dataset(files, format="parquet").to_batches(
-                batch_size=65536)
+                batch_size=self.write_batch_rows)
             return self._remote.insert_arrow_batches(
                 bare, batches, cols,
                 write_concurrency=self.write_concurrency)

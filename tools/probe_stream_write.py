@@ -78,26 +78,29 @@ def main() -> None:
         finally:
             remote.drop_table("probe_w")
 
-    # write_concurrency sweep at 10x
+    # workers x batch-size matrix at 10x (the reference harness shape,
+    # examples/10_large_scale.rs:253-276)
     src10 = " UNION ALL ".join(
         base.format(off=i * 100_000_000) for i in range(10))
     for wc in (1, 2, 4, 8):
-        eng.write_concurrency = wc
-        remote.create_table("probe_w", "k BIGINT, v DOUBLE")
-        try:
-            t0 = time.time()
-            eng.sql(f"INSERT INTO clickhouse.remote.probe_w {src10}")
-            wall = time.time() - t0
-            n = remote.execute(
-                "SELECT CAST(count(*) AS BIGINT) FROM probe_w"
-            ).column(0)[0].as_py()
-            results.append({"case": f"wc_{wc}", "rows": n,
-                            "wall_s": round(wall, 1),
-                            "rows_per_s": round(n / wall),
-                            "maxrss_gb": round(maxrss_gb(), 2)})
-            print(results[-1])
-        finally:
-            remote.drop_table("probe_w")
+        for br in (16_384, 65_536, 262_144):
+            eng.write_concurrency = wc
+            eng.write_batch_rows = br
+            remote.create_table("probe_w", "k BIGINT, v DOUBLE")
+            try:
+                t0 = time.time()
+                eng.sql(f"INSERT INTO clickhouse.remote.probe_w {src10}")
+                wall = time.time() - t0
+                n = remote.execute(
+                    "SELECT CAST(count(*) AS BIGINT) FROM probe_w"
+                ).column(0)[0].as_py()
+                results.append({"case": f"wc{wc}_br{br}", "rows": n,
+                                "wall_s": round(wall, 1),
+                                "rows_per_s": round(n / wall),
+                                "maxrss_gb": round(maxrss_gb(), 2)})
+                print(results[-1])
+            finally:
+                remote.drop_table("probe_w")
 
     print(json.dumps({"probe": "stream_write", "sf_dir": SF_DIR,
                       "results": results}))
