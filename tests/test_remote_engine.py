@@ -1367,3 +1367,32 @@ def test_streamed_insert_timestamp_roundtrip(fed, spark):
     finally:
         remote.drop_table("ts_ins_t")
         spark.catalog.dropTempView("ts_src")
+
+
+def test_insert_arrow_batches_midstream_failure_raises():
+    """A failing batch append surfaces to the caller as the original
+    exception (never swallowed by the worker pool), and earlier batches
+    remain appended — the documented append-only contract (same as the
+    reference's streaming sink: no cross-batch transaction)."""
+    import pyarrow as pa
+
+    remote = RemoteEngine(pool_size=2)
+    remote.create_table("fail_t", "k BIGINT")
+    try:
+        def gen():
+            yield pa.record_batch([pa.array([1, 2], type=pa.int64())],
+                                  names=["k"])
+            # wrong schema: two columns into a one-column table
+            yield pa.record_batch(
+                [pa.array([3], type=pa.int64()),
+                 pa.array([4], type=pa.int64())], names=["k", "extra"])
+
+        with pytest.raises(Exception):
+            remote.insert_arrow_batches("fail_t", gen(),
+                                        write_concurrency=1)
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM fail_t"
+        ).column(0)[0].as_py()
+        assert n == 2          # first batch landed; failure was loud
+    finally:
+        remote.drop_table("fail_t")
