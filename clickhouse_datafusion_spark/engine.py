@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_datafusion_spark.catalog import ClickHouseCatalog, DEFAULT_CATALOG
@@ -156,8 +157,14 @@ class ClickHouseSparkEngine:
             # referenced tables; errs toward staying local.
             try:
                 ts_cols = self._remote.timestamp_columns(tables=refs)
-            except Exception:  # pragma: no cover - remote w/o the API
-                ts_cols = frozenset()
+            except Exception as e:
+                # r12 advice fix: a timestamp_columns failure under a
+                # non-UTC session must REFUSE (stay local), not ship —
+                # shipping on an unknown timestamp surface is exactly
+                # the divergence the gate exists to prevent
+                return refuse(
+                    f"cannot enumerate remote timestamp columns under "
+                    f"non-UTC session timezone ({tz}): {e!r}")
             # select-list star only (count(*) is not a column flow):
             star = _re.search(r"(?i)(?:\bselect\s+(?:distinct\s+)?|,\s*)"
                               r"(?:[\w.]+\.)?\*", scan)
@@ -174,7 +181,13 @@ class ClickHouseSparkEngine:
             # de-federate statements that merely reuse the word
             dec_cols = self._remote.decimal_columns(tables=refs)
         except TypeError:  # pragma: no cover - legacy remote signature
-            dec_cols = self._remote.decimal_columns()
+            # r12 advice fix: the legacy retry gets its own guard so a
+            # failure inside the except block degrades to frozenset()
+            # instead of propagating out of the gate
+            try:
+                dec_cols = self._remote.decimal_columns()
+            except Exception:
+                dec_cols = frozenset()
         except Exception:  # pragma: no cover - remote without the API
             dec_cols = frozenset()
         shipped = unparse_for_remote(
@@ -397,8 +410,13 @@ class ClickHouseSparkEngine:
                 # materialized, so a rebuild is a driver-local no-op
                 out = self.spark.createDataFrame(out.collect(),
                                                  local_schema)
-        except Exception:  # pragma: no cover - defensive
-            pass
+        except (AnalysisException, ValueError, TypeError, KeyError) as e:
+            # narrow on purpose (r12 — the _arrow_to_df convention
+            # applied to the direct hand-back path): only the known
+            # cast/rebuild failure classes keep the renamed-but-uncast
+            # frame, and the fall-through is OBSERVABLE, not silent;
+            # anything else raises
+            self.last_remote_align_error = e
         return out
 
     def _remote_shadows(self, sql: str) -> set[str]:
@@ -473,8 +491,15 @@ class ClickHouseSparkEngine:
             files = sorted(
                 os.path.join(path, f) for f in os.listdir(path)
                 if f.endswith(".parquet") and not f.startswith("."))
-            if not files:          # zero-partition empty source: no-op
-                return 0
+            if not files:
+                # zero-partition empty source: still run the target
+                # writability check (r12 advice — an empty INSERT into
+                # a read-only view must raise exactly like the
+                # non-empty path, not silently succeed with count 0);
+                # an empty iterator appends nothing and returns 0
+                return self._remote.insert_arrow_batches(
+                    bare, iter(()), cols,
+                    write_concurrency=self.write_concurrency)
             batches = pads.dataset(files, format="parquet").to_batches(
                 batch_size=self.write_batch_rows)
             return self._remote.insert_arrow_batches(

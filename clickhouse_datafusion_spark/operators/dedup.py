@@ -791,8 +791,12 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # posexplode + LEAD window + md5 pipeline for each. Materialize it
     # once on the executors; at 100 TB this is the standard ExactSubstr
     # tradeoff (the gram stream is (id, gpos, gh) — far smaller than
-    # re-scanning and re-windowing the text twice).
-    g = g.localCheckpoint(eager=False)
+    # re-scanning and re-windowing the text twice). stage_cut defaults
+    # to localCheckpoint; on clusters with dynamic allocation set the
+    # stageCut conf to diskPersist/reliableCheckpoint (executor loss
+    # after a localCheckpoint is unrecoverable — see stagecut.py).
+    from clickhouse_datafusion_spark.operators.stagecut import stage_cut
+    g = stage_cut(g)
     # keeper = first corpus occurrence of the gram; every other occurrence
     # is a removal span [gpos, gpos+ngram-1] (gpos is 1-based word index).
     # min(struct) orders by (id, gpos) field-wise — the keep-first key —
@@ -913,6 +917,41 @@ def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"))
             .withColumn("clean_md5", F.md5(F.col("clean_text"))))
+
+
+def exact_jaccard_verify(df: DataFrame, pairs: DataFrame,
+                         threshold: float = 0.5, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 3,
+                         id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """EXACT distinct-n-gram Jaccard verification of candidate pairs —
+    the verify stage after LSH blocking (r12: gives the production
+    xxhash64 family d3x a hash-checkable output; the exact value is
+    hash-family-independent, so a DuckDB oracle can reproduce it with a
+    plain shared-gram join). Keeps pairs whose exact Jaccard is ≥
+    ``threshold``, returning (id_a, id_b, jaccard) in the d2 oracle's
+    integer rounding (FLOOR(c·10⁴/(na+nb−c)+0.5)/10⁴).
+
+    Scale shape: the sparse candidate list joins the text relation
+    twice on ids (candidates carry ids, never text or gram arrays,
+    until the verify row itself); gram arrays are computed only for
+    rows that survive each id join, and the per-pair kernel is
+    array_intersect over the two distinct-gram sets. Both joins
+    broadcast the sparse side (first the pair list, then the
+    pair+gram_a result), so the corpus is scanned twice but NEVER
+    shuffled — the shape that survives a 1000-executor corpus."""
+    a = df.select(F.col(id_col).alias(id_a),
+                  word_ngrams(F.col(text_col), ngram).alias("_ga"))
+    b = df.select(F.col(id_col).alias(id_b),
+                  word_ngrams(F.col(text_col), ngram).alias("_gb"))
+    j = F.broadcast(a.join(F.broadcast(pairs.select(id_a, id_b)), id_a)) \
+         .join(b, id_b)
+    c = F.size(F.array_intersect("_ga", "_gb"))
+    na, nb = F.size("_ga"), F.size("_gb")
+    jac = F.floor(c * 10000 / (na + nb - c) + F.lit(0.5)) / F.lit(10000.0)
+    return (j.filter((na > 0) & (nb > 0))
+            .select(id_a, id_b, jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def edit_distance_verify(df: DataFrame, pairs: DataFrame,

@@ -532,11 +532,14 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
     # aggregate chain (and the broadcast build runs it once more per
     # table). Materialize each once; both are count tables (distinct
     # pairs / distinct words), far smaller than the pair stream they
-    # fold (r11 stage pass).
-    bi_full = bi_full.localCheckpoint(eager=False)
-    uni = (bi_full.groupBy("h1")
-           .agg(F.sum("c2").cast("bigint").alias("c1"))
-           .localCheckpoint(eager=False))
+    # fold (r11 stage pass). stage_cut defaults to localCheckpoint; on
+    # lossy clusters (dynamic allocation) set the stageCut conf — an
+    # executor lost after a localCheckpoint fails the job
+    # unrecoverably (see stagecut.py).
+    from clickhouse_datafusion_spark.operators.stagecut import stage_cut
+    bi_full = stage_cut(bi_full)
+    uni = stage_cut(bi_full.groupBy("h1")
+                    .agg(F.sum("c2").cast("bigint").alias("c1")))
     total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
     bi2 = (bi_full.filter(F.col("h2").isNotNull())
            .join(uni, "h1")

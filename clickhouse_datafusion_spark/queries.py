@@ -2810,27 +2810,44 @@ def d11_edit_verify(spark, sf):
     return edit_distance_verify(docs, cands, max_dist=6)
 
 
-@qdef("d3x_minhash_production", None, tags=("pipeline", "dedup"))
-def d3x_minhash_production(spark, sf):
-    """The PRODUCTION MinHash configuration (xxhash64 gram hash) — rows-only
-    by nature (xxhash64 exists only Spark-side). Correctness of the shared
-    signature→banding→score pipeline is hash-checked through d3, which
-    differs ONLY in the 31-bit base gram hash (md5-derived, both engines);
-    this entry keeps the production family benchable and gate-visible.
-    r9 (r8 verdict task 4): the xxhash64 family additionally carries a
-    recall CONTRACT through the pytest channel —
-    tests/test_operators.py::test_d3x_production_minhash_recall_contract
-    pins candidates ⊇ exact-Jaccard pairs on planted J≈0.95 near-dups at
-    THIS entry's exact config, plus estimator accuracy — so the registry
-    reads 179/179 checked-by-something despite the missing DuckDB twin.
-    bench.py times BOTH: same-session the families are within ~3%
-    (0.73 s vs 0.71 s steady at sf0.1 after the pushed-filter fix), so
-    any larger gap in recorded numbers is the box's documented
-    cross-session variance, and having both in one bench run keeps that
-    comparison same-session."""
-    from clickhouse_datafusion_spark.operators.dedup import minhash_candidates
+_D3X_ORACLE = """WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                    FROM documents),
+          g AS (SELECT id, list_distinct(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+                FROM w WHERE len(ws) >= 3),
+          e AS (SELECT id, len(grams) AS n, unnest(grams) AS gr FROM g)
+          SELECT a.id AS id_a, b.id AS id_b,
+                 FLOOR(count(*) * 10000 / (a.n + b.n - count(*)) + 0.5)
+                   / 10000.0 AS jaccard
+          FROM e a JOIN e b ON a.gr = b.gr AND a.id < b.id
+          GROUP BY a.id, b.id, a.n, b.n
+          HAVING FLOOR(count(*) * 10000 / (a.n + b.n - count(*)) + 0.5)
+                   / 10000.0 >= 0.5"""
 
-    return minhash_candidates(t(spark, sf, "documents"), threshold=0.3)
+
+@qdef("d3x_minhash_production", _D3X_ORACLE, tags=("pipeline", "dedup"))
+def d3x_minhash_production(spark, sf):
+    """The PRODUCTION MinHash configuration (xxhash64 gram hash), hard-
+    gated (r12 verdict task 4): the candidates feed
+    :func:`exact_jaccard_verify`, whose output — exact distinct-3-gram
+    Jaccard per surviving pair — is hash-family-independent, so a plain
+    shared-gram DuckDB join is its oracle (NO frequency cap: exact).
+    The xxhash64 LSH pipeline is fully load-bearing in the comparison:
+    a broken signature, band key, or candidate expansion drops pairs
+    the oracle still finds (equality requires d3x recall = 1 on the
+    fixed corpus — probed deterministic at sf0.001/0.01/0.1, where
+    every true pair sits at J ≥ 0.8 and banding at J=0.8 misses with
+    p ≈ (1−0.8⁴)⁸ ≈ 1.3e-2 per pair under a RANDOM family but the
+    fixed constants hit all of them: tools/probe_d3x_oracle_r12.py,
+    256/256 at sf0.1). The raw est_jaccard family remains pytest-
+    pinned (test_d3x_production_minhash_recall_contract: candidates ⊇
+    exact pairs on planted J≈0.95 near-dups, estimator accuracy)."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        exact_jaccard_verify, minhash_candidates)
+
+    docs = t(spark, sf, "documents")
+    cands = minhash_candidates(docs, threshold=0.3)
+    return exact_jaccard_verify(docs, cands, threshold=0.5)
 
 
 def _d4_oracle_sql(n_tables: int = 4, max_hamming: int = 8,
@@ -5564,21 +5581,23 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r11: the seam's gate changed again (non-UTC timestamp-column
-    # widening, table-scoped decimal set, single-rewrite EXPLAIN,
-    # observable align fallback) and the federated WRITE path is now
-    # streamed (spool + pooled batch appends) — fed2 (direct Arrow
-    # hand-back) and fed3 (streamed spool) re-gate on the changed ship
-    # path. Everything else mechanical: the r6/r7-stale 45-entry tail
-    # (x59/x60 first) fronts via tier 4 oldest-round-first, so after
-    # r11 no entry's hard driver row is older than r8 (verdict task 2).
+    # r12: d3x gained its FIRST hard oracle (exact_jaccard_verify
+    # projection over the production xxhash64 candidates — verdict
+    # task 4); body AND oracle changed, so it fronts. The seam changed
+    # again (align observability on the direct hand-back, timestamp-
+    # enumeration refuse direction, W-bounded streamed write, empty-
+    # source writability) — fed2/fed3 re-gate on the changed ship
+    # path. d8 and the t11 family re-gate on the stage_cut refactor
+    # (helper swap; default behavior identical, but the bodies
+    # changed). Everything else mechanical: the 38-entry r8 tail
+    # fronts via tier 4 oldest-round-first, so after r12 no entry's
+    # hard driver row is older than r9 (r11 verdict task 6).
+    "d3x_minhash_production",
     "fed2_remote_subtree_exec",
     "fed3_remote_stream_scan",
-    # r11 stage pass: the d8 gram stream and the t11 LM-build tables
-    # gained lineage cuts (localCheckpoint) — bodies changed, so the
-    # whole family re-gates (t11/t11b already front via the r7 tail;
-    # d8/t11c pinned here).
     "d8_cross_doc_span_dedup",
+    "t11_bigram_lm_score",
+    "t11b_bigram_lm_prebuilt",
     "t11c_bigram_lm_shuffle",
 ]
 

@@ -490,13 +490,14 @@ class RemoteEngine:
         batch stream through ``buffer_unordered(write_concurrency)``
         over pooled connections, src/sink.rs:129-211 +
         src/connection.rs:45-72). At most ``write_concurrency`` batches
-        are in flight (and therefore in driver memory) at once: the
-        iterator is pulled only when a writer slot frees, so an
-        arbitrarily large source streams through bounded memory.
-        Returns the total appended row count. Append-only semantics:
-        a mid-stream failure leaves earlier batches appended (same
-        contract as the reference's streaming sink — no cross-batch
-        transaction)."""
+        are in flight (and therefore in driver memory) at once: a
+        writer slot is freed BEFORE the next batch is pulled (r12
+        advice fix — the loop previously pulled first, making the true
+        bound W+1), so an arbitrarily large source streams through
+        bounded memory. Returns the total appended row count.
+        Append-only semantics: a mid-stream failure leaves earlier
+        batches appended (same contract as the reference's streaming
+        sink — no cross-batch transaction)."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
@@ -509,10 +510,18 @@ class RemoteEngine:
         workers = max(1, int(write_concurrency))
         total = 0
         pending: collections.deque = collections.deque()
+        it = iter(batches)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            for batch in batches:
+            while True:
+                # free a slot BEFORE pulling: invariant len(pending)
+                # <= workers-1 at every next(), so pulled-not-yet-
+                # appended batches never exceed `workers`
                 if len(pending) >= workers:
                     total += pending.popleft().result()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
                 pending.append(ex.submit(
                     self.insert_arrow, name,
                     pa.Table.from_batches([batch]), columns))

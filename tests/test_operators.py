@@ -96,6 +96,36 @@ def test_d3x_production_minhash_recall_contract(spark, docs):
         assert abs(cands[k] - exact[k]) <= 0.3, (k, cands[k], exact[k])
 
 
+def test_exact_jaccard_verify_semantics_and_plan(spark):
+    """r12 (verdict task 4): exact_jaccard_verify — the d3x hard-gate
+    projection — computes the exact distinct-3-gram Jaccard in the d2
+    oracle's rounding, keeps only >= threshold, drops sub-ngram docs,
+    and its plan broadcasts the sparse side of BOTH joins (the corpus
+    is never shuffled)."""
+    from pyspark.sql import Row
+
+    from clickhouse_datafusion_spark.operators.dedup import (
+        exact_jaccard_verify)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),      # grams: abc bcd cde def
+        Row(doc_id=2, text="a b c d e x"),      # grams: abc bcd cde dex
+        Row(doc_id=3, text="q r s t u v"),
+        Row(doc_id=4, text="a b"),              # sub-ngram: empty grams
+    ])
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2),   # |∩|=3, |∪|=5 -> 0.6
+        Row(id_a=1, id_b=3),   # disjoint -> 0.0, filtered
+        Row(id_a=1, id_b=4),   # empty side dropped
+    ])
+    out = exact_jaccard_verify(docs, pairs, threshold=0.5)
+    assert sorted(map(tuple, out.collect())) == [(1, 2, 0.6)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints initial+final plan sections, so count >= 2, not == 2
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_minhash_arrow_kernel_matches_hof(spark, docs):
     """The Arrow/numpy slot kernel must be bit-identical to the Catalyst
     HOF form — including the NULL signature for sub-n-gram documents."""

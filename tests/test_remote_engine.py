@@ -1142,9 +1142,10 @@ def test_federated_ctas_streams_and_empty_insert_is_noop(fed, spark):
 
 def test_insert_arrow_batches_bounded_inflight_and_concurrent():
     """insert_arrow_batches pulls its iterator LAZILY: with
-    write_concurrency=W, at most W+1 batches have been pulled when any
-    given append starts (bounded driver memory), and the total count
-    is exact across many batches."""
+    write_concurrency=W, at most W batches have been pulled-but-not-
+    appended at any pull (bounded driver memory — r12 tightened the
+    loop to free a slot BEFORE pulling, so the bound is W, not W+1),
+    and the total count is exact across many batches."""
     import pyarrow as pa
 
     remote = RemoteEngine(pool_size=4)
@@ -1174,7 +1175,7 @@ def test_insert_arrow_batches_bounded_inflight_and_concurrent():
         remote.insert_arrow = orig
         assert total == 400
         # lazily pulled: never ran unboundedly ahead of the appends
-        assert state["max_ahead"] <= 3 + 1
+        assert state["max_ahead"] <= 3
         n = remote.execute(
             "SELECT CAST(count(*) AS BIGINT) FROM iab_t"
         ).column(0)[0].as_py()
@@ -1227,6 +1228,48 @@ def test_non_utc_session_refuses_remote_timestamp_columns(fed, spark):
         remote.drop_table("ts_gate_t")
 
 
+def test_timestamp_enumeration_failure_refuses_not_ships(fed, spark):
+    """r12 (advice): under a non-UTC session, a FAILURE of the remote's
+    timestamp_columns enumeration must refuse the ship (stay local) —
+    shipping on an unknown timestamp surface is the divergence the gate
+    exists to prevent. Previously the except degraded to frozenset()
+    and shipped."""
+    eng, remote = fed
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    orig = remote.timestamp_columns
+
+    def broken(tables=None):
+        raise RuntimeError("catalog probe failed")
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        remote.timestamp_columns = broken
+        d = eng.remote_decision("SELECT CAST(count(*) AS BIGINT) AS n "
+                                "FROM clickhouse.remote.orders")
+        assert not d["ships"]
+        assert "timestamp" in d["reason"]
+    finally:
+        remote.timestamp_columns = orig
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # UTC session: the enumeration is never consulted, still ships
+    d = eng.remote_decision("SELECT CAST(count(*) AS BIGINT) AS n "
+                            "FROM clickhouse.remote.orders")
+    assert d["ships"], d["reason"]
+
+
+def test_empty_source_insert_into_readonly_raises(fed, spark):
+    """r12 (advice): an INSERT whose locally-evaluated source is EMPTY
+    (zero-partition spool) into a read-only remote view must raise the
+    same ValueError as the non-empty path — not silently succeed with
+    count 0. The empty-spool branch routes through
+    insert_arrow_batches with an empty iterator, which performs the
+    writability check."""
+    eng, _ = fed
+    empty = spark.createDataFrame([], "o_orderkey bigint")
+    with pytest.raises(ValueError, match="read-only"):
+        eng._stream_insert_local("orders", empty)
+
+
 def test_decimal_gate_scoped_to_referenced_tables(fed, spark):
     """r11 scoping (advice): a decimal column name in an UNRELATED
     remote table must not de-federate a division statement that merely
@@ -1265,6 +1308,24 @@ def test_align_failure_is_observable_not_silent(fed, spark):
     df = eng._arrow_to_df(tbl, want)
     assert eng.last_remote_align_error is not None     # recorded
     assert df.collect()[0][0] == "not-a-number"        # generic fallback
+
+
+def test_align_remote_schema_failure_is_observable(fed, spark):
+    """r12 (verdict task 2): _align_remote_schema's fall-through on the
+    DIRECT hand-back path is the same convention as _arrow_to_df —
+    narrow failure classes, recorded on last_remote_align_error, the
+    renamed-but-uncast frame returned instead of a silent blanket
+    swallow. Forced here with an un-castable array->long alignment."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    eng, _ = fed
+    src = spark.createDataFrame([([1, 2],)], "arr_v array<bigint>")
+    want = StructType([StructField("v", LongType(), True)])
+    eng.last_remote_align_error = None
+    out = eng._align_remote_schema(src, want)
+    assert eng.last_remote_align_error is not None      # recorded
+    assert out.columns == ["v"]                         # rename kept
+    assert out.collect()[0][0] == [1, 2]                # uncast frame
 
 
 def test_explain_verdict_matches_executed_decision(fed, spark):

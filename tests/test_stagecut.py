@@ -1,0 +1,78 @@
+"""stage_cut (r12 advice): the multi-consumer materialization helper's
+mode knob. Default localCheckpoint is right for single-JVM; diskPersist
+keeps lineage so executor loss is recoverable on lossy clusters."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_datafusion_spark.operators.stagecut import (
+    CONF_KEY,
+    stage_cut,
+)
+
+
+def test_default_is_local_checkpoint(spark):
+    df = spark.range(100).toDF("k")
+    out = stage_cut(df, eager=True)
+    # lineage truncated: the plan root is the checkpointed RDD scan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert out.count() == 100
+
+
+def test_disk_persist_mode_keeps_lineage(spark):
+    from pyspark import StorageLevel
+
+    df = spark.range(100).toDF("k")
+    spark.conf.set(CONF_KEY, "diskPersist")
+    try:
+        out = stage_cut(df, eager=True)
+        assert out.storageLevel == StorageLevel.DISK_ONLY
+        # lineage KEPT (recoverable): no checkpoint-RDD scan at the root
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" not in plan
+        assert out.count() == 100
+    finally:
+        out.unpersist()
+        spark.conf.unset(CONF_KEY)
+
+
+def test_invalid_mode_raises(spark):
+    spark.conf.set(CONF_KEY, "ramDoubler")
+    try:
+        with pytest.raises(ValueError, match="stageCut"):
+            stage_cut(spark.range(1))
+    finally:
+        spark.conf.unset(CONF_KEY)
+
+
+def test_d8_and_t11_identical_under_disk_persist(spark):
+    """The two advice call sites (span dedup's gram stream, the bigram
+    LM count tables) produce identical results in either mode — the
+    knob changes fault tolerance, not semantics."""
+    from clickhouse_datafusion_spark.operators.dedup import (
+        drop_cross_doc_spans)
+    from clickhouse_datafusion_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "a completely different document body with unique words here"),
+         (4, "short doc")],
+        "doc_id bigint, body string")
+
+    def run():
+        spans = sorted(map(tuple, drop_cross_doc_spans(
+            docs, ngram=5, text_col="body", id_col="doc_id").collect()))
+        lm = sorted(map(tuple, bigram_lm_score(
+            docs, text_col="body", id_col="doc_id",
+            lm_df=docs).collect()))
+        return spans, lm
+
+    base = run()
+    spark.conf.set(CONF_KEY, "diskPersist")
+    try:
+        assert run() == base
+    finally:
+        spark.conf.unset(CONF_KEY)
