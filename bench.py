@@ -34,9 +34,11 @@ BENCH_QUERIES = [
     # pipeline operators (dedup / similarity / text) at scale
     "d1_exact_dedup_groups",
     # d3 = the oracle-gated md5 gram-hash family; d3x = the production
-    # xxhash64 family (the number comparable with rounds <=4). Timed
-    # same-session the families are within ~3%; both are benched so a
-    # noisy cross-session gap never reads as an operator regression.
+    # xxhash64 family. Both are benched so a noisy cross-session gap
+    # never reads as an operator regression. r12: d3x's registry body
+    # gained the exact-verify projection (its hard gate), so its
+    # timings from r12 on include the two broadcast verify joins and
+    # are not directly comparable with r4-r11 numbers.
     "d3_minhash_lsh_candidates",
     "d3x_minhash_production",
     "t1_token_counts",

@@ -932,20 +932,37 @@ def exact_jaccard_verify(df: DataFrame, pairs: DataFrame,
     ``threshold``, returning (id_a, id_b, jaccard) in the d2 oracle's
     integer rounding (FLOOR(c·10⁴/(na+nb−c)+0.5)/10⁴).
 
-    Scale shape: the sparse candidate list joins the text relation
-    twice on ids (candidates carry ids, never text or gram arrays,
-    until the verify row itself); gram arrays are computed only for
-    rows that survive each id join, and the per-pair kernel is
-    array_intersect over the two distinct-gram sets. Both joins
-    broadcast the sparse side (first the pair list, then the
-    pair+gram_a result), so the corpus is scanned twice but NEVER
-    shuffled — the shape that survives a 1000-executor corpus."""
-    a = df.select(F.col(id_col).alias(id_a),
-                  word_ngrams(F.col(text_col), ngram).alias("_ga"))
-    b = df.select(F.col(id_col).alias(id_b),
-                  word_ngrams(F.col(text_col), ngram).alias("_gb"))
-    j = F.broadcast(a.join(F.broadcast(pairs.select(id_a, id_b)), id_a)) \
-         .join(b, id_b)
+    Scale shape (r12 ledger-tuned — the naive two-scans-with-grams
+    form cost +1.2 s at sf0.1 because it tokenized EVERY doc twice):
+
+    - the pair list is stage-cut once (it has three consumers below;
+      without the cut the upstream blocking pipeline would run three
+      times);
+    - the corpus is scanned ONCE, semi-joined (broadcast) against the
+      distinct candidate ids, and only the surviving docs are
+      tokenized into distinct-gram arrays — that gram table is
+      stage-cut for its two per-side consumers;
+    - the verify join is then (broadcast pairs) ⋈ grams ⋈ grams over
+      the two SMALL relations; the per-pair kernel is array_intersect
+      over the two gram sets. The corpus is never shuffled and never
+      tokenized outside the candidate set — the shape that survives a
+      1000-executor corpus where candidates are a vanishing fraction.
+    """
+    from clickhouse_datafusion_spark.operators.stagecut import stage_cut
+
+    p = stage_cut(pairs.select(id_a, id_b))
+    # no .distinct() on the id list: a LEFT SEMI join only filters
+    # (never fans out on duplicate build keys), and skipping it skips
+    # a shuffle stage
+    ids = p.select(F.explode(F.array(id_a, id_b)).alias(id_col))
+    g = stage_cut(
+        df.join(F.broadcast(ids), id_col, "left_semi")
+          .select(F.col(id_col),
+                  word_ngrams(F.col(text_col), ngram).alias("_g")))
+    j = (p.join(F.broadcast(g.select(F.col(id_col).alias(id_a),
+                                     F.col("_g").alias("_ga"))), id_a)
+         .join(F.broadcast(g.select(F.col(id_col).alias(id_b),
+                                    F.col("_g").alias("_gb"))), id_b))
     c = F.size(F.array_intersect("_ga", "_gb"))
     na, nb = F.size("_ga"), F.size("_gb")
     jac = F.floor(c * 10000 / (na + nb - c) + F.lit(0.5)) / F.lit(10000.0)

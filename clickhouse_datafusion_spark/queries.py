@@ -2329,8 +2329,10 @@ def x56_web_curation(spark, sf):
     # input, final join, batch ranking input); Spark re-expands shared
     # lineage per reference, so truncate it here — the 100 TB version of
     # this chain would persist the stage to the snapshot store the same
-    # way (x26/x31 do), the gate uses the in-memory form
-    survivors = survivors.localCheckpoint(eager=False)
+    # way (x26/x31 do), the gate uses the in-memory form (r12: via
+    # stage_cut, so the lossy-cluster storage knob applies here too)
+    from clickhouse_datafusion_spark.operators.stagecut import stage_cut
+    survivors = stage_cut(survivors)
     wts = spark.range(4096).select(
         F.col("id").cast("int").alias("bucket"),
         (F.conv(F.substring(
@@ -5593,6 +5595,7 @@ _GATE_PRIORITY = [
     # fronts via tier 4 oldest-round-first, so after r12 no entry's
     # hard driver row is older than r9 (r11 verdict task 6).
     "d3x_minhash_production",
+    "x56_web_curation",
     "fed2_remote_subtree_exec",
     "fed3_remote_stream_scan",
     "d8_cross_doc_span_dedup",
