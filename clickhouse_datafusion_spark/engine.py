@@ -68,6 +68,13 @@ class ClickHouseSparkEngine:
         # examples/10_large_scale.rs:253-276)
         self.write_concurrency = 4
         self.write_batch_rows = 65536
+        # federated-write data plane (r12): 'spool' = the driver-funnel
+        # streamed append (parity with the reference's single-client
+        # sink, src/sink.rs:102-211); 'executor' = per-partition Arrow
+        # appends straight from executors to the remote's ingest server
+        # (requires remote.start_ingest_server()) — N parallel pipes
+        # instead of one, with per-partition transactional atomicity
+        self.write_mode = "spool"
 
     # ---------------------------------------------------------------------
     def attach_remote(self, remote, db: str = "remote",
@@ -508,6 +515,93 @@ class ClickHouseSparkEngine:
         finally:
             shutil.rmtree(path, ignore_errors=True)
 
+    def _stream_insert_executors(self, bare: str, src_df,
+                                 cols: str = "") -> int:
+        """EXECUTOR-PARALLEL federated append (r12 — the scale
+        extension of :meth:`_stream_insert_local`, whose wire is
+        driver-serialized in exact parity with the reference's
+        single-client sink, src/sink.rs:102-211): each source
+        partition opens its own connection to the remote's Arrow
+        ingest server and streams its RecordBatches directly —
+        executor → remote, no spool, no driver funnel — then yields
+        the server-acknowledged row count. N partitions = N parallel
+        pipes, bounded by the remote's cursor pool. Each partition's
+        batches append inside ONE remote transaction, so a Spark task
+        RETRY re-streams atomically instead of duplicating a partial
+        prefix (a stronger contract than the spool path's append-only
+        batches). The count is the sum of server acks — exactness is
+        asserted server-side, not inferred."""
+        host, port = self._remote.ingest_address
+        # fail fast driver-side before launching a distributed job
+        # (same writability contract as the spool path)
+        self._remote.insert_arrow_batches(
+            bare, iter(()), cols, write_concurrency=1)
+        # the remote append is POSITIONAL (INSERT ... SELECT * FROM
+        # the registered batch), so source column names are free —
+        # normalize them, because mapInArrow resolves columns by
+        # unescaped name and an auto-generated alias containing a dot
+        # (e.g. a bare TIMESTAMP '...58.123456' literal) breaks it
+        src_df = src_df.toDF(*[f"_c{i}"
+                               for i in range(len(src_df.columns))])
+        batch_rows = self.write_batch_rows
+
+        def write_partition(batches):
+            import json
+            import socket
+            from itertools import chain
+
+            import pyarrow as pa
+
+            it = iter(batches)
+            try:
+                first = next(it)
+            except StopIteration:   # empty partition: nothing to send
+                yield pa.record_batch(
+                    [pa.array([0], type=pa.int64())], names=["n"])
+                return
+            with socket.create_connection((host, port)) as s:
+                f = s.makefile("rwb")
+                hdr = json.dumps({"table": bare,
+                                  "columns": cols}).encode()
+                f.write(len(hdr).to_bytes(4, "big"))
+                f.write(hdr)
+                writer = pa.ipc.new_stream(f, first.schema)
+                # coalesce Spark's small (~10k-row) Arrow batches up to
+                # write_batch_rows before sending: each received batch
+                # costs the server one register+INSERT round trip, so
+                # batch size is the same throughput lever as on the
+                # spool path (r11 matrix: 16k→256k rows = 2.3× there)
+                buf, nbuf = [], 0
+
+                def flush_buf():
+                    tbl = pa.Table.from_batches(buf).combine_chunks()
+                    writer.write_table(tbl)
+
+                for b in chain([first], it):
+                    buf.append(b)
+                    nbuf += b.num_rows
+                    if nbuf >= batch_rows:
+                        flush_buf()
+                        buf, nbuf = [], 0
+                if buf:
+                    flush_buf()
+                writer.close()
+                f.flush()
+                status = f.read(1)
+                if status == b"\x00":
+                    n = int.from_bytes(f.read(8), "big")
+                else:
+                    ln = int.from_bytes(f.read(4), "big")
+                    raise RuntimeError("remote ingest failed: "
+                                       + f.read(ln).decode())
+            yield pa.record_batch(
+                [pa.array([n], type=pa.int64())], names=["n"])
+
+        from pyspark.sql import functions as F
+        counts = src_df.mapInArrow(write_partition, schema="n bigint")
+        total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
+        return int(total or 0)
+
     _REMOTE_INSERT_RE = re.compile(
         r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
         r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*(?P<src>(select|with|"
@@ -567,6 +661,10 @@ class ClickHouseSparkEngine:
                 n = self._remote.execute_insert(stmt)
                 self.last_remote_sql = stmt
                 self.last_remote_insert = "whole"
+            elif (self.write_mode == "executor"
+                  and self._remote.ingest_address is not None):
+                n = self._stream_insert_executors(bare, src_df, cols)
+                self.last_remote_insert = "executor-parallel"
             else:
                 n = self._stream_insert_local(bare, src_df, cols)
                 self.last_remote_insert = "arrow-stream"

@@ -529,6 +529,156 @@ class RemoteEngine:
                 total += pending.popleft().result()
         return total
 
+    # -- executor-parallel ingest (r12) --------------------------------
+    def start_ingest_server(self, host: str = "127.0.0.1"):
+        """Start the Arrow-over-TCP ingest server — the server half of
+        the EXECUTOR-PARALLEL federated write (the scale extension of
+        the reference's single-client sink, src/sink.rs:102-211: where
+        the reference streams RecordBatches over one client connection,
+        a server-mode remote accepts N concurrent executor connections,
+        so the wire is no longer driver-serialized). Returns the bound
+        ``(host, port)``. Loopback-only by default."""
+        if getattr(self, "_ingest", None) is None:
+            self._ingest = ArrowIngestServer(self, host=host)
+        return self._ingest.address
+
+    @property
+    def ingest_address(self):
+        srv = getattr(self, "_ingest", None)
+        return srv.address if srv is not None else None
+
+    def stop_ingest_server(self) -> None:
+        srv = getattr(self, "_ingest", None)
+        if srv is not None:
+            srv.close()
+            self._ingest = None
+
+    def ingest_transaction(self, name: str, batches, columns: str = "",
+                           ) -> int:
+        """Append an iterator of Arrow RecordBatches ATOMICALLY on one
+        pooled cursor: BEGIN → per-batch INSERT → COMMIT, rolling back
+        on any failure. This is the per-connection body of the ingest
+        server — atomicity is what makes the executor-parallel path
+        safe under Spark task RETRIES (a re-run partition never leaves
+        a partial duplicate prefix behind)."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+
+        if name.lower() not in self._writable:
+            raise ValueError(
+                f"remote table {name!r} is a read-only view; "
+                "create_table() makes a writable one")
+        cur = self._pool.get()
+        try:
+            cur.execute("BEGIN TRANSACTION")
+            try:
+                total = 0
+                for batch in batches:
+                    alias = f"_ing_{_uuid.uuid4().hex[:12]}"
+                    cur.register(alias, pa.Table.from_batches([batch]))
+                    try:
+                        total += int(cur.execute(
+                            f"INSERT INTO {name} {columns} "
+                            f"SELECT * FROM {alias}").fetchone()[0])
+                    finally:
+                        cur.unregister(alias)
+                cur.execute("COMMIT")
+                return total
+            except Exception:
+                cur.execute("ROLLBACK")
+                raise
+        finally:
+            self._pool.put(cur)
+
+
+class ArrowIngestServer:
+    """Arrow-IPC-over-TCP ingest endpoint for a :class:`RemoteEngine`.
+
+    Wire protocol (one INSERT per connection):
+      client → 4-byte BE header length, UTF-8 JSON header
+               ``{"table": ..., "columns": ...}``, then a standard
+               Arrow IPC stream of RecordBatches;
+      server → 1 status byte (``0x00`` ok / ``0x01`` error), then
+               8-byte BE appended-row count (ok) or 4-byte BE length +
+               UTF-8 message (error).
+
+    Each connection's batches append inside ONE transaction
+    (:meth:`RemoteEngine.ingest_transaction`), so a Spark task retry
+    re-streams its partition atomically instead of duplicating a
+    partial prefix. Concurrency is bounded by the engine's cursor
+    pool — N executor connections share the same pool the driver-side
+    writers use."""
+
+    def __init__(self, engine: "RemoteEngine", host: str = "127.0.0.1"):
+        import socket
+
+        self._engine = engine
+        self._sock = socket.create_server((host, 0))
+        self._sock.settimeout(0.5)
+        self.address = self._sock.getsockname()
+        self.connections_served = 0     # observability (tests assert
+        self._count_lock = threading.Lock()   # the wire parallelism)
+        self._stop = False
+        self._threads: list[threading.Thread] = []
+        self._acceptor = threading.Thread(
+            target=self._serve, name="arrow-ingest-accept", daemon=True)
+        self._acceptor.start()
+
+    def _serve(self) -> None:
+        import socket
+
+        while not self._stop:
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._handle, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _handle(self, conn) -> None:
+        import json
+
+        import pyarrow as pa
+
+        with self._count_lock:
+            self.connections_served += 1
+        f = conn.makefile("rwb")
+        try:
+            try:
+                hdr_len = int.from_bytes(f.read(4), "big")
+                hdr = json.loads(f.read(hdr_len))
+                reader = pa.ipc.open_stream(f)
+                total = self._engine.ingest_transaction(
+                    hdr["table"], reader, hdr.get("columns", ""))
+                f.write(b"\x00" + total.to_bytes(8, "big"))
+                f.flush()
+            except Exception as e:  # report to the client, stay up
+                msg = f"{type(e).__name__}: {e}".encode()[:65535]
+                try:
+                    f.write(b"\x01" + len(msg).to_bytes(4, "big") + msg)
+                    f.flush()
+                except OSError:  # pragma: no cover - client went away
+                    pass
+        finally:
+            try:
+                f.close()
+                conn.close()
+            except OSError:  # pragma: no cover - already closed
+                pass
+
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self._sock.close()
+        except OSError:  # pragma: no cover - already closed
+            pass
+        self._acceptor.join(timeout=2)
+
 
 def table_refs(sql: str) -> set[str]:
     """Table references of a SELECT, lowercased, catalog-qualified or

@@ -1,0 +1,194 @@
+"""r12: executor-parallel federated write — the scale extension of the
+driver-funnel spool path (BASELINE.md r12 design note, now implemented):
+each source partition streams its Arrow batches straight to the remote's
+ingest server over its own TCP connection. Reference anchor: the sink
+ships RecordBatches over a client connection (src/sink.rs:102-211); the
+extension turns 1 client into N (one per partition), with per-partition
+transactional atomicity the reference's no-transaction sink lacks."""
+
+from __future__ import annotations
+
+import json
+import socket
+
+import pyarrow as pa
+import pytest
+
+from clickhouse_datafusion_spark.sources.remote_engine import RemoteEngine
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fed(spark):
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    remote.register_parquet_dir(SF_SMOKE, tables=["orders", "customer"])
+    eng.attach_remote(remote, db="remote", local_twin_dir=SF_SMOKE)
+    remote.start_ingest_server()
+    eng.write_mode = "executor"
+    yield eng, remote
+    remote.stop_ingest_server()
+
+
+def test_executor_insert_exact_and_parallel(fed, spark):
+    """A federated INSERT with an unshippable source in executor mode
+    appends exactly once per source row, reports the server-acked
+    count, and uses one connection PER NON-EMPTY PARTITION (the wire
+    is parallel, not driver-serialized)."""
+    eng, remote = fed
+    remote.create_table("ew_t", "k BIGINT, v DOUBLE")
+    before = remote._ingest.connections_served
+    try:
+        r = eng.sql(
+            "INSERT INTO clickhouse.remote.ew_t "
+            "SELECT CAST(o_orderkey AS BIGINT), log(o_totalprice) "
+            "FROM clickhouse.remote.orders WHERE o_orderkey < 2000")
+        assert eng.last_remote_insert == "executor-parallel"
+        want = spark.read.parquet(f"{SF_SMOKE}/orders.parquet") \
+            .filter("o_orderkey < 2000").count()
+        assert r.first()["count"] == want
+        got = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT k) AS BIGINT) AS d FROM ew_t")
+        assert got.column(0)[0].as_py() == want
+        assert got.column(1)[0].as_py() == want
+        # the single-file smoke source collapses to ONE partition —
+        # exactly one connection for the statement above
+        assert remote._ingest.connections_served - before == 1
+        # parallel wire: an explicitly 4-partition source opens one
+        # connection PER non-empty partition
+        before2 = remote._ingest.connections_served
+        src = (spark.range(0, 4000)
+               .selectExpr("id + 1000000 AS k", "CAST(id AS DOUBLE) AS v")
+               .repartition(4))
+        n = eng._stream_insert_executors("ew_t", src)
+        assert n == 4000
+        assert remote._ingest.connections_served - before2 == 4
+    finally:
+        remote.drop_table("ew_t")
+
+
+def test_executor_insert_matches_spool_path_values(fed, spark):
+    """Mode equivalence: the same INSERT through 'executor' and 'spool'
+    produces identical table contents (including float and timestamp
+    columns) — the data plane changes, the values don't."""
+    eng, remote = fed
+
+    def run2(mode):
+        remote.create_table("ew_m", "k BIGINT, v DOUBLE, ev TIMESTAMP")
+        try:
+            eng.write_mode = mode
+            eng.sql(
+                "INSERT INTO clickhouse.remote.ew_m "
+                "SELECT CAST(o_orderkey AS BIGINT), log(o_totalprice), "
+                "TIMESTAMP '1996-12-31 23:59:58.123456' "
+                "FROM clickhouse.remote.orders WHERE o_orderkey < 300")
+            tbl = remote.execute(
+                "SELECT k, v, CAST(ev AS VARCHAR) AS e "
+                "FROM ew_m ORDER BY k")
+            return list(zip(*(tbl.column(i).to_pylist()
+                              for i in range(3))))
+        finally:
+            remote.drop_table("ew_m")
+
+    try:
+        a = run2("executor")
+        assert eng.last_remote_insert == "executor-parallel"
+        b = run2("spool")
+        assert eng.last_remote_insert == "arrow-stream"
+        assert a == b and len(a) > 0
+        assert a[0][2] == "1996-12-31 23:59:58.123456"
+    finally:
+        eng.write_mode = "executor"
+
+
+def test_executor_insert_readonly_fails_fast(fed, spark):
+    """Writability is checked driver-side BEFORE a distributed job
+    launches — same ValueError contract as the spool path."""
+    eng, _ = fed
+    with pytest.raises(ValueError, match="read-only"):
+        eng.sql("INSERT INTO clickhouse.remote.orders "
+                "SELECT CAST(c_custkey AS BIGINT) AS o_orderkey "
+                "FROM clickhouse.remote.customer "
+                "WHERE log(c_custkey + 1) >= 0")
+
+
+def test_ingest_connection_is_transactional(fed):
+    """A connection whose stream fails mid-way (schema mismatch on the
+    SECOND batch) leaves NOTHING behind — the per-connection
+    transaction rolls back, which is what makes Spark task retries
+    safe. The error surfaces in the protocol response; the server
+    stays up for subsequent connections."""
+    eng, remote = fed
+    remote.create_table("ew_tx", "k BIGINT")
+    host, port = remote.ingest_address
+    try:
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "ew_tx", "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            schema = pa.schema([("k", pa.int64()), ("extra", pa.int64())])
+            w = pa.ipc.new_stream(f, schema)
+            w.write_batch(pa.record_batch(
+                [pa.array([1, 2]), pa.array([1, 2])], schema=schema))
+            w.close()
+            f.flush()
+            assert f.read(1) == b"\x01"            # error reported
+            ln = int.from_bytes(f.read(4), "big")
+            assert len(f.read(ln)) == ln
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ew_tx"
+        ).column(0)[0].as_py()
+        assert n == 0                              # nothing leaked
+        # server still serves: a good connection right after succeeds
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "ew_tx", "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            schema = pa.schema([("k", pa.int64())])
+            w = pa.ipc.new_stream(f, schema)
+            w.write_batch(pa.record_batch([pa.array([7, 8, 9])],
+                                          schema=schema))
+            w.close()
+            f.flush()
+            assert f.read(1) == b"\x00"
+            assert int.from_bytes(f.read(8), "big") == 3
+    finally:
+        remote.drop_table("ew_tx")
+
+
+def test_ingest_transaction_concurrent_appends_commit():
+    """Two concurrent transactional ingests into the same table both
+    commit (append-append is not a write-write conflict)."""
+    import threading
+
+    remote = RemoteEngine(pool_size=4)
+    remote.create_table("tx_c", "k BIGINT")
+    errs = []
+
+    def run(lo):
+        try:
+            remote.ingest_transaction("tx_c", iter([pa.record_batch(
+                [pa.array(range(lo, lo + 500), type=pa.int64())],
+                names=["k"])]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    try:
+        ts = [threading.Thread(target=run, args=(lo,))
+              for lo in (0, 10_000)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert not errs, errs
+        n = remote.execute(
+            "SELECT CAST(count(DISTINCT k) AS BIGINT) FROM tx_c"
+        ).column(0)[0].as_py()
+        assert n == 1000
+    finally:
+        remote.drop_table("tx_c")
