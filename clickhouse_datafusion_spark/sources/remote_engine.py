@@ -638,7 +638,10 @@ class ArrowIngestServer:
             t = threading.Thread(target=self._handle, args=(conn,),
                                  daemon=True)
             t.start()
-            self._threads.append(t)
+            # track only LIVE handlers (a long-lived server must not
+            # accumulate finished thread objects)
+            self._threads = [x for x in self._threads
+                             if x.is_alive()] + [t]
 
     def _handle(self, conn) -> None:
         import json

@@ -38,6 +38,19 @@ def test_disk_persist_mode_keeps_lineage(spark):
         spark.conf.unset(CONF_KEY)
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    df = spark.range(50).toDF("k")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set(CONF_KEY, "reliableCheckpoint")
+    try:
+        out = stage_cut(df, eager=True)
+        assert out.count() == 50
+        # a replicated checkpoint landed in the configured dir
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        spark.conf.unset(CONF_KEY)
+
+
 def test_invalid_mode_raises(spark):
     spark.conf.set(CONF_KEY, "ramDoubler")
     try:
