@@ -602,6 +602,26 @@ class ClickHouseSparkEngine:
         total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
         return int(total or 0)
 
+    def append_remote(self, table: str, df, cols: str = "") -> int:
+        """Append a DataFrame into a writable remote table through the
+        engine's write data plane (``write_mode``: 'spool' default /
+        'executor' when an ingest server is attached) — the
+        DataFrame-API twin of ``INSERT INTO clickhouse.<db>.<table>``
+        and the per-micro-batch body of the streaming federated sink
+        (streaming.events.stream_to_remote_table). Returns the
+        appended row count."""
+        bare = table.lower().rsplit(".", 1)[-1]
+        if self._remote is None or bare not in self._remote.tables():
+            raise ValueError(f"no remote table {table!r}")
+        if (self.write_mode == "executor"
+                and self._remote.ingest_address is not None):
+            n = self._stream_insert_executors(bare, df, cols)
+            self.last_remote_insert = "executor-parallel"
+        else:
+            n = self._stream_insert_local(bare, df, cols)
+            self.last_remote_insert = "arrow-stream"
+        return n
+
     _REMOTE_INSERT_RE = re.compile(
         r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
         r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*(?P<src>(select|with|"
@@ -661,13 +681,8 @@ class ClickHouseSparkEngine:
                 n = self._remote.execute_insert(stmt)
                 self.last_remote_sql = stmt
                 self.last_remote_insert = "whole"
-            elif (self.write_mode == "executor"
-                  and self._remote.ingest_address is not None):
-                n = self._stream_insert_executors(bare, src_df, cols)
-                self.last_remote_insert = "executor-parallel"
             else:
-                n = self._stream_insert_local(bare, src_df, cols)
-                self.last_remote_insert = "arrow-stream"
+                n = self.append_remote(bare, src_df, cols)
         except ValueError:
             raise
         except Exception as e:

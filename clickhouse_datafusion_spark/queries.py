@@ -5066,6 +5066,52 @@ def st11_stream_ann(spark, sf):
     return ann_query(index, qvec, k=10)
 
 
+@qdef("st12_streaming_remote_sink",
+      f"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                {OSUM('value')} AS total
+         FROM events GROUP BY event_type""",
+      tags=("streaming",))
+def st12_stream_remote_sink(spark, sf):
+    """Streaming FEDERATED sink (r12): file-replay the events table
+    through ``stream_to_remote_table`` into a writable remote table —
+    the reference's sink under an unbounded source (src/sink.rs drains
+    RecordBatches from a plan; here every micro-batch replays that
+    append through engine.append_remote) — then hash-check the REMOTE
+    engine's own per-type aggregate of what landed. Totals match the
+    DuckDB oracle on the source parquet only if every row of every
+    micro-batch crossed the seam exactly once."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, stream_to_remote_table)
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    tbl = f"st12_{_uuid.uuid4().hex[:8]}"
+    remote.create_table(
+        tbl, "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, value DOUBLE")
+    try:
+        d = _staged_stream_dir(sf, "st12", copies=1)
+        stream = read_events_stream(spark, d).select(
+            "event_id", "user_id", "event_type", "ts", "value")
+        stream_to_remote_table(stream, eng, tbl)
+        # dsum convention (OSUM) on the landed aggregate: the double
+        # column is summed in DECIMAL so the value hash is independent
+        # of micro-batch arrival order
+        landed = remote.execute(
+            f"SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            f"{OSUM('value')} AS total "
+            f"FROM {tbl} GROUP BY event_type")
+        return spark.createDataFrame(landed).localCheckpoint(eager=True)
+    finally:
+        remote.drop_table(tbl)
+
+
 @qdef("st1_streaming_tumbling",
       f"""WITH mx AS (SELECT max(ts) AS m FROM events)
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

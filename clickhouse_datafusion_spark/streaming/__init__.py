@@ -16,6 +16,7 @@ from clickhouse_datafusion_spark.streaming.events import (
     session_windows,
     stream_static_enrich,
     stream_stream_interval_join,
+    stream_to_remote_table,
     stream_upsert_snapshot,
     streaming_retention,
     stream_append_ann_index,
@@ -32,6 +33,7 @@ __all__ = [
     "session_windows",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "stream_to_remote_table",
     "stream_upsert_snapshot",
     "streaming_retention",
     "stream_append_ann_index",

@@ -241,6 +241,43 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def stream_to_remote_table(stream: DataFrame, engine, table: str,
+                           cols: str = "") -> int:
+    """Structured-Streaming FEDERATED sink (r12): drive a streaming
+    DataFrame into a writable remote table, one micro-batch at a time,
+    through the engine's write data plane
+    (:meth:`ClickHouseSparkEngine.append_remote` — the spool funnel by
+    default, executor-parallel when an ingest server is attached).
+    This is the streaming completion of the reference's sink story:
+    src/sink.rs IS a streaming insert sink (RecordBatches drained from
+    a plan into ClickHouse); here the stream is unbounded and each
+    micro-batch replays that contract. Returns the total appended row
+    count after the available data drains.
+
+    Delivery semantics: append-only, at-least-once per micro-batch on
+    failure/replay (the reference sink's no-transaction contract).
+    Under ``write_mode='executor'`` each PARTITION of a batch appends
+    atomically (transaction per connection), so a task retry cannot
+    duplicate a partial prefix — but a whole-batch replay after a sink
+    crash still re-appends; idempotent targets (or the snapshot-store
+    MERGE sink, :func:`stream_upsert_snapshot`) are the exactly-once
+    route."""
+    totals = {"n": 0}
+
+    def fn(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        totals["n"] += engine.append_remote(table, batch, cols)
+
+    q = (stream.writeStream.foreachBatch(fn)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return totals["n"]
+
+
 def stream_upsert_snapshot(stream: DataFrame, path: str,
                            key_cols: list[str] | None = None,
                            order_cols: list[str] | None = None) -> None:

@@ -394,3 +394,58 @@ def test_dedup_state_evicts_behind_watermark(spark, tmp_path):
     # nothing was lost: every distinct event_id flowed through
     assert (spark.sql(f"SELECT count(*) FROM {name}").first()[0]
             == batches * n)
+
+
+def test_stream_to_remote_table_federated_sink(spark, tmp_path):
+    """r12: the streaming federated sink drains a file stream into a
+    writable remote table micro-batch by micro-batch through
+    engine.append_remote — totals match the batch read exactly, and the
+    same stream lands identically under the executor-parallel plane."""
+    import shutil
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming.events import (
+        read_events_stream, stream_to_remote_table)
+    from tests.conftest import SF_SMOKE
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    for i in range(3):
+        shutil.copy(src, d / f"part_{i}.parquet")
+    want = spark.read.parquet(str(d)).count()
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    remote.create_table(
+        "ev_sink", "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, value BIGINT")
+
+    def drained():
+        return remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ev_sink"
+        ).column(0)[0].as_py()
+
+    try:
+        stream = read_events_stream(spark, str(d),
+                                    max_files_per_trigger=1) \
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        n = stream_to_remote_table(stream, eng, "ev_sink")
+        assert n == want
+        assert drained() == want
+        assert eng.last_remote_insert == "arrow-stream"
+        # executor-parallel plane: same totals
+        remote.start_ingest_server()
+        eng.write_mode = "executor"
+        n2 = stream_to_remote_table(stream, eng, "ev_sink")
+        assert n2 == want
+        assert drained() == 2 * want
+        assert eng.last_remote_insert == "executor-parallel"
+    finally:
+        eng.write_mode = "spool"
+        remote.stop_ingest_server()
+        remote.drop_table("ev_sink")
