@@ -192,3 +192,75 @@ def test_ingest_transaction_concurrent_appends_commit():
         assert n == 1000
     finally:
         remote.drop_table("tx_c")
+
+
+def test_concurrent_executor_inserts_through_one_server(fed, spark):
+    """Four concurrent federated INSERTs in executor mode share one
+    ingest server and one cursor pool: every statement's rows land
+    exactly once (the server-level twin of the reference's
+    multi-client stress, tests/e2e_stress.rs:241-250)."""
+    import threading
+
+    eng, remote = fed
+    eng.write_mode = "executor"
+    remote.create_table("ew_cc", "k BIGINT")
+    errs = []
+
+    def client(i):
+        try:
+            eng.sql(f"INSERT INTO clickhouse.remote.ew_cc "
+                    f"SELECT CAST(c_custkey + {i * 1_000_000} AS BIGINT) "
+                    f"FROM clickhouse.remote.customer "
+                    f"WHERE log(c_custkey + 1) >= 0")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    try:
+        n_cust = spark.read.parquet(
+            f"{SF_SMOKE}/customer.parquet").count()
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        assert not errs, errs
+        got = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT k) AS BIGINT) AS d FROM ew_cc")
+        assert got.column(0)[0].as_py() == 4 * n_cust
+        assert got.column(1)[0].as_py() == 4 * n_cust
+    finally:
+        remote.drop_table("ew_cc")
+
+
+def test_executor_insert_with_server_down_fails_loud(fed, spark):
+    """If the ingest endpoint is unreachable the INSERT fails loudly
+    (wrapped as the sink's SchemaValidationError chain), never
+    silently; the read-only precheck still runs first."""
+    from clickhouse_datafusion_spark.sink import SchemaValidationError
+
+    eng, remote = fed
+    eng.write_mode = "executor"
+    remote.create_table("ew_down", "k BIGINT")
+    addr = remote.ingest_address
+    try:
+        remote.stop_ingest_server()
+        # no server attached anymore -> engine falls back to the spool
+        # plane (ingest_address is None), which must still succeed
+        eng.sql("INSERT INTO clickhouse.remote.ew_down "
+                "SELECT CAST(c_custkey AS BIGINT) "
+                "FROM clickhouse.remote.customer "
+                "WHERE log(c_custkey + 1) >= 0 AND c_custkey < 50")
+        assert eng.last_remote_insert == "arrow-stream"
+        # a STALE address (server gone, attribute forged) fails loud
+        remote._ingest = type("S", (), {"address": addr,
+                                        "close": lambda self: None})()
+        with pytest.raises(SchemaValidationError):
+            eng.sql("INSERT INTO clickhouse.remote.ew_down "
+                    "SELECT CAST(c_custkey AS BIGINT) "
+                    "FROM clickhouse.remote.customer "
+                    "WHERE log(c_custkey + 1) >= 0 AND c_custkey < 50")
+    finally:
+        remote._ingest = None
+        remote.start_ingest_server()
+        remote.drop_table("ew_down")
