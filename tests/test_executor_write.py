@@ -264,3 +264,38 @@ def test_executor_insert_with_server_down_fails_loud(fed, spark):
         remote._ingest = None
         remote.start_ingest_server()
         remote.drop_table("ew_down")
+
+
+def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
+    """Under a non-UTC session both planes store the UTC rendering of a
+    TIMESTAMP instant (mapInArrow hands the executor plane tz-aware
+    Arrow columns; the remote normalizes them to UTC exactly like the
+    spool's parquet normalization) — the planes cannot diverge on
+    instants whichever one a deployment picks."""
+    eng, remote = fed
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    vals = {}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for mode in ("spool", "executor"):
+            eng.write_mode = mode
+            remote.create_table("ew_tz", "k BIGINT, ev TIMESTAMP")
+            try:
+                src = spark.sql(
+                    "SELECT CAST(1 AS BIGINT) AS k, "
+                    "TIMESTAMP '2001-01-15 12:00:00.123456' AS ev, "
+                    "log(2) AS j")
+                src.createOrReplaceTempView("ew_tz_src")
+                eng.sql("INSERT INTO clickhouse.remote.ew_tz "
+                        "SELECT k, ev FROM ew_tz_src WHERE log(k+1) >= 0")
+                vals[mode] = str(remote.execute(
+                    "SELECT ev FROM ew_tz").column(0)[0])
+            finally:
+                remote.drop_table("ew_tz")
+        # 12:00 EST == 17:00 UTC — the instant, in UTC form, both planes
+        assert vals == {"spool": "2001-01-15 17:00:00.123456",
+                        "executor": "2001-01-15 17:00:00.123456"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        eng.write_mode = "executor"
+        spark.catalog.dropTempView("ew_tz_src")
