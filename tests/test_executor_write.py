@@ -299,3 +299,96 @@ def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
         eng.write_mode = "executor"
         spark.catalog.dropTempView("ew_tz_src")
+
+
+def test_ingest_truncated_stream_rolls_back(fed):
+    """A client that dies MID-STREAM (socket closed after a partial
+    Arrow IPC body — the wire shape of an executor task killed mid
+    partition, e.g. by preemption or OOM) must leave nothing behind:
+    the reader raises inside the transaction, the transaction rolls
+    back, and the server keeps serving. This is the byte-level twin of
+    the schema-mismatch test above — there the stream is well-formed
+    and the INSERT fails; here the stream itself is cut."""
+    eng, remote = fed
+    remote.create_table("ew_cut", "k BIGINT")
+    host, port = remote.ingest_address
+    try:
+        schema = pa.schema([("k", pa.int64())])
+        sink = pa.BufferOutputStream()
+        w = pa.ipc.new_stream(sink, schema)
+        w.write_batch(pa.record_batch(
+            [pa.array(list(range(1000)))], schema=schema))
+        w.write_batch(pa.record_batch(
+            [pa.array(list(range(1000, 2000)))], schema=schema))
+        w.close()
+        body = sink.getvalue().to_pybytes()
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "ew_cut", "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            # cut inside the SECOND batch's body: the reader yields
+            # batch 1 (it may already be INSERTed inside the open
+            # transaction) and then hits the truncation
+            f.write(body[: len(body) - 4000])
+            f.flush()
+            s.shutdown(socket.SHUT_WR)            # client "dies"
+            status = f.read(1)                    # server reports, or
+            if status:                            # the pipe is gone —
+                assert status == b"\x01"          # either way no commit
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ew_cut"
+        ).column(0)[0].as_py()
+        assert n == 0                  # batch 1 rolled back with the cut
+        # the server survives a dead client: a clean insert lands
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "ew_cut", "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            w = pa.ipc.new_stream(f, schema)
+            w.write_batch(pa.record_batch([pa.array([1, 2, 3])],
+                                          schema=schema))
+            w.close()
+            f.flush()
+            assert f.read(1) == b"\x00"
+            assert int.from_bytes(f.read(8), "big") == 3
+    finally:
+        remote.drop_table("ew_cut")
+
+
+def test_ingest_garbage_header_stays_up(fed):
+    """A connection that opens with bytes that are not the protocol
+    (a port scanner, a confused client) gets the error frame — not a
+    hang, not a crash — and the acceptor keeps serving."""
+    eng, remote = fed
+    host, port = remote.ingest_address
+    with socket.create_connection((host, port)) as s:
+        f = s.makefile("rwb")
+        junk = b"\x00\x00\x00\x08notjson!"
+        f.write(junk)
+        f.flush()
+        s.shutdown(socket.SHUT_WR)
+        status = f.read(1)
+        if status:                      # error frame (or dropped pipe)
+            assert status == b"\x01"
+            ln = int.from_bytes(f.read(4), "big")
+            assert len(f.read(ln)) == ln
+    # still serving
+    remote.create_table("ew_after_junk", "k BIGINT")
+    try:
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "ew_after_junk",
+                              "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            schema = pa.schema([("k", pa.int64())])
+            w = pa.ipc.new_stream(f, schema)
+            w.write_batch(pa.record_batch([pa.array([42])], schema=schema))
+            w.close()
+            f.flush()
+            assert f.read(1) == b"\x00"
+            assert int.from_bytes(f.read(8), "big") == 1
+    finally:
+        remote.drop_table("ew_after_junk")
