@@ -622,6 +622,76 @@ class ClickHouseSparkEngine:
             self.last_remote_insert = "arrow-stream"
         return n
 
+    def append_remote_exactly_once(self, table: str, df, batch_id: int,
+                                   cols: str = "",
+                                   sink_id: str | None = None) -> int:
+        """IDEMPOTENT transactional append — the per-micro-batch body of
+        the EXACTLY-ONCE streaming federated sink
+        (streaming.events.stream_to_remote_table(exactly_once=True)).
+
+        Structured Streaming's foreachBatch replays a failed micro-batch
+        with the SAME ``batch_id``; a plain append therefore delivers
+        at-least-once (the reference sink's contract — src/sink.rs has
+        no transaction at all). This method upgrades that to
+        exactly-once with the standard commit-log pattern: the batch's
+        rows AND a ``(sink_id, batch_id)`` marker row land inside ONE
+        remote transaction (``RemoteEngine.ingest_transaction``'s
+        ``pre_commit_sql`` hook), and a replayed batch whose marker
+        already exists is skipped whole. Crash before COMMIT → neither
+        rows nor marker (the replay appends); crash after COMMIT →
+        marker present (the replay skips); there is no window in which
+        rows are visible without their marker.
+
+        The commit log is ``<table>__commits (sink_id VARCHAR,
+        batch_id BIGINT)`` in the remote, auto-created. ``sink_id``
+        (default: the table name) namespaces independent streams
+        writing the same table. The drain is single-cursor by
+        construction — cross-connection atomicity does not exist, so
+        this path always uses the spool funnel even under
+        ``write_mode='executor'``. Returns the appended row count
+        (0 for a skipped replay)."""
+        import os
+        import shutil
+        import uuid
+
+        import pyarrow.dataset as pads
+
+        bare = table.lower().rsplit(".", 1)[-1]
+        if self._remote is None or bare not in self._remote.tables():
+            raise ValueError(f"no remote table {table!r}")
+        commits = f"{bare}__commits"
+        sink = (sink_id or bare).replace("'", "''")
+        bid = int(batch_id)
+        if commits not in self._remote.tables():
+            self._remote.create_table(
+                commits, "sink_id VARCHAR, batch_id BIGINT")
+        seen = self._remote.execute(
+            f"SELECT CAST(count(*) AS BIGINT) FROM {commits} "
+            f"WHERE sink_id = '{sink}' AND batch_id = {bid}"
+        ).column(0)[0].as_py()
+        if seen:
+            self.last_remote_insert = "exactly-once-skip"
+            return 0
+        marker = (f"INSERT INTO {commits} VALUES ('{sink}', {bid})")
+        path = os.path.join(self._remote_spool_dir,
+                            "x1_" + uuid.uuid4().hex)
+        try:
+            df.write.parquet(path)
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith("."))
+            batches = (iter(()) if not files else
+                       pads.dataset(files, format="parquet").to_batches(
+                           batch_size=self.write_batch_rows))
+            # empty batch still commits its marker (and runs the
+            # writability check) so a replay of it skips cheaply
+            n = self._remote.ingest_transaction(
+                bare, batches, cols, pre_commit_sql=marker)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        self.last_remote_insert = "exactly-once-txn"
+        return n
+
     _REMOTE_INSERT_RE = re.compile(
         r"(?is)^\s*insert\s+(?P<kind>into|overwrite)\s+(?:table\s+)?"
         r"(?P<name>[\w.]+)\s*(?P<cols>\([^)]*\))?\s*(?P<src>(select|with|"

@@ -5112,6 +5112,57 @@ def st12_stream_remote_sink(spark, sf):
         remote.drop_table(tbl)
 
 
+@qdef("st13_streaming_sink_exactly_once",
+      f"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                {OSUM('value')} AS total
+         FROM events GROUP BY event_type""",
+      tags=("streaming",))
+def st13_stream_remote_sink_exactly_once(spark, sf):
+    """EXACTLY-ONCE streaming federated sink (r12): st12's replay with
+    ``exactly_once=True`` — every micro-batch's rows land atomically
+    with a commit-log marker (engine.append_remote_exactly_once), and
+    after the drain a REPLAY of a committed batch is injected
+    (append_remote_exactly_once with an already-marked batch_id) to
+    prove the idempotence the at-least-once default cannot: the landed
+    aggregate hash-matches the oracle only if the replay appended
+    NOTHING. The reference sink has no transaction at all
+    (src/sink.rs) — this is a contract beyond it."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming import (
+        read_events_stream, stream_to_remote_table)
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    tbl = f"st13_{_uuid.uuid4().hex[:8]}"
+    remote.create_table(
+        tbl, "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, value DOUBLE")
+    try:
+        d = _staged_stream_dir(sf, "st13", copies=1)
+        stream = read_events_stream(spark, d).select(
+            "event_id", "user_id", "event_type", "ts", "value")
+        stream_to_remote_table(stream, eng, tbl, exactly_once=True)
+        # inject a crash-replay of batch 0: the marker exists, so the
+        # whole batch must be skipped (0 rows) or the hash below breaks
+        replay = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "event_type", "ts", "value").limit(100)
+        n_replay = eng.append_remote_exactly_once(tbl, replay, 0)
+        assert n_replay == 0 and eng.last_remote_insert == "exactly-once-skip"
+        landed = remote.execute(
+            f"SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            f"{OSUM('value')} AS total "
+            f"FROM {tbl} GROUP BY event_type")
+        return spark.createDataFrame(landed).localCheckpoint(eager=True)
+    finally:
+        remote.drop_table(tbl)
+        remote.drop_table(f"{tbl}__commits", if_exists=True)
+
+
 @qdef("st1_streaming_tumbling",
       f"""WITH mx AS (SELECT max(ts) AS m FROM events)
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -5640,6 +5691,7 @@ _GATE_PRIORITY = [
     # changed). Everything else mechanical: the 38-entry r8 tail
     # fronts via tier 4 oldest-round-first, so after r12 no entry's
     # hard driver row is older than r9 (r11 verdict task 6).
+    "st13_streaming_sink_exactly_once",
     "d3x_minhash_production",
     "x56_web_curation",
     "fed2_remote_subtree_exec",

@@ -554,13 +554,19 @@ class RemoteEngine:
             self._ingest = None
 
     def ingest_transaction(self, name: str, batches, columns: str = "",
-                           ) -> int:
+                           pre_commit_sql: str | None = None) -> int:
         """Append an iterator of Arrow RecordBatches ATOMICALLY on one
         pooled cursor: BEGIN → per-batch INSERT → COMMIT, rolling back
         on any failure. This is the per-connection body of the ingest
         server — atomicity is what makes the executor-parallel path
         safe under Spark task RETRIES (a re-run partition never leaves
-        a partial duplicate prefix behind)."""
+        a partial duplicate prefix behind).
+
+        ``pre_commit_sql`` (r12) executes on the SAME cursor inside the
+        transaction, after the last batch and before COMMIT — the hook
+        the exactly-once streaming sink uses to land a commit-log
+        marker atomically with the rows it marks (rows and marker
+        become visible together or not at all)."""
         import uuid as _uuid
 
         import pyarrow as pa
@@ -583,6 +589,8 @@ class RemoteEngine:
                             f"SELECT * FROM {alias}").fetchone()[0])
                     finally:
                         cur.unregister(alias)
+                if pre_commit_sql is not None:
+                    cur.execute(pre_commit_sql)
                 cur.execute("COMMIT")
                 return total
             except Exception:

@@ -242,7 +242,8 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
 
 
 def stream_to_remote_table(stream: DataFrame, engine, table: str,
-                           cols: str = "") -> int:
+                           cols: str = "", exactly_once: bool = False,
+                           sink_id: str | None = None) -> int:
     """Structured-Streaming FEDERATED sink (r12): drive a streaming
     DataFrame into a writable remote table, one micro-batch at a time,
     through the engine's write data plane
@@ -255,19 +256,31 @@ def stream_to_remote_table(stream: DataFrame, engine, table: str,
     count after the available data drains.
 
     Delivery semantics: append-only, at-least-once per micro-batch on
-    failure/replay (the reference sink's no-transaction contract).
-    Under ``write_mode='executor'`` each PARTITION of a batch appends
-    atomically (transaction per connection), so a task retry cannot
-    duplicate a partial prefix — but a whole-batch replay after a sink
-    crash still re-appends; idempotent targets (or the snapshot-store
-    MERGE sink, :func:`stream_upsert_snapshot`) are the exactly-once
-    route."""
+    failure/replay by default (the reference sink's no-transaction
+    contract). Under ``write_mode='executor'`` each PARTITION of a
+    batch appends atomically (transaction per connection), so a task
+    retry cannot duplicate a partial prefix — but a whole-batch replay
+    after a sink crash still re-appends. ``exactly_once=True`` (r12)
+    upgrades to EXACTLY-ONCE: each micro-batch's rows land atomically
+    WITH a ``(sink_id, batch_id)`` marker in the remote commit log
+    ``<table>__commits``, and a replayed batch whose marker exists is
+    skipped whole (:meth:`ClickHouseSparkEngine.
+    append_remote_exactly_once`) — a contract the reference sink
+    cannot offer. The snapshot-store MERGE sink
+    (:func:`stream_upsert_snapshot`) remains the exactly-once route
+    for keyed upserts."""
     totals = {"n": 0}
 
-    def fn(batch: DataFrame, _bid: int) -> None:
+    def fn(batch: DataFrame, bid: int) -> None:
         if batch.isEmpty():
+            # a replayed empty batch appends nothing either way, so
+            # skipping it preserves exactly-once without a marker
             return
-        totals["n"] += engine.append_remote(table, batch, cols)
+        if exactly_once:
+            totals["n"] += engine.append_remote_exactly_once(
+                table, batch, bid, cols, sink_id=sink_id)
+        else:
+            totals["n"] += engine.append_remote(table, batch, cols)
 
     q = (stream.writeStream.foreachBatch(fn)
          .outputMode("append").start())

@@ -449,3 +449,118 @@ def test_stream_to_remote_table_federated_sink(spark, tmp_path):
         eng.write_mode = "spool"
         remote.stop_ingest_server()
         remote.drop_table("ev_sink")
+
+
+def test_stream_to_remote_table_exactly_once(spark, tmp_path):
+    """r12: the EXACTLY-ONCE sink. A replay of the same logical stream
+    (same sink_id, same batch ids — the shape foreachBatch produces
+    after a crash-restart from the checkpoint) appends NOTHING; a
+    different sink_id namespaces a genuinely new stream into the same
+    table. The commit log carries one marker per non-empty batch."""
+    import shutil
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming.events import (
+        read_events_stream, stream_to_remote_table)
+    from tests.conftest import SF_SMOKE
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+
+    d = tmp_path / "ev1"
+    d.mkdir()
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    for i in range(3):
+        shutil.copy(src, d / f"part_{i}.parquet")
+    want = spark.read.parquet(str(d)).count()
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    remote.create_table(
+        "ev_x1", "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, value BIGINT")
+
+    def drained():
+        return remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ev_x1"
+        ).column(0)[0].as_py()
+
+    try:
+        def stream():
+            return read_events_stream(spark, str(d),
+                                      max_files_per_trigger=1) \
+                .select("event_id", "user_id", "event_type", "ts", "value")
+
+        n = stream_to_remote_table(stream(), eng, "ev_x1",
+                                   exactly_once=True)
+        assert n == want
+        assert drained() == want
+        # one marker per non-empty micro-batch (3 files x 1 per trigger)
+        marks = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ev_x1__commits "
+            "WHERE sink_id = 'ev_x1'").column(0)[0].as_py()
+        assert marks == 3
+        # crash-replay: same sink_id, batch ids restart at 0 -> every
+        # batch's marker already exists -> nothing appends
+        n2 = stream_to_remote_table(stream(), eng, "ev_x1",
+                                    exactly_once=True)
+        assert n2 == 0
+        assert drained() == want
+        # a NEW logical stream into the same table: its own namespace
+        n3 = stream_to_remote_table(stream(), eng, "ev_x1",
+                                    exactly_once=True, sink_id="run2")
+        assert n3 == want
+        assert drained() == 2 * want
+    finally:
+        remote.drop_table("ev_x1")
+        remote.drop_table("ev_x1__commits", if_exists=True)
+
+
+def test_append_remote_exactly_once_atomic_rollback(spark):
+    """The commit marker is atomic WITH the rows: a batch that fails
+    mid-transaction leaves neither rows nor marker (the retry with the
+    same batch_id appends, once), and a committed batch_id is skipped
+    whole on replay — the no-rows-without-marker /
+    no-marker-without-rows invariant that makes the sink exactly-once
+    rather than at-least-once-with-dedup-races."""
+    import pytest
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=2)
+    eng.attach_remote(remote, db="remote")
+    remote.create_table("x1_tbl", "k BIGINT")
+
+    def count(sql):
+        return remote.execute(sql).column(0)[0].as_py()
+
+    try:
+        bad = spark.range(5).selectExpr("id AS k", "id AS extra")
+        with pytest.raises(Exception):
+            eng.append_remote_exactly_once("x1_tbl", bad, 7)
+        # neither rows nor marker survived the rollback
+        assert count("SELECT CAST(count(*) AS BIGINT) FROM x1_tbl") == 0
+        assert count("SELECT CAST(count(*) AS BIGINT) "
+                     "FROM x1_tbl__commits WHERE batch_id = 7") == 0
+        # the retry with the SAME id appends exactly once
+        good = spark.range(5).selectExpr("id AS k")
+        assert eng.append_remote_exactly_once("x1_tbl", good, 7) == 5
+        assert eng.last_remote_insert == "exactly-once-txn"
+        assert eng.append_remote_exactly_once("x1_tbl", good, 7) == 0
+        assert eng.last_remote_insert == "exactly-once-skip"
+        assert count("SELECT CAST(count(*) AS BIGINT) FROM x1_tbl") == 5
+        # an EMPTY committed batch still lands its marker, so its
+        # replay skips without a distributed job's worth of work
+        empty = good.limit(0)
+        assert eng.append_remote_exactly_once("x1_tbl", empty, 8) == 0
+        assert count("SELECT CAST(count(*) AS BIGINT) "
+                     "FROM x1_tbl__commits WHERE batch_id = 8") == 1
+        assert eng.append_remote_exactly_once("x1_tbl", empty, 8) == 0
+        assert eng.last_remote_insert == "exactly-once-skip"
+    finally:
+        remote.drop_table("x1_tbl")
+        remote.drop_table("x1_tbl__commits", if_exists=True)
