@@ -5163,6 +5163,68 @@ def st13_stream_remote_sink_exactly_once(spark, sf):
         remote.drop_table(f"{tbl}__commits", if_exists=True)
 
 
+@qdef("st14_remote_table_tail",
+      f"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                {OSUM('value')} AS total
+         FROM events GROUP BY event_type""",
+      tags=("streaming",))
+def st14_remote_table_tail(spark, sf):
+    """Streaming federated SOURCE (r12): tail a growing remote table by
+    its monotonic key (``tail_remote_table`` over the
+    ``clickhouse_tail`` Python streaming DataSource) — the read
+    direction of the streaming seam and the distributed extension of
+    the reference's single-client result stream (src/stream.rs:110-131;
+    executors pull key-range partitions over the remote's Arrow
+    endpoint). The gate loads HALF the events, drains the stream, then
+    appends the other half REMOTE-SIDE and drains again: the memory
+    sink aggregate hash-matches the whole-table oracle only if the
+    watermark picked up exactly the delta — no re-reads, no gaps."""
+    import uuid as _uuid
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming import tail_remote_table
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    tbl = f"st14_{_uuid.uuid4().hex[:8]}"
+    src = resolve_parquet_path(f"{sf}/events.parquet")
+    remote.create_table(
+        tbl, "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "value DOUBLE")
+    mid = remote.execute(
+        f"SELECT CAST(median(event_id) AS BIGINT) "
+        f"FROM read_parquet('{src}')").column(0)[0].as_py()
+    remote.execute_insert(
+        f"INSERT INTO {tbl} SELECT event_id, user_id, event_type, value "
+        f"FROM read_parquet('{src}') WHERE event_id <= {mid}")
+    sink = f"st14_sink_{_uuid.uuid4().hex[:8]}"
+    try:
+        stream = tail_remote_table(spark, remote, tbl, "event_id",
+                                   num_partitions=4)
+        q = (stream.writeStream.outputMode("append")
+             .format("memory").queryName(sink).start())
+        try:
+            q.processAllAvailable()
+            remote.execute_insert(
+                f"INSERT INTO {tbl} SELECT event_id, user_id, "
+                f"event_type, value FROM read_parquet('{src}') "
+                f"WHERE event_id > {mid}")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (spark.table(sink)
+               .groupBy("event_type")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    dsum("value").alias("total")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        remote.stop_ingest_server()
+        remote.drop_table(tbl)
+
+
 @qdef("st1_streaming_tumbling",
       f"""WITH mx AS (SELECT max(ts) AS m FROM events)
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -5692,6 +5754,7 @@ _GATE_PRIORITY = [
     # fronts via tier 4 oldest-round-first, so after r12 no entry's
     # hard driver row is older than r9 (r11 verdict task 6).
     "st13_streaming_sink_exactly_once",
+    "st14_remote_table_tail",
     "d3x_minhash_production",
     "x56_web_curation",
     "fed2_remote_subtree_exec",

@@ -603,13 +603,25 @@ class RemoteEngine:
 class ArrowIngestServer:
     """Arrow-IPC-over-TCP ingest endpoint for a :class:`RemoteEngine`.
 
-    Wire protocol (one INSERT per connection):
-      client → 4-byte BE header length, UTF-8 JSON header
-               ``{"table": ..., "columns": ...}``, then a standard
-               Arrow IPC stream of RecordBatches;
-      server → 1 status byte (``0x00`` ok / ``0x01`` error), then
-               8-byte BE appended-row count (ok) or 4-byte BE length +
-               UTF-8 message (error).
+    Wire protocol (one operation per connection). The header is a
+    4-byte BE length + UTF-8 JSON dict; ``op`` selects the operation
+    (default ``"ingest"`` for r12 back-compat):
+
+    * ingest — header ``{"table": ..., "columns": ...}`` then an Arrow
+      IPC stream of RecordBatches from the client; server replies
+      1 status byte (``0x00`` ok / ``0x01`` error), then 8-byte BE
+      appended-row count (ok) or 4-byte BE length + UTF-8 message
+      (error).
+    * query (r12b — the read direction; the executor-reachable twin of
+      :meth:`RemoteEngine.execute_stream`, src/stream.rs:110-131) —
+      header ``{"op": "query", "sql": ..., "batch_rows": ...}``; server
+      replies the status byte, then (ok) streams the result as an
+      Arrow IPC stream batch-by-batch and closes. A failure BEFORE the
+      first batch is a clean ``0x01`` error frame; a failure mid-stream
+      truncates the IPC stream (the client's reader raises). This is
+      what lets Spark EXECUTORS scan key ranges of a remote table
+      directly — the data plane of the ``clickhouse_tail`` streaming
+      source.
 
     Each connection's batches append inside ONE transaction
     (:meth:`RemoteEngine.ingest_transaction`), so a Spark task retry
@@ -663,6 +675,9 @@ class ArrowIngestServer:
             try:
                 hdr_len = int.from_bytes(f.read(4), "big")
                 hdr = json.loads(f.read(hdr_len))
+                if hdr.get("op", "ingest") == "query":
+                    self._handle_query(f, hdr)
+                    return
                 reader = pa.ipc.open_stream(f)
                 total = self._engine.ingest_transaction(
                     hdr["table"], reader, hdr.get("columns", ""))
@@ -681,6 +696,29 @@ class ArrowIngestServer:
                 conn.close()
             except OSError:  # pragma: no cover - already closed
                 pass
+
+    def _handle_query(self, f, hdr: dict) -> None:
+        """Stream a query result back as an Arrow IPC stream. The
+        status byte is written only after the cursor EXECUTE succeeds,
+        so planning/binding errors reach the client as a clean error
+        frame (handled by the caller's except); a failure while
+        streaming batches truncates the IPC stream instead. The cursor
+        is pooled like every other operation — N concurrent range
+        scans share the same pool as the writers."""
+        import pyarrow as pa
+
+        cur = self._engine._pool.get()
+        try:
+            reader = cur.execute(hdr["sql"]).fetch_record_batch(
+                int(hdr.get("batch_rows", 65536)))
+            f.write(b"\x00")
+            writer = pa.ipc.new_stream(f, reader.schema)
+            for batch in reader:
+                writer.write_batch(batch)
+            writer.close()
+            f.flush()
+        finally:
+            self._engine._pool.put(cur)
 
     def close(self) -> None:
         self._stop = True

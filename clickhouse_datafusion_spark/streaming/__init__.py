@@ -18,6 +18,7 @@ from clickhouse_datafusion_spark.streaming.events import (
     stream_stream_interval_join,
     stream_to_remote_table,
     stream_upsert_snapshot,
+    tail_remote_table,
     streaming_retention,
     stream_append_ann_index,
     run_to_memory_sink,
@@ -35,6 +36,7 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_to_remote_table",
     "stream_upsert_snapshot",
+    "tail_remote_table",
     "streaming_retention",
     "stream_append_ann_index",
     "run_to_memory_sink",

@@ -291,6 +291,43 @@ def stream_to_remote_table(stream: DataFrame, engine, table: str,
     return totals["n"]
 
 
+def tail_remote_table(spark, remote, table: str, key_col: str,
+                      columns: str = "*", num_partitions: int = 4,
+                      start_key: int | None = None,
+                      max_rows_per_batch: int | None = None) -> DataFrame:
+    """Tail a growing remote table as a Structured Streaming source —
+    the READ direction of the streaming federation story (the write
+    direction is :func:`stream_to_remote_table`). Each micro-batch is
+    the key-range delta ``(committed_watermark, max(key)]``, split at
+    ntile boundaries and pulled by EXECUTORS over the remote's Arrow
+    endpoint (``op: query`` — the distributed extension of the
+    reference's single-client result stream, src/stream.rs:110-131).
+    The offset is checkpointable, so a restarted query resumes from
+    the committed watermark; chain into
+    ``stream_to_remote_table(exactly_once=True)`` for an end-to-end
+    exactly-once remote→Spark→remote pipeline.
+
+    ``remote`` must have (or will get) its ingest server started —
+    that server carries both planes. The table must be append-only in
+    ``key_col`` (BIGINT, monotonic); see
+    sources/clickhouse_tail.py for the full contract."""
+    from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+        register_clickhouse_tail)
+
+    host, port = remote.start_ingest_server()
+    register_clickhouse_tail(spark)
+    r = (spark.readStream.format("clickhouse_tail")
+         .option("host", host).option("port", str(port))
+         .option("table", table).option("key", key_col)
+         .option("columns", columns)
+         .option("num_partitions", str(num_partitions)))
+    if start_key is not None:
+        r = r.option("start_key", str(int(start_key)))
+    if max_rows_per_batch is not None:
+        r = r.option("max_rows_per_batch", str(int(max_rows_per_batch)))
+    return r.load()
+
+
 def stream_upsert_snapshot(stream: DataFrame, path: str,
                            key_cols: list[str] | None = None,
                            order_cols: list[str] | None = None) -> None:

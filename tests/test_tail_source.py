@@ -1,0 +1,175 @@
+"""r12: the ``clickhouse_tail`` streaming SOURCE — tailing a growing
+remote table by a monotonic key, with executor-side key-range pulls
+over the remote's Arrow endpoint (the read-direction twin of the
+executor-parallel write; reference anchor src/stream.rs:110-131, here
+distributed N-ways and made restartable via checkpointed offsets)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+    ClickHouseTailStreamReader,
+    _wire_query,
+)
+from clickhouse_datafusion_spark.sources.remote_engine import RemoteEngine
+from clickhouse_datafusion_spark.streaming import tail_remote_table
+
+
+@pytest.fixture()
+def remote():
+    r = RemoteEngine(pool_size=4)
+    yield r
+    r.stop_ingest_server()
+
+
+def _load(remote, tbl, n, start=1):
+    remote.create_table(tbl, "k BIGINT, v DOUBLE, s VARCHAR")
+    remote.insert_arrow(tbl, pa.table({
+        "k": list(range(start, start + n)),
+        "v": [i * 0.5 for i in range(start, start + n)],
+        "s": [f"s{i}" for i in range(start, start + n)]}))
+
+
+def test_tail_initial_then_delta(spark, remote):
+    """The first micro-batch covers the table; rows appended remote-side
+    AFTER the stream starts arrive as exactly one delta batch."""
+    _load(remote, "t_a", 1000)
+    got = []
+    stream = tail_remote_table(spark, remote, "t_a", "k",
+                               num_partitions=3)
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(lambda b, i: got.append(b.count())).start())
+    try:
+        q.processAllAvailable()
+        remote.insert_arrow("t_a", pa.table({
+            "k": list(range(1001, 1251)),
+            "v": [0.0] * 250, "s": ["d"] * 250}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(got) == 1250
+    assert [g for g in got if g][0] == 1000          # initial batch
+    assert [g for g in got if g][1:] == [250]        # exactly the delta
+
+
+def test_tail_values_roundtrip(spark, remote):
+    """Every column survives the wire bit-exactly (bigint, double,
+    string) — compare the drained stream against the remote's own
+    table, row for row."""
+    _load(remote, "t_v", 500)
+    stream = tail_remote_table(spark, remote, "t_v", "k")
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("t_v_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.table("t_v_sink").collect(),
+                 key=lambda r: r["k"])
+    want = remote.execute("SELECT * FROM t_v ORDER BY k").to_pylist()
+    assert len(got) == len(want) == 500
+    for g, w in zip(got, want):
+        assert (g["k"], g["v"], g["s"]) == (w["k"], w["v"], w["s"])
+
+
+def test_tail_backpressure_max_rows(spark, remote):
+    """``max_rows_per_batch`` caps each micro-batch (the
+    maxOffsetsPerTrigger analog): 1000 rows at cap 300 drain in >= 4
+    batches, none above the cap, nothing lost or duplicated. A capped
+    stream reports the capped offset as latest (see the module-docstring
+    caveat), so the drain loops until the counts stabilize — exactly
+    what an interval trigger does in production."""
+    _load(remote, "t_bp", 1000)
+    got = []
+    stream = tail_remote_table(spark, remote, "t_bp", "k",
+                               max_rows_per_batch=300)
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(lambda b, i: got.append(b.count())).start())
+    try:
+        prev = -1
+        for _ in range(10):
+            q.processAllAvailable()
+            if sum(got) == prev:
+                break
+            prev = sum(got)
+    finally:
+        q.stop()
+    sizes = [g for g in got if g]
+    assert sum(sizes) == 1000
+    assert len(sizes) >= 4
+    assert all(s <= 300 for s in sizes)
+
+
+def test_tail_checkpoint_restart_resumes(spark, remote, tmp_path):
+    """A restarted query with the same checkpoint resumes from the
+    COMMITTED watermark: rows drained before the stop are not re-read;
+    rows appended while the stream was down arrive in the first batch
+    after restart. This is what makes the source exactly-once end to
+    end (chain with stream_to_remote_table(exactly_once=True))."""
+    _load(remote, "t_ck", 400)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got = []
+        stream = tail_remote_table(spark, remote, "t_ck", "k")
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(lambda b, i: got.append(b.count())).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sum(got)
+
+    assert drain() == 400
+    # appended while the query is DOWN
+    remote.insert_arrow("t_ck", pa.table({
+        "k": [401, 402, 403], "v": [1.0, 2.0, 3.0],
+        "s": ["x", "y", "z"]}))
+    assert drain() == 3                      # only the delta — no re-read
+
+
+def test_tail_partitions_split_at_data_boundaries(remote):
+    """Partition planning is skew-proof: with keys clustered at both
+    ends of a huge range, ntile boundaries give each partition ~equal
+    ROWS (an arithmetic midpoint split would put all rows in two of
+    them)."""
+    remote.create_table("t_sk", "k BIGINT, v DOUBLE, s VARCHAR")
+    keys = list(range(1, 501)) + list(range(10_000_000, 10_000_500))
+    remote.insert_arrow("t_sk", pa.table({
+        "k": keys, "v": [0.0] * 1000, "s": ["x"] * 1000}))
+    host, port = remote.start_ingest_server()
+    rd = ClickHouseTailStreamReader({
+        "host": host, "port": str(port), "table": "t_sk", "key": "k",
+        "num_partitions": "4"})
+    parts = rd.partitions({"key": 0}, {"key": 10_000_500})
+    assert len(parts) == 4
+    counts = [
+        _scalar_rows(p) for p in parts]
+    assert sum(counts) == 1000
+    assert max(counts) <= 300                # ~250 each, never half
+
+
+def _scalar_rows(p) -> int:
+    return sum(b.num_rows for b in _wire_query(p.host, p.port, p.sql,
+                                               p.batch_rows))
+
+
+def test_tail_wire_query_error_frame(remote):
+    """A bad statement through the query op is a clean error frame
+    (RuntimeError with the remote's message), and the endpoint keeps
+    serving BOTH planes — a query and an ingest — afterwards."""
+    remote.create_table("t_er", "k BIGINT")
+    host, port = remote.start_ingest_server()
+    with pytest.raises(RuntimeError, match="remote query failed"):
+        list(_wire_query(host, port, "SELECT nope FROM t_er"))
+    # query plane still up
+    assert list(_wire_query(host, port,
+                            "SELECT CAST(count(*) AS BIGINT) FROM t_er"
+                            ))[0].column(0)[0].as_py() == 0
+    # ingest plane still up (shared server, shared pool)
+    n = remote.ingest_transaction(
+        "t_er", iter([pa.record_batch([pa.array([1, 2])], names=["k"])]))
+    assert n == 2
