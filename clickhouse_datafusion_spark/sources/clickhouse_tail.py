@@ -31,8 +31,10 @@ queries per micro-batch (max-key poll + boundary ntile); rows flow
 remote→executor N-ways in Arrow batches. Backpressure is
 ``max_rows_per_batch``: ``latestOffset`` advances at most that many
 rows past the committed watermark per micro-batch (clamped via a
-windowed nth-key probe), the Kafka ``maxOffsetsPerTrigger`` analog.
-One API-shaped caveat: the Python DataSourceStreamReader protocol has
+windowed nth-key probe), the Kafka ``maxOffsetsPerTrigger`` analog —
+EXCEPT the first batch after a cold start or restart, which is an
+uncapped catch-up (the only restart-safe answer when the base is
+unknown; see the latestOffset comment). One API-shaped caveat: the Python DataSourceStreamReader protocol has
 no separate report-true-latest hook, so a capped ``latestOffset`` is
 also what ``processAllAvailable`` compares against — a capped stream
 looks "caught up" after each batch, and test-style drains must loop
@@ -137,18 +139,30 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         return {"key": self._last}
 
     def latestOffset(self) -> dict:
-        last = self._last if self._last is not None else 0
-        if self._max_rows is not None:
+        if self._max_rows is not None and self._last is not None:
             # backpressure: advance at most max_rows keys' worth — the
             # nth smallest key above the watermark (ORDER BY + LIMIT
-            # pushed to the remote; rows never leave it)
-            cap = _scalar(
+            # pushed to the remote; rows never leave it). Only valid
+            # when this reader KNOWS the last planned end (_last).
+            # Spark calls latestOffset BEFORE initialOffset on a fresh
+            # query and before partitions() on a restart (traced on
+            # 4.1), and offsets it has not seen are accepted verbatim —
+            # an end computed from a stale base lands BELOW the
+            # committed watermark, Spark commits the backwards batch,
+            # and the keys in between replay as duplicates (the e2e
+            # pipeline test crashes mid-run to pin this). So the
+            # unknown-base call returns the true max — one uncapped
+            # catch-up batch after a cold start or restart (its
+            # ntile-split partitions keep it parallel and
+            # memory-bounded) — and the cap engages from the next
+            # batch, once partitions() has re-synced the base from
+            # Spark's authoritative offsets.
+            hi = _scalar(
                 self._host, self._port,
                 f"SELECT CAST(max(k) AS BIGINT) FROM ("
                 f"SELECT {self._key} AS k FROM {self._table} "
-                f"WHERE {self._key} > {last} "
+                f"WHERE {self._key} > {self._last} "
                 f"ORDER BY k LIMIT {int(self._max_rows)})")
-            hi = cap
         else:
             hi = _scalar(self._host, self._port,
                          f"SELECT CAST(max({self._key}) AS BIGINT) "
@@ -160,6 +174,12 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
     # -- planning / reading -------------------------------------------
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["key"]), int(end["key"])
+        # the offsets Spark hands back are authoritative (they include
+        # WAL-recovered batches on restart) — re-sync the in-memory
+        # watermark from BOTH ends so a capped latestOffset never plans
+        # below them (lo is the committed watermark on recovery)
+        if self._last is None or max(lo, hi) > self._last:
+            self._last = max(lo, hi)
         rng = f"{self._key} > {lo} AND {self._key} <= {hi}"
         bounds = [
             b.column(0)[p].as_py()

@@ -76,28 +76,36 @@ def test_tail_values_roundtrip(spark, remote):
 
 def test_tail_backpressure_max_rows(spark, remote):
     """``max_rows_per_batch`` caps each micro-batch (the
-    maxOffsetsPerTrigger analog): 1000 rows at cap 300 drain in >= 4
-    batches, none above the cap, nothing lost or duplicated. A capped
-    stream reports the capped offset as latest (see the module-docstring
-    caveat), so the drain loops until the counts stabilize — exactly
-    what an interval trigger does in production."""
-    _load(remote, "t_bp", 1000)
+    maxOffsetsPerTrigger analog). The FIRST batch is an uncapped
+    catch-up (the restart-safe contract — see the module docstring);
+    from then on a 1200-row burst drains in >= 4 batches, none above
+    the cap, nothing lost or duplicated. A capped stream reports the
+    capped offset as latest, so the drain loops until the counts
+    stabilize — exactly what an interval trigger does in production."""
+    _load(remote, "t_bp", 100)
     got = []
     stream = tail_remote_table(spark, remote, "t_bp", "k",
                                max_rows_per_batch=300)
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(lambda b, i: got.append(b.count())).start())
-    try:
+
+    def drain():
         prev = -1
-        for _ in range(10):
-            q.processAllAvailable()
-            if sum(got) == prev:
-                break
+        while sum(got) != prev:
             prev = sum(got)
+            q.processAllAvailable()
+
+    try:
+        drain()
+        assert [g for g in got if g] == [100]       # catch-up batch
+        remote.insert_arrow("t_bp", pa.table({
+            "k": list(range(101, 1301)),
+            "v": [0.0] * 1200, "s": ["d"] * 1200}))
+        drain()
     finally:
         q.stop()
-    sizes = [g for g in got if g]
-    assert sum(sizes) == 1000
+    sizes = [g for g in got if g][1:]               # the capped burst
+    assert sum(sizes) == 1200
     assert len(sizes) >= 4
     assert all(s <= 300 for s in sizes)
 
@@ -173,3 +181,65 @@ def test_tail_wire_query_error_frame(remote):
     n = remote.ingest_transaction(
         "t_er", iter([pa.record_batch([pa.array([1, 2])], names=["k"])]))
     assert n == 2
+
+
+def test_end_to_end_exactly_once_pipeline(spark, remote, tmp_path):
+    """The round-trip flagship: tail a remote SOURCE table, transform,
+    and land in a remote SINK table with exactly_once=True — then
+    crash the query between micro-batches and restart it from the
+    checkpoint. Every source row must appear in the sink exactly once:
+    the source side cannot re-read below the committed watermark, and
+    the sink side skips any replayed batch via its commit log. This is
+    the CDC-replication shape neither half can prove alone."""
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    eng.attach_remote(remote, db="remote")
+    _load(remote, "p_src", 600)
+    remote.create_table("p_dst", "k BIGINT, v2 DOUBLE")
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    def run_once(max_batches: int | None = None):
+        """Drive the pipeline; optionally crash after max_batches."""
+        from pyspark.sql import functions as F
+
+        stream = tail_remote_table(spark, remote, "p_src", "k",
+                                   max_rows_per_batch=250)
+        seen = {"batches": 0}
+
+        def fn(batch, bid):
+            if batch.isEmpty():
+                return
+            if (max_batches is not None
+                    and seen["batches"] >= max_batches):
+                raise RuntimeError("injected crash")
+            seen["batches"] += 1
+            eng.append_remote_exactly_once(
+                "p_dst", batch.select("k", (F.col("v") * 2).alias("v2")),
+                bid, sink_id="pipe")
+
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(fn).start())
+        try:
+            prev = -1
+            for _ in range(10):
+                q.processAllAvailable()
+                if seen["batches"] == prev:
+                    break
+                prev = seen["batches"]
+        except Exception:
+            pass                      # the injected crash surfaces here
+        finally:
+            q.stop()
+
+    run_once(max_batches=1)           # crash after the first 250 rows
+    run_once()                        # restart from the checkpoint
+    n, dups, vbad = (remote.execute(
+        "SELECT CAST(count(*) AS BIGINT), "
+        "CAST(count(*) - count(DISTINCT k) AS BIGINT), "
+        "CAST(sum(CASE WHEN v2 <> k THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM p_dst").to_pylist()[0].values())
+    assert n == 600                   # nothing lost
+    assert dups == 0                  # nothing duplicated
+    assert vbad == 0                  # transform applied (v = k*0.5 -> v2 = k)
