@@ -181,25 +181,33 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         if self._last is None or max(lo, hi) > self._last:
             self._last = max(lo, hi)
         rng = f"{self._key} > {lo} AND {self._key} <= {hi}"
-        bounds = [
-            b.column(0)[p].as_py()
-            for b in _wire_query(
-                self._host, self._port,
-                f"SELECT CAST(max(k) AS BIGINT) AS b FROM ("
-                f"SELECT {self._key} AS k, ntile({self._nparts}) "
-                f"OVER (ORDER BY {self._key}) AS bkt "
-                f"FROM {self._table} WHERE {rng}) "
-                f"GROUP BY bkt ORDER BY 1")
-            for p in range(b.num_rows)]
-        if not bounds:
-            bounds = [hi]
+        # equal-ROW split boundaries via a discrete-quantile AGGREGATE —
+        # one pass, no full sort (an ntile window materializes and sorts
+        # the whole range per micro-batch, which dominates large
+        # catch-up batches). quantile_disc returns actual key values, so
+        # every boundary is a real row's key; a ClickHouse retarget
+        # swaps in quantilesExact (this SQL only ever runs on the
+        # remote's dialect, never through the local parser).
+        qs = ", ".join(f"{(i + 1) / self._nparts:.6f}"
+                       for i in range(self._nparts))
+        raw = _scalar(
+            self._host, self._port,
+            f"SELECT quantile_disc({self._key}, [{qs}]) "
+            f"FROM {self._table} WHERE {rng}")
+        bounds = sorted({int(b) for b in (raw or []) if b is not None})
+        if not bounds or bounds[-1] != hi:
+            # hi always terminates the last range: quantile boundaries
+            # come from rows present NOW, and the planned end must win
+            bounds = [b for b in bounds if b < hi] + [hi]
         parts, prev = [], lo
         for b in bounds:
+            # no ORDER BY: a sort per partition pull buys nothing (rows
+            # within a Spark partition carry no order contract) and
+            # costs the remote a sort of every range every micro-batch
             parts.append(_KeyRangePartition(
                 self._host, self._port,
                 f"SELECT {self._cols} FROM {self._table} "
-                f"WHERE {self._key} > {prev} AND {self._key} <= {b} "
-                f"ORDER BY {self._key}",
+                f"WHERE {self._key} > {prev} AND {self._key} <= {b}",
                 self._batch_rows))
             prev = b
         return parts

@@ -152,7 +152,7 @@ def test_tail_partitions_split_at_data_boundaries(remote):
     rd = ClickHouseTailStreamReader({
         "host": host, "port": str(port), "table": "t_sk", "key": "k",
         "num_partitions": "4"})
-    parts = rd.partitions({"key": 0}, {"key": 10_000_500})
+    parts = rd.partitions({"key": 0}, {"key": max(keys)})
     assert len(parts) == 4
     counts = [
         _scalar_rows(p) for p in parts]
