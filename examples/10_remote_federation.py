@@ -95,3 +95,43 @@ eng.write_mode = "spool"
 remote.stop_ingest_server()
 eng.sql("DROP TABLE clickhouse.remote.order_wide")
 eng.sql("DROP TABLE clickhouse.remote.order_digest")
+
+# r12b: the streaming seam, both directions. READ — tail a growing
+# remote table by its monotonic key: micro-batch = the key-range delta
+# above the committed watermark, partitions pulled by EXECUTORS over
+# the ingest server's Arrow query endpoint (the distributed,
+# checkpoint-restartable extension of the reference's single-client
+# result stream, src/stream.rs:110-131). WRITE — land a stream in a
+# remote table; exactly_once=True commits each micro-batch's rows
+# atomically WITH a (sink_id, batch_id) marker in <table>__commits,
+# so a crash-replayed batch is skipped whole. Chained, they make an
+# exactly-once remote -> Spark -> remote pipeline.
+from pyspark.sql import functions as F
+
+from clickhouse_datafusion_spark.streaming import (
+    stream_to_remote_table, tail_remote_table)
+
+remote.create_table("cdc_src", "k BIGINT, v DOUBLE")
+remote.create_table("cdc_dst", "k BIGINT, v2 DOUBLE")
+eng.append_remote("cdc_src", eng.spark.range(1, 5001).select(
+    F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")))
+
+tail = tail_remote_table(eng.spark, remote, "cdc_src", "k",
+                         num_partitions=4)
+q = (tail.select("k", (F.col("v") * 2).alias("v2"))
+     .writeStream.outputMode("append")
+     .foreachBatch(lambda b, bid: eng.append_remote_exactly_once(
+         "cdc_dst", b, bid, sink_id="cdc")).start())
+q.processAllAvailable()
+eng.append_remote("cdc_src", eng.spark.range(5001, 6001).select(
+    F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")))
+q.processAllAvailable()          # the delta arrives as one micro-batch
+q.stop()
+print("cdc rows landed:",
+      remote.execute("SELECT CAST(count(*) AS BIGINT) FROM cdc_dst")
+      .column(0)[0].as_py(), "| batches committed:",
+      remote.execute("SELECT CAST(count(*) AS BIGINT) "
+                     "FROM cdc_dst__commits").column(0)[0].as_py())
+remote.stop_ingest_server()
+for t in ("cdc_src", "cdc_dst", "cdc_dst__commits"):
+    remote.drop_table(t, if_exists=True)
