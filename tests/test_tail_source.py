@@ -243,3 +243,29 @@ def test_end_to_end_exactly_once_pipeline(spark, remote, tmp_path):
     assert n == 600                   # nothing lost
     assert dups == 0                  # nothing duplicated
     assert vbad == 0                  # transform applied (v = k*0.5 -> v2 = k)
+
+
+def test_tail_duplicate_keys_never_split_or_lost(spark, remote):
+    """Keys are not required to be unique — only monotone in arrival.
+    With a duplicate-heavy multiset (1000 rows over 13 distinct keys,
+    fewer than num_partitions), quantile boundaries collapse and rows
+    with equal keys land in exactly one range: the drained multiset
+    equals the table's, nothing split, lost, or doubled."""
+    import random
+
+    rng = random.Random(7)
+    keys = sorted(rng.choice(range(1, 14)) for _ in range(1000))
+    remote.create_table("t_dup", "k BIGINT, v DOUBLE, s VARCHAR")
+    remote.insert_arrow("t_dup", pa.table({
+        "k": keys, "v": [float(k) for k in keys],
+        "s": [f"s{k}" for k in keys]}))
+    stream = tail_remote_table(spark, remote, "t_dup", "k",
+                               num_partitions=32)
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("t_dup_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.table("t_dup_sink").collect())
+    assert got == keys
