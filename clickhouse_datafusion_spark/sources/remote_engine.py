@@ -530,16 +530,29 @@ class RemoteEngine:
         return total
 
     # -- executor-parallel ingest (r12) --------------------------------
-    def start_ingest_server(self, host: str = "127.0.0.1"):
+    def start_ingest_server(self, host: str = "127.0.0.1",
+                            io_timeout: float | None = 300.0):
         """Start the Arrow-over-TCP ingest server — the server half of
         the EXECUTOR-PARALLEL federated write (the scale extension of
         the reference's single-client sink, src/sink.rs:102-211: where
         the reference streams RecordBatches over one client connection,
         a server-mode remote accepts N concurrent executor connections,
         so the wire is no longer driver-serialized). Returns the bound
-        ``(host, port)``. Loopback-only by default."""
+        ``(host, port)``. Loopback-only by default.
+
+        ``io_timeout`` bounds each connection's individual socket
+        reads/writes: a STALLED peer (an executor frozen mid-send, a
+        tail client that stopped draining its result) would otherwise
+        block its handler thread in the kernel forever and pin a pooled
+        cursor — a slow-client denial of the whole pool (found by the
+        stalled-query-client test). On timeout the handler's
+        transaction rolls back / result stream truncates, the cursor
+        returns, the connection closes. Generous by default (300 s of
+        NO byte movement, not total duration) so a busy-but-alive peer
+        never trips it; ``None`` disables."""
         if getattr(self, "_ingest", None) is None:
-            self._ingest = ArrowIngestServer(self, host=host)
+            self._ingest = ArrowIngestServer(self, host=host,
+                                             io_timeout=io_timeout)
         return self._ingest.address
 
     @property
@@ -630,10 +643,12 @@ class ArrowIngestServer:
     pool — N executor connections share the same pool the driver-side
     writers use."""
 
-    def __init__(self, engine: "RemoteEngine", host: str = "127.0.0.1"):
+    def __init__(self, engine: "RemoteEngine", host: str = "127.0.0.1",
+                 io_timeout: float | None = 300.0):
         import socket
 
         self._engine = engine
+        self._io_timeout = io_timeout
         self._sock = socket.create_server((host, 0))
         self._sock.settimeout(0.5)
         self.address = self._sock.getsockname()
@@ -670,6 +685,10 @@ class ArrowIngestServer:
 
         with self._count_lock:
             self.connections_served += 1
+        # per-operation stall bound: without it a frozen peer parks
+        # this thread in the kernel send/recv forever WITH a pooled
+        # cursor checked out (see start_ingest_server docstring)
+        conn.settimeout(self._io_timeout)
         f = conn.makefile("rwb")
         try:
             try:

@@ -269,3 +269,69 @@ def test_tail_duplicate_keys_never_split_or_lost(spark, remote):
         q.stop()
     got = sorted(r["k"] for r in spark.table("t_dup_sink").collect())
     assert got == keys
+
+
+def test_tail_more_partitions_than_pool_cursors(spark, remote):
+    """Pool over-subscription across the query plane: 8 concurrent
+    partition pulls over a pool of 4 cursors (plus the driver's offset
+    polls on the same pool) must COMPLETE — waiting, never deadlock —
+    the reference pool's over-subscription contract extended to the
+    read direction."""
+    _load(remote, "t_ps", 2000)
+    stream = tail_remote_table(spark, remote, "t_ps", "k",
+                               num_partitions=8)   # pool_size is 4
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("t_ps_sink").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table("t_ps_sink").count() == 2000
+
+
+def test_stalled_query_client_cannot_pin_the_pool():
+    """A STALLED query client — connected, alive, but not draining its
+    result — parks the handler thread in the kernel send with a pooled
+    cursor checked out; without the server's io_timeout that is a
+    slow-client denial of the whole pool (this test found it: the
+    handler sat in socket.send forever). With the timeout, the cursor
+    returns and BOTH planes keep working on a pool of ONE."""
+    import socket as _socket
+    import json as _json
+    import time
+
+    remote = RemoteEngine(pool_size=1)
+    remote.create_table("t_qd", "k BIGINT, s VARCHAR")
+    remote.insert_arrow("t_qd", pa.table({
+        "k": list(range(200_000)),
+        "s": [f"pad_{i:032d}" for i in range(200_000)]}))
+    host, port = remote.start_ingest_server(io_timeout=2.0)
+    s = _socket.create_connection((host, port))
+    f = s.makefile("rwb")
+    try:
+        hdr = _json.dumps({"op": "query",
+                           "sql": "SELECT * FROM t_qd"}).encode()
+        f.write(len(hdr).to_bytes(4, "big"))
+        f.write(hdr)
+        f.flush()
+        assert f.read(1) == b"\x00"
+        f.read(1024)   # take a sip, then stall (socket stays OPEN)
+        # the handler must time out, roll back, and free the cursor
+        deadline = time.time() + 15
+        while True:
+            try:
+                n = remote.execute(
+                    "SELECT CAST(count(*) AS BIGINT) FROM t_qd",
+                    timeout=5).column(0)[0].as_py()
+                break
+            except Exception:
+                if time.time() > deadline:
+                    raise
+        assert n == 200_000
+        assert remote.ingest_transaction(
+            "t_qd", iter([pa.record_batch(
+                [pa.array([1]), pa.array(["x"])], names=["k", "s"])])) == 1
+    finally:
+        f.close()
+        s.close()
+        remote.stop_ingest_server()
