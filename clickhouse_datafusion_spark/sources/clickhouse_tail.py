@@ -103,12 +103,20 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
 
     - ``host``/``port`` — the remote's Arrow endpoint
       (``RemoteEngine.start_ingest_server``).
-    - ``table`` — remote table to tail; ``key`` — BIGINT monotonic
+    - ``table`` — remote table to tail; ``key`` — the monotonic
       column.
+    - ``key_type`` — ``bigint`` (default) or ``timestamp`` (the
+      event-time CDC shape): watermarks are tracked as epoch
+      MICROSECONDS (exact at the remote's timestamp resolution), while
+      range predicates compare the raw column against timestamp
+      literals, so the remote's ordering/partitioning on the key stays
+      usable. A ClickHouse retarget swaps the conversion pair
+      ``epoch_us``/``make_timestamp`` for
+      ``toUnixTimestamp64Micro``/``fromUnixTimestamp64Micro``.
     - ``columns`` (default ``*``) — projection pushed to the remote.
     - ``num_partitions`` (default 4) — executor pulls per micro-batch.
     - ``start_key`` — tail from this watermark (exclusive); default:
-      everything (``min(key) - 1``).
+      everything (``min(key) - 1``). Epoch micros for timestamp keys.
     - ``max_rows_per_batch`` — micro-batch size cap (backpressure).
     """
 
@@ -117,6 +125,7 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         self._port = int(options["port"])
         self._table = options["table"]
         self._key = options["key"]
+        self._key_type = options.get("key_type", "bigint").lower()
         self._cols = options.get("columns", "*")
         self._nparts = int(options.get("num_partitions", "4"))
         self._batch_rows = int(options.get("batch_rows", "65536"))
@@ -124,13 +133,25 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         self._max_rows = options.get("max_rows_per_batch")
         self._last: int | None = None
 
+    def _knum(self) -> str:
+        """The key as a BIGINT-valued SQL expression (offset plane)."""
+        if self._key_type == "timestamp":
+            return f"epoch_us({self._key})"
+        return self._key
+
+    def _klit(self, v: int) -> str:
+        """An offset value as a key-typed SQL literal (predicate plane)."""
+        if self._key_type == "timestamp":
+            return f"make_timestamp({int(v)})"
+        return str(int(v))
+
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
         if self._start_key is not None:
             self._last = int(self._start_key)
         else:
             lo = _scalar(self._host, self._port,
-                         f"SELECT CAST(min({self._key}) - 1 AS BIGINT) "
+                         f"SELECT CAST(min({self._knum()}) - 1 AS BIGINT) "
                          f"FROM {self._table}")
             # empty table: any watermark below the first future key
             # works; 0 pairs with auto-increment/rowid-style keys and
@@ -160,12 +181,12 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             hi = _scalar(
                 self._host, self._port,
                 f"SELECT CAST(max(k) AS BIGINT) FROM ("
-                f"SELECT {self._key} AS k FROM {self._table} "
-                f"WHERE {self._key} > {self._last} "
+                f"SELECT {self._knum()} AS k FROM {self._table} "
+                f"WHERE {self._key} > {self._klit(self._last)} "
                 f"ORDER BY k LIMIT {int(self._max_rows)})")
         else:
             hi = _scalar(self._host, self._port,
-                         f"SELECT CAST(max({self._key}) AS BIGINT) "
+                         f"SELECT CAST(max({self._knum()}) AS BIGINT) "
                          f"FROM {self._table}")
         if hi is not None and (self._last is None or hi > self._last):
             self._last = int(hi)
@@ -180,7 +201,8 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         # below them (lo is the committed watermark on recovery)
         if self._last is None or max(lo, hi) > self._last:
             self._last = max(lo, hi)
-        rng = f"{self._key} > {lo} AND {self._key} <= {hi}"
+        rng = (f"{self._key} > {self._klit(lo)} "
+               f"AND {self._key} <= {self._klit(hi)}")
         # equal-ROW split boundaries via a discrete-quantile AGGREGATE —
         # one pass, no full sort (an ntile window materializes and sorts
         # the whole range per micro-batch, which dominates large
@@ -192,7 +214,7 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
                        for i in range(self._nparts))
         raw = _scalar(
             self._host, self._port,
-            f"SELECT quantile_disc({self._key}, [{qs}]) "
+            f"SELECT quantile_disc({self._knum()}, [{qs}]) "
             f"FROM {self._table} WHERE {rng}")
         bounds = sorted({int(b) for b in (raw or []) if b is not None})
         if not bounds or bounds[-1] != hi:
@@ -207,7 +229,8 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             parts.append(_KeyRangePartition(
                 self._host, self._port,
                 f"SELECT {self._cols} FROM {self._table} "
-                f"WHERE {self._key} > {prev} AND {self._key} <= {b}",
+                f"WHERE {self._key} > {self._klit(prev)} "
+                f"AND {self._key} <= {self._klit(b)}",
                 self._batch_rows))
             prev = b
         return parts

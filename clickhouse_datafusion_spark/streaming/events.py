@@ -294,7 +294,8 @@ def stream_to_remote_table(stream: DataFrame, engine, table: str,
 def tail_remote_table(spark, remote, table: str, key_col: str,
                       columns: str = "*", num_partitions: int = 4,
                       start_key: int | None = None,
-                      max_rows_per_batch: int | None = None) -> DataFrame:
+                      max_rows_per_batch: int | None = None,
+                      key_type: str = "bigint") -> DataFrame:
     """Tail a growing remote table as a Structured Streaming source —
     the READ direction of the streaming federation story (the write
     direction is :func:`stream_to_remote_table`). Each micro-batch is
@@ -319,6 +320,7 @@ def tail_remote_table(spark, remote, table: str, key_col: str,
     r = (spark.readStream.format("clickhouse_tail")
          .option("host", host).option("port", str(port))
          .option("table", table).option("key", key_col)
+         .option("key_type", key_type)
          .option("columns", columns)
          .option("num_partitions", str(num_partitions)))
     if start_key is not None:

@@ -335,3 +335,38 @@ def test_stalled_query_client_cannot_pin_the_pool():
         f.close()
         s.close()
         remote.stop_ingest_server()
+
+
+def test_tail_timestamp_key(spark, remote):
+    """Event-time tailing (key_type='timestamp'): watermarks track
+    epoch MICROSECONDS exactly — two rows 1 microsecond apart straddle
+    a watermark correctly (the committed one never re-reads, the later
+    one arrives in the delta), and predicates compare the raw column
+    against timestamp literals so a remote layout keyed on the column
+    stays usable."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0, 500000)
+    remote.create_table("t_ts", "ts TIMESTAMP, v BIGINT")
+    first = [(base + dt.timedelta(seconds=i), i) for i in range(500)]
+    remote.insert_arrow("t_ts", pa.table({
+        "ts": pa.array([r[0] for r in first],
+                       type=pa.timestamp("us")),
+        "v": [r[1] for r in first]}))
+    got = []
+    stream = tail_remote_table(spark, remote, "t_ts", "ts",
+                               key_type="timestamp", num_partitions=4)
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(lambda b, i: got.append(b.count())).start())
+    try:
+        q.processAllAvailable()
+        assert sum(got) == 500
+        # 1 microsecond AFTER the committed watermark (the max ts)
+        edge = first[-1][0] + dt.timedelta(microseconds=1)
+        remote.insert_arrow("t_ts", pa.table({
+            "ts": pa.array([edge], type=pa.timestamp("us")),
+            "v": [999]}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(got) == 501                   # exactly the 1-us edge row
