@@ -663,8 +663,15 @@ class ClickHouseSparkEngine:
         sink = (sink_id or bare).replace("'", "''")
         bid = int(batch_id)
         if commits not in self._remote.tables():
+            # PRIMARY KEY = zombie-writer fencing: two concurrent
+            # transactions claiming the same (sink, batch) — a
+            # lingering pre-restart query racing its replacement — both
+            # pass the seen-check, but only ONE marker insert can
+            # commit; the loser's whole transaction (rows included)
+            # rolls back, so the race cannot double-append
             self._remote.create_table(
-                commits, "sink_id VARCHAR, batch_id BIGINT")
+                commits, "sink_id VARCHAR, batch_id BIGINT, "
+                "PRIMARY KEY (sink_id, batch_id)")
         seen = self._remote.execute(
             f"SELECT CAST(count(*) AS BIGINT) FROM {commits} "
             f"WHERE sink_id = '{sink}' AND batch_id = {bid}"

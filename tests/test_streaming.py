@@ -564,3 +564,54 @@ def test_append_remote_exactly_once_atomic_rollback(spark):
     finally:
         remote.drop_table("x1_tbl")
         remote.drop_table("x1_tbl__commits", if_exists=True)
+
+
+def test_exactly_once_zombie_writer_fenced(spark):
+    """Two concurrent writers claiming the SAME (sink_id, batch_id) —
+    the lingering pre-restart query racing its replacement — both pass
+    the marker pre-check, but the commit log's PRIMARY KEY lets only
+    one transaction commit: the loser rolls back rows and marker
+    together, so the sink lands the batch EXACTLY once even under the
+    zombie race."""
+    import threading
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    remote.create_table("zw_tbl", "k BIGINT")
+    df = spark.range(2000).selectExpr("id AS k")
+    df.count()                       # materialize outside the race
+    results, errors = [], []
+
+    def writer():
+        try:
+            results.append(
+                eng.append_remote_exactly_once("zw_tbl", df, 42))
+        except Exception as e:       # the fenced loser
+            errors.append(e)
+
+    try:
+        ts = [threading.Thread(target=writer) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM zw_tbl"
+        ).column(0)[0].as_py()
+        assert n == 2000             # exactly once, never 4000/6000
+        marks = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM zw_tbl__commits"
+        ).column(0)[0].as_py()
+        assert marks == 1
+        # winners append 2000 or skip with 0; losers raise — and a
+        # post-race replay skips cleanly
+        assert sorted(r for r in results if r) in ([], [2000])
+        assert eng.append_remote_exactly_once("zw_tbl", df, 42) == 0
+    finally:
+        remote.drop_table("zw_tbl")
+        remote.drop_table("zw_tbl__commits", if_exists=True)
