@@ -31,10 +31,13 @@ queries per micro-batch (max-key poll + boundary ntile); rows flow
 remote→executor N-ways in Arrow batches. Backpressure is
 ``max_rows_per_batch``: ``latestOffset`` advances at most that many
 rows past the committed watermark per micro-batch (clamped via a
-windowed nth-key probe), the Kafka ``maxOffsetsPerTrigger`` analog —
-EXCEPT the first batch after a cold start or restart, which is an
-uncapped catch-up (the only restart-safe answer when the base is
-unknown; see the latestOffset comment). One API-shaped caveat: the Python DataSourceStreamReader protocol has
+windowed nth-key probe), the Kafka ``maxOffsetsPerTrigger`` analog.
+The cap holds across restarts INCLUDING the catch-up batch: capped
+tails persist their plan-time watermark in a remote
+``<table>__tail_progress`` row (monotone greatest-wins upsert, keyed
+by ``tail_id``), which is always at or above the committed watermark
+— the restart-safe cap base the checkpoint-blind reader cannot
+otherwise know (see ``_recover_base``). One API-shaped caveat: the Python DataSourceStreamReader protocol has
 no separate report-true-latest hook, so a capped ``latestOffset`` is
 also what ``processAllAvailable`` compares against — a capped stream
 looks "caught up" after each batch, and test-style drains must loop
@@ -132,6 +135,12 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         self._start_key = options.get("start_key")
         self._max_rows = options.get("max_rows_per_batch")
         self._last: int | None = None
+        # capped streams persist their PLAN-TIME watermark remote-side
+        # so the cap survives restarts (see _recover_base)
+        self._tail_id = (options.get("tail_id")
+                         or f"{self._table}/{self._key}").replace("'", "''")
+        self._progress = f"{self._table}__tail_progress"
+        self._progress_ready = False
 
     def _knum(self) -> str:
         """The key as a BIGINT-valued SQL expression (offset plane)."""
@@ -159,25 +168,50 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             self._last = int(lo) if lo is not None else 0
         return {"key": self._last}
 
+    def _exec(self, sql: str) -> None:
+        for _ in _wire_query(self._host, self._port, sql):
+            pass
+
+    def _ensure_progress(self) -> None:
+        if not self._progress_ready:
+            self._exec(f"CREATE TABLE IF NOT EXISTS {self._progress} "
+                       f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT)")
+            self._progress_ready = True
+
+    def _recover_base(self) -> int:
+        """The cap base when this reader holds no in-memory watermark.
+
+        Spark calls latestOffset BEFORE initialOffset on a fresh query
+        and before partitions() on a restart (traced on 4.1), and
+        accepts offsets it has not seen verbatim — a cap computed from
+        a base below the committed watermark plans a BACKWARDS batch,
+        Spark commits it, and the in-between keys replay as duplicates
+        (the e2e pipeline test crashes mid-run to pin this). The safe
+        base is the remote-side progress row: partitions() writes its
+        PLAN-TIME watermark there with a monotone (greatest) upsert,
+        and every committed batch was planned first, so the stored
+        value is always >= the committed watermark. No row = a fresh
+        tail = the initialOffset value is the true base."""
+        self._ensure_progress()
+        stored = _scalar(
+            self._host, self._port,
+            f"SELECT CAST(watermark AS BIGINT) FROM {self._progress} "
+            f"WHERE tail_id = '{self._tail_id}'")
+        if stored is not None:
+            return int(stored)
+        return int(self.initialOffset()["key"])
+
     def latestOffset(self) -> dict:
-        if self._max_rows is not None and self._last is not None:
+        if self._max_rows is not None:
             # backpressure: advance at most max_rows keys' worth — the
             # nth smallest key above the watermark (ORDER BY + LIMIT
-            # pushed to the remote; rows never leave it). Only valid
-            # when this reader KNOWS the last planned end (_last).
-            # Spark calls latestOffset BEFORE initialOffset on a fresh
-            # query and before partitions() on a restart (traced on
-            # 4.1), and offsets it has not seen are accepted verbatim —
-            # an end computed from a stale base lands BELOW the
-            # committed watermark, Spark commits the backwards batch,
-            # and the keys in between replay as duplicates (the e2e
-            # pipeline test crashes mid-run to pin this). So the
-            # unknown-base call returns the true max — one uncapped
-            # catch-up batch after a cold start or restart (its
-            # ntile-split partitions keep it parallel and
-            # memory-bounded) — and the cap engages from the next
-            # batch, once partitions() has re-synced the base from
-            # Spark's authoritative offsets.
+            # pushed to the remote; rows never leave it). The base is
+            # the in-memory watermark, recovered restart-safely from
+            # the remote progress row when unknown (_recover_base), so
+            # the cap holds even for the catch-up batch after a cold
+            # start or restart — the batch where it matters most.
+            if self._last is None:
+                self._last = self._recover_base()
             hi = _scalar(
                 self._host, self._port,
                 f"SELECT CAST(max(k) AS BIGINT) FROM ("
@@ -201,6 +235,17 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         # below them (lo is the committed watermark on recovery)
         if self._last is None or max(lo, hi) > self._last:
             self._last = max(lo, hi)
+        if self._max_rows is not None:
+            # persist the plan-time watermark (monotone: greatest wins,
+            # so concurrent tails sharing a tail_id can only raise it —
+            # a too-high base softens the cap, never replays keys); the
+            # restart-safe cap base _recover_base reads this back
+            self._ensure_progress()
+            self._exec(
+                f"INSERT INTO {self._progress} VALUES "
+                f"('{self._tail_id}', {self._last}) "
+                f"ON CONFLICT (tail_id) DO UPDATE SET watermark = "
+                f"greatest(excluded.watermark, watermark)")
         rng = (f"{self._key} > {self._klit(lo)} "
                f"AND {self._key} <= {self._klit(hi)}")
         # equal-ROW split boundaries via a discrete-quantile AGGREGATE —

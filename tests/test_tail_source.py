@@ -76,12 +76,12 @@ def test_tail_values_roundtrip(spark, remote):
 
 def test_tail_backpressure_max_rows(spark, remote):
     """``max_rows_per_batch`` caps each micro-batch (the
-    maxOffsetsPerTrigger analog). The FIRST batch is an uncapped
-    catch-up (the restart-safe contract — see the module docstring);
-    from then on a 1200-row burst drains in >= 4 batches, none above
-    the cap, nothing lost or duplicated. A capped stream reports the
-    capped offset as latest, so the drain loops until the counts
-    stabilize — exactly what an interval trigger does in production."""
+    maxOffsetsPerTrigger analog) INCLUDING the first catch-up batch
+    (the progress-row base): 100 initial rows + a 1200-row burst drain
+    with no batch above the cap, nothing lost or duplicated. A capped
+    stream reports the capped offset as latest, so the drain loops
+    until the counts stabilize — exactly what an interval trigger does
+    in production."""
     _load(remote, "t_bp", 100)
     got = []
     stream = tail_remote_table(spark, remote, "t_bp", "k",
@@ -97,17 +97,54 @@ def test_tail_backpressure_max_rows(spark, remote):
 
     try:
         drain()
-        assert [g for g in got if g] == [100]       # catch-up batch
+        assert [g for g in got if g] == [100]       # initial rows
         remote.insert_arrow("t_bp", pa.table({
             "k": list(range(101, 1301)),
             "v": [0.0] * 1200, "s": ["d"] * 1200}))
         drain()
     finally:
         q.stop()
-    sizes = [g for g in got if g][1:]               # the capped burst
-    assert sum(sizes) == 1200
-    assert len(sizes) >= 4
-    assert all(s <= 300 for s in sizes)
+    sizes = [g for g in got if g]
+    assert sum(sizes) == 1300
+    assert len(sizes) >= 5
+    assert all(s <= 300 for s in sizes)             # EVERY batch capped
+
+
+def test_tail_capped_restart_catchup_stays_capped(spark, remote,
+                                                  tmp_path):
+    """The cap survives a restart: rows that accumulate while the
+    query is DOWN drain after restart in capped batches (the progress
+    row gives the restart-safe base), never one giant catch-up — and
+    exactly once."""
+    _load(remote, "t_cr", 200)
+    ckpt = str(tmp_path / "ckpt_cap")
+
+    def run():
+        got = []
+        stream = tail_remote_table(spark, remote, "t_cr", "k",
+                                   max_rows_per_batch=150)
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(lambda b, i: got.append(b.count())).start())
+        try:
+            prev = -1
+            while sum(got) != prev:
+                prev = sum(got)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return [g for g in got if g]
+
+    first = run()
+    assert sum(first) == 200 and all(s <= 150 for s in first)
+    # 600 rows land while the query is down
+    remote.insert_arrow("t_cr", pa.table({
+        "k": list(range(201, 801)),
+        "v": [0.0] * 600, "s": ["d"] * 600}))
+    second = run()
+    assert sum(second) == 600                       # exactly the delta
+    assert len(second) >= 4
+    assert all(s <= 150 for s in second)            # capped catch-up
 
 
 def test_tail_checkpoint_restart_resumes(spark, remote, tmp_path):
