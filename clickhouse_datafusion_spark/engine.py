@@ -230,8 +230,11 @@ class ClickHouseSparkEngine:
         if self._local_twins_resolve(local_form):
             try:
                 local_schema = self.spark.sql(local_form).schema
-            except Exception:
-                pass
+            except Exception as e:
+                # no local analysis = no alignment hint: the hand-back
+                # keeps the remote's own names/types. Recorded, not
+                # silent (seam observability convention, r11/r12)
+                self.last_remote_align_error = e
         return shipped, local_schema
 
     def remote_decision(self, query: str,

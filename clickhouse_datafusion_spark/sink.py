@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 import threading
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,7 +113,9 @@ def _not_null_columns(spark: SparkSession, table: str,
         rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
         props = {r["key"]: r["value"] for r in rows}
         cols += [c for c in props.get("clickhouse.not_null", "").split(",") if c]
-    except Exception:
+    except AnalysisException:
+        # temp views / non-catalog relations have no TBLPROPERTIES —
+        # the schema-flag columns above are the whole answer there
         pass
     return sorted(set(cols))
 
