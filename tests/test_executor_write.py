@@ -392,3 +392,42 @@ def test_ingest_garbage_header_stays_up(fed):
             assert int.from_bytes(f.read(8), "big") == 1
     finally:
         remote.drop_table("ew_after_junk")
+
+
+def test_slow_but_alive_client_survives_io_timeout():
+    """The connection io_timeout bounds STALLS (zero byte movement),
+    not total duration: a client that keeps trickling batches with
+    pauses below the timeout completes a transaction that takes far
+    longer than the timeout overall — a legit slow executor is never
+    dropped; only a frozen one is."""
+    import time
+
+    remote = RemoteEngine(pool_size=2)
+    remote.create_table("slow_t", "k BIGINT")
+    host, port = remote.start_ingest_server(io_timeout=1.5)
+    try:
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({"table": "slow_t", "columns": ""}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            schema = pa.schema([("k", pa.int64())])
+            w = pa.ipc.new_stream(f, schema)
+            t0 = time.time()
+            for i in range(5):
+                w.write_batch(pa.record_batch(
+                    [pa.array([i * 10 + j for j in range(10)])],
+                    schema=schema))
+                f.flush()
+                time.sleep(0.8)          # alive, just slow (< timeout)
+            w.close()
+            f.flush()
+            assert time.time() - t0 > 3.0   # total far exceeds timeout
+            assert f.read(1) == b"\x00"
+            assert int.from_bytes(f.read(8), "big") == 50
+        n = remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM slow_t"
+        ).column(0)[0].as_py()
+        assert n == 50
+    finally:
+        remote.stop_ingest_server()
