@@ -295,7 +295,8 @@ def tail_remote_table(spark, remote, table: str, key_col: str,
                       columns: str = "*", num_partitions: int = 4,
                       start_key: int | None = None,
                       max_rows_per_batch: int | None = None,
-                      key_type: str = "bigint") -> DataFrame:
+                      key_type: str = "bigint",
+                      tail_id: str | None = None) -> DataFrame:
     """Tail a growing remote table as a Structured Streaming source —
     the READ direction of the streaming federation story (the write
     direction is :func:`stream_to_remote_table`). Each micro-batch is
@@ -327,6 +328,10 @@ def tail_remote_table(spark, remote, table: str, key_col: str,
         r = r.option("start_key", str(int(start_key)))
     if max_rows_per_batch is not None:
         r = r.option("max_rows_per_batch", str(int(max_rows_per_batch)))
+    if tail_id is not None:
+        # namespaces the capped-tail progress row; set it per
+        # pipeline/checkpoint when several capped tails share a table
+        r = r.option("tail_id", tail_id)
     return r.load()
 
 
