@@ -576,8 +576,26 @@ def score_with_bigram_lm(df: DataFrame, bigrams: DataFrame,
     # ~2.5 s of the 100×-corpus wall — disappears. A NULL-h2 sentinel
     # matches neither broadcast table (null join keys never match) and
     # its _contrib stays NULL: summed as 0, counted as 0 pairs.
+    #
+    # SINGLE-LONG join keys (r12 verdict, the t11 decade weak): Spark's
+    # multi-column hash join packs every probe into an UnsafeRow and
+    # walks the generic UnsafeHashedRelation; a single non-null bigint
+    # key takes the LongHashedRelation fast path instead. Measured at
+    # the 500k-doc corpus (tools/probe_t11_score_ledger_r13.py): the
+    # (h1,h2) two-key probe costs 1.7-2.4 s over the 45M-pair stream,
+    # the same probe keyed by xxhash64(h1,h2) costs 0.26-0.53 s — 5-7×.
+    # So fold the pair key into one long HERE, derived from the SAME
+    # (h1,h2) the persisted LM carries (save/load format unchanged);
+    # collision odds stack one more B²/2⁶⁵ term on the already-
+    # documented word-hash analysis. The backoff probe (h2) is already
+    # single-key; the shuffle path (broadcast_lm=False) shuffles on the
+    # one long instead of two — same values, narrower exchange.
     hp = _hashed_sentinel_pairs(df, text_col, id_col)
-    scored = (hp.join(maybe_b(bigrams), ["h1", "h2"], "left")
+    bi1k = bigrams.select(F.xxhash64("h1", "h2").alias("_h12"), "_seen")
+    scored = (hp.select(F.col(id_col), "h2",
+                        F.when(F.col("h2").isNotNull(),
+                               F.xxhash64("h1", "h2")).alias("_h12"))
+              .join(maybe_b(bi1k), "_h12", "left")
               .join(maybe_b(backoff), "h2", "left")
               .select(F.col(id_col),
                       F.when(F.col("h2").isNotNull(),
