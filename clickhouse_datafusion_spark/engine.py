@@ -535,6 +535,7 @@ class ClickHouseSparkEngine:
         batches). The count is the sum of server acks — exactness is
         asserted server-side, not inferred."""
         host, port = self._remote.ingest_address
+        token = self._remote.ingest_token
         # fail fast driver-side before launching a distributed job
         # (same writability contract as the spool path)
         self._remote.insert_arrow_batches(
@@ -564,8 +565,10 @@ class ClickHouseSparkEngine:
                 return
             with socket.create_connection((host, port)) as s:
                 f = s.makefile("rwb")
-                hdr = json.dumps({"table": bare,
-                                  "columns": cols}).encode()
+                req = {"table": bare, "columns": cols}
+                if token is not None:  # server-enforced shared secret
+                    req["token"] = token
+                hdr = json.dumps(req).encode()
                 f.write(len(hdr).to_bytes(4, "big"))
                 f.write(hdr)
                 writer = pa.ipc.new_stream(f, first.schema)

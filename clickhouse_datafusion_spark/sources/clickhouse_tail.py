@@ -48,6 +48,7 @@ production shape, are unaffected: the next trigger re-polls).
 from __future__ import annotations
 
 import json
+import re
 import socket
 from dataclasses import dataclass
 
@@ -60,8 +61,48 @@ from pyspark.sql.types import StructType
 
 TAIL_FORMAT_NAME = "clickhouse_tail"
 
+# the identifier grammar the engine's front door resolves bare table
+# names against — stream options arriving via readStream.option(...)
+# are caller-controlled SQL fragments otherwise (r12 ADVICE)
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*\Z")
 
-def _wire_query(host: str, port: int, sql: str, batch_rows: int = 65536):
+
+def _checked_ident(value: str, what: str) -> str:
+    if not _IDENT_RE.fullmatch(value or ""):
+        raise ValueError(
+            f"clickhouse_tail: option {what}={value!r} is not a bare "
+            "SQL identifier ([A-Za-z_][A-Za-z_0-9]*)")
+    return value
+
+
+def _checked_projection(cols: str) -> str:
+    """``columns`` must be ``*`` or a comma-separated identifier list —
+    the only shapes the wrapper emits; anything fancier is SQL text
+    from an untrusted option and is refused."""
+    if cols.strip() == "*":
+        return "*"
+    items = [c.strip() for c in cols.split(",")]
+    for c in items:
+        _checked_ident(c, "columns")
+    return ", ".join(items)
+
+
+def _read_status(f, what: str) -> bytes:
+    """Read the 1-byte wire status; an abrupt server close (empty read
+    on FIN, ECONNRESET on RST) becomes one clean error instead of an
+    empty 'failed: ' message or a raw socket exception (r12 ADVICE)."""
+    try:
+        status = f.read(1)
+    except (ConnectionResetError, BrokenPipeError) as e:
+        raise RuntimeError(
+            f"{what} failed: connection closed by server") from e
+    if not status:
+        raise RuntimeError(f"{what} failed: connection closed by server")
+    return status
+
+
+def _wire_query(host: str, port: int, sql: str, batch_rows: int = 65536,
+                token: str | None = None):
     """Run ``sql`` against the remote's Arrow endpoint; yield
     RecordBatches. Used by the driver (scalar polls) and by executors
     (range scans) alike — the source's only data plane."""
@@ -69,12 +110,14 @@ def _wire_query(host: str, port: int, sql: str, batch_rows: int = 65536):
 
     with socket.create_connection((host, port)) as s:
         f = s.makefile("rwb")
-        hdr = json.dumps({"op": "query", "sql": sql,
-                          "batch_rows": batch_rows}).encode()
+        req = {"op": "query", "sql": sql, "batch_rows": batch_rows}
+        if token is not None:
+            req["token"] = token
+        hdr = json.dumps(req).encode()
         f.write(len(hdr).to_bytes(4, "big"))
         f.write(hdr)
         f.flush()
-        status = f.read(1)
+        status = _read_status(f, "remote query")
         if status != b"\x00":
             ln = int.from_bytes(f.read(4), "big")
             raise RuntimeError("remote query failed: "
@@ -84,12 +127,63 @@ def _wire_query(host: str, port: int, sql: str, batch_rows: int = 65536):
             yield batch
 
 
-def _scalar(host: str, port: int, sql: str):
+def _scalar(host: str, port: int, sql: str, token: str | None = None):
     """First column of the first row of ``sql`` (None when empty)."""
-    for batch in _wire_query(host, port, sql):
+    for batch in _wire_query(host, port, sql, token=token):
         if batch.num_rows:
             return batch.column(0)[0].as_py()
     return None
+
+
+def _progress_op(host: str, port: int, table: str, tail_id: str,
+                 action: str, watermark: int | None = None,
+                 token: str | None = None) -> int | None:
+    """Client half of the server's parameterized tail-progress op
+    (ArrowIngestServer._handle_progress): get/put/reset the capped
+    tail's watermark row without any option value ever traveling as
+    SQL text. Returns the stored watermark for ``get`` (None when no
+    row), None otherwise."""
+    req = {"op": "progress", "table": table, "tail_id": tail_id,
+           "action": action}
+    if watermark is not None:
+        req["watermark"] = int(watermark)
+    if token is not None:
+        req["token"] = token
+    with socket.create_connection((host, port)) as s:
+        f = s.makefile("rwb")
+        hdr = json.dumps(req).encode()
+        f.write(len(hdr).to_bytes(4, "big"))
+        f.write(hdr)
+        f.flush()
+        status = _read_status(f, "tail progress op")
+        if status != b"\x00":
+            ln = int.from_bytes(f.read(4), "big")
+            raise RuntimeError("tail progress op failed: "
+                               + f.read(ln).decode())
+        present = f.read(1)
+        val = int.from_bytes(f.read(8), "big", signed=True)
+        if action == "get":
+            return val if present == b"\x01" else None
+        return None
+
+
+def reset_tail_progress(remote, table: str, key_col: str | None = None,
+                        tail_id: str | None = None) -> None:
+    """Delete a capped tail's persisted watermark row — run this before
+    REUSING a ``tail_id`` for a genuinely fresh re-read (new checkpoint
+    or explicit ``start_key``): the previous incarnation's stored
+    watermark is otherwise recovered as the cap base and the first
+    micro-batch spans all the way up to it (r12 ADVICE). A fresh
+    query's own ``initialOffset`` also resets the row, but on Spark's
+    traced call order (latestOffset first) that reset lands after one
+    capped poll — this helper closes even that window."""
+    if tail_id is None:
+        if key_col is None:
+            raise ValueError("reset_tail_progress needs key_col or tail_id")
+        tail_id = f"{table}/{key_col}"
+    host, port = remote.start_ingest_server()
+    _progress_op(host, port, _checked_ident(table, "table"), tail_id,
+                 "reset", token=remote.ingest_token)
 
 
 @dataclass
@@ -98,6 +192,7 @@ class _KeyRangePartition(InputPartition):
     port: int
     sql: str
     batch_rows: int
+    token: str | None = None
 
 
 class ClickHouseTailStreamReader(DataSourceStreamReader):
@@ -126,21 +221,30 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self._host = options["host"]
         self._port = int(options["port"])
-        self._table = options["table"]
-        self._key = options["key"]
+        # identifier-validate everything that reaches SQL text: the
+        # source is registrable by format name, so these arrive from
+        # arbitrary readStream options (r12 ADVICE — malformed options
+        # must refuse at load(), mirroring the engine's bare-table-name
+        # resolution convention)
+        self._table = _checked_ident(options["table"], "table")
+        self._key = _checked_ident(options["key"], "key")
         self._key_type = options.get("key_type", "bigint").lower()
-        self._cols = options.get("columns", "*")
+        if self._key_type not in ("bigint", "timestamp"):
+            raise ValueError(
+                f"clickhouse_tail: key_type={self._key_type!r} must be "
+                "'bigint' or 'timestamp'")
+        self._cols = _checked_projection(options.get("columns", "*"))
         self._nparts = int(options.get("num_partitions", "4"))
         self._batch_rows = int(options.get("batch_rows", "65536"))
         self._start_key = options.get("start_key")
         self._max_rows = options.get("max_rows_per_batch")
+        self._token = options.get("token")
         self._last: int | None = None
         # capped streams persist their PLAN-TIME watermark remote-side
-        # so the cap survives restarts (see _recover_base)
-        self._tail_id = (options.get("tail_id")
-                         or f"{self._table}/{self._key}").replace("'", "''")
-        self._progress = f"{self._table}__tail_progress"
-        self._progress_ready = False
+        # so the cap survives restarts (see _recover_base); the row
+        # travels through the server's parameterized progress op, so
+        # the id needs no escaping
+        self._tail_id = options.get("tail_id") or f"{self._table}/{self._key}"
 
     def _knum(self) -> str:
         """The key as a BIGINT-valued SQL expression (offset plane)."""
@@ -156,27 +260,31 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
+        # initialOffset runs ONLY on a genuinely fresh query (a live
+        # checkpoint recovers offsets from its WAL instead), so it is
+        # the one protocol hook where "this tail_id starts over" is
+        # knowable — delete any stale progress row a previous
+        # incarnation left (r12 ADVICE: the stale watermark otherwise
+        # becomes the cap base and defeats max_rows_per_batch on
+        # exactly the catch-up batch). Residual window, documented
+        # honestly: Spark's traced order calls latestOffset once
+        # BEFORE initialOffset, so a reused tail_id can still plan its
+        # FIRST batch from the stale base — call reset_tail_progress()
+        # (or use a fresh tail_id) before intentional re-reads.
+        if self._max_rows is not None:
+            _progress_op(self._host, self._port, self._table,
+                         self._tail_id, "reset", token=self._token)
         if self._start_key is not None:
             self._last = int(self._start_key)
         else:
             lo = _scalar(self._host, self._port,
                          f"SELECT CAST(min({self._knum()}) - 1 AS BIGINT) "
-                         f"FROM {self._table}")
+                         f"FROM {self._table}", token=self._token)
             # empty table: any watermark below the first future key
             # works; 0 pairs with auto-increment/rowid-style keys and
             # start_key exists for anything exotic
             self._last = int(lo) if lo is not None else 0
         return {"key": self._last}
-
-    def _exec(self, sql: str) -> None:
-        for _ in _wire_query(self._host, self._port, sql):
-            pass
-
-    def _ensure_progress(self) -> None:
-        if not self._progress_ready:
-            self._exec(f"CREATE TABLE IF NOT EXISTS {self._progress} "
-                       f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT)")
-            self._progress_ready = True
 
     def _recover_base(self) -> int:
         """The cap base when this reader holds no in-memory watermark.
@@ -192,11 +300,8 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         and every committed batch was planned first, so the stored
         value is always >= the committed watermark. No row = a fresh
         tail = the initialOffset value is the true base."""
-        self._ensure_progress()
-        stored = _scalar(
-            self._host, self._port,
-            f"SELECT CAST(watermark AS BIGINT) FROM {self._progress} "
-            f"WHERE tail_id = '{self._tail_id}'")
+        stored = _progress_op(self._host, self._port, self._table,
+                              self._tail_id, "get", token=self._token)
         if stored is not None:
             return int(stored)
         return int(self.initialOffset()["key"])
@@ -217,11 +322,12 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
                 f"SELECT CAST(max(k) AS BIGINT) FROM ("
                 f"SELECT {self._knum()} AS k FROM {self._table} "
                 f"WHERE {self._key} > {self._klit(self._last)} "
-                f"ORDER BY k LIMIT {int(self._max_rows)})")
+                f"ORDER BY k LIMIT {int(self._max_rows)})",
+                token=self._token)
         else:
             hi = _scalar(self._host, self._port,
                          f"SELECT CAST(max({self._knum()}) AS BIGINT) "
-                         f"FROM {self._table}")
+                         f"FROM {self._table}", token=self._token)
         if hi is not None and (self._last is None or hi > self._last):
             self._last = int(hi)
         return {"key": self._last if self._last is not None else 0}
@@ -240,12 +346,9 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             # so concurrent tails sharing a tail_id can only raise it —
             # a too-high base softens the cap, never replays keys); the
             # restart-safe cap base _recover_base reads this back
-            self._ensure_progress()
-            self._exec(
-                f"INSERT INTO {self._progress} VALUES "
-                f"('{self._tail_id}', {self._last}) "
-                f"ON CONFLICT (tail_id) DO UPDATE SET watermark = "
-                f"greatest(excluded.watermark, watermark)")
+            _progress_op(self._host, self._port, self._table,
+                         self._tail_id, "put", watermark=self._last,
+                         token=self._token)
         rng = (f"{self._key} > {self._klit(lo)} "
                f"AND {self._key} <= {self._klit(hi)}")
         # equal-ROW split boundaries via a discrete-quantile AGGREGATE —
@@ -260,7 +363,7 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         raw = _scalar(
             self._host, self._port,
             f"SELECT quantile_disc({self._knum()}, [{qs}]) "
-            f"FROM {self._table} WHERE {rng}")
+            f"FROM {self._table} WHERE {rng}", token=self._token)
         bounds = sorted({int(b) for b in (raw or []) if b is not None})
         if not bounds or bounds[-1] != hi:
             # hi always terminates the last range: quantile boundaries
@@ -276,13 +379,14 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
                 f"SELECT {self._cols} FROM {self._table} "
                 f"WHERE {self._key} > {self._klit(prev)} "
                 f"AND {self._key} <= {self._klit(b)}",
-                self._batch_rows))
+                self._batch_rows, self._token))
             prev = b
         return parts
 
     def read(self, partition: _KeyRangePartition):
         yield from _wire_query(partition.host, partition.port,
-                               partition.sql, partition.batch_rows)
+                               partition.sql, partition.batch_rows,
+                               token=partition.token)
 
     def commit(self, end: dict) -> None:
         pass  # the remote is the source of truth; nothing to ack
@@ -306,21 +410,26 @@ class ClickHouseTailDataSource(DataSource):
 
         host = self.options["host"]
         port = int(self.options["port"])
-        table = self.options["table"]
-        cols = self.options.get("columns", "*")
+        table = _checked_ident(self.options["table"], "table")
+        cols = _checked_projection(self.options.get("columns", "*"))
+        token = self.options.get("token")
         with socket.create_connection((host, port)) as s:
             f = s.makefile("rwb")
-            hdr = json.dumps({
-                "op": "query",
-                "sql": f"SELECT {cols} FROM {table} LIMIT 0"}).encode()
+            req = {"op": "query",
+                   "sql": f"SELECT {cols} FROM {table} LIMIT 0"}
+            if token is not None:
+                req["token"] = token
+            hdr = json.dumps(req).encode()
             f.write(len(hdr).to_bytes(4, "big"))
             f.write(hdr)
             f.flush()
             status = f.read(1)
             if status != b"\x00":
-                ln = int.from_bytes(f.read(4), "big")
-                raise RuntimeError("clickhouse_tail schema probe failed: "
-                                   + f.read(ln).decode())
+                ln = int.from_bytes(f.read(4), "big") if status else 0
+                msg = (f.read(ln).decode() if ln
+                       else "connection closed by server")
+                raise RuntimeError(
+                    "clickhouse_tail schema probe failed: " + msg)
             arrow_schema = pa.ipc.open_stream(f).schema
         return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
 

@@ -531,7 +531,8 @@ class RemoteEngine:
 
     # -- executor-parallel ingest (r12) --------------------------------
     def start_ingest_server(self, host: str = "127.0.0.1",
-                            io_timeout: float | None = 300.0):
+                            io_timeout: float | None = 300.0,
+                            token: str | None = None):
         """Start the Arrow-over-TCP ingest server — the server half of
         the EXECUTOR-PARALLEL federated write (the scale extension of
         the reference's single-client sink, src/sink.rs:102-211: where
@@ -549,16 +550,41 @@ class RemoteEngine:
         transaction rolls back / result stream truncates, the cursor
         returns, the connection closes. Generous by default (300 s of
         NO byte movement, not total duration) so a busy-but-alive peer
-        never trips it; ``None`` disables."""
+        never trips it; ``None`` disables.
+
+        ``token`` (r13, ADVICE): a shared secret every operation's
+        header must carry (constant-time compared). REQUIRED the moment
+        ``host`` binds beyond loopback — any peer that can reach the
+        port can otherwise stream ingests and run read queries. The
+        engine's own clients (the executor write plane, the tail
+        source, the wrapper) plumb it automatically from
+        :attr:`ingest_token`. Independently of the token, the ``query``
+        op is restricted to READ-ONLY statements server-side
+        (:func:`assert_read_only_sql`) — DDL/DML must come through the
+        writability-checked ingest op or the driver-side engine API,
+        never the wire."""
         if getattr(self, "_ingest", None) is None:
+            if token is None and host not in ("127.0.0.1", "localhost",
+                                              "::1"):
+                raise ValueError(
+                    "start_ingest_server: binding beyond loopback "
+                    f"({host!r}) requires a shared-secret token=...")
             self._ingest = ArrowIngestServer(self, host=host,
-                                             io_timeout=io_timeout)
+                                             io_timeout=io_timeout,
+                                             token=token)
         return self._ingest.address
 
     @property
     def ingest_address(self):
         srv = getattr(self, "_ingest", None)
         return srv.address if srv is not None else None
+
+    @property
+    def ingest_token(self) -> str | None:
+        """The running ingest server's shared secret (None when the
+        server is down or was started without one)."""
+        srv = getattr(self, "_ingest", None)
+        return srv.token if srv is not None else None
 
     def stop_ingest_server(self) -> None:
         srv = getattr(self, "_ingest", None)
@@ -634,7 +660,18 @@ class ArrowIngestServer:
       truncates the IPC stream (the client's reader raises). This is
       what lets Spark EXECUTORS scan key ranges of a remote table
       directly — the data plane of the ``clickhouse_tail`` streaming
-      source.
+      source. READ-ONLY (r13): statements are gated by
+      :func:`assert_read_only_sql`; writes must come through the
+      ingest op (``_writable``-checked) or the driver-side engine API.
+    * progress (r13) — the capped tail's watermark row as a dedicated
+      parameterized op (see :meth:`_handle_progress`): header
+      ``{"op": "progress", "table": ..., "tail_id": ...,
+      "action": get|put|reset[, "watermark": N]}``; reply status byte +
+      presence flag + 8-byte signed BE value.
+
+    When the server was started with a ``token``, every header must
+    carry it (``"token": ...``, constant-time compared) — the
+    multi-host deployment lock the loopback default doesn't need.
 
     Each connection's batches append inside ONE transaction
     (:meth:`RemoteEngine.ingest_transaction`), so a Spark task retry
@@ -644,15 +681,19 @@ class ArrowIngestServer:
     writers use."""
 
     def __init__(self, engine: "RemoteEngine", host: str = "127.0.0.1",
-                 io_timeout: float | None = 300.0):
+                 io_timeout: float | None = 300.0,
+                 token: str | None = None):
         import socket
 
         self._engine = engine
         self._io_timeout = io_timeout
+        self.token = token
         self._sock = socket.create_server((host, 0))
         self._sock.settimeout(0.5)
         self.address = self._sock.getsockname()
         self.connections_served = 0     # observability (tests assert
+        self.stream_errors = 0          # mid-stream failures = silent
+        self.last_stream_error = None   # truncations; surfaced here
         self._count_lock = threading.Lock()   # the wire parallelism)
         self._stop = False
         self._threads: list[threading.Thread] = []
@@ -694,8 +735,22 @@ class ArrowIngestServer:
             try:
                 hdr_len = int.from_bytes(f.read(4), "big")
                 hdr = json.loads(f.read(hdr_len))
-                if hdr.get("op", "ingest") == "query":
+                if self.token is not None:
+                    import hmac
+
+                    if not hmac.compare_digest(
+                            str(hdr.get("token", "")), self.token):
+                        raise PermissionError(
+                            "bad or missing token (the server was "
+                            "started with a shared secret; pass it in "
+                            "the header / wire it from "
+                            "RemoteEngine.ingest_token)")
+                op = hdr.get("op", "ingest")
+                if op == "query":
                     self._handle_query(f, hdr)
+                    return
+                if op == "progress":
+                    self._handle_progress(f, hdr)
                     return
                 reader = pa.ipc.open_stream(f)
                 total = self._engine.ingest_transaction(
@@ -716,26 +771,94 @@ class ArrowIngestServer:
             except OSError:  # pragma: no cover - already closed
                 pass
 
+    def _handle_progress(self, f, hdr: dict) -> None:
+        """Tail-progress plane (r13): the capped tail source's
+        watermark row, as a DEDICATED PARAMETERIZED op instead of SQL
+        through the (now read-only) query op. The server builds every
+        statement itself — the base table name is validated against an
+        identifier grammar and ``tail_id``/``watermark`` travel as bind
+        parameters, so none of the stream options can reach the remote
+        as SQL text (r12 ADVICE: the tail's f-string SQL assembly was
+        an injection surface). Actions: ``get`` (read the stored
+        watermark), ``put`` (monotone greatest-wins upsert), ``reset``
+        (delete the row — fresh queries clear stale incarnations).
+        Reply: status byte, 1-byte presence flag, 8-byte signed BE
+        watermark (zero unless a ``get`` found a row)."""
+        table = str(hdr["table"])
+        if not _SQL_IDENT_RE.fullmatch(table):
+            raise PermissionError(
+                f"progress op: invalid table identifier {table!r}")
+        prog = f"{table}__tail_progress"
+        action = hdr.get("action", "get")
+        tail_id = str(hdr["tail_id"])
+        cur = self._engine._pool.get()
+        try:
+            cur.execute(f"CREATE TABLE IF NOT EXISTS {prog} "
+                        f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT)")
+            present, val = 0, 0
+            if action == "put":
+                cur.execute(
+                    f"INSERT INTO {prog} VALUES (?, ?) "
+                    f"ON CONFLICT (tail_id) DO UPDATE SET watermark = "
+                    f"greatest(excluded.watermark, watermark)",
+                    [tail_id, int(hdr["watermark"])])
+            elif action == "reset":
+                cur.execute(f"DELETE FROM {prog} WHERE tail_id = ?",
+                            [tail_id])
+            elif action == "get":
+                row = cur.execute(
+                    f"SELECT watermark FROM {prog} WHERE tail_id = ?",
+                    [tail_id]).fetchone()
+                if row is not None:
+                    present, val = 1, int(row[0])
+            else:
+                raise ValueError(f"unknown progress action {action!r}")
+            f.write(b"\x00" + bytes([present])
+                    + val.to_bytes(8, "big", signed=True))
+            f.flush()
+        finally:
+            self._engine._pool.put(cur)
+
     def _handle_query(self, f, hdr: dict) -> None:
         """Stream a query result back as an Arrow IPC stream. The
         status byte is written only after the cursor EXECUTE succeeds,
         so planning/binding errors reach the client as a clean error
         frame (handled by the caller's except); a failure while
-        streaming batches truncates the IPC stream instead. The cursor
-        is pooled like every other operation — N concurrent range
-        scans share the same pool as the writers."""
+        streaming batches CLOSES the connection without writing
+        anything more (r13, ADVICE) — an error frame after the status
+        byte would be consumed by the client's IPC reader as corrupt
+        stream bytes, so true truncation is the honest signal; the
+        failure is recorded on ``stream_errors``/``last_stream_error``.
+        The cursor is pooled like every other operation — N concurrent
+        range scans share the same pool as the writers.
+
+        The statement is restricted to READ-ONLY SQL
+        (:func:`assert_read_only_sql`, r13 ADVICE): the ingest op
+        enforces the ``_writable`` contract, and without this gate any
+        wire peer could bypass it — INSERT into a read-only view, DROP
+        a table — via op:query."""
         import pyarrow as pa
 
+        assert_read_only_sql(hdr["sql"])
         cur = self._engine._pool.get()
         try:
             reader = cur.execute(hdr["sql"]).fetch_record_batch(
                 int(hdr.get("batch_rows", 65536)))
             f.write(b"\x00")
-            writer = pa.ipc.new_stream(f, reader.schema)
-            for batch in reader:
-                writer.write_batch(batch)
-            writer.close()
-            f.flush()
+            try:
+                writer = pa.ipc.new_stream(f, reader.schema)
+                for batch in reader:
+                    writer.write_batch(batch)
+                writer.close()
+                f.flush()
+            except Exception as e:
+                with self._count_lock:
+                    self.stream_errors += 1
+                    self.last_stream_error = f"{type(e).__name__}: {e}"
+                try:
+                    f.close()
+                except (OSError, ValueError):  # already torn down
+                    pass
         finally:
             self._engine._pool.put(cur)
 
@@ -746,6 +869,82 @@ class ArrowIngestServer:
         except OSError:  # pragma: no cover - already closed
             pass
         self._acceptor.join(timeout=2)
+
+
+_WRITE_TOKENS = frozenset((
+    "insert", "update", "delete", "merge", "create", "drop", "alter",
+    "truncate", "attach", "detach", "copy", "pragma", "install", "load",
+    "call", "set", "reset", "begin", "commit", "rollback", "vacuum",
+    "checkpoint", "export", "import", "grant", "revoke", "use"))
+
+_IDENT_TOKEN_RE = re.compile(r"[a-zA-Z_][a-zA-Z_0-9]*")
+_SQL_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*\Z")
+
+
+def assert_read_only_sql(sql: str) -> None:
+    """Refuse any statement the ingest server's ``query`` op must not
+    run (r13 ADVICE: the op executed arbitrary SQL on a pooled cursor,
+    bypassing the ``_writable`` contract the ingest op enforces).
+
+    Lexer-level, refusal-direction: string literals (``''`` escapes),
+    quoted identifiers, and ``--``/``/* */`` comments are stripped, then
+    the statement must start with SELECT/WITH/DESCRIBE/SHOW/VALUES,
+    contain no second statement (interior ``;``), no dollar-quoting
+    (not analyzable at this level), and no write/DDL/session keyword
+    ANYWHERE as an unquoted token — write verbs cannot appear in
+    subqueries, and reserved words cannot appear as unquoted
+    identifiers, so false refusals need a deliberately odd schema
+    (quote such identifiers to pass). Mirrors the engine's seam
+    convention: when in doubt, refuse loudly rather than forward."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+        elif c == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    text = "".join(out)
+    if "$" in text:
+        raise PermissionError(
+            "query op: dollar-quoted strings are not analyzable by the "
+            "read-only gate; rewrite with standard quotes")
+    body = text.strip().rstrip(";").strip()
+    if ";" in body:
+        raise PermissionError(
+            "query op: multiple statements are not allowed")
+    toks = _IDENT_TOKEN_RE.findall(body.lower())
+    if not toks or toks[0] not in ("select", "with", "describe", "show",
+                                   "values", "explain", "from"):
+        head = toks[0] if toks else "<empty>"
+        raise PermissionError(
+            f"query op is read-only; statement starts with {head!r}")
+    bad = _WRITE_TOKENS.intersection(toks)
+    if bad:
+        raise PermissionError(
+            "query op is read-only; statement contains write/DDL/session "
+            f"keyword(s) {sorted(bad)} (quote identifiers that merely "
+            "collide with these names)")
 
 
 def table_refs(sql: str) -> set[str]:

@@ -243,7 +243,8 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
 
 def stream_to_remote_table(stream: DataFrame, engine, table: str,
                            cols: str = "", exactly_once: bool = False,
-                           sink_id: str | None = None) -> int:
+                           sink_id: str | None = None,
+                           checkpoint_location: str | None = None) -> int:
     """Structured-Streaming FEDERATED sink (r12): drive a streaming
     DataFrame into a writable remote table, one micro-batch at a time,
     through the engine's write data plane
@@ -268,7 +269,27 @@ def stream_to_remote_table(stream: DataFrame, engine, table: str,
     append_remote_exactly_once`) — a contract the reference sink
     cannot offer. The snapshot-store MERGE sink
     (:func:`stream_upsert_snapshot`) remains the exactly-once route
-    for keyed upserts."""
+    for keyed upserts.
+
+    ``checkpoint_location`` (r13, ADVICE): batch ids are only stable
+    identities for batch CONTENT under a live checkpoint — without
+    one they restart at 0 every invocation, so a second run over a
+    source that gained data would reuse ``(sink_id, batch_id)`` pairs
+    whose markers already exist and silently skip the new rows.
+    ``exactly_once=True`` therefore requires EITHER a
+    checkpoint_location (the durable production shape — restarts
+    replay from the WAL and the commit log dedups genuinely identical
+    batches) OR an explicit ``sink_id`` (run-scoped semantics: the
+    caller owns picking a fresh id per logical run, the shape the CDC
+    probe uses)."""
+    if exactly_once and checkpoint_location is None and sink_id is None:
+        raise ValueError(
+            "stream_to_remote_table(exactly_once=True) without a "
+            "checkpoint_location: batch ids restart at 0 on every "
+            "invocation, so the default sink_id would silently skip "
+            "batches colliding with a prior run's commit-log markers. "
+            "Pass checkpoint_location=... (durable), or an explicit "
+            "fresh sink_id per run (run-scoped).")
     totals = {"n": 0}
 
     def fn(batch: DataFrame, bid: int) -> None:
@@ -282,8 +303,10 @@ def stream_to_remote_table(stream: DataFrame, engine, table: str,
         else:
             totals["n"] += engine.append_remote(table, batch, cols)
 
-    q = (stream.writeStream.foreachBatch(fn)
-         .outputMode("append").start())
+    w = stream.writeStream.foreachBatch(fn).outputMode("append")
+    if checkpoint_location is not None:
+        w = w.option("checkpointLocation", checkpoint_location)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:
@@ -324,6 +347,10 @@ def tail_remote_table(spark, remote, table: str, key_col: str,
          .option("key_type", key_type)
          .option("columns", columns)
          .option("num_partitions", str(num_partitions)))
+    if remote.ingest_token is not None:
+        # server started with a shared secret: every wire op (scalar
+        # polls, progress row, executor range pulls) must carry it
+        r = r.option("token", remote.ingest_token)
     if start_key is not None:
         r = r.option("start_key", str(int(start_key)))
     if max_rows_per_batch is not None:
@@ -333,6 +360,39 @@ def tail_remote_table(spark, remote, table: str, key_col: str,
         # pipeline/checkpoint when several capped tails share a table
         r = r.option("tail_id", tail_id)
     return r.load()
+
+
+def drain_tail_until_stable(query, stable_rounds: int = 2,
+                            max_rounds: int = 1000) -> None:
+    """Drain a streaming query fed by a CAPPED tail until no more data
+    arrives — the batch-style ergonomic the Python
+    DataSourceStreamReader protocol can't offer natively (r12 VERDICT
+    "what's missing"): a capped ``latestOffset`` is also what
+    ``processAllAvailable`` compares against, so a capped stream looks
+    caught-up after every micro-batch and a single call drains at most
+    ``max_rows_per_batch`` rows. This helper loops
+    ``processAllAvailable`` until ``stable_rounds`` consecutive rounds
+    produce no new batch (or an empty one) — the moment the tail has
+    genuinely caught up to the remote.
+
+    Test/backfill shape only: a PRODUCTION capped tail runs on an
+    interval/continuous trigger, where every trigger re-polls and the
+    cap is pure backpressure — no draining loop involved."""
+    stable, last_bid = 0, None
+    for _ in range(max_rounds):
+        query.processAllAvailable()
+        p = query.lastProgress
+        bid = p["batchId"] if p else None
+        new_rows = (p or {}).get("numInputRows", 0)
+        if bid == last_bid or new_rows == 0:
+            stable += 1
+            if stable >= stable_rounds:
+                return
+        else:
+            stable = 0
+        last_bid = bid
+    raise TimeoutError(
+        f"tail did not stabilize within {max_rounds} drain rounds")
 
 
 def stream_upsert_snapshot(stream: DataFrame, path: str,

@@ -492,8 +492,17 @@ def test_stream_to_remote_table_exactly_once(spark, tmp_path):
                                       max_files_per_trigger=1) \
                 .select("event_id", "user_id", "event_type", "ts", "value")
 
-        n = stream_to_remote_table(stream(), eng, "ev_x1",
+        # exactly_once without a checkpoint requires an EXPLICIT
+        # sink_id (r13 ADVICE: batch ids restart at 0 per invocation,
+        # so the default table-name sink_id would silently skip new
+        # batches colliding with a prior run's markers)
+        import pytest
+
+        with pytest.raises(ValueError, match="checkpoint_location"):
+            stream_to_remote_table(stream(), eng, "ev_x1",
                                    exactly_once=True)
+        n = stream_to_remote_table(stream(), eng, "ev_x1",
+                                   exactly_once=True, sink_id="ev_x1")
         assert n == want
         assert drained() == want
         # one marker per non-empty micro-batch (3 files x 1 per trigger)
@@ -502,9 +511,10 @@ def test_stream_to_remote_table_exactly_once(spark, tmp_path):
             "WHERE sink_id = 'ev_x1'").column(0)[0].as_py()
         assert marks == 3
         # crash-replay: same sink_id, batch ids restart at 0 -> every
-        # batch's marker already exists -> nothing appends
+        # batch's marker already exists -> nothing appends (this is
+        # run-scoped semantics, OWNED by the caller who reuses the id)
         n2 = stream_to_remote_table(stream(), eng, "ev_x1",
-                                    exactly_once=True)
+                                    exactly_once=True, sink_id="ev_x1")
         assert n2 == 0
         assert drained() == want
         # a NEW logical stream into the same table: its own namespace
@@ -515,6 +525,69 @@ def test_stream_to_remote_table_exactly_once(spark, tmp_path):
     finally:
         remote.drop_table("ev_x1")
         remote.drop_table("ev_x1__commits", if_exists=True)
+
+
+def test_exactly_once_checkpointed_across_invocations(spark, tmp_path):
+    """r13 (ADVICE): the DURABLE exactly-once shape. Without a
+    checkpoint, batch ids restart at 0 per invocation, so a source
+    that gained data between runs would reuse (sink_id, batch_id)
+    pairs and the new rows would be silently skipped. WITH a
+    checkpoint_location the WAL advances batch ids across invocations
+    — a second run over a grown source appends exactly the delta, and
+    an unchanged source appends nothing."""
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming.events import (
+        read_events_stream, stream_to_remote_table)
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "ev_ck"
+    d.mkdir()
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    per_file = spark.read.parquet(src).count()
+    for i in range(2):
+        shutil.copy(src, d / f"part_{i}.parquet")
+    ckpt = str(tmp_path / "eo_ckpt")
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    remote.create_table(
+        "ev_ck", "event_id BIGINT, user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, value BIGINT")
+
+    def run():
+        stream = read_events_stream(spark, str(d),
+                                    max_files_per_trigger=1) \
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        # default sink_id is fine HERE: the checkpoint makes batch ids
+        # stable identities across invocations
+        return stream_to_remote_table(stream, eng, "ev_ck",
+                                      exactly_once=True,
+                                      checkpoint_location=ckpt)
+
+    def drained():
+        return remote.execute(
+            "SELECT CAST(count(*) AS BIGINT) FROM ev_ck"
+        ).column(0)[0].as_py()
+
+    try:
+        assert run() == 2 * per_file
+        assert drained() == 2 * per_file
+        # the source GAINS data between invocations — the scenario a
+        # non-checkpointed rerun silently drops
+        shutil.copy(src, d / "part_2.parquet")
+        assert run() == per_file          # exactly the delta
+        assert drained() == 3 * per_file  # nothing lost, nothing doubled
+        assert run() == 0                 # unchanged source: no-op
+        assert drained() == 3 * per_file
+    finally:
+        remote.drop_table("ev_ck")
+        remote.drop_table("ev_ck__commits", if_exists=True)
 
 
 def test_append_remote_exactly_once_atomic_rollback(spark):
