@@ -662,12 +662,18 @@ class ClickHouseSparkEngine:
 
         import pyarrow.dataset as pads
 
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
         bare = table.lower().rsplit(".", 1)[-1]
         if self._remote is None or bare not in self._remote.tables():
             raise ValueError(f"no remote table {table!r}")
         commits = f"{bare}__commits"
         sink = (sink_id or bare).replace("'", "''")
         bid = int(batch_id)
+        # commit-log statements are profile-rendered (dialect_profile
+        # .py) so the ClickHouse retarget transcripts pin the swap
+        profile = get_profile("duckdb")
         if commits not in self._remote.tables():
             # PRIMARY KEY = zombie-writer fencing: two concurrent
             # transactions claiming the same (sink, batch) — a
@@ -675,17 +681,15 @@ class ClickHouseSparkEngine:
             # pass the seen-check, but only ONE marker insert can
             # commit; the loser's whole transaction (rows included)
             # rolls back, so the race cannot double-append
-            self._remote.create_table(
-                commits, "sink_id VARCHAR, batch_id BIGINT, "
-                "PRIMARY KEY (sink_id, batch_id)")
+            self._remote.execute(profile.commits_create(commits))
+            self._remote.refresh()
         seen = self._remote.execute(
-            f"SELECT CAST(count(*) AS BIGINT) FROM {commits} "
-            f"WHERE sink_id = '{sink}' AND batch_id = {bid}"
+            profile.commits_seen(commits, sink, bid)
         ).column(0)[0].as_py()
         if seen:
             self.last_remote_insert = "exactly-once-skip"
             return 0
-        marker = (f"INSERT INTO {commits} VALUES ('{sink}', {bid})")
+        marker = profile.commits_marker(commits, sink, bid)
         path = os.path.join(self._remote_spool_dir,
                             "x1_" + uuid.uuid4().hex)
         try:

@@ -239,6 +239,13 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         self._start_key = options.get("start_key")
         self._max_rows = options.get("max_rows_per_batch")
         self._token = options.get("token")
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
+        # every dialect-specific SQL fragment this source emits comes
+        # from the profile, so a ClickHouse retarget is an option flip
+        # (dialect_profile.py holds the tested swap pairs)
+        self._profile = get_profile(options.get("dialect", "duckdb"))
         self._last: int | None = None
         # capped streams persist their PLAN-TIME watermark remote-side
         # so the cap survives restarts (see _recover_base); the row
@@ -249,13 +256,13 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
     def _knum(self) -> str:
         """The key as a BIGINT-valued SQL expression (offset plane)."""
         if self._key_type == "timestamp":
-            return f"epoch_us({self._key})"
+            return self._profile.ts_key_to_epoch_us(self._key)
         return self._key
 
     def _klit(self, v: int) -> str:
         """An offset value as a key-typed SQL literal (predicate plane)."""
         if self._key_type == "timestamp":
-            return f"make_timestamp({int(v)})"
+            return self._profile.epoch_us_to_ts_literal(int(v))
         return str(int(v))
 
     # -- offsets ------------------------------------------------------
@@ -354,15 +361,15 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         # equal-ROW split boundaries via a discrete-quantile AGGREGATE —
         # one pass, no full sort (an ntile window materializes and sorts
         # the whole range per micro-batch, which dominates large
-        # catch-up batches). quantile_disc returns actual key values, so
-        # every boundary is a real row's key; a ClickHouse retarget
-        # swaps in quantilesExact (this SQL only ever runs on the
-        # remote's dialect, never through the local parser).
-        qs = ", ".join(f"{(i + 1) / self._nparts:.6f}"
-                       for i in range(self._nparts))
+        # catch-up batches). The profile's quantile_bounds returns
+        # actual key values (quantile_disc here, quantilesExact on a
+        # ClickHouse retarget — dialect_profile.py), so every boundary
+        # is a real row's key; this SQL only ever runs on the remote's
+        # dialect, never through the local parser.
+        probs = [(i + 1) / self._nparts for i in range(self._nparts)]
         raw = _scalar(
             self._host, self._port,
-            f"SELECT quantile_disc({self._knum()}, [{qs}]) "
+            f"SELECT {self._profile.quantile_bounds(self._knum(), probs)} "
             f"FROM {self._table} WHERE {rng}", token=self._token)
         bounds = sorted({int(b) for b in (raw or []) if b is not None})
         if not bounds or bounds[-1] != hi:

@@ -614,9 +614,13 @@ class RemoteEngine:
             raise ValueError(
                 f"remote table {name!r} is a read-only view; "
                 "create_table() makes a writable one")
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
+        profile = get_profile("duckdb")  # the in-process remote's dialect
         cur = self._pool.get()
         try:
-            cur.execute("BEGIN TRANSACTION")
+            cur.execute(profile.txn_begin())
             try:
                 total = 0
                 for batch in batches:
@@ -630,10 +634,10 @@ class RemoteEngine:
                         cur.unregister(alias)
                 if pre_commit_sql is not None:
                     cur.execute(pre_commit_sql)
-                cur.execute("COMMIT")
+                cur.execute(profile.txn_commit())
                 return total
             except Exception:
-                cur.execute("ROLLBACK")
+                cur.execute(profile.txn_rollback())
                 raise
         finally:
             self._pool.put(cur)
@@ -784,6 +788,9 @@ class ArrowIngestServer:
         (delete the row — fresh queries clear stale incarnations).
         Reply: status byte, 1-byte presence flag, 8-byte signed BE
         watermark (zero unless a ``get`` found a row)."""
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
         table = str(hdr["table"])
         if not _SQL_IDENT_RE.fullmatch(table):
             raise PermissionError(
@@ -791,24 +798,21 @@ class ArrowIngestServer:
         prog = f"{table}__tail_progress"
         action = hdr.get("action", "get")
         tail_id = str(hdr["tail_id"])
+        # the in-process remote speaks DuckDB; the statement set is
+        # profile-rendered so the ClickHouse transcripts pin the swap
+        profile = get_profile("duckdb")
         cur = self._engine._pool.get()
         try:
-            cur.execute(f"CREATE TABLE IF NOT EXISTS {prog} "
-                        f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT)")
+            cur.execute(profile.progress_create(prog))
             present, val = 0, 0
             if action == "put":
-                cur.execute(
-                    f"INSERT INTO {prog} VALUES (?, ?) "
-                    f"ON CONFLICT (tail_id) DO UPDATE SET watermark = "
-                    f"greatest(excluded.watermark, watermark)",
-                    [tail_id, int(hdr["watermark"])])
+                cur.execute(profile.progress_put(prog),
+                            [tail_id, int(hdr["watermark"])])
             elif action == "reset":
-                cur.execute(f"DELETE FROM {prog} WHERE tail_id = ?",
-                            [tail_id])
+                cur.execute(profile.progress_reset(prog), [tail_id])
             elif action == "get":
-                row = cur.execute(
-                    f"SELECT watermark FROM {prog} WHERE tail_id = ?",
-                    [tail_id]).fetchone()
+                row = cur.execute(profile.progress_get(prog),
+                                  [tail_id]).fetchone()
                 if row is not None:
                     present, val = 1, int(row[0])
             else:
