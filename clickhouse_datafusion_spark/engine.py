@@ -611,11 +611,26 @@ class ClickHouseSparkEngine:
     def append_remote(self, table: str, df, cols: str = "") -> int:
         """Append a DataFrame into a writable remote table through the
         engine's write data plane (``write_mode``: 'spool' default /
-        'executor' when an ingest server is attached) — the
-        DataFrame-API twin of ``INSERT INTO clickhouse.<db>.<table>``
-        and the per-micro-batch body of the streaming federated sink
+        'executor' when an ingest server is attached / 'direct' for
+        trigger-bounded micro-batches) — the DataFrame-API twin of
+        ``INSERT INTO clickhouse.<db>.<table>`` and the
+        per-micro-batch body of the streaming federated sink
         (streaming.events.stream_to_remote_table). Returns the
-        appended row count."""
+        appended row count.
+
+        ``write_mode='direct'`` (r13, the per-micro-batch fixed-cost
+        cut): collect the DataFrame as ONE Arrow table on the driver
+        and stream its batches straight into the pooled writers — no
+        parquet spool round trip (two filesystem passes + a Spark
+        write job per micro-batch). Driver memory = the whole batch,
+        so this plane is for TRIGGER-BOUNDED sources only (a streaming
+        micro-batch is bounded by maxFilesPerTrigger /
+        maxOffsetsPerTrigger by construction); an unbounded
+        ``INSERT INTO remote.t SELECT ...`` must stay on the
+        spool/executor planes, whose memory is batch-size-bounded.
+        Measured on the st12 replay (1M rows, 5 micro-batches,
+        tools/probe_microbatch_cost_r13.py): spool 393k → direct 501k
+        rows/s, against a 442-620k rows/s noop/count streaming floor."""
         bare = table.lower().rsplit(".", 1)[-1]
         if self._remote is None or bare not in self._remote.tables():
             raise ValueError(f"no remote table {table!r}")
@@ -623,6 +638,13 @@ class ClickHouseSparkEngine:
                 and self._remote.ingest_address is not None):
             n = self._stream_insert_executors(bare, df, cols)
             self.last_remote_insert = "executor-parallel"
+        elif self.write_mode == "direct":
+            tbl = df.toArrow()
+            n = self._remote.insert_arrow_batches(
+                bare,
+                iter(tbl.to_batches(max_chunksize=self.write_batch_rows)),
+                cols, write_concurrency=self.write_concurrency)
+            self.last_remote_insert = "direct-arrow"
         else:
             n = self._stream_insert_local(bare, df, cols)
             self.last_remote_insert = "arrow-stream"
@@ -690,6 +712,19 @@ class ClickHouseSparkEngine:
             self.last_remote_insert = "exactly-once-skip"
             return 0
         marker = profile.commits_marker(commits, sink, bid)
+        if self.write_mode == "direct":
+            # direct-arrow plane (r13): a micro-batch is trigger-
+            # bounded, so collecting it as one Arrow table skips the
+            # per-batch parquet spool round trip; the drain stays
+            # single-cursor (ingest_transaction), which is what makes
+            # rows + marker atomic
+            tbl = df.toArrow()
+            n = self._remote.ingest_transaction(
+                bare,
+                iter(tbl.to_batches(max_chunksize=self.write_batch_rows)),
+                cols, pre_commit_sql=marker)
+            self.last_remote_insert = "exactly-once-txn"
+            return n
         path = os.path.join(self._remote_spool_dir,
                             "x1_" + uuid.uuid4().hex)
         try:

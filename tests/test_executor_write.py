@@ -98,7 +98,9 @@ def test_executor_insert_matches_spool_path_values(fed, spark):
         assert eng.last_remote_insert == "executor-parallel"
         b = run2("spool")
         assert eng.last_remote_insert == "arrow-stream"
-        assert a == b and len(a) > 0
+        c = run2("direct")      # r13: the trigger-bounded fast plane
+        assert eng.last_remote_insert == "direct-arrow"
+        assert a == b == c and len(a) > 0
         assert a[0][2] == "1996-12-31 23:59:58.123456"
     finally:
         eng.write_mode = "executor"
@@ -277,7 +279,7 @@ def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
     vals = {}
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        for mode in ("spool", "executor"):
+        for mode in ("spool", "executor", "direct"):
             eng.write_mode = mode
             remote.create_table("ew_tz", "k BIGINT, ev TIMESTAMP")
             try:
@@ -292,9 +294,10 @@ def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
                     "SELECT ev FROM ew_tz").column(0)[0])
             finally:
                 remote.drop_table("ew_tz")
-        # 12:00 EST == 17:00 UTC — the instant, in UTC form, both planes
+        # 12:00 EST == 17:00 UTC — the instant, in UTC form, all planes
         assert vals == {"spool": "2001-01-15 17:00:00.123456",
-                        "executor": "2001-01-15 17:00:00.123456"}
+                        "executor": "2001-01-15 17:00:00.123456",
+                        "direct": "2001-01-15 17:00:00.123456"}
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
         eng.write_mode = "executor"

@@ -445,10 +445,27 @@ def test_stream_to_remote_table_federated_sink(spark, tmp_path):
         assert n2 == want
         assert drained() == 2 * want
         assert eng.last_remote_insert == "executor-parallel"
+        # direct-arrow plane (r13): the trigger-bounded fast path —
+        # same totals, and exactly-once rides it too (the single-
+        # cursor transactional drain is plane-independent)
+        eng.write_mode = "direct"
+        n3 = stream_to_remote_table(stream, eng, "ev_sink")
+        assert n3 == want
+        assert drained() == 3 * want
+        assert eng.last_remote_insert == "direct-arrow"
+        n4 = stream_to_remote_table(stream, eng, "ev_sink",
+                                    exactly_once=True, sink_id="d1")
+        assert n4 == want and drained() == 4 * want
+        assert eng.last_remote_insert == "exactly-once-txn"
+        # replayed run (same sink_id, ids restart): skipped whole
+        n5 = stream_to_remote_table(stream, eng, "ev_sink",
+                                    exactly_once=True, sink_id="d1")
+        assert n5 == 0 and drained() == 4 * want
     finally:
         eng.write_mode = "spool"
         remote.stop_ingest_server()
         remote.drop_table("ev_sink")
+        remote.drop_table("ev_sink__commits", if_exists=True)
 
 
 def test_stream_to_remote_table_exactly_once(spark, tmp_path):
