@@ -5146,7 +5146,11 @@ def st13_stream_remote_sink_exactly_once(spark, sf):
         d = _staged_stream_dir(sf, "st13", copies=1)
         stream = read_events_stream(spark, d).select(
             "event_id", "user_id", "event_type", "ts", "value")
-        stream_to_remote_table(stream, eng, tbl, exactly_once=True)
+        # explicit run-scoped sink_id (r13 contract: exactly_once
+        # without a checkpoint must own its id; tbl is uuid-fresh per
+        # invocation, so batch-id collisions across runs are impossible)
+        stream_to_remote_table(stream, eng, tbl, exactly_once=True,
+                               sink_id=tbl)
         # inject a crash-replay of batch 0: the marker exists, so the
         # whole batch must be skipped (0 rows) or the hash below breaks
         replay = spark.read.parquet(f"{sf}/events.parquet").select(
@@ -5742,27 +5746,27 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r12: d3x gained its FIRST hard oracle (exact_jaccard_verify
-    # projection over the production xxhash64 candidates — verdict
-    # task 4); body AND oracle changed, so it fronts. The seam changed
-    # again (align observability on the direct hand-back, timestamp-
-    # enumeration refuse direction, W-bounded streamed write, empty-
-    # source writability) — fed2/fed3 re-gate on the changed ship
-    # path. d8 and the t11 family re-gate on the stage_cut refactor
-    # (helper swap; default behavior identical, but the bodies
-    # changed). Everything else mechanical: the 38-entry r8 tail
-    # fronts via tier 4 oldest-round-first, so after r12 no entry's
-    # hard driver row is older than r9 (r11 verdict task 6).
-    "st13_streaming_sink_exactly_once",
-    "st14_remote_table_tail",
-    "d3x_minhash_production",
-    "x56_web_curation",
-    "fed2_remote_subtree_exec",
-    "fed3_remote_stream_scan",
-    "d8_cross_doc_span_dedup",
+    # r13: the t11 family re-gates on the single-long-key scoring body
+    # (the decade fix — the probe stream and both LM joins changed
+    # physically; values must re-pin against the string-keyed oracle).
+    # st12/st13 re-gate on the exactly-once contract change (explicit
+    # sink_id now required without a checkpoint; st13's body changed)
+    # plus the new direct-arrow plane sharing their code path; st14
+    # re-gates on the tail rework (parameterized progress op,
+    # identifier validation, token plumb, initialOffset reset).
+    # Everything else mechanical: tier 4 oldest-round-first fronts the
+    # 46-entry r9 tail (d1, d5-d7, d9, f8-f11, s1-s5, s8-s9, st1-st5,
+    # st11, t7-t8, x10, x14-x28, x30-x31, x36, x39, m1), so after r13
+    # no live entry's hard driver row is older than r10 (r12 verdict
+    # task 3).
+    # (st12 is NOT fronted: its gate path — default at-least-once
+    # plane — is byte-identical this round; the exactly-once contract
+    # change lands in st13's changed body.)
     "t11_bigram_lm_score",
     "t11b_bigram_lm_prebuilt",
     "t11c_bigram_lm_shuffle",
+    "st13_streaming_sink_exactly_once",
+    "st14_remote_table_tail",
 ]
 
 def _latest_gate_rows() -> dict[str, tuple[int, str | None]]:
