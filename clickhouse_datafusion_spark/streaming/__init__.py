@@ -6,10 +6,14 @@ watermarked tumbling/sliding/session windows and custom stateful operators
 over the ``events`` fixture shape.
 """
 
+from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+    reset_tail_progress,
+)
 from clickhouse_datafusion_spark.streaming.events import (
     dedup_against_corpus,
     dedup_content_stream,
     dedup_stream,
+    drain_tail_until_stable,
     read_events_stream,
     tumbling_counts,
     sliding_value_sums,
@@ -40,4 +44,6 @@ __all__ = [
     "streaming_retention",
     "stream_append_ann_index",
     "run_to_memory_sink",
+    "drain_tail_until_stable",
+    "reset_tail_progress",
 ]
