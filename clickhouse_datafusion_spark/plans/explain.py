@@ -112,7 +112,34 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", p)))
         or p.count("WholeStageCodegen"),
         "sorts": p.count("Sort "),
+        # multi-column hash-join probes walk the generic
+        # UnsafeHashedRelation (an UnsafeRow pack per probe row) instead
+        # of the single-bigint LongHashedRelation fast path — measured
+        # 5-7x slower on a 45M-row probe of a tiny broadcast (the r13
+        # t11 decade fix, BASELINE.md r13). A hot-path join whose key
+        # set fits one long should pre-fold it (xxhash64(k1, k2)); this
+        # counter lets tests pin that fold.
+        "multikey_hash_joins": _count_multikey_hash_joins(own),
     }
+
+
+def _count_multikey_hash_joins(plan: str) -> int:
+    """Hash joins (broadcast or shuffled) probing on 2+ key columns."""
+    n = 0
+    for m in re.finditer(r"(?:BroadcastHashJoin|ShuffledHashJoin) \[", plan):
+        depth, keys, i = 1, 1, m.end()
+        while i < len(plan) and depth > 0:
+            c = plan[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 1:
+                keys += 1
+            i += 1
+        if keys >= 2:
+            n += 1
+    return n
 
 
 def executed_metrics(df: DataFrame, execute: bool = True) -> list[dict]:

@@ -594,3 +594,17 @@ def test_q9_orderkey_join_is_shuffled_hash(spark):
     joins = [ln for ln in plan.splitlines()
              if "ShuffledHashJoin" in ln and "orderkey" in ln.lower()]
     assert joins, plan[:2000]
+
+
+def test_t11_lm_probes_are_single_key_hash_joins(spark):
+    """r13 regression guard for the t11 decade fix: the LM scoring
+    pass's broadcast probes must stay SINGLE-key (LongHashedRelation
+    fast path) — a reintroduced (h1,h2) two-key probe walks the
+    generic UnsafeHashedRelation at 5-7x the cost on the 45M-pair
+    decade stream (BASELINE.md r13) while printing an identical-
+    looking BroadcastHashJoin."""
+    rep = plan_report(q("t11_bigram_lm_score", spark), execute=True)
+    assert rep["multikey_hash_joins"] == 0, rep
+    assert rep["broadcasts"] >= 2, rep       # both LM tables broadcast
+    rep_b = plan_report(q("t11b_bigram_lm_prebuilt", spark), execute=True)
+    assert rep_b["multikey_hash_joins"] == 0, rep_b
