@@ -463,8 +463,19 @@ def near_contamination(train_df: DataFrame, eval_df: DataFrame,
                 f"slice(sig, band * {rpb} + 1, {rpb})")) \
             .withColumnRenamed("sig", sig_out)
 
-    tr = banded(sigs(_ensure_parallelism(train_df), "id"), "sig_t")
-    ev = banded(sigs(eval_df, "eval_id"), "sig_e")
+    # fold (band, _bsig) into one bigint bucket key (r13): the train
+    # side's probe stream is n_train x bands rows against a broadcast
+    # eval set — the multi-key probe tax (BASELINE.md r13) applies to
+    # exactly this shape, and band-signature equality already IS the
+    # LSH bucket criterion, so the fold's collision term is of the
+    # accepted class. xxhash64 hashes the array column directly.
+    def bucketed(df):
+        return df.withColumn("_bkt", F.xxhash64("band", "_bsig")) \
+            .drop("band", "_bsig")
+
+    tr = bucketed(banded(sigs(_ensure_parallelism(train_df), "id"),
+                         "sig_t"))
+    ev = bucketed(banded(sigs(eval_df, "eval_id"), "sig_e"))
     matches = F.size(F.filter(
         F.zip_with(F.col("sig_t"), F.col("sig_e"), lambda x, y: x == y),
         lambda e: e))
@@ -472,7 +483,7 @@ def near_contamination(train_df: DataFrame, eval_df: DataFrame,
     # rounded, so floor() here equals integer DIV — matching the oracle
     est = F.floor(matches.cast("bigint") * 1000 / F.lit(n_hashes)) \
         .cast("bigint")
-    return (tr.join(F.broadcast(ev), ["band", "_bsig"])
+    return (tr.join(F.broadcast(ev), ["_bkt"])
             .select(F.col("id").alias(id_col), "eval_id",
                     est.alias("est_permille"))
             .filter(F.col("est_permille") >= threshold_permille)
@@ -811,9 +822,19 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
                        F.col("_k.gpos").alias("_kpos"),
                        F.explode(F.sequence(
                            F.lit(0), F.lit(n_salt - 1))).alias("_salt")))
+    # fold (gh, _salt) into ONE bigint join key (r13): a multi-column
+    # hash-join probe walks the generic UnsafeHashedRelation at 5-7x
+    # the single-long fast path's cost (BASELINE.md r13, the t11
+    # decade fix) — and this probe runs over the full corpus gram
+    # stream. gh equality already IS the duplicate criterion (the
+    # hash-keyed design), so the fold adds one more term of the same
+    # accepted collision class, nothing new in kind.
     removals = (g.withColumn("_salt", F.pmod(F.xxhash64("id", "gpos"),
                                              F.lit(n_salt)).cast("int"))
-                .join(keepers, ["gh", "_salt"])
+                .withColumn("_ghs", F.xxhash64("gh", "_salt"))
+                .join(keepers.withColumn("_ghs", F.xxhash64("gh", "_salt"))
+                      .drop("gh", "_salt"),
+                      "_ghs")
                 .filter((F.col("id") != F.col("_kid"))
                         | (F.col("gpos") != F.col("_kpos")))
                 .select("id", "gpos"))

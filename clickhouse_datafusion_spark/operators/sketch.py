@@ -230,7 +230,16 @@ def cms_estimate(tokens: DataFrame, sketch: DataFrame,
         F.pmod(_h60(F.concat(F.col("r").cast("string"), F.lit(":"),
                              F.col("tok"))),
                F.lit(width)).alias("c"))
-    return (addressed.join(F.broadcast(sketch), ["r", "c"], "left")
+    # LOSSLESS single-key fold of (r, c) — r*width + c is a bijection
+    # on the sketch's address space, so the probe rides the
+    # LongHashedRelation fast path (BASELINE.md r13) with EXACT
+    # semantics, no collision term at all
+    cell = (F.col("r").cast("bigint") * width + F.col("c")).alias("_cell")
+    sk1 = sketch.select(
+        (F.col("r").cast("bigint") * width + F.col("c")).alias("_cell"),
+        "cnt")
+    return (addressed.select("tok", cell)
+            .join(F.broadcast(sk1), "_cell", "left")
             .groupBy("tok")
             .agg(F.min(F.coalesce("cnt", F.lit(0)))
                  .cast("bigint").alias("est_count")))
