@@ -135,3 +135,36 @@ print("cdc rows landed:",
 remote.stop_ingest_server()
 for t in ("cdc_src", "cdc_dst", "cdc_dst__commits"):
     remote.drop_table(t, if_exists=True)
+
+# r13: the hardened wire + the direct plane, in one breath. A server
+# started with a shared-secret token refuses every unauthenticated op
+# (the wrapper and the executor plane plumb the token automatically);
+# the query op is READ-ONLY server-side regardless — DDL/DML must come
+# through the writability-checked ingest op or the engine API. And for
+# trigger-bounded micro-batches, write_mode="direct" skips the parquet
+# spool round trip entirely (659k rows/s on the st12 replay vs 519k;
+# BASELINE.md r13).
+from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+    _wire_query)
+
+remote.create_table("sec_demo", "k BIGINT, v DOUBLE")
+host, port = remote.start_ingest_server(token="demo-secret")
+try:
+    list(_wire_query(host, port, "DROP TABLE sec_demo"))   # no token
+except RuntimeError as e:
+    print("unauthenticated op refused:", str(e)[:60], "...")
+try:
+    list(_wire_query(host, port, "DROP TABLE sec_demo",
+                     token="demo-secret"))             # token, but DDL
+except RuntimeError as e:
+    print("write via query op refused:", str(e)[:60], "...")
+
+eng.write_mode = "direct"
+eng.append_remote("sec_demo", eng.spark.range(1, 1001).select(
+    F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")))
+print("direct-plane append:", eng.last_remote_insert, "| rows:",
+      remote.execute("SELECT CAST(count(*) AS BIGINT) FROM sec_demo")
+      .column(0)[0].as_py())
+eng.write_mode = "spool"
+remote.stop_ingest_server()
+remote.drop_table("sec_demo")
