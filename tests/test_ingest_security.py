@@ -310,3 +310,61 @@ def test_midstream_failure_truncates_not_error_frame(remote):
     assert "peer vanished" in srv.last_stream_error
     assert f.closed
     assert b"\x01" not in f.wrote[1:2]    # no error frame after status
+
+
+# -- adversarial fuzz of the read-only gate ----------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _IDENT = st.from_regex(r"[a-z_][a-z_0-9]{0,10}", fullmatch=True)
+    _WRITE_STMT = st.sampled_from([
+        "INSERT INTO {t} VALUES (1)",
+        "DELETE FROM {t}",
+        "UPDATE {t} SET x = 1",
+        "DROP TABLE {t}",
+        "CREATE TABLE {t} (x INT)",
+        "ALTER TABLE {t} ADD COLUMN y INT",
+        "COPY {t} TO 'out.csv'",
+        "ATTACH 'x.db' AS {t}",
+    ])
+    _NOISE = st.sampled_from([
+        "", " ", "\n", "\t", "-- a comment\n", "/* block */ ",
+        "/* nested /* looks nested */ ", "  \r\n",
+    ])
+
+    @given(stmt=_WRITE_STMT, t=_IDENT, pre=_NOISE, mid=_NOISE)
+    @settings(max_examples=200, deadline=None)
+    def test_gate_refuses_decorated_writes(stmt, t, pre, mid):
+        """No amount of comment/whitespace decoration sneaks a write
+        verb past the gate — including a write as a trailing second
+        statement after a legitimate SELECT."""
+        s = pre + stmt.format(t=t)
+        with pytest.raises(PermissionError):
+            assert_read_only_sql(s)
+        with pytest.raises(PermissionError):
+            assert_read_only_sql(f"SELECT 1;{mid}{s}")
+
+    @given(t=_IDENT, col=_IDENT, lit=st.text(
+        alphabet=st.characters(blacklist_characters="$"), max_size=40),
+        pre=_NOISE)
+    @settings(max_examples=200, deadline=None)
+    def test_gate_accepts_selects_with_hostile_literals(t, col, lit, pre):
+        """Write verbs INSIDE string literals (any text, quotes
+        escaped) or comments never trigger refusal of a pure SELECT —
+        the gate lexes, it does not substring-match."""
+        esc = lit.replace("'", "''")
+        assert_read_only_sql(
+            f"{pre}SELECT {col}, 'insert {esc} drop' AS s "
+            f"FROM {t} WHERE {col} > 3 -- delete from {t}")
+
+    @given(t=_IDENT)
+    @settings(max_examples=50, deadline=None)
+    def test_gate_quoted_identifier_collisions_pass(t):
+        """Identifiers that collide with write keywords pass when
+        quoted (the documented escape hatch) and refuse when bare."""
+        assert_read_only_sql(f'SELECT "delete", "create" FROM {t}')
+        with pytest.raises(PermissionError):
+            assert_read_only_sql(f"SELECT delete FROM {t}")
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
