@@ -167,6 +167,44 @@ def _progress_op(host: str, port: int, table: str, tail_id: str,
         return None
 
 
+def tail_lag(remote, table: str, key_col: str,
+             tail_id: str | None = None,
+             key_type: str = "bigint") -> dict:
+    """Monitoring hook for a capped tail: how far behind the remote is
+    this tail_id? Returns ``{"latest_key", "watermark", "backlog_rows"}``
+    (None/0 when the table is empty or no progress row exists — an
+    uncapped or never-planned tail persists nothing). One scalar
+    round trip per field, driver-weight zero — the dashboard query a
+    production CDC pipeline alerts on (consumer-lag analog of Kafka's
+    ``records-lag-max``)."""
+    from clickhouse_datafusion_spark.sources.dialect_profile import (
+        get_profile)
+
+    table = _checked_ident(table, "table")
+    key_col = _checked_ident(key_col, "key_col")
+    profile = get_profile("duckdb")
+    knum = (profile.ts_key_to_epoch_us(key_col)
+            if key_type == "timestamp" else key_col)
+    host, port = remote.start_ingest_server()
+    token = remote.ingest_token
+    latest = _scalar(host, port,
+                     f"SELECT CAST(max({knum}) AS BIGINT) FROM {table}",
+                     token=token)
+    stored = _progress_op(host, port, table,
+                          tail_id or f"{table}/{key_col}", "get",
+                          token=token)
+    backlog = 0
+    if latest is not None and stored is not None and latest > stored:
+        klit = (profile.epoch_us_to_ts_literal(stored)
+                if key_type == "timestamp" else str(int(stored)))
+        backlog = int(_scalar(
+            host, port,
+            f"SELECT CAST(count(*) AS BIGINT) FROM {table} "
+            f"WHERE {key_col} > {klit}", token=token) or 0)
+    return {"latest_key": latest, "watermark": stored,
+            "backlog_rows": backlog}
+
+
 def reset_tail_progress(remote, table: str, key_col: str | None = None,
                         tail_id: str | None = None) -> None:
     """Delete a capped tail's persisted watermark row — run this before

@@ -8,6 +8,7 @@ over the ``events`` fixture shape.
 
 from clickhouse_datafusion_spark.sources.clickhouse_tail import (
     reset_tail_progress,
+    tail_lag,
 )
 from clickhouse_datafusion_spark.streaming.events import (
     dedup_against_corpus,
@@ -46,4 +47,5 @@ __all__ = [
     "run_to_memory_sink",
     "drain_tail_until_stable",
     "reset_tail_progress",
+    "tail_lag",
 ]

@@ -407,3 +407,43 @@ def test_tail_timestamp_key(spark, remote):
     finally:
         q.stop()
     assert sum(got) == 501                   # exactly the 1-us edge row
+
+
+def test_tail_lag_reports_backlog(spark, remote):
+    """r13: the consumer-lag monitoring hook. Mid-drain, a capped tail's
+    lag = rows above its persisted plan-time watermark; fully drained,
+    backlog is zero; keys above the watermark appended later reappear
+    as backlog."""
+    from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+        tail_lag)
+    from clickhouse_datafusion_spark.streaming.events import (
+        drain_tail_until_stable)
+
+    _load(remote, "t_lag", 1000)
+    stream = tail_remote_table(spark, remote, "t_lag", "k",
+                               max_rows_per_batch=400, tail_id="lagdemo")
+    q = (stream.writeStream.format("memory").queryName("t_lag_sink")
+         .outputMode("append").start())
+    try:
+        drain_tail_until_stable(q)
+        lag = tail_lag(remote, "t_lag", "k", tail_id="lagdemo")
+        assert lag == {"latest_key": 1000, "watermark": 1000,
+                       "backlog_rows": 0}
+        # new keys above the watermark: backlog until the next trigger
+        remote.insert_arrow("t_lag", pa.table({
+            "k": list(range(1001, 1201)),
+            "v": [i * 0.5 for i in range(1001, 1201)],
+            "s": [f"s{i}" for i in range(1001, 1201)]}))
+        lag2 = tail_lag(remote, "t_lag", "k", tail_id="lagdemo")
+        assert lag2["latest_key"] == 1200
+        assert lag2["watermark"] == 1000
+        assert lag2["backlog_rows"] == 200
+        drain_tail_until_stable(q)
+        assert spark.table("t_lag_sink").count() == 1200
+        assert tail_lag(remote, "t_lag", "k",
+                        tail_id="lagdemo")["backlog_rows"] == 0
+    finally:
+        q.stop()
+    # no progress row (unknown tail_id): watermark None, backlog 0
+    lag3 = tail_lag(remote, "t_lag", "k", tail_id="nosuch")
+    assert lag3["watermark"] is None and lag3["backlog_rows"] == 0
