@@ -73,8 +73,16 @@ class ClickHouseSparkEngine:
         # sink, src/sink.rs:102-211); 'executor' = per-partition Arrow
         # appends straight from executors to the remote's ingest server
         # (requires remote.start_ingest_server()) — N parallel pipes
-        # instead of one, with per-partition transactional atomicity
+        # instead of one, with per-partition transactional atomicity;
+        # 'direct' (r13) = trigger-bounded driver-funnel Arrow collect;
+        # 'executor_direct' (r14) = per-partition wire transactions
+        # with per-partition exactly-once markers (see append_remote /
+        # append_remote_exactly_once)
         self.write_mode = "spool"
+        self.last_write_plane_demoted = False
+        # test-only fault injection for the executor_direct plane's
+        # exactly-once property suite (partition ids that raise)
+        self._x1_fault_partitions: frozenset | None = None
 
     # ---------------------------------------------------------------------
     def attach_remote(self, remote, db: str = "remote",
@@ -608,7 +616,142 @@ class ClickHouseSparkEngine:
         total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
         return int(total or 0)
 
-    def append_remote(self, table: str, df, cols: str = "") -> int:
+    def _stream_insert_executors_direct(self, bare: str, src_df,
+                                        cols: str = "",
+                                        commits: str | None = None,
+                                        sink: str | None = None,
+                                        batch_id: int | None = None
+                                        ) -> int:
+        """The executor_direct write plane (r14, VERDICT task 2): the
+        executor-parallel twin of the driver-funnel 'direct' plane —
+        per-partition Arrow streams over the token-gated wire, each
+        inside its own server-side transaction, with three
+        micro-batch-throughput cuts over :meth:`_stream_insert_
+        executors` (the r12 executor plane):
+
+        * partitions coalesce to ``write_concurrency`` (wire
+          parallelism is cursor-pool-bound anyway, so 32 source
+          partitions as 32 tasks/connections for a 200k-row
+          micro-batch is pure per-task fixed cost — a narrow
+          dependency, no shuffle);
+        * per-partition counts return via a bare ``collect()`` (the
+          r13 probe's exec_nc finding: the ``agg(sum)`` final stage
+          adds an exchange + AQE round per micro-batch for a ≤wc-row
+          sum the driver can do itself);
+        * the writability fast-fail is a driver-side catalog check,
+          not an empty wire insert round trip.
+
+        With ``commits``/``sink``/``batch_id`` set (the exactly-once
+        path, append_remote_exactly_once), every partition's header
+        carries a ``(sink#b<batch_id>, partition_id)`` commit-log
+        marker: the server skips a partition whose marker already
+        landed (gate byte, before any data ships) and otherwise
+        commits rows + marker in ONE transaction — so a Spark task
+        RETRY, a mid-job crash + foreachBatch replay, or a zombie
+        speculative attempt can never double-append a partition
+        (commit-log PRIMARY KEY fences the race; the reference
+        anchor is src/sink.rs:129-211's buffer_unordered writers,
+        which are executor-side, not driver-side). Replay idempotence
+        at partition grain assumes the replayed micro-batch
+        recomputes deterministically (Spark's own foreachBatch replay
+        contract for replayable sources)."""
+        host, port = self._remote.ingest_address
+        token = self._remote.ingest_token
+        # fail fast driver-side before launching a distributed job
+        self._remote.assert_writable(bare)
+        # positional append — normalize names (see the r12 plane)
+        src_df = src_df.toDF(*[f"_c{i}"
+                               for i in range(len(src_df.columns))])
+        src_df = src_df.coalesce(max(1, int(self.write_concurrency)))
+        batch_rows = self.write_batch_rows
+        marker_base = (None if commits is None
+                       else {"commits": commits,
+                             "sink": f"{sink}#b{int(batch_id)}"})
+        # test-only fault injection (tests/test_property_r14.py): the
+        # named partitions raise before connecting, simulating a task
+        # crash mid-job — the exactly-once property under partial
+        # partition commits is the thing under test
+        fault_parts = self._x1_fault_partitions
+
+        def write_partition(batches):
+            import json
+            import socket
+            from itertools import chain
+
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            if fault_parts and TaskContext.get().partitionId() in fault_parts:
+                raise RuntimeError("injected executor_direct fault (test)")
+            it = iter(batches)
+            try:
+                first = next(it)
+            except StopIteration:   # empty partition: nothing to send
+                yield pa.record_batch(
+                    [pa.array([0], type=pa.int64())], names=["n"])
+                return
+            with socket.create_connection((host, port)) as s:
+                f = s.makefile("rwb")
+                req = {"table": bare, "columns": cols}
+                if token is not None:
+                    req["token"] = token
+                if marker_base is not None:
+                    req["marker"] = dict(
+                        marker_base,
+                        batch=TaskContext.get().partitionId())
+                hdr = json.dumps(req).encode()
+                f.write(len(hdr).to_bytes(4, "big"))
+                f.write(hdr)
+                f.flush()
+                if marker_base is not None:
+                    gate = f.read(1)
+                    if gate == b"\x11":      # partition already landed
+                        yield pa.record_batch(
+                            [pa.array([0], type=pa.int64())],
+                            names=["n"])
+                        return
+                    if gate == b"\x01":
+                        ln = int.from_bytes(f.read(4), "big")
+                        raise RuntimeError("remote ingest failed: "
+                                           + f.read(ln).decode())
+                    if gate != b"\x10":
+                        raise RuntimeError(
+                            "remote ingest failed: bad gate byte "
+                            f"{gate!r} (server closed?)")
+                writer = pa.ipc.new_stream(f, first.schema)
+                buf, nbuf = [], 0
+
+                def flush_buf():
+                    tbl = pa.Table.from_batches(buf).combine_chunks()
+                    writer.write_table(tbl)
+
+                for b in chain([first], it):
+                    buf.append(b)
+                    nbuf += b.num_rows
+                    if nbuf >= batch_rows:
+                        flush_buf()
+                        buf, nbuf = [], 0
+                if buf:
+                    flush_buf()
+                writer.close()
+                f.flush()
+                status = f.read(1)
+                if status == b"\x00":
+                    n = int.from_bytes(f.read(8), "big")
+                else:
+                    ln = int.from_bytes(f.read(4), "big")
+                    raise RuntimeError("remote ingest failed: "
+                                       + f.read(ln).decode())
+            yield pa.record_batch(
+                [pa.array([n], type=pa.int64())], names=["n"])
+
+        counts = src_df.mapInArrow(write_partition, schema="n bigint")
+        # ≤ write_concurrency one-int rows: a driver-side sum, not an
+        # agg exchange
+        return int(sum(r["n"] for r in counts.collect()))
+
+    def append_remote(self, table: str, df, cols: str = "",
+                      allow_direct: bool = True) -> int:
         """Append a DataFrame into a writable remote table through the
         engine's write data plane (``write_mode``: 'spool' default /
         'executor' when an ingest server is attached / 'direct' for
@@ -626,19 +769,45 @@ class ClickHouseSparkEngine:
         so this plane is for TRIGGER-BOUNDED sources only (a streaming
         micro-batch is bounded by maxFilesPerTrigger /
         maxOffsetsPerTrigger by construction); an unbounded
-        ``INSERT INTO remote.t SELECT ...`` must stay on the
-        spool/executor planes, whose memory is batch-size-bounded.
-        Measured on the st12 replay (1M rows, 5 micro-batches,
-        tools/probe_microbatch_cost_r13.py): spool 393k → direct 501k
-        rows/s, against a 442-620k rows/s noop/count streaming floor."""
+        ``INSERT INTO remote.t SELECT ...`` must stay on planes whose
+        memory is batch-size-bounded — ``allow_direct=False`` (what
+        the SQL front door passes, r13 ADVICE) ENFORCES that demotion
+        instead of trusting the docstring: under ``write_mode=
+        'direct'`` the append falls back to the executor plane (ingest
+        server attached) or the spool, and ``last_write_plane_demoted``
+        records it. Measured on the st12 replay (1M rows, 5
+        micro-batches, tools/probe_microbatch_cost_r13.py): spool 393k
+        → direct 501k rows/s, against a 442-620k rows/s noop/count
+        streaming floor.
+
+        ``write_mode='executor_direct'`` (r14, VERDICT task 2): the
+        executor-parallel twin of 'direct' — every partition streams
+        its Arrow batches straight over the token-gated wire inside
+        its own server-side transaction (no parquet spool, no driver
+        funnel), so throughput scales with partitions AND driver
+        memory stays flat at any batch size. Falls back to the spool
+        when no ingest server is attached."""
         bare = table.lower().rsplit(".", 1)[-1]
         if self._remote is None or bare not in self._remote.tables():
             raise ValueError(f"no remote table {table!r}")
-        if (self.write_mode == "executor"
+        mode = self.write_mode
+        self.last_write_plane_demoted = False
+        if mode == "direct" and not allow_direct:
+            # the caller's source is unbounded (SQL front door): the
+            # driver-funnel plane would collect it whole — demote
+            mode = ("executor_direct"
+                    if self._remote.ingest_address is not None
+                    else "spool")
+            self.last_write_plane_demoted = True
+        if (mode == "executor"
                 and self._remote.ingest_address is not None):
             n = self._stream_insert_executors(bare, df, cols)
             self.last_remote_insert = "executor-parallel"
-        elif self.write_mode == "direct":
+        elif (mode == "executor_direct"
+                and self._remote.ingest_address is not None):
+            n = self._stream_insert_executors_direct(bare, df, cols)
+            self.last_remote_insert = "executor-direct"
+        elif mode == "direct":
             tbl = df.toArrow()
             n = self._remote.insert_arrow_batches(
                 bare,
@@ -673,19 +842,28 @@ class ClickHouseSparkEngine:
         The commit log is ``<table>__commits (sink_id VARCHAR,
         batch_id BIGINT)`` in the remote, auto-created. ``sink_id``
         (default: the table name) namespaces independent streams
-        writing the same table. The drain is single-cursor by
-        construction — cross-connection atomicity does not exist, so
-        this path always uses the spool funnel even under
-        ``write_mode='executor'``. Returns the appended row count
-        (0 for a skipped replay)."""
+        writing the same table. The drain is single-cursor per
+        TRANSACTION — cross-connection atomicity does not exist, so
+        under ``write_mode='executor'`` this path uses the spool
+        funnel. ``write_mode='executor_direct'`` (r14) instead drops
+        the batch-grain transaction to PARTITION grain: every
+        partition commits its rows with its own
+        ``(sink#b<batch_id>, partition)`` marker in one wire
+        transaction (server-side gate skips already-committed
+        partitions before any data ships), and the whole-batch
+        ``(sink, batch_id)`` marker lands after the job so a replayed
+        batch skips in one probe — any crash point leaves each
+        partition either fully committed (replay skips it) or absent
+        (replay appends it), never partial. ``sink_id`` values must
+        not themselves end in ``#b<digits>`` (the partition-marker
+        namespace). Returns the appended row count (0 for a skipped
+        replay; on a partial-crash replay, only the missing
+        partitions' rows are counted)."""
         import os
         import shutil
         import uuid
 
         import pyarrow.dataset as pads
-
-        from clickhouse_datafusion_spark.sources.dialect_profile import (
-            get_profile)
 
         bare = table.lower().rsplit(".", 1)[-1]
         if self._remote is None or bare not in self._remote.tables():
@@ -694,8 +872,9 @@ class ClickHouseSparkEngine:
         sink = (sink_id or bare).replace("'", "''")
         bid = int(batch_id)
         # commit-log statements are profile-rendered (dialect_profile
-        # .py) so the ClickHouse retarget transcripts pin the swap
-        profile = get_profile("duckdb")
+        # .py, construction-selected on the remote) so the ClickHouse
+        # retarget transcripts pin the swap
+        profile = self._remote.profile
         if commits not in self._remote.tables():
             # PRIMARY KEY = zombie-writer fencing: two concurrent
             # transactions claiming the same (sink, batch) — a
@@ -712,6 +891,28 @@ class ClickHouseSparkEngine:
             self.last_remote_insert = "exactly-once-skip"
             return 0
         marker = profile.commits_marker(commits, sink, bid)
+        if (self.write_mode == "executor_direct"
+                and self._remote.ingest_address is not None):
+            # executor-parallel exactly-once (r14): per-partition wire
+            # transactions with per-partition markers; driver memory
+            # stays flat at any batch size
+            n = self._stream_insert_executors_direct(
+                bare, df, cols, commits=commits, sink=sink,
+                batch_id=bid)
+            try:
+                self._remote.execute(marker)
+            except Exception:
+                # a zombie/speculative twin may have raced the whole-
+                # batch marker in; the commit-log PRIMARY KEY made one
+                # of us lose — rows are partition-fenced either way,
+                # so "marker present" is the only postcondition
+                still = self._remote.execute(
+                    profile.commits_seen(commits, sink, bid)
+                ).column(0)[0].as_py()
+                if not still:
+                    raise
+            self.last_remote_insert = "exactly-once-executor"
+            return n
         if self.write_mode == "direct":
             # direct-arrow plane (r13): a micro-batch is trigger-
             # bounded, so collecting it as one Arrow table skips the
@@ -804,7 +1005,11 @@ class ClickHouseSparkEngine:
                 self.last_remote_sql = stmt
                 self.last_remote_insert = "whole"
             else:
-                n = self.append_remote(bare, src_df, cols)
+                # allow_direct=False: the INSERT's source is unbounded
+                # (no trigger caps it), so the driver-funnel 'direct'
+                # plane is ineligible by its own contract (r13 ADVICE)
+                n = self.append_remote(bare, src_df, cols,
+                                       allow_direct=False)
         except ValueError:
             raise
         except Exception as e:

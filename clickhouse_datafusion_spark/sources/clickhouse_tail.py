@@ -137,16 +137,22 @@ def _scalar(host: str, port: int, sql: str, token: str | None = None):
 
 def _progress_op(host: str, port: int, table: str, tail_id: str,
                  action: str, watermark: int | None = None,
-                 token: str | None = None) -> int | None:
+                 token: str | None = None,
+                 incarnation: str | None = None, full: bool = False):
     """Client half of the server's parameterized tail-progress op
     (ArrowIngestServer._handle_progress): get/put/reset the capped
     tail's watermark row without any option value ever traveling as
-    SQL text. Returns the stored watermark for ``get`` (None when no
-    row), None otherwise."""
+    SQL text. For ``get`` returns the stored watermark (None when no
+    row) — or, with ``full=True``, the ``(watermark, incarnation)``
+    pair the clamp logic needs (r14); other actions return None.
+    ``put`` records ``incarnation`` alongside the watermark (the
+    greatest watermark's writer wins, both dialects)."""
     req = {"op": "progress", "table": table, "tail_id": tail_id,
            "action": action}
     if watermark is not None:
         req["watermark"] = int(watermark)
+    if incarnation is not None:
+        req["incarnation"] = incarnation
     if token is not None:
         req["token"] = token
     with socket.create_connection((host, port)) as s:
@@ -162,8 +168,11 @@ def _progress_op(host: str, port: int, table: str, tail_id: str,
                                + f.read(ln).decode())
         present = f.read(1)
         val = int.from_bytes(f.read(8), "big", signed=True)
+        inc = f.read(int.from_bytes(f.read(2), "big")).decode()
         if action == "get":
-            return val if present == b"\x01" else None
+            if present != b"\x01":
+                return None
+            return (val, inc) if full else val
         return None
 
 
@@ -177,18 +186,19 @@ def tail_lag(remote, table: str, key_col: str,
     round trip per field, driver-weight zero — the dashboard query a
     production CDC pipeline alerts on (consumer-lag analog of Kafka's
     ``records-lag-max``)."""
-    from clickhouse_datafusion_spark.sources.dialect_profile import (
-        get_profile)
-
     table = _checked_ident(table, "table")
     key_col = _checked_ident(key_col, "key_col")
-    profile = get_profile("duckdb")
-    knum = (profile.ts_key_to_epoch_us(key_col)
-            if key_type == "timestamp" else key_col)
+    profile = remote.profile
+    # identifiers travel double-quoted (r13 ADVICE): validated bare
+    # names, quoted so a key/table colliding with a write keyword
+    # (commit, load, set, ...) passes the wire's read-only gate
+    qt, qk = profile.quote_ident(table), profile.quote_ident(key_col)
+    knum = (profile.ts_key_to_epoch_us(qk)
+            if key_type == "timestamp" else qk)
     host, port = remote.start_ingest_server()
     token = remote.ingest_token
     latest = _scalar(host, port,
-                     f"SELECT CAST(max({knum}) AS BIGINT) FROM {table}",
+                     f"SELECT CAST(max({knum}) AS BIGINT) FROM {qt}",
                      token=token)
     stored = _progress_op(host, port, table,
                           tail_id or f"{table}/{key_col}", "get",
@@ -199,8 +209,8 @@ def tail_lag(remote, table: str, key_col: str,
                 if key_type == "timestamp" else str(int(stored)))
         backlog = int(_scalar(
             host, port,
-            f"SELECT CAST(count(*) AS BIGINT) FROM {table} "
-            f"WHERE {key_col} > {klit}", token=token) or 0)
+            f"SELECT CAST(count(*) AS BIGINT) FROM {qt} "
+            f"WHERE {qk} > {klit}", token=token) or 0)
     return {"latest_key": latest, "watermark": stored,
             "backlog_rows": backlog}
 
@@ -284,18 +294,38 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         # from the profile, so a ClickHouse retarget is an option flip
         # (dialect_profile.py holds the tested swap pairs)
         self._profile = get_profile(options.get("dialect", "duckdb"))
+        # identifiers travel double-quoted in every emitted statement
+        # (r13 ADVICE): validated bare names, quoted so a table/key/
+        # column colliding with a write keyword (commit, load, set, …)
+        # passes the wire's read-only gate instead of being refused by
+        # its own server
+        self._qtable = self._profile.quote_ident(self._table)
+        self._qkey = self._profile.quote_ident(self._key)
+        self._qcols = ("*" if self._cols == "*" else ", ".join(
+            self._profile.quote_ident(c.strip())
+            for c in self._cols.split(",")))
         self._last: int | None = None
         # capped streams persist their PLAN-TIME watermark remote-side
         # so the cap survives restarts (see _recover_base); the row
         # travels through the server's parameterized progress op, so
         # the id needs no escaping
         self._tail_id = options.get("tail_id") or f"{self._table}/{self._key}"
+        # incarnation marker (r14, VERDICT task 4): identifies THIS
+        # reader instance's progress-row writes. When the first poll of
+        # a new instance recovers a row written by a DIFFERENT
+        # incarnation — a restart OR a reused tail_id, indistinguishable
+        # before initialOffset — latestOffset clamps to the stored
+        # watermark instead of planning past it (see latestOffset).
+        import uuid as _uuid
+
+        self._inc = _uuid.uuid4().hex
+        self._clamp_next = False
 
     def _knum(self) -> str:
         """The key as a BIGINT-valued SQL expression (offset plane)."""
         if self._key_type == "timestamp":
-            return self._profile.ts_key_to_epoch_us(self._key)
-        return self._key
+            return self._profile.ts_key_to_epoch_us(self._qkey)
+        return self._qkey
 
     def _klit(self, v: int) -> str:
         """An offset value as a key-typed SQL literal (predicate plane)."""
@@ -311,11 +341,15 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         # knowable — delete any stale progress row a previous
         # incarnation left (r12 ADVICE: the stale watermark otherwise
         # becomes the cap base and defeats max_rows_per_batch on
-        # exactly the catch-up batch). Residual window, documented
-        # honestly: Spark's traced order calls latestOffset once
-        # BEFORE initialOffset, so a reused tail_id can still plan its
-        # FIRST batch from the stale base — call reset_tail_progress()
-        # (or use a fresh tail_id) before intentional re-reads.
+        # exactly the catch-up batch). Spark's traced order calls
+        # latestOffset once BEFORE initialOffset; that first poll is
+        # CLAMPED to the stored watermark when the row belongs to a
+        # different incarnation (see latestOffset), so a reused
+        # tail_id's first batch never spans NEW keys past the previous
+        # incarnation's watermark. It can still span everything UP TO
+        # it (restart and reuse are indistinguishable before this hook
+        # runs) — call reset_tail_progress() (or use a fresh tail_id)
+        # before intentional re-reads to cap even that first batch.
         if self._max_rows is not None:
             _progress_op(self._host, self._port, self._table,
                          self._tail_id, "reset", token=self._token)
@@ -324,7 +358,7 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         else:
             lo = _scalar(self._host, self._port,
                          f"SELECT CAST(min({self._knum()}) - 1 AS BIGINT) "
-                         f"FROM {self._table}", token=self._token)
+                         f"FROM {self._qtable}", token=self._token)
             # empty table: any watermark below the first future key
             # works; 0 pairs with auto-increment/rowid-style keys and
             # start_key exists for anything exotic
@@ -344,10 +378,23 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         PLAN-TIME watermark there with a monotone (greatest) upsert,
         and every committed batch was planned first, so the stored
         value is always >= the committed watermark. No row = a fresh
-        tail = the initialOffset value is the true base."""
-        stored = _progress_op(self._host, self._port, self._table,
-                              self._tail_id, "get", token=self._token)
-        if stored is not None:
+        tail = the initialOffset value is the true base.
+
+        r14 (VERDICT task 4): the row carries the WRITER's incarnation.
+        A row written by a different reader instance means this is the
+        ambiguous first poll of a restart or a tail_id reuse — flag it
+        so latestOffset clamps to the stored watermark instead of
+        planning up to ``stored + cap`` (on a restart the gap
+        (committed, stored] is at most one planned batch ≤ cap; on a
+        reuse the first batch stays bounded by the PREVIOUS watermark
+        rather than over-reading new keys past it)."""
+        row = _progress_op(self._host, self._port, self._table,
+                           self._tail_id, "get", token=self._token,
+                           full=True)
+        if row is not None:
+            stored, inc = row
+            if inc != self._inc:
+                self._clamp_next = True
             return int(stored)
         return int(self.initialOffset()["key"])
 
@@ -362,17 +409,25 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             # start or restart — the batch where it matters most.
             if self._last is None:
                 self._last = self._recover_base()
+            if self._clamp_next:
+                # ambiguous first poll over a foreign progress row
+                # (restart or tail_id reuse): do not plan past the
+                # previous incarnation's watermark — the next poll
+                # (incarnation resolved, offsets re-synced) advances
+                # normally under the cap
+                self._clamp_next = False
+                return {"key": self._last}
             hi = _scalar(
                 self._host, self._port,
                 f"SELECT CAST(max(k) AS BIGINT) FROM ("
-                f"SELECT {self._knum()} AS k FROM {self._table} "
-                f"WHERE {self._key} > {self._klit(self._last)} "
+                f"SELECT {self._knum()} AS k FROM {self._qtable} "
+                f"WHERE {self._qkey} > {self._klit(self._last)} "
                 f"ORDER BY k LIMIT {int(self._max_rows)})",
                 token=self._token)
         else:
             hi = _scalar(self._host, self._port,
                          f"SELECT CAST(max({self._knum()}) AS BIGINT) "
-                         f"FROM {self._table}", token=self._token)
+                         f"FROM {self._qtable}", token=self._token)
         if hi is not None and (self._last is None or hi > self._last):
             self._last = int(hi)
         return {"key": self._last if self._last is not None else 0}
@@ -390,12 +445,13 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             # persist the plan-time watermark (monotone: greatest wins,
             # so concurrent tails sharing a tail_id can only raise it —
             # a too-high base softens the cap, never replays keys); the
-            # restart-safe cap base _recover_base reads this back
+            # restart-safe cap base _recover_base reads this back, and
+            # the incarnation tells a future reader whose write it was
             _progress_op(self._host, self._port, self._table,
                          self._tail_id, "put", watermark=self._last,
-                         token=self._token)
-        rng = (f"{self._key} > {self._klit(lo)} "
-               f"AND {self._key} <= {self._klit(hi)}")
+                         token=self._token, incarnation=self._inc)
+        rng = (f"{self._qkey} > {self._klit(lo)} "
+               f"AND {self._qkey} <= {self._klit(hi)}")
         # equal-ROW split boundaries via a discrete-quantile AGGREGATE —
         # one pass, no full sort (an ntile window materializes and sorts
         # the whole range per micro-batch, which dominates large
@@ -408,7 +464,7 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
         raw = _scalar(
             self._host, self._port,
             f"SELECT {self._profile.quantile_bounds(self._knum(), probs)} "
-            f"FROM {self._table} WHERE {rng}", token=self._token)
+            f"FROM {self._qtable} WHERE {rng}", token=self._token)
         bounds = sorted({int(b) for b in (raw or []) if b is not None})
         if not bounds or bounds[-1] != hi:
             # hi always terminates the last range: quantile boundaries
@@ -421,9 +477,9 @@ class ClickHouseTailStreamReader(DataSourceStreamReader):
             # costs the remote a sort of every range every micro-batch
             parts.append(_KeyRangePartition(
                 self._host, self._port,
-                f"SELECT {self._cols} FROM {self._table} "
-                f"WHERE {self._key} > {self._klit(prev)} "
-                f"AND {self._key} <= {self._klit(b)}",
+                f"SELECT {self._qcols} FROM {self._qtable} "
+                f"WHERE {self._qkey} > {self._klit(prev)} "
+                f"AND {self._qkey} <= {self._klit(b)}",
                 self._batch_rows, self._token))
             prev = b
         return parts
@@ -453,10 +509,21 @@ class ClickHouseTailDataSource(DataSource):
 
         import pyarrow as pa
 
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
         host = self.options["host"]
         port = int(self.options["port"])
-        table = _checked_ident(self.options["table"], "table")
+        profile = get_profile(self.options.get("dialect", "duckdb"))
+        table = profile.quote_ident(
+            _checked_ident(self.options["table"], "table"))
         cols = _checked_projection(self.options.get("columns", "*"))
+        if cols != "*":
+            # quoted like every statement the reader emits (r13 ADVICE:
+            # a keyword-colliding column must survive the wire's
+            # read-only gate)
+            cols = ", ".join(profile.quote_ident(c.strip())
+                             for c in cols.split(","))
         token = self.options.get("token")
         with socket.create_connection((host, port)) as s:
             f = s.makefile("rwb")

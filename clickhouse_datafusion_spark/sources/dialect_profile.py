@@ -33,8 +33,21 @@ ClickHouse flavor notes (each a deliberate, documented swap):
   like DuckDB's ``quantile_disc(expr, [p..])``.
 * progress row: ClickHouse has no ``ON CONFLICT`` upsert — the profile
   swaps greatest-wins-at-write for append-at-write + ``max()``-at-read
-  (monotone by construction, same observable watermark), with
-  ``ALTER TABLE ... DELETE`` as the reset mutation.
+  (monotone by construction, same observable watermark; the
+  incarnation rides along as ``argMax(incarnation, watermark)``), with
+  the LIGHTWEIGHT ``DELETE FROM`` as the reset (r13 ADVICE: the r13
+  blueprint's ``ALTER TABLE ... DELETE`` is an ASYNC mutation — a
+  reset followed by a ``max()`` read could still observe the stale
+  watermark until the mutation lands; lightweight deletes mask the
+  rows at SELECT time immediately. Deployments stuck on ALTER DELETE
+  must add ``SETTINGS mutations_sync = 1``).
+* placeholders: ClickHouse's native server-side parameter form is
+  ``{name:Type}``, not ``?`` positional (r13 ADVICE) — the blueprint
+  renders it so every transcript statement is runnable verbatim with
+  ``clickhouse-client --param_name=...`` / clickhouse-connect dict
+  params. The live DuckDB profile keeps ``?`` (DB-API positional);
+  :func:`conformance_check` carries NAMED params and each runner
+  adapts (see ``param_style``).
 * transactions: ``BEGIN TRANSACTION``/``COMMIT``/``ROLLBACK`` exist
   behind ClickHouse's experimental transactions; single-statement
   INSERT atomicity (one part per insert) is the fallback contract.
@@ -53,6 +66,20 @@ class DialectProfile:
     """DuckDB-flavored base profile (the live remote's dialect)."""
 
     name: str = "duckdb"
+    #: how this dialect's statements bind parameters: "qmark" (DB-API
+    #: positional ``?``) or "named" (ClickHouse ``{name:Type}``) — the
+    #: conformance runner uses this to adapt the named-param scenario
+    param_style: str = "qmark"
+
+    # -- 0. identifier quoting -----------------------------------------
+    def quote_ident(self, name: str) -> str:
+        """Double-quote a (pre-validated, bare) identifier. Both DuckDB
+        and ClickHouse accept ANSI double-quoted identifiers, and a
+        quoted identifier passes the ingest wire's read-only gate even
+        when its bare form collides with a write keyword
+        (assert_read_only_sql) — a table with a ``commit`` or ``load``
+        column must be tailable by its own server (r13 ADVICE)."""
+        return f'"{name}"'
 
     # -- 1. tail offset plane ------------------------------------------
     def ts_key_to_epoch_us(self, key: str) -> str:
@@ -70,18 +97,35 @@ class DialectProfile:
         return f"quantile_disc({key_expr}, [{qs}])"
 
     # -- 2. tail progress plane ----------------------------------------
+    # The row is (tail_id, watermark, incarnation): watermark is the
+    # capped tail's monotone plan-time high-water mark; incarnation
+    # (r14) identifies the READER INSTANCE that wrote it, so a new
+    # reader recovering the row can tell "mine" from "a previous
+    # incarnation's" and clamp its first (pre-initialOffset) poll
+    # instead of planning past a stale base (clickhouse_tail.py
+    # _recover_base).
     def progress_create(self, prog: str) -> str:
         return (f"CREATE TABLE IF NOT EXISTS {prog} "
-                f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT)")
+                f"(tail_id VARCHAR PRIMARY KEY, watermark BIGINT, "
+                f"incarnation VARCHAR)")
 
     def progress_put(self, prog: str) -> str:
-        """Monotone greatest-wins upsert of (tail_id?, watermark?)."""
-        return (f"INSERT INTO {prog} VALUES (?, ?) "
-                f"ON CONFLICT (tail_id) DO UPDATE SET watermark = "
-                f"greatest(excluded.watermark, watermark)")
+        """Monotone greatest-wins upsert of (tail_id?, watermark?,
+        incarnation?) — the watermark can only rise, and the stored
+        incarnation is the writer OF the greatest watermark (UPDATE RHS
+        expressions see the old row, so the CASE compares old vs new
+        watermark) — exactly the pair the ClickHouse twin's
+        ``max()/argMax()`` read observes, so the dialects cannot
+        diverge on which incarnation a recovery sees."""
+        return (f"INSERT INTO {prog} VALUES (?, ?, ?) "
+                f"ON CONFLICT (tail_id) DO UPDATE SET "
+                f"incarnation = CASE WHEN excluded.watermark >= watermark "
+                f"THEN excluded.incarnation ELSE incarnation END, "
+                f"watermark = greatest(excluded.watermark, watermark)")
 
     def progress_get(self, prog: str) -> str:
-        return f"SELECT watermark FROM {prog} WHERE tail_id = ?"
+        return (f"SELECT watermark, incarnation FROM {prog} "
+                f"WHERE tail_id = ?")
 
     def progress_reset(self, prog: str) -> str:
         return f"DELETE FROM {prog} WHERE tail_id = ?"
@@ -116,6 +160,7 @@ class ClickHouseProfile(DialectProfile):
     notes; every method is the documented swap of its DuckDB twin."""
 
     name: str = "clickhouse"
+    param_style: str = "named"
 
     def ts_key_to_epoch_us(self, key: str) -> str:
         return f"toUnixTimestamp64Micro({key})"
@@ -131,18 +176,27 @@ class ClickHouseProfile(DialectProfile):
         # append-at-write + max()-at-read replaces ON CONFLICT upsert:
         # the observable watermark (the row-set maximum) is identical
         return (f"CREATE TABLE IF NOT EXISTS {prog} "
-                f"(tail_id String, watermark Int64) "
+                f"(tail_id String, watermark Int64, incarnation String) "
                 f"ENGINE = MergeTree ORDER BY tail_id")
 
     def progress_put(self, prog: str) -> str:
-        return f"INSERT INTO {prog} (tail_id, watermark) VALUES (?, ?)"
+        return (f"INSERT INTO {prog} (tail_id, watermark, incarnation) "
+                f"VALUES ({{tail_id:String}}, {{watermark:Int64}}, "
+                f"{{incarnation:String}})")
 
     def progress_get(self, prog: str) -> str:
-        return (f"SELECT max(watermark) FROM {prog} "
-                f"WHERE tail_id = ? HAVING count() > 0")
+        # argMax rides the incarnation of the greatest watermark along —
+        # the same (watermark, incarnation) pair the upsert dialect reads
+        return (f"SELECT max(watermark), argMax(incarnation, watermark) "
+                f"FROM {prog} WHERE tail_id = {{tail_id:String}} "
+                f"HAVING count() > 0")
 
     def progress_reset(self, prog: str) -> str:
-        return f"ALTER TABLE {prog} DELETE WHERE tail_id = ?"
+        # LIGHTWEIGHT delete (r13 ADVICE): rows are masked at SELECT
+        # time immediately, unlike ALTER TABLE ... DELETE, an async
+        # mutation a following max() read can race (that spelling needs
+        # SETTINGS mutations_sync = 1)
+        return f"DELETE FROM {prog} WHERE tail_id = {{tail_id:String}}"
 
     def commits_create(self, commits: str) -> str:
         # MergeTree has no unique constraint: the seen-check stays, and
@@ -174,3 +228,174 @@ def get_profile(name: str) -> DialectProfile:
         raise ValueError(
             f"unknown remote dialect {name!r}; "
             f"profiles: {sorted(PROFILES)}") from None
+
+
+# -- conformance replay (r14, VERDICT task 5) -------------------------------
+
+def conformance_scenario(profile: DialectProfile,
+                         prefix: str = "conf_") -> list[tuple]:
+    """The seam's full statement set as an ORDERED, value-checked
+    replay: every builder the profile exposes, executed in the order
+    the live code uses them, with result assertions where a statement
+    returns rows. Each step is ``(label, sql, params, check)``:
+    ``params`` is a list of ``(name, value)`` pairs in the positional
+    order the qmark dialect binds them (a named-param runner just
+    dict()s them); ``check`` is None or a callable over the fetched
+    rows raising AssertionError on divergence.
+
+    This is what makes the retarget VALIDATABLE in one call the day a
+    real server is reachable — the golden transcripts pin what we
+    emit, this pins what a target must do with it."""
+    p, prog = profile, f"{prefix}tail_progress"
+    commits = f"{prefix}commits"
+    wm = 1723804800000000          # 2024-08-16T12:00:00Z epoch micros
+
+    def rows_eq(expect):
+        def check(rows):
+            got = [tuple(r) for r in rows]
+            assert got == expect, f"expected {expect}, got {got}"
+        return check
+
+    def scalar_eq(expect):
+        def check(rows):
+            got = rows[0][0]
+            assert got == expect, f"expected {expect}, got {got!r}"
+        return check
+
+    steps: list[tuple] = [
+        # progress plane: create, greatest-wins upsert semantics (a
+        # LOWER late watermark must neither lower the stored value nor
+        # steal the incarnation), read, reset
+        ("progress_create", p.progress_create(prog), [], None),
+        ("progress_put_first", p.progress_put(prog),
+         [("tail_id", "t1"), ("watermark", 5), ("incarnation", "incA")],
+         None),
+        ("progress_put_lower_late", p.progress_put(prog),
+         [("tail_id", "t1"), ("watermark", 3), ("incarnation", "incB")],
+         None),
+        ("progress_get_greatest_wins", p.progress_get(prog),
+         [("tail_id", "t1")], rows_eq([(5, "incA")])),
+        ("progress_put_raise", p.progress_put(prog),
+         [("tail_id", "t1"), ("watermark", 9), ("incarnation", "incC")],
+         None),
+        ("progress_get_raised", p.progress_get(prog),
+         [("tail_id", "t1")], rows_eq([(9, "incC")])),
+        ("progress_get_missing", p.progress_get(prog),
+         [("tail_id", "nosuch")], rows_eq([])),
+        ("progress_reset", p.progress_reset(prog),
+         [("tail_id", "t1")], None),
+        ("progress_get_after_reset", p.progress_get(prog),
+         [("tail_id", "t1")], rows_eq([])),
+        # quantile plane over real rows (4 tail ids, watermarks 1..4)
+        *[(f"progress_put_q{i}", p.progress_put(prog),
+           [("tail_id", f"q{i}"), ("watermark", i),
+            ("incarnation", "x")], None) for i in (1, 2, 3, 4)],
+        ("quantile_bounds",
+         f"SELECT {p.quantile_bounds('watermark', [0.5, 1.0])} "
+         f"FROM {prog}", [],
+         lambda rows: _assert_bounds(rows, [2, 4])),
+        # epoch plane roundtrip: literal -> timestamp -> epoch micros
+        ("epoch_roundtrip",
+         f"SELECT {p.ts_key_to_epoch_us(p.epoch_us_to_ts_literal(wm))} "
+         f"AS us", [],
+         lambda rows, wm=wm: _assert_scalar_int(rows, wm)),
+        # identifier quoting: a keyword-colliding column name must be
+        # selectable when quoted (the tail emits quoted identifiers)
+        ("quote_ident_keyword",
+         f"SELECT 1 AS {p.quote_ident('commit')}", [], scalar_eq(1)),
+        # commit log: create, unseen, marker, seen
+        ("commits_create", p.commits_create(commits), [], None),
+        ("commits_seen_before",
+         p.commits_seen(commits, "pipe", 7), [], scalar_eq(0)),
+        ("commits_marker", p.commits_marker(commits, "pipe", 7),
+         [], None),
+        ("commits_seen_after",
+         p.commits_seen(commits, "pipe", 7), [], scalar_eq(1)),
+        # transaction wrapper: a rolled-back marker is unseen, a
+        # committed one seen (on ClickHouse this section requires the
+        # experimental transactions setting; failures here are an
+        # honest capability report, not a profile bug)
+        ("txn_begin", p.txn_begin(), [], None),
+        ("txn_marker", p.commits_marker(commits, "pipe", 8), [], None),
+        ("txn_rollback", p.txn_rollback(), [], None),
+        ("commits_seen_rolled_back",
+         p.commits_seen(commits, "pipe", 8), [], scalar_eq(0)),
+        ("txn_begin2", p.txn_begin(), [], None),
+        ("txn_marker2", p.commits_marker(commits, "pipe", 9), [], None),
+        ("txn_commit", p.txn_commit(), [], None),
+        ("commits_seen_committed",
+         p.commits_seen(commits, "pipe", 9), [], scalar_eq(1)),
+    ]
+    return steps
+
+
+def _assert_bounds(rows, expect):
+    got = list(map(int, rows[0][0]))
+    assert got == expect, f"quantile bounds: expected {expect}, got {got}"
+
+
+def _assert_scalar_int(rows, expect):
+    got = int(rows[0][0])
+    assert got == expect, f"expected {expect}, got {got}"
+
+
+def conformance_check(profile: DialectProfile, run,
+                      prefix: str = "conf_",
+                      strict: bool = True) -> list[tuple[str, str]]:
+    """Replay :func:`conformance_scenario` against an arbitrary target.
+
+    ``run(sql, params)`` executes one statement and returns its fetched
+    rows (or None/[] for non-queries); ``params`` arrives as the
+    ordered ``(name, value)`` list — a DB-API qmark target passes
+    ``[v for _, v in params]``, a named-param target passes
+    ``dict(params)``. Returns ``[(label, "ok" | "error: ...")]``;
+    with ``strict`` (default) the first failure raises instead.
+
+    DuckDB validates itself via :func:`conformance_check_duckdb`. For
+    a real ClickHouse server the one call is::
+
+        import clickhouse_connect
+        client = clickhouse_connect.get_client(host=..., port=...)
+        def run(sql, params):
+            return client.query(sql, parameters=dict(params)).result_rows
+        conformance_check(get_profile("clickhouse"), run)
+
+    (pending-server here: this sandbox has no network; the DuckDB
+    replay plus the golden transcripts are the testable half.)"""
+    report: list[tuple[str, str]] = []
+    for label, sql, params, check in conformance_scenario(profile, prefix):
+        try:
+            rows = run(sql, params)
+            if check is not None:
+                check(rows)
+            report.append((label, "ok"))
+        except Exception as e:
+            if strict:
+                raise AssertionError(
+                    f"conformance step {label!r} failed on "
+                    f"{profile.name}: {type(e).__name__}: {e}\n"
+                    f"  sql: {sql}") from e
+            report.append((label, f"error: {type(e).__name__}: {e}"))
+    return report
+
+
+def conformance_check_duckdb(strict: bool = True) -> list[tuple[str, str]]:
+    """One-call self-validation of the LIVE profile against a fresh
+    in-memory DuckDB — the proof the conformance harness itself is
+    sound (VERDICT r13 task 5 'done' bar)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        def run(sql, params):
+            cur = (con.execute(sql, [v for _, v in params]) if params
+                   else con.execute(sql))
+            try:
+                return cur.fetchall()
+            except duckdb.Error:   # a non-query statement
+                return []
+
+        return conformance_check(get_profile("duckdb"), run,
+                                 strict=strict)
+    finally:
+        con.close()

@@ -276,9 +276,19 @@ class RemoteEngine:
     writers over a pool of 4 complete without deadlock or error.
     """
 
-    def __init__(self, pool_size: int = 4):
+    def __init__(self, pool_size: int = 4, dialect: str = "duckdb"):
         import duckdb
 
+        from clickhouse_datafusion_spark.sources.dialect_profile import (
+            get_profile)
+
+        # the remote's SQL dialect, selectable at construction (r13
+        # VERDICT task 5): every dialect-specific statement the seam
+        # emits renders from this profile. The in-process remote IS
+        # DuckDB, so that's the only profile that can run here —
+        # selecting "clickhouse" is the retarget hook for a real
+        # server deployment (conformance_check validates a target).
+        self.profile = get_profile(dialect)
         self.pool_size = pool_size
         self._root = duckdb.connect()
         self._pool: queue.Queue = queue.Queue()
@@ -288,6 +298,10 @@ class RemoteEngine:
         self._writable: set[str] = set()
         self._dec_cols: frozenset | None = None   # decimal_columns cache
         self._lock = threading.Lock()
+        # serializes first-batch commit-log creation from concurrent
+        # partition gates (_marker_gate) — separate from _lock because
+        # the create path calls refresh(), which takes _lock itself
+        self._ddl_lock = threading.Lock()
 
     # -- catalog -----------------------------------------------------
     def register_parquet_dir(self, path: str, tables: list[str] | None = None
@@ -530,7 +544,7 @@ class RemoteEngine:
         return total
 
     # -- executor-parallel ingest (r12) --------------------------------
-    def start_ingest_server(self, host: str = "127.0.0.1",
+    def start_ingest_server(self, host: str | None = None,
                             io_timeout: float | None = 300.0,
                             token: str | None = None):
         """Start the Arrow-over-TCP ingest server — the server half of
@@ -562,16 +576,44 @@ class RemoteEngine:
         op is restricted to READ-ONLY statements server-side
         (:func:`assert_read_only_sql`) — DDL/DML must come through the
         writability-checked ingest op or the driver-side engine API,
-        never the wire."""
+        never the wire.
+
+        Idempotent: with a server already running, an argument-free
+        call returns its address; a call asking for a DIFFERENT token
+        or host RAISES instead of silently handing back the running
+        server under the caller's assumed settings (r13 ADVICE) —
+        ``stop_ingest_server()`` first to rebind."""
         if getattr(self, "_ingest", None) is None:
-            if token is None and host not in ("127.0.0.1", "localhost",
+            bind = host if host is not None else "127.0.0.1"
+            if token is None and bind not in ("127.0.0.1", "localhost",
                                               "::1"):
                 raise ValueError(
                     "start_ingest_server: binding beyond loopback "
-                    f"({host!r}) requires a shared-secret token=...")
-            self._ingest = ArrowIngestServer(self, host=host,
+                    f"({bind!r}) requires a shared-secret token=...")
+            self._ingest = ArrowIngestServer(self, host=bind,
                                              io_timeout=io_timeout,
                                              token=token)
+        else:
+            # idempotent re-start must not SILENTLY hand back a server
+            # with weaker (or just different) settings than the caller
+            # asked for (r13 ADVICE): a second caller passing token=...
+            # would otherwise believe the wire is now secret-gated while
+            # the running server keeps accepting tokenless peers. host/
+            # token left unspecified reuse the running server as-is
+            # (the pervasive "fetch the address" pattern stays valid).
+            srv = self._ingest
+            if token is not None and token != srv.token:
+                raise ValueError(
+                    "start_ingest_server: a server is already running "
+                    + ("WITHOUT a token" if srv.token is None else
+                       "with a DIFFERENT token")
+                    + " — stop_ingest_server() first to rebind, or "
+                    "call without token= to reuse it as-is")
+            if host is not None and host != srv.address[0]:
+                raise ValueError(
+                    "start_ingest_server: a server is already bound to "
+                    f"{srv.address[0]!r}, not {host!r} — "
+                    "stop_ingest_server() first to rebind")
         return self._ingest.address
 
     @property
@@ -592,6 +634,15 @@ class RemoteEngine:
             srv.close()
             self._ingest = None
 
+    def assert_writable(self, name: str) -> None:
+        """Raise the writability contract's ValueError unless ``name``
+        is an append-writable table — the driver-side fast-fail every
+        write plane runs before launching a distributed job."""
+        if name.lower() not in self._writable:
+            raise ValueError(
+                f"remote table {name!r} is a read-only view; "
+                "create_table() makes a writable one")
+
     def ingest_transaction(self, name: str, batches, columns: str = "",
                            pre_commit_sql: str | None = None) -> int:
         """Append an iterator of Arrow RecordBatches ATOMICALLY on one
@@ -610,14 +661,8 @@ class RemoteEngine:
 
         import pyarrow as pa
 
-        if name.lower() not in self._writable:
-            raise ValueError(
-                f"remote table {name!r} is a read-only view; "
-                "create_table() makes a writable one")
-        from clickhouse_datafusion_spark.sources.dialect_profile import (
-            get_profile)
-
-        profile = get_profile("duckdb")  # the in-process remote's dialect
+        self.assert_writable(name)
+        profile = self.profile  # construction-selected (r14)
         cur = self._pool.get()
         try:
             cur.execute(profile.txn_begin())
@@ -654,7 +699,13 @@ class ArrowIngestServer:
       IPC stream of RecordBatches from the client; server replies
       1 status byte (``0x00`` ok / ``0x01`` error), then 8-byte BE
       appended-row count (ok) or 4-byte BE length + UTF-8 message
-      (error).
+      (error). With ``"marker": {"commits": t, "sink": s, "batch": n}``
+      in the header (r14, the executor_direct plane's exactly-once
+      handshake) the server FIRST replies one gate byte — ``0x10``
+      proceed / ``0x11`` marker already committed, skip and close —
+      before the client streams any data, and on proceed the marker
+      INSERT joins the partition's transaction (rows + marker land
+      atomically; see :meth:`_marker_gate`).
     * query (r12b — the read direction; the executor-reachable twin of
       :meth:`RemoteEngine.execute_stream`, src/stream.rs:110-131) —
       header ``{"op": "query", "sql": ..., "batch_rows": ...}``; server
@@ -670,8 +721,11 @@ class ArrowIngestServer:
     * progress (r13) — the capped tail's watermark row as a dedicated
       parameterized op (see :meth:`_handle_progress`): header
       ``{"op": "progress", "table": ..., "tail_id": ...,
-      "action": get|put|reset[, "watermark": N]}``; reply status byte +
-      presence flag + 8-byte signed BE value.
+      "action": get|put|reset[, "watermark": N][, "incarnation": s]}``;
+      reply status byte + presence flag + 8-byte signed BE watermark +
+      2-byte BE length + incarnation bytes (r14: the incarnation marker
+      lets a NEW reader recovering the row distinguish its own writes
+      from a previous incarnation's and clamp its first poll).
 
     When the server was started with a ``token``, every header must
     carry it (``"token": ...``, constant-time compared) — the
@@ -756,9 +810,31 @@ class ArrowIngestServer:
                 if op == "progress":
                     self._handle_progress(f, hdr)
                     return
+                pre_commit = None
+                if "marker" in hdr:
+                    # exactly-once partition gate (r14): check the
+                    # commit-log marker BEFORE the client streams a
+                    # byte of data — a replayed/retried partition
+                    # whose marker already landed skips without
+                    # shipping its rows again. Reply one gate byte:
+                    # 0x10 proceed / 0x11 skip-and-close. The marker
+                    # INSERT rides pre_commit_sql, so rows + marker
+                    # land in ONE transaction (a same-partition race —
+                    # Spark speculation, a zombie driver — both pass
+                    # this gate, but the commit log's PRIMARY KEY lets
+                    # only one transaction COMMIT; the loser rolls
+                    # back whole and reports an error frame).
+                    pre_commit = self._marker_gate(f, hdr["marker"])
+                    if pre_commit is None:
+                        f.write(b"\x11")
+                        f.flush()
+                        return
+                    f.write(b"\x10")
+                    f.flush()
                 reader = pa.ipc.open_stream(f)
                 total = self._engine.ingest_transaction(
-                    hdr["table"], reader, hdr.get("columns", ""))
+                    hdr["table"], reader, hdr.get("columns", ""),
+                    pre_commit_sql=pre_commit)
                 f.write(b"\x00" + total.to_bytes(8, "big"))
                 f.flush()
             except Exception as e:  # report to the client, stay up
@@ -774,6 +850,50 @@ class ArrowIngestServer:
                 conn.close()
             except OSError:  # pragma: no cover - already closed
                 pass
+
+    def _marker_gate(self, f, marker: dict) -> str | None:
+        """Server half of the per-partition exactly-once handshake
+        (r14, the executor_direct write plane): validate the marker
+        fields — the commits TABLE NAME against the identifier
+        grammar, sink as an escaped literal, batch as an int; nothing
+        client-controlled travels as raw SQL — ensure the commit log
+        exists, and return the marker-INSERT statement to run inside
+        the partition's ingest transaction, or None when the marker is
+        already present (the partition was committed by a previous
+        attempt — skip)."""
+        commits = str(marker["commits"])
+        if not _SQL_IDENT_RE.fullmatch(commits):
+            raise PermissionError(
+                f"ingest marker: invalid commits identifier {commits!r}")
+        sink = str(marker["sink"]).replace("'", "''")
+        bid = int(marker["batch"])
+        profile = self._engine.profile
+        eng = self._engine
+        if commits not in eng.tables():
+            # Create the commit log ONCE, serialized: DuckDB's
+            # CREATE TABLE IF NOT EXISTS takes a catalog-alter intent
+            # even when the table exists, so N concurrent partition
+            # gates each running it (or one running it against other
+            # partitions' open marker transactions) hit "Catalog
+            # write-write conflict on alter" — measured, not
+            # theoretical. The engine-API path (append_remote_
+            # exactly_once) pre-creates the log driver-side before the
+            # job, so this branch only fires for raw-wire clients'
+            # very first batch, where no marker txn can be open yet
+            # (every partition passes its gate before BEGIN).
+            with eng._ddl_lock:
+                if commits not in eng.tables():
+                    eng.execute(profile.commits_create(commits))
+                    eng.refresh()
+        cur = eng._pool.get()
+        try:
+            seen = cur.execute(
+                profile.commits_seen(commits, sink, bid)).fetchone()[0]
+        finally:
+            eng._pool.put(cur)
+        if seen:
+            return None
+        return profile.commits_marker(commits, sink, bid)
 
     def _handle_progress(self, f, hdr: dict) -> None:
         """Tail-progress plane (r13): the capped tail source's
@@ -798,16 +918,17 @@ class ArrowIngestServer:
         prog = f"{table}__tail_progress"
         action = hdr.get("action", "get")
         tail_id = str(hdr["tail_id"])
-        # the in-process remote speaks DuckDB; the statement set is
-        # profile-rendered so the ClickHouse transcripts pin the swap
-        profile = get_profile("duckdb")
+        # the statement set is profile-rendered (construction-selected,
+        # r14) so the ClickHouse transcripts pin the swap
+        profile = self._engine.profile
         cur = self._engine._pool.get()
         try:
             cur.execute(profile.progress_create(prog))
-            present, val = 0, 0
+            present, val, inc = 0, 0, b""
             if action == "put":
                 cur.execute(profile.progress_put(prog),
-                            [tail_id, int(hdr["watermark"])])
+                            [tail_id, int(hdr["watermark"]),
+                             str(hdr.get("incarnation", ""))])
             elif action == "reset":
                 cur.execute(profile.progress_reset(prog), [tail_id])
             elif action == "get":
@@ -815,10 +936,12 @@ class ArrowIngestServer:
                                   [tail_id]).fetchone()
                 if row is not None:
                     present, val = 1, int(row[0])
+                    inc = str(row[1] or "").encode()[:65535]
             else:
                 raise ValueError(f"unknown progress action {action!r}")
             f.write(b"\x00" + bytes([present])
-                    + val.to_bytes(8, "big", signed=True))
+                    + val.to_bytes(8, "big", signed=True)
+                    + len(inc).to_bytes(2, "big") + inc)
             f.flush()
         finally:
             self._engine._pool.put(cur)

@@ -373,7 +373,10 @@ def drain_tail_until_stable(query, stable_rounds: int = 2,
     ``max_rows_per_batch`` rows. This helper loops
     ``processAllAvailable`` until ``stable_rounds`` consecutive rounds
     produce no new batch (or an empty one) — the moment the tail has
-    genuinely caught up to the remote.
+    genuinely caught up to the remote. Rounds before the FIRST observed
+    batch (``lastProgress`` still None) never count toward stability
+    (r13 ADVICE): a slow-starting query must not look drained before
+    any batch has run.
 
     Test/backfill shape only: a PRODUCTION capped tail runs on an
     interval/continuous trigger, where every trigger re-polls and the
@@ -382,8 +385,18 @@ def drain_tail_until_stable(query, stable_rounds: int = 2,
     for _ in range(max_rounds):
         query.processAllAvailable()
         p = query.lastProgress
-        bid = p["batchId"] if p else None
-        new_rows = (p or {}).get("numInputRows", 0)
+        if p is None:
+            # no batch OBSERVED yet (a slow-starting query reports
+            # lastProgress=None for its first rounds) — that is not
+            # evidence the tail is drained, so it must not count
+            # toward stability (r13 ADVICE: None == None satisfied
+            # stable_rounds before any batch ran, returning
+            # under-drained). max_rounds still bounds a stream that
+            # never produces a batch at all.
+            stable = 0
+            continue
+        bid = p["batchId"]
+        new_rows = p.get("numInputRows", 0)
         if bid == last_bid or new_rows == 0:
             stable += 1
             if stable >= stable_rounds:

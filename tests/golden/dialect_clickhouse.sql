@@ -4,21 +4,21 @@
 --    cold start (initialOffset -> latestOffset) + one planned
 --    micro-batch (partitions); <progress op> markers are the
 --    parameterized progress plane, expanded in section 2.
-<progress op: action=reset table=events tail_id=events/ts watermark=None>
-SELECT CAST(min(toUnixTimestamp64Micro(ts)) - 1 AS BIGINT) FROM events
-SELECT CAST(max(k) AS BIGINT) FROM (SELECT toUnixTimestamp64Micro(ts) AS k FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799000000) ORDER BY k LIMIT 1000)
-<progress op: action=put table=events tail_id=events/ts watermark=1723804800000000>
-SELECT quantilesExact(0.250000, 0.500000, 0.750000, 1.000000)(toUnixTimestamp64Micro(ts)) FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799000000) AND ts <= fromUnixTimestamp64Micro(1723804800000000)
-SELECT ts, value FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799000000) AND ts <= fromUnixTimestamp64Micro(1723804799250000)
-SELECT ts, value FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799250000) AND ts <= fromUnixTimestamp64Micro(1723804799500000)
-SELECT ts, value FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799500000) AND ts <= fromUnixTimestamp64Micro(1723804799750000)
-SELECT ts, value FROM events WHERE ts > fromUnixTimestamp64Micro(1723804799750000) AND ts <= fromUnixTimestamp64Micro(1723804800000000)
+<progress op: action=reset table=events tail_id=events/ts watermark=None incarnation=None>
+SELECT CAST(min(toUnixTimestamp64Micro("ts")) - 1 AS BIGINT) FROM "events"
+SELECT CAST(max(k) AS BIGINT) FROM (SELECT toUnixTimestamp64Micro("ts") AS k FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799000000) ORDER BY k LIMIT 1000)
+<progress op: action=put table=events tail_id=events/ts watermark=1723804800000000 incarnation=<uuid>>
+SELECT quantilesExact(0.250000, 0.500000, 0.750000, 1.000000)(toUnixTimestamp64Micro("ts")) FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799000000) AND "ts" <= fromUnixTimestamp64Micro(1723804800000000)
+SELECT "ts", "value" FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799000000) AND "ts" <= fromUnixTimestamp64Micro(1723804799250000)
+SELECT "ts", "value" FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799250000) AND "ts" <= fromUnixTimestamp64Micro(1723804799500000)
+SELECT "ts", "value" FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799500000) AND "ts" <= fromUnixTimestamp64Micro(1723804799750000)
+SELECT "ts", "value" FROM "events" WHERE "ts" > fromUnixTimestamp64Micro(1723804799750000) AND "ts" <= fromUnixTimestamp64Micro(1723804800000000)
 
 -- 2. tail progress plane (server-side; ? = bound parameter):
-CREATE TABLE IF NOT EXISTS events__tail_progress (tail_id String, watermark Int64) ENGINE = MergeTree ORDER BY tail_id
-INSERT INTO events__tail_progress (tail_id, watermark) VALUES (?, ?)
-SELECT max(watermark) FROM events__tail_progress WHERE tail_id = ? HAVING count() > 0
-ALTER TABLE events__tail_progress DELETE WHERE tail_id = ?
+CREATE TABLE IF NOT EXISTS events__tail_progress (tail_id String, watermark Int64, incarnation String) ENGINE = MergeTree ORDER BY tail_id
+INSERT INTO events__tail_progress (tail_id, watermark, incarnation) VALUES ({tail_id:String}, {watermark:Int64}, {incarnation:String})
+SELECT max(watermark), argMax(incarnation, watermark) FROM events__tail_progress WHERE tail_id = {tail_id:String} HAVING count() > 0
+DELETE FROM events__tail_progress WHERE tail_id = {tail_id:String}
 
 -- 3. ingest transaction wrapper (per-connection atomic append):
 BEGIN TRANSACTION

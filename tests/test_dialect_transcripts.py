@@ -65,10 +65,14 @@ def _tail_section(dialect: str) -> list[str]:
         return None
 
     def fake_progress(host, port, table, tail_id, action,
-                      watermark=None, token=None):
+                      watermark=None, token=None, incarnation=None,
+                      full=False):
+        # the incarnation value is a per-reader uuid — record only its
+        # presence so the transcript stays deterministic
         recorded.append(
             f"<progress op: action={action} table={table} "
-            f"tail_id={tail_id} watermark={watermark}>")
+            f"tail_id={tail_id} watermark={watermark} "
+            f"incarnation={'<uuid>' if incarnation else None}>")
         return None
 
     ct._scalar, ct._progress_op = fake_scalar, fake_progress
@@ -170,11 +174,13 @@ def test_duckdb_profile_statements_actually_run():
     r.create_table("events", "ts TIMESTAMP, value BIGINT")
     cur = r._pool.get()
     try:
-        # progress plane
+        # progress plane (r14: the row carries the writer incarnation;
+        # the greatest watermark's writer wins on both dialects)
         cur.execute(p.progress_create(PROG))
-        cur.execute(p.progress_put(PROG), ["t1", 5])
-        cur.execute(p.progress_put(PROG), ["t1", 3])   # greatest wins
-        assert cur.execute(p.progress_get(PROG), ["t1"]).fetchone()[0] == 5
+        cur.execute(p.progress_put(PROG), ["t1", 5, "incA"])
+        cur.execute(p.progress_put(PROG), ["t1", 3, "incB"])  # greatest wins
+        assert cur.execute(
+            p.progress_get(PROG), ["t1"]).fetchone() == (5, "incA")
         cur.execute(p.progress_reset(PROG), ["t1"])
         assert cur.execute(p.progress_get(PROG), ["t1"]).fetchone() is None
         # commit log
@@ -205,6 +211,53 @@ def test_duckdb_profile_statements_actually_run():
         assert list(map(int, bounds)) == [WM + 1, WM + 2]
     finally:
         r._pool.put(cur)
+
+# -- conformance replay (r14, VERDICT task 5) --------------------------------
+
+def test_duckdb_profile_conformance_replay():
+    """The 'done' bar the r13 verdict set: the DuckDB profile passes
+    its own conformance replay — every statement the seam can emit,
+    executed in live order against a fresh target, with value
+    assertions (greatest-wins upsert, argMax-consistent incarnation,
+    quantile bounds, epoch roundtrip, quoted keyword identifiers,
+    commit-log fencing, txn rollback visibility)."""
+    from clickhouse_datafusion_spark.sources.dialect_profile import (
+        conformance_check_duckdb)
+
+    report = conformance_check_duckdb()
+    assert len(report) >= 25
+    assert all(status == "ok" for _, status in report), report
+
+
+def test_clickhouse_profile_scenario_is_runnable_shaped():
+    """Pending a reachable server, pin what CAN be checked about the
+    ClickHouse replay: every step renders non-empty SQL, every bound
+    parameter appears as its native ``{name:Type}`` placeholder (r13
+    ADVICE — ``?`` is not ClickHouse's parameter syntax), and no step
+    carries a ``?`` at all."""
+    from clickhouse_datafusion_spark.sources.dialect_profile import (
+        conformance_scenario)
+
+    steps = conformance_scenario(get_profile("clickhouse"))
+    assert len(steps) >= 25
+    for label, sql, params, _check in steps:
+        assert sql.strip(), label
+        assert "?" not in sql, (label, sql)
+        for name, _v in params:
+            assert f"{{{name}:" in sql, (label, name, sql)
+
+
+def test_remote_engine_profile_selectable_at_construction():
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+
+    r = RemoteEngine(pool_size=1)
+    assert r.profile.name == "duckdb"
+    r2 = RemoteEngine(pool_size=1, dialect="clickhouse")
+    assert r2.profile.name == "clickhouse"
+    with pytest.raises(ValueError, match="unknown remote dialect"):
+        RemoteEngine(pool_size=1, dialect="oracle")
+
 
 # -- unparse-gate transcript --------------------------------------------------
 

@@ -71,9 +71,13 @@ def test_executor_insert_exact_and_parallel(fed, spark):
 
 
 def test_executor_insert_matches_spool_path_values(fed, spark):
-    """Mode equivalence: the same INSERT through 'executor' and 'spool'
+    """Mode equivalence: the same INSERT through every write plane
     produces identical table contents (including float and timestamp
-    columns) — the data plane changes, the values don't."""
+    columns) — the data plane changes, the values don't. The SQL front
+    door under 'direct' DEMOTES to a batch-size-bounded plane (r13
+    ADVICE: an unbounded INSERT..SELECT must never be collected whole
+    on the driver); the DataFrame API keeps 'direct' for its
+    trigger-bounded contract."""
     eng, remote = fed
 
     def run2(mode):
@@ -93,14 +97,42 @@ def test_executor_insert_matches_spool_path_values(fed, spark):
         finally:
             remote.drop_table("ew_m")
 
+    def run_df_direct():
+        """The direct plane's legitimate entry: the DataFrame API with
+        a bounded source (the per-micro-batch shape)."""
+        remote.create_table("ew_m", "k BIGINT, v DOUBLE, ev TIMESTAMP")
+        try:
+            eng.write_mode = "direct"
+            src = eng.sql(
+                "SELECT CAST(o_orderkey AS BIGINT) AS k, "
+                "log(o_totalprice) AS v, "
+                "TIMESTAMP '1996-12-31 23:59:58.123456' AS ev "
+                "FROM clickhouse.remote.orders WHERE o_orderkey < 300")
+            eng.append_remote("ew_m", src)
+            tbl = remote.execute(
+                "SELECT k, v, CAST(ev AS VARCHAR) AS e "
+                "FROM ew_m ORDER BY k")
+            return list(zip(*(tbl.column(i).to_pylist()
+                              for i in range(3))))
+        finally:
+            remote.drop_table("ew_m")
+
     try:
         a = run2("executor")
         assert eng.last_remote_insert == "executor-parallel"
+        assert not eng.last_write_plane_demoted
         b = run2("spool")
         assert eng.last_remote_insert == "arrow-stream"
-        c = run2("direct")      # r13: the trigger-bounded fast plane
+        c = run2("direct")      # SQL front door: demoted (r13 ADVICE)
+        assert eng.last_remote_insert == "executor-direct"
+        assert eng.last_write_plane_demoted
+        d = run2("executor_direct")   # r14: the fourth plane
+        assert eng.last_remote_insert == "executor-direct"
+        assert not eng.last_write_plane_demoted
+        e = run_df_direct()     # DataFrame API: direct stays direct
         assert eng.last_remote_insert == "direct-arrow"
-        assert a == b == c and len(a) > 0
+        assert not eng.last_write_plane_demoted
+        assert a == b == c == d == e and len(a) > 0
         assert a[0][2] == "1996-12-31 23:59:58.123456"
     finally:
         eng.write_mode = "executor"
@@ -279,7 +311,7 @@ def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
     vals = {}
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        for mode in ("spool", "executor", "direct"):
+        for mode in ("spool", "executor", "direct", "executor_direct"):
             eng.write_mode = mode
             remote.create_table("ew_tz", "k BIGINT, ev TIMESTAMP")
             try:
@@ -295,9 +327,11 @@ def test_executor_plane_timestamp_semantics_non_utc(fed, spark):
             finally:
                 remote.drop_table("ew_tz")
         # 12:00 EST == 17:00 UTC — the instant, in UTC form, all planes
-        assert vals == {"spool": "2001-01-15 17:00:00.123456",
-                        "executor": "2001-01-15 17:00:00.123456",
-                        "direct": "2001-01-15 17:00:00.123456"}
+        assert vals == {
+            "spool": "2001-01-15 17:00:00.123456",
+            "executor": "2001-01-15 17:00:00.123456",
+            "direct": "2001-01-15 17:00:00.123456",
+            "executor_direct": "2001-01-15 17:00:00.123456"}
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
         eng.write_mode = "executor"

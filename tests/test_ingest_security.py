@@ -255,6 +255,56 @@ def test_fresh_query_resets_stale_progress(spark, remote, tmp_path):
     assert _progress_op(host, port, "t_st", "stale-demo", "get") is None
 
 
+def test_reused_tail_id_first_batch_clamped_by_previous_watermark(
+        spark, remote, tmp_path):
+    """r14 (VERDICT task 4): the incarnation marker closes the
+    documented first-batch over-read. Spark's traced call order on a
+    fresh query polls latestOffset once BEFORE initialOffset, so a
+    reused tail_id used to plan its first batch from the STALE base —
+    spanning everything up to ``stale_watermark + cap`` (here 850
+    rows). With the marker, a first poll that recovers a FOREIGN
+    incarnation's row clamps to the stored watermark: the first batch
+    never spans new keys past the previous incarnation's watermark,
+    and every subsequent batch is cap-bounded."""
+    from clickhouse_datafusion_spark.streaming import tail_remote_table
+    from clickhouse_datafusion_spark.streaming.events import (
+        drain_tail_until_stable)
+
+    _load(remote, "t_cl", 600)
+    host, port = remote.start_ingest_server()
+
+    def run(ckpt):
+        got = []
+        stream = tail_remote_table(spark, remote, "t_cl", "k",
+                                   max_rows_per_batch=250,
+                                   tail_id="clamp-demo")
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"cl{ckpt}"))
+             .foreachBatch(lambda b, i: got.append(b.count())).start())
+        try:
+            drain_tail_until_stable(q)
+        finally:
+            q.stop()
+        return [g for g in got if g]
+
+    first = run(0)
+    assert sum(first) == 600 and all(s <= 250 for s in first)
+    assert _progress_op(host, port, "t_cl", "clamp-demo", "get") == 600
+    # 400 NEW rows land, then the tail_id is reused on a fresh
+    # checkpoint (an intentional full re-read without
+    # reset_tail_progress)
+    remote.insert_arrow("t_cl", pa.table({
+        "k": list(range(601, 1001)), "v": [0.0] * 400}))
+    second = run(1)
+    assert sum(second) == 1000                 # complete, exactly once
+    # THE CLAMP: the ambiguous first batch is bounded by the previous
+    # incarnation's watermark (600) — under the pre-r14 behavior it
+    # was 850 (stale base 600 + one cap of new keys); every later
+    # batch obeys the cap
+    assert second[0] <= 600
+    assert all(s <= 250 for s in second[1:])
+
+
 # -- wire robustness ---------------------------------------------------------
 
 def test_wire_query_server_closed_is_clean_error():
