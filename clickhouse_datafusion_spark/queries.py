@@ -5746,25 +5746,20 @@ def x60_curriculum_phases(spark, sf):
 # registry is FROZEN this round (r5 verdict task 1) — 49 ungated + s6
 # exactly fills the ~50-row driver window.
 _GATE_PRIORITY = [
-    # r13: the t11 family re-gates on the single-long-key scoring body
-    # (the decade fix — the probe stream and both LM joins changed
-    # physically; values must re-pin against the string-keyed oracle).
-    # st12/st13 re-gate on the exactly-once contract change (explicit
-    # sink_id now required without a checkpoint; st13's body changed)
-    # plus the new direct-arrow plane sharing their code path; st14
-    # re-gates on the tail rework (parameterized progress op,
-    # identifier validation, token plumb, initialOffset reset).
-    # Everything else mechanical: tier 4 oldest-round-first fronts the
-    # 46-entry r9 tail (d1, d5-d7, d9, f8-f11, s1-s5, s8-s9, st1-st5,
-    # st11, t7-t8, x10, x14-x28, x30-x31, x36, x39, m1), so after r13
-    # no live entry's hard driver row is older than r10 (r12 verdict
-    # task 3).
-    # (st12 is NOT fronted: its gate path — default at-least-once
-    # plane — is byte-identical this round; the exactly-once contract
-    # change lands in st13's changed body.)
-    "t11_bigram_lm_score",
-    "t11b_bigram_lm_prebuilt",
-    "t11c_bigram_lm_shuffle",
+    # r14: st14 re-gates on the tail rework (incarnation clamp on the
+    # first poll after tail_id reuse, double-quoted identifiers in
+    # every emitted statement, 3-column progress row); st13 re-gates
+    # on the profile-selected commit-log statements plus the progress
+    # schema change shared with the tail. Everything else mechanical:
+    # tier 4 oldest-round-first fronts st5 (r9 — the entry the r12
+    # rotation list missed; r13 verdict task 3) and the full 47-entry
+    # r10 tail (a10c, a11-a14, w7/w8, q9, q18, x32-x35, x37/x38,
+    # x40-x49, x51-x55, x57/x58, st6-st10, t12-t16, s6/s7, d10, x5b),
+    # so 2 head + 48 tail = the 50-row driver window exactly and the
+    # union freshness floor lands at r11.
+    # (t11 family NOT fronted this round: its r13 fold body is
+    # byte-identical in r14; the executor_direct plane is st12/st13
+    # adjacent but st12's default gate path is unchanged.)
     "st13_streaming_sink_exactly_once",
     "st14_remote_table_tail",
 ]
