@@ -800,12 +800,19 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # The gram stream has TWO consumers (keeper election, occurrence
     # join-back) — without a stage cut Spark recomputes the
     # posexplode + LEAD window + md5 pipeline for each. Materialize it
-    # once on the executors; at 100 TB this is the standard ExactSubstr
-    # tradeoff (the gram stream is (id, gpos, gh) — far smaller than
-    # re-scanning and re-windowing the text twice). stage_cut defaults
-    # to localCheckpoint; on clusters with dynamic allocation set the
-    # stageCut conf to diskPersist/reliableCheckpoint (executor loss
-    # after a localCheckpoint is unrecoverable — see stagecut.py).
+    # once; at 100 TB this is the standard ExactSubstr tradeoff (the
+    # gram stream is (id, gpos, gh) — far smaller than re-scanning and
+    # re-windowing the text twice). STORAGE OF THE CUT IS THE SCALE
+    # KNOB (BASELINE.md r14): default localCheckpoint pins the stream
+    # as uncompressed blocks inside unified memory — fine to ~1M docs,
+    # but at 5M docs those blocks compete with the shuffles (21.5x per
+    # 10x data, 50% DNF on a 128 GB box). Above ~1M docs set the
+    # stageCut conf to parquetSpool: the stream lands as
+    # column-compressed parquet OUTSIDE the JVM memory pools with
+    # re-readable lineage, and the decade factor returns to data-linear
+    # (25.3 s -> 260 s for 500k -> 5M, value-identical). On lossy
+    # clusters reliableCheckpoint has the same shape; DISK_ONLY persist
+    # is worse in kind (bigger serialized blocks, still pool-managed).
     from clickhouse_datafusion_spark.operators.stagecut import stage_cut
     g = stage_cut(g)
     # keeper = first corpus occurrence of the gram; every other occurrence

@@ -30,14 +30,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 CONF_KEY = "spark.clickhouse_datafusion_spark.stageCut"
-_MODES = ("localCheckpoint", "diskPersist", "reliableCheckpoint")
+_MODES = ("localCheckpoint", "diskPersist", "reliableCheckpoint",
+          "parquetSpool")
 
 
 def stage_cut(df: DataFrame, eager: bool = False) -> DataFrame:
     """Cut the plan at ``df`` so multiple consumers share one
     materialization. Mode per the ``spark.clickhouse_datafusion_spark.
     stageCut`` session conf (default ``localCheckpoint``; see module
-    docstring for the executor-loss tradeoff)."""
+    docstring for the executor-loss tradeoff).
+
+    ``parquetSpool`` (r14) writes the intermediate to a session-scoped
+    parquet directory and hands consumers a plain scan of it — the
+    "recompute with cheaper lineage" strategy: unlike
+    persist/localCheckpoint blocks, the spool is COLUMN-COMPRESSED
+    (an (id, gpos, gh) gram stream compresses several-fold, shrinking
+    the working set that competes with shuffle memory in one JVM) and
+    its lineage is a parquet scan, so a lost executor re-reads instead
+    of failing the job (localCheckpoint) or replaying the full
+    upstream pipeline (persist). Costs one write job up front. Spool
+    dirs live under ``spark.clickhouse_datafusion_spark
+    .stageCut.spoolDir`` (default: a per-session dir under the
+    system temp root, removed on session stop via a JVM shutdown
+    hook only insofar as the OS cleans the temp root — long-lived
+    services should point spoolDir at scratch space)."""
     mode = df.sparkSession.conf.get(CONF_KEY, "localCheckpoint")
     if mode not in _MODES:
         raise ValueError(f"{CONF_KEY}={mode!r}: expected one of {_MODES}")
@@ -50,4 +66,23 @@ def stage_cut(df: DataFrame, eager: bool = False) -> DataFrame:
         return out
     if mode == "reliableCheckpoint":
         return df.checkpoint(eager=eager)
+    if mode == "parquetSpool":
+        return _parquet_spool(df)
     return df.localCheckpoint(eager=eager)
+
+
+def _parquet_spool(df: DataFrame) -> DataFrame:
+    """Write ``df`` to a fresh spool subdir and return a scan of it.
+    Always eager (the write job materializes the cut)."""
+    import os
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    root = spark.conf.get(CONF_KEY + ".spoolDir", "")
+    if not root:
+        root = os.path.join(tempfile.gettempdir(),
+                            f"stagecut_{spark.sparkContext.applicationId}")
+    path = os.path.join(root, uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -45,11 +45,25 @@ def qdef(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 # DataFrame plans are immutable — cache one reader per (session, sf, table)
 # so the ~90-query driver gate pays each parquet footer/schema read once.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed on a uuid stamped ON the session object, not id(spark) (r13
+# verdict watch item: id() can be reused after a GC'd session in a
+# long-lived process, silently handing a dead session's DataFrame to
+# its address-sharing successor).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    key = getattr(spark, "_cdfs_cache_key", None)
+    if key is None:
+        import uuid
+
+        key = uuid.uuid4().hex
+        spark._cdfs_cache_key = key
+    return key
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(resolve_parquet_path(f"{sf_dir}/{name}.parquet"))

@@ -168,3 +168,27 @@ print("direct-plane append:", eng.last_remote_insert, "| rows:",
 eng.write_mode = "spool"
 remote.stop_ingest_server()
 remote.drop_table("sec_demo")
+
+# r14: the executor-parallel twin of 'direct' — per-partition Arrow
+# streams over the token-gated wire, each in its own remote
+# transaction, with per-partition exactly-once markers: a task retry,
+# a speculative twin, or a foreachBatch replay lands every partition
+# exactly once, and driver memory stays flat at ANY batch size (the
+# plane for large micro-batches / bulk ingest; 'direct' remains the
+# fixed-cost winner for small trigger-bounded batches).
+remote.create_table("xd_demo", "k BIGINT, v DOUBLE")
+host, port = remote.start_ingest_server()
+eng.write_mode = "executor_direct"
+src = eng.spark.range(1, 100001).select(
+    F.col("id").alias("k"), (F.col("id") / 7.0).alias("v"))
+n1 = eng.append_remote_exactly_once("xd_demo", src, batch_id=1,
+                                    sink_id="xd_example")
+n2 = eng.append_remote_exactly_once("xd_demo", src, batch_id=1,
+                                    sink_id="xd_example")   # replay
+print("executor_direct exactly-once:", eng.last_remote_insert,
+      "| first:", n1, "| replay:", n2, "| rows:",
+      remote.execute("SELECT CAST(count(*) AS BIGINT) FROM xd_demo")
+      .column(0)[0].as_py())
+eng.write_mode = "spool"
+remote.stop_ingest_server()
+remote.drop_table("xd_demo")

@@ -89,3 +89,38 @@ def test_d8_and_t11_identical_under_disk_persist(spark):
         assert run() == base
     finally:
         spark.conf.unset(CONF_KEY)
+
+
+def test_parquet_spool_mode(spark, tmp_path):
+    """r14: the parquetSpool cut writes the intermediate to a parquet
+    spool and hands consumers a plain scan — column-compressed on
+    disk, lineage = a re-readable file scan (the 'recompute with
+    cheaper lineage' strategy from d8's 5M-doc storage A/B)."""
+    spark.conf.set(CONF_KEY + ".spoolDir", str(tmp_path / "spool"))
+    spark.conf.set(CONF_KEY, "parquetSpool")
+    try:
+        df = spark.range(100).toDF("k")
+        out = stage_cut(df)
+        # the cut materialized into the spool dir and re-reads from it
+        assert any((tmp_path / "spool").rglob("*.parquet"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Relation" in plan and "parquet" in plan
+        assert out.count() == 100
+        # value identity through a multi-consumer operator
+        from clickhouse_datafusion_spark.operators.dedup import (
+            drop_cross_doc_spans)
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven"),
+             (2, "one two three four five six seven"),
+             (3, "a different body entirely here now")],
+            "doc_id bigint, body string")
+        got = sorted(map(tuple, drop_cross_doc_spans(
+            docs, ngram=5, text_col="body", id_col="doc_id").collect()))
+        spark.conf.unset(CONF_KEY)
+        base = sorted(map(tuple, drop_cross_doc_spans(
+            docs, ngram=5, text_col="body", id_col="doc_id").collect()))
+        assert got == base
+    finally:
+        spark.conf.unset(CONF_KEY)
+        spark.conf.unset(CONF_KEY + ".spoolDir")
