@@ -34,23 +34,40 @@ def main() -> None:
                                "d10_paragraph_dedup"]
     spark = get_spark(app_name="probe_heavy_5m")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # materialize the WHOLE result but collect one row: a 5M-row text
+    # result blows driver maxResultSize under toPandas; the per-row
+    # xxhash64 + bit_xor agg forces the same computation and pins
+    # value identity across iterations, order-independent.
     for name in entries:
         fn = QUERIES[name].spark_fn
-        fn(spark, C100).toPandas()                  # warm-up, untimed
+
+        def measure(sf_dir):
+            from pyspark.sql import functions as F
+
+            df = fn(spark, sf_dir)
+            hcols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                     for c in df.columns]
+            t0 = time.perf_counter()
+            r = (df.select(F.xxhash64(*hcols).alias("h"))
+                 .agg(F.count("*").alias("rows"),
+                      F.expr("bit_xor(h)").alias("hash")).collect()[0])
+            return (round(time.perf_counter() - t0, 2),
+                    int(r["rows"]), int(r["hash"]))
+
+        measure(C100)                               # warm-up, untimed
         t100, t1000 = [], []
         for _ in range(ITERS):
-            t0 = time.perf_counter()
-            r100 = fn(spark, C100).toPandas()
-            t100.append(round(time.perf_counter() - t0, 2))
-            t0 = time.perf_counter()
-            r1000 = fn(spark, C1000).toPandas()
-            t1000.append(round(time.perf_counter() - t0, 2))
+            w, rows100, h100 = measure(C100)
+            t100.append(w)
+            w, rows1000, h1000 = measure(C1000)
+            t1000.append(w)
         b100, b1000 = min(t100), min(t1000)
         print(json.dumps({
             "entry": name,
             "best_100x_s": b100, "best_1000x_s": b1000,
             "decade_factor": round(b1000 / b100, 2),
-            "rows_100x": len(r100), "rows_1000x": len(r1000),
+            "rows_100x": rows100, "rows_1000x": rows1000,
             "all_100x": t100, "all_1000x": t1000,
         }))
 
