@@ -223,10 +223,27 @@ def test_executor_direct_x1_partial_crash_then_replay_exact(fed, spark):
         with pytest.raises(Exception):
             eng.append_remote_exactly_once("xp1", src, 5, sink_id="sx1")
         eng._x1_fault_partitions = None
-        c1 = _count(remote, "xp1")
-        part_markers = remote.execute(
-            "SELECT count(*) FROM xp1__commits "
-            "WHERE sink_id = 'sx1#b5'").column(0)[0].as_py()
+        # QUIESCE before observing: when Spark aborts the job it kills
+        # the sibling tasks, but a killed task's server-side wire
+        # transaction may still be mid-commit — a count taken in that
+        # window goes stale the moment the commit lands (the replay
+        # then rightly skips the partition and n2 != 40000 - c1).
+        # Exactly-once doesn't depend on the window; the OBSERVATION
+        # does, so poll (rows, markers) until two consecutive samples
+        # agree.
+        def sample():
+            return (_count(remote, "xp1"), remote.execute(
+                "SELECT count(*) FROM xp1__commits "
+                "WHERE sink_id = 'sx1#b5'").column(0)[0].as_py())
+
+        prev = sample()
+        for _ in range(50):
+            time.sleep(0.2)
+            cur = sample()
+            if cur == prev:
+                break
+            prev = cur
+        c1, part_markers = prev
         whole_marker = remote.execute(
             "SELECT count(*) FROM xp1__commits "
             "WHERE sink_id = 'sx1' AND batch_id = 5"
