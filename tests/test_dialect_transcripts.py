@@ -317,3 +317,27 @@ def test_unparse_gate_transcript(spark):
             lines.append(f"-- stays local: {d['reason']}")
         lines.append("")
     _check_or_regen("unparse_duckdb.sql", "\n".join(lines))
+
+
+@pytest.mark.parametrize("dialect", sorted(PROFILES))
+def test_conformance_scenario_golden(dialect):
+    """r14: pin the CONFORMANCE REPLAY itself as a golden transcript —
+    the exact ordered statement list (with parameter bindings) that
+    conformance_check replays against a target. The day a real
+    ClickHouse server is reachable, this file IS the validation
+    script; until then any profile edit that changes a replay
+    statement fails here and gets reviewed like code."""
+    from clickhouse_datafusion_spark.sources.dialect_profile import (
+        conformance_scenario)
+
+    lines = [f"-- conformance replay transcript: {dialect}",
+             "-- (label / params / statement; see conformance_check)",
+             ""]
+    for label, sql, params, check in conformance_scenario(
+            get_profile(dialect)):
+        binds = ", ".join(f"{n}={v!r}" for n, v in params) or "-"
+        lines.append(f"-- {label}  [{binds}]"
+                     + ("  (checked)" if check else ""))
+        lines.append(sql)
+        lines.append("")
+    _check_or_regen(f"conformance_{dialect}.sql", "\n".join(lines))
