@@ -309,3 +309,50 @@ def test_executor_direct_retried_partition_wire_level_no_double(fed):
         assert _count(remote, "xp2") == 3
     finally:
         remote.drop_table("xp2")
+
+
+def test_executor_direct_through_token_gated_server(spark):
+    """The executor_direct plane against a TOKEN-requiring server (the
+    beyond-loopback deployment shape): every partition's wire header
+    must carry the shared secret — exactly-once markers included — and
+    a tokenless sibling connection is refused without disturbing the
+    plane's own writes."""
+    import json
+    import socket
+
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    remote.register_parquet_dir(SF_SMOKE, tables=["orders"])
+    eng.attach_remote(remote, db="remote", local_twin_dir=SF_SMOKE)
+    remote.start_ingest_server(token="s3cr3t-tok")
+    eng.write_mode = "executor_direct"
+    remote.create_table("xtk", "k BIGINT")
+    try:
+        src = spark.range(0, 5000).selectExpr("id AS k")
+        assert eng.append_remote_exactly_once(
+            "xtk", src, 3, sink_id="tk") == 5000
+        assert eng.append_remote_exactly_once(
+            "xtk", src, 3, sink_id="tk") == 0
+        assert _count(remote, "xtk") == 5000
+        # a tokenless marker-gated connection is refused at the header
+        host, port = remote.ingest_address
+        with socket.create_connection((host, port)) as s:
+            f = s.makefile("rwb")
+            hdr = json.dumps({
+                "table": "xtk", "columns": "",
+                "marker": {"commits": "xtk__commits",
+                           "sink": "tk#b9", "batch": 0}}).encode()
+            f.write(len(hdr).to_bytes(4, "big"))
+            f.write(hdr)
+            f.flush()
+            status = f.read(1)
+            assert status == b"\x01"
+            ln = int.from_bytes(f.read(4), "big")
+            assert b"token" in f.read(ln)
+        assert _count(remote, "xtk") == 5000
+    finally:
+        eng.write_mode = "spool"
+        remote.drop_table("xtk")
+        remote.stop_ingest_server()
