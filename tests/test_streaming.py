@@ -705,3 +705,77 @@ def test_exactly_once_zombie_writer_fenced(spark):
     finally:
         remote.drop_table("zw_tbl")
         remote.drop_table("zw_tbl__commits", if_exists=True)
+
+
+def test_stream_to_remote_table_exactly_once_executor_direct(
+        spark, tmp_path):
+    """r14: the exactly-once streaming sink over the executor_direct
+    plane, end-to-end — per-partition wire transactions with partition
+    markers, whole-batch markers per micro-batch, crash-replay appends
+    nothing, and values match the spool plane's run bit-for-bit."""
+    import shutil
+
+    from clickhouse_datafusion_spark.catalog import resolve_parquet_path
+    from clickhouse_datafusion_spark.engine import ClickHouseSparkEngine
+    from clickhouse_datafusion_spark.sources.remote_engine import (
+        RemoteEngine)
+    from clickhouse_datafusion_spark.streaming.events import (
+        read_events_stream, stream_to_remote_table)
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "evxd"
+    d.mkdir()
+    src = resolve_parquet_path(f"{SF_SMOKE}/events.parquet")
+    for i in range(3):
+        shutil.copy(src, d / f"part_{i}.parquet")
+    want = spark.read.parquet(str(d)).count()
+
+    eng = ClickHouseSparkEngine(spark)
+    remote = RemoteEngine(pool_size=4)
+    eng.attach_remote(remote, db="remote")
+    remote.start_ingest_server()
+    eng.write_mode = "executor_direct"
+    cols = "event_id BIGINT, user_id BIGINT, event_type VARCHAR, " \
+           "ts TIMESTAMP, value BIGINT"
+    remote.create_table("ev_xd", cols)
+    remote.create_table("ev_sp", cols)
+
+    def stream():
+        return read_events_stream(spark, str(d),
+                                  max_files_per_trigger=1) \
+            .select("event_id", "user_id", "event_type", "ts", "value")
+
+    def scalar(sql):
+        return remote.execute(sql).column(0)[0].as_py()
+
+    try:
+        n = stream_to_remote_table(stream(), eng, "ev_xd",
+                                   exactly_once=True, sink_id="xd")
+        assert n == want
+        assert scalar("SELECT count(*) FROM ev_xd") == want
+        # one whole-batch marker per micro-batch, plus >=1 partition
+        # marker per batch in the sink#bN namespace
+        assert scalar("SELECT count(*) FROM ev_xd__commits "
+                      "WHERE sink_id = 'xd'") == 3
+        assert scalar("SELECT count(*) FROM ev_xd__commits "
+                      "WHERE sink_id LIKE 'xd#b%'") >= 3
+        # crash-replay (same sink_id, batch ids restart): nothing lands
+        assert stream_to_remote_table(stream(), eng, "ev_xd",
+                                      exactly_once=True,
+                                      sink_id="xd") == 0
+        assert scalar("SELECT count(*) FROM ev_xd") == want
+        # plane identity: the spool plane's run is value-identical
+        eng.write_mode = "spool"
+        stream_to_remote_table(stream(), eng, "ev_sp",
+                               exactly_once=True, sink_id="sp")
+        q = ("SELECT CAST(count(*) AS BIGINT), "
+             "CAST(sum(event_id * 31 + value) AS BIGINT), "
+             "CAST(bit_xor(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT) "
+             "FROM {}")
+        assert (remote.execute(q.format("ev_xd")).to_pylist()
+                == remote.execute(q.format("ev_sp")).to_pylist())
+    finally:
+        eng.write_mode = "spool"
+        remote.stop_ingest_server()
+        for t in ("ev_xd", "ev_xd__commits", "ev_sp", "ev_sp__commits"):
+            remote.drop_table(t, if_exists=True)
