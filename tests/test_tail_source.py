@@ -447,3 +447,41 @@ def test_tail_lag_reports_backlog(spark, remote):
     # no progress row (unknown tail_id): watermark None, backlog 0
     lag3 = tail_lag(remote, "t_lag", "k", tail_id="nosuch")
     assert lag3["watermark"] is None and lag3["backlog_rows"] == 0
+
+
+def test_tail_keyword_named_columns_end_to_end(spark, remote, tmp_path):
+    """r14 (r13 ADVICE executed, not just rendered): a table whose KEY
+    and VALUE columns collide with the wire's write keywords —
+    ``commit`` and ``load`` — tails end-to-end, capped, with tail_lag
+    working over the same names. Every emitted statement quotes its
+    identifiers, so the read-only gate never refuses the stream its
+    own columns."""
+    from clickhouse_datafusion_spark.sources.clickhouse_tail import (
+        tail_lag)
+
+    remote.create_table("t_kw", '"commit" BIGINT, "load" DOUBLE')
+    remote.insert_arrow("t_kw", pa.table({
+        "commit": list(range(1, 901)),
+        "load": [i / 4.0 for i in range(1, 901)]}))
+    got = []
+    stream = tail_remote_table(spark, remote, "t_kw", "commit",
+                               max_rows_per_batch=400, tail_id="kw14")
+    q = (stream.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "kw"))
+         .foreachBatch(lambda b, i: got.append(
+             (b.count(), b.agg({"commit": "max"}).collect()[0][0])))
+         .start())
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = [c for c, _ in got if c]
+    assert sum(counts) == 900
+    assert all(c <= 400 for c in counts)             # cap respected
+    assert max(m for c, m in got if c) == 900
+    lag = tail_lag(remote, "t_kw", "commit", tail_id="kw14")
+    assert lag["latest_key"] == 900
+    assert lag["backlog_rows"] == 0
+    remote.drop_table("t_kw")
