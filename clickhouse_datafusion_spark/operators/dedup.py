@@ -25,6 +25,39 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def sql_str(s: str) -> str:
+    """SQL single-quoted string literal for ``s`` (r14).
+
+    Hot plan-construction paths build parsed SQL fragments
+    (``selectExpr`` / ``F.expr``) instead of Column-API chains — one py4j
+    round trip per fragment instead of one per operator (~0.3 ms each on
+    a warm driver adds up to hundreds of ms per plan build). Literals
+    embedded in those fragments go through here. Escaped for the default
+    parser (``spark.sql.parser.escapedStringLiterals=false``): backslash
+    and quote are escaped, control characters emitted as escapes.
+    """
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def sql_ident(name: str) -> str:
+    """Backquoted SQL identifier (r14, companion of :func:`sql_str`)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -260,18 +293,22 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
     # O(d² log d) on d≈2-10, noise next to the shuffle), so there is
     # nothing to win, and keeping the explode source a plain expression
     # leaves Generate free to consume it directly.
-    docs = F.array_sort(F.col("docs"))
-    pair = F.explode(F.flatten(F.transform(
-        docs,
-        lambda x, i: F.transform(
-            F.slice(docs, i + 2, F.size(docs)),
-            lambda y: F.struct(
-                x["id"].alias("id_a"), y["id"].alias("id_b"),
-                *[c for p in payload_cols
-                  for c in (x[p].alias(f"{p}_a"), y[p].alias(f"{p}_b"))])))))
+    #
+    # r14: the pair expansion is ONE parsed expression instead of nested
+    # Column-API lambdas — the Column form cost ~80 py4j round trips per
+    # plan build (~25 ms on a warm driver), the parsed form 2. Identical
+    # Catalyst tree after parsing.
+    docs = "array_sort(docs)"
+    fields = ", ".join(
+        ["x.id AS id_a", "y.id AS id_b"]
+        + [f"{v}.{p} AS {p}_{s}" for p in payload_cols
+           for v, s in (("x", "a"), ("y", "b"))])
+    pair = (f"explode(flatten(transform({docs}, (x, i) -> "
+            f"transform(slice({docs}, i + 2, size({docs})), "
+            f"y -> struct({fields}))))) AS p")
     out_cols = ["p.id_a", "p.id_b"] + [f"p.{p}_{s}" for p in payload_cols
                                        for s in ("a", "b")]
-    return (buckets.select(pair.alias("p")).select(*out_cols)
+    return (buckets.selectExpr(pair).select(*out_cols)
             .filter(F.col("id_a") < F.col("id_b")))
 
 
@@ -374,49 +411,52 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         # partition, so the map-side combine collapses them to one
         # 33-column row per doc before the (tiny) shuffle — no skew
         # hazard (one combiner row per unique id).
+        # r14: the dense expression blocks below are parsed SQL strings
+        # (selectExpr / F.expr) rather than Column-API chains — the Column
+        # form cost ~700 py4j round trips per plan build (~0.25 s warm;
+        # the bench pays it every iteration, a production driver every
+        # batch), the parsed form ~30. Same Catalyst expressions.
         ws = F.split(F.col(text_col), " ")
         base = (_ensure_parallelism(df)
                 .filter(F.size(ws) >= ngram)
                 .select(F.col(id_col).alias("id"), ws.alias("ws")))
-        slices = [F.col("ws").alias("g0")] + [
-            F.slice("ws", k + 1,
-                    F.greatest(F.size("ws") - k, F.lit(0))).alias(f"g{k}")
+        slices = ["ws AS g0"] + [
+            f"slice(ws, {k + 1}, greatest(size(ws) - {k}, 0)) AS g{k}"
             for k in range(1, ngram)]
         # arrays_zip pads the shorter tails with NULL; padding is
         # suffix-aligned, so "last component non-null" keeps exactly the
         # size-ngram+1 real gram positions
-        g = (base.select("id", F.explode(F.arrays_zip(*slices)).alias("p"))
+        zip_cols = ", ".join(f"g{k}" for k in range(ngram))
+        g = (base.selectExpr("id", *slices)
+             .selectExpr("id", f"explode(arrays_zip({zip_cols})) AS p")
              .filter(F.col(f"p.g{ngram-1}").isNotNull()))
-        gram = F.concat_ws(" ", *[F.col(f"p.g{k}") for k in range(ngram)])
+        gram = "concat_ws(' ', " + ", ".join(
+            f"p.g{k}" for k in range(ngram)) + ")"
         if gram_hash == "md5":
-            h = F.pmod(F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
-                       .cast("bigint"), F.lit(_MH_P))
+            h = (f"pmod(CAST(conv(substring(md5({gram}), 1, 8), 16, 10) "
+                 f"AS BIGINT), {_MH_P})")
         else:
-            h = F.pmod(F.xxhash64(gram), F.lit(_MH_P))
-        mins = (g.select("id", h.alias("h"))
+            h = f"pmod(xxhash64({gram}), {_MH_P})"
+        mins = (g.selectExpr("id", f"{h} AS h")
                 .groupBy("id")
-                .agg(*[F.min(F.pmod(F.col("h") * a + b, F.lit(_MH_P)))
-                       .alias(f"m{i}")
+                .agg(*[F.expr(f"min(pmod(h * {a} + {b}, {_MH_P})) AS m{i}")
                        for i, (a, b) in enumerate(_mh_params(n_hashes))]))
-        sig = mins.select(
-            "id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
-    banded = sig.select(
+        sig = mins.selectExpr(
+            "id",
+            f"array({', '.join(f'm{i}' for i in range(n_hashes))}) AS sig")
+    banded = sig.selectExpr(
         "id", "sig",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(
-                b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))))
-        .alias("bk"))
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band})))) AS bk")
     pairs = _bucket_pairs(banded, ["sig"])
-    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                                      lambda x, y: x == y),
-                           lambda e: e))
-           / F.size(F.col("sig_a")))
+    est = ("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e))"
+           " / size(sig_a)")
     # score → filter → distinct: multi-bucket duplicates collapse on three
     # scalars (cheap hash-distinct); the signature arrays never re-shuffle
-    return (pairs.select("id_a", "id_b",
-                         (F.floor(est * 10000 + F.lit(0.5)) / F.lit(10000.0))
-                         .alias("est_jaccard"))
+    return (pairs.selectExpr(
+                "id_a", "id_b",
+                f"floor(({est}) * 10000 + 0.5D) / 10000.0D AS est_jaccard")
             .filter(F.col("est_jaccard") >= threshold)
             .distinct())
 
@@ -920,30 +960,28 @@ def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
     or id keys — no skew (a mega-duplicated paragraph contributes ONE
     winner row; its occurrences join against a broadcast-size slice).
     """
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"))
-    paras = paras.withColumn("_h", F.md5(F.col("_p")))
+    # r14: dense expression blocks are parsed SQL fragments (see sql_str)
+    # — one py4j round trip each instead of one per Column operator.
+    qid, qtx, qsep = sql_ident(id_col), sql_ident(text_col), sql_str(sep)
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("_pos", "_p"))
+             .withColumn("_h", F.md5(F.col("_p"))))
     winners = (paras.groupBy("_h")
-               .agg(F.min(F.struct(F.col(id_col).alias("_i"),
-                                   F.col("_pos").alias("_o"))).alias("_w")))
+               .agg(F.expr(f"min(struct({qid} AS _i, _pos AS _o)) AS _w")))
     kept = (paras.join(winners, "_h")
-            .filter((F.col(id_col) == F.col("_w._i"))
-                    & (F.col("_pos") == F.col("_w._o"))))
+            .filter(F.expr(f"{qid} = _w._i AND _pos = _w._o")))
     rebuilt = (kept.groupBy(F.col(id_col))
-               .agg(F.array_join(
-                   F.transform(
-                       F.sort_array(F.collect_list(
-                           F.struct(F.col("_pos"), F.col("_p")))),
-                       lambda x: x["_p"]), sep).alias("clean_text"),
-                   F.count("*").cast("bigint").alias("n_kept")))
-    base = df.select(F.col(id_col),
-                     F.size(F.split(F.col(text_col), sep)).cast("bigint")
-                     .alias("n_paras"))
+               .agg(F.expr(
+                   "array_join(transform(sort_array(collect_list("
+                   f"struct(_pos, _p))), x -> x._p), {qsep}) AS clean_text"),
+                   F.expr("CAST(count(*) AS BIGINT) AS n_kept")))
+    base = df.selectExpr(
+        qid, f"CAST(size(split({qtx}, {qsep})) AS BIGINT) AS n_paras")
     return (base.join(rebuilt, id_col, "left")
-            .select(id_col, "n_paras",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+            .selectExpr(qid, "n_paras",
+                        "coalesce(n_kept, 0L) AS n_kept",
+                        "coalesce(clean_text, '') AS clean_text")
             .withColumn("clean_md5", F.md5(F.col("clean_text"))))
 
 

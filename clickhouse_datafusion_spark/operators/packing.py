@@ -56,10 +56,21 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
         probs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = sorted(set(
             df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
-    bkt = F.lit(0)
-    for x in bounds:
-        bkt = bkt + F.when(F.col(order_col) > F.lit(x), 1).otherwise(0)
-    bucketed = df.withColumn("_bkt", bkt)
+    # r14: the bucket indicator chain is ONE parsed expression — the
+    # Column-API loop cost ~5 py4j round trips per bound (~150 per build
+    # at 32 buckets); same Catalyst tree after parsing. Float bounds
+    # (quantile mode) need the D suffix: a bare SQL float literal parses
+    # as DECIMAL, changing comparison typing.
+    def _num(x):
+        # preserve F.lit typing: Python int -> integral literal, Python
+        # float -> DOUBLE (bare SQL decimals would change comparison types)
+        return str(x) if isinstance(x, int) else repr(float(x)) + "D"
+
+    qord = "`" + order_col.replace("`", "``") + "`"
+    bkt_sql = "0" + "".join(
+        f" + (CASE WHEN {qord} > {_num(x)} THEN 1 ELSE 0 END)"
+        for x in bounds)
+    bucketed = df.withColumn("_bkt", F.expr(bkt_sql))
     w_in = (W.partitionBy("_bkt").orderBy(order_col)
             .rowsBetween(W.unboundedPreceding, -1))
     in_cum = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
@@ -88,23 +99,23 @@ def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
     spans are exact integer arithmetic, so any engine reproduces them.
     """
     assert 0 <= overlap < chunk_size, "overlap must be < chunk_size"
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    # r14: parsed projections (py4j round-trip economy, dedup.sql_str)
     stride = chunk_size - overlap
-    ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-    n_chunks = F.greatest(
-        F.lit(1), F.expr(f"(size(split({text_col}, ' ')) - {overlap} "
-                         f"+ {stride} - 1) DIV {stride}"))
-    base = df.select(
-        F.col(id_col), ws.alias("_ws"), n.alias("_n"),
-        F.explode(F.sequence(F.lit(0).cast("bigint"),
-                             (n_chunks - 1).cast("bigint"))).alias("chunk_id"))
-    piece = F.slice(F.col("_ws"), F.col("chunk_id") * stride + 1, chunk_size)
-    out = base.select(
-        id_col, "chunk_id",
-        F.size(piece).cast("bigint").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
-        *([F.concat_ws(" ", piece).alias("chunk_text")] if with_text else []))
-    return out
+    qid, qtx = sql_ident(id_col), sql_ident(text_col)
+    n_chunks = (f"greatest(1, (size(split({text_col}, ' ')) - {overlap} "
+                f"+ {stride} - 1) DIV {stride})")
+    base = df.selectExpr(
+        qid, f"split({qtx}, ' ') AS _ws", f"size(split({qtx}, ' ')) AS _n",
+        f"explode(sequence(CAST(0 AS BIGINT), "
+        f"CAST({n_chunks} - 1 AS BIGINT))) AS chunk_id")
+    piece = f"slice(_ws, chunk_id * {stride} + 1, {chunk_size})"
+    return base.selectExpr(
+        qid, "chunk_id",
+        f"CAST(size({piece}) AS BIGINT) AS n_tokens",
+        f"md5(concat_ws(' ', {piece})) AS chunk_md5",
+        *([f"concat_ws(' ', {piece}) AS chunk_text"] if with_text else []))
 
 
 def pack_sequences(df: DataFrame, budget: int = 1024,
@@ -215,23 +226,24 @@ def length_bucket_batches(df: DataFrame, batch_size: int = 8,
     evenly, and the rank window is the same shape seeded_shuffle already
     runs at corpus scale. No Python, no driver state.
     """
-    tok = (F.col(token_col) if token_col
-           else F.size(F.split(F.col(text_col), " ")))
-    n = F.col("n_tokens")
+    from clickhouse_datafusion_spark.operators.dedup import (
+        sql_ident, sql_str)
+
+    # r14: parsed projections (py4j round-trip economy, dedup.sql_str)
+    qid = sql_ident(id_col)
+    tok = (sql_ident(token_col) if token_col
+           else f"size(split({sql_ident(text_col)}, ' '))")
     # ceil(log2 n) EXACTLY as length(bin(n-1)) for n ≥ 2 — a float
     # log2/ceil would hang the answer on a libm ulp at exact powers of 2
-    bucket = F.greatest(
-        F.lit(min_bucket),
-        F.when(n <= 1, F.lit(0))
-         .otherwise(F.length(F.bin(n - 1)).cast("int")))
-    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    bucket = (f"greatest({int(min_bucket)}, CASE WHEN n_tokens <= 1 THEN 0 "
+              "ELSE CAST(length(bin(n_tokens - 1)) AS INT) END)")
+    hk = (f"md5(concat({sql_str(f'{seed}:')}, CAST({qid} AS STRING)))")
     w = W.partitionBy("bucket").orderBy(F.col("_hk"), F.col(id_col))
-    ranked = (df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
-              .withColumn("bucket", bucket)
-              .withColumn("_hk", hk)
+    ranked = (df.selectExpr(qid, f"CAST({tok} AS BIGINT) AS n_tokens")
+              .selectExpr("*", f"{bucket} AS bucket", f"{hk} AS _hk")
               .withColumn("_rn", F.row_number().over(w).cast("bigint")))
-    return ranked.select(
-        id_col, "n_tokens", "bucket",
-        (F.col("bucket").cast("bigint") * F.lit(1_000_000_000)
-         + F.expr(f"(_rn - 1) DIV {int(batch_size)}")).alias("batch_id"),
-        ((F.col("_rn") - 1) % batch_size).alias("pos"))
+    return ranked.selectExpr(
+        qid, "n_tokens", "bucket",
+        "CAST(bucket AS BIGINT) * 1000000000 "
+        f"+ ((_rn - 1) DIV {int(batch_size)}) AS batch_id",
+        f"(_rn - 1) % {int(batch_size)} AS pos")

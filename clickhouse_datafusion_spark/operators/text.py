@@ -1092,26 +1092,29 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
     from clickhouse_datafusion_spark.operators.dedup import (
         _ensure_parallelism)
 
+    from clickhouse_datafusion_spark.operators.dedup import (
+        sql_ident, sql_str)
+
     # cheap streaming projection: widen only on near-serial scans
     df = _ensure_parallelism(df, cpu_heavy=False)
-    wd = df.select(F.col(id_col), F.explode(words(text_col)).alias("_w"))
-    bkt = (F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col("_w"))), 1, 6), 16, 10)
-        .cast("int") % n_buckets)
-    hits = (wd.select(F.col(id_col), bkt.alias("bucket"))
+    # r14: dense expression blocks are parsed SQL fragments — one py4j
+    # round trip each instead of one per Column operator (see
+    # dedup.sql_str); same Catalyst expressions.
+    qid, qtx = sql_ident(id_col), sql_ident(text_col)
+    wd = df.selectExpr(qid, f"explode(split({qtx}, ' ')) AS _w")
+    bkt = (f"CAST(conv(substring(md5(concat({sql_str(f'{seed}:')}, _w)), "
+           f"1, 6), 16, 10) AS INT) % {int(n_buckets)}")
+    hits = (wd.selectExpr(qid, f"{bkt} AS bucket")
             .join(F.broadcast(weights), "bucket", "left")
             .groupBy(id_col)
-            .agg(F.sum(F.coalesce(F.col("w_ppm"), F.lit(0)))
-                 .cast("bigint").alias("_dot")))
-    n_words = df.select(F.col(id_col),
-                        F.size(words(text_col)).cast("bigint")
-                        .alias("n_words"))
+            .agg(F.expr("CAST(sum(coalesce(w_ppm, 0)) AS BIGINT) AS _dot")))
+    n_words = df.selectExpr(
+        qid, f"CAST(size(split({qtx}, ' ')) AS BIGINT) AS n_words")
     return (n_words.join(hits, id_col, "left")
-            .select(
-                id_col, "n_words",
-                (F.lit(int(bias_ppm))
-                 + F.expr("coalesce(_dot, 0) DIV n_words"))
-                .cast("bigint").alias("score_ppm"))
+            .selectExpr(
+                qid, "n_words",
+                f"CAST({int(bias_ppm)} + (coalesce(_dot, 0) DIV n_words) "
+                "AS BIGINT) AS score_ppm")
             .withColumn("keep", (F.col("score_ppm") >= 0).cast("int")))
 
 
@@ -1133,24 +1136,29 @@ def c4_line_filter(df: DataFrame, min_words: int = 5,
     never leaves its partition. Regex/contains stay in the Java-regex ∩
     RE2 common subset so any engine agrees byte-for-byte.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lines = F.split(c, "\n")
+    from clickhouse_datafusion_spark.operators.dedup import (
+        sql_ident, sql_str)
 
-    def _keep(x):
-        cond = (F.size(F.split(F.trim(x), " ")) >= min_words) \
-            & x.rlike('[.!?"]$')
-        for term in blocklist:
-            cond = cond & ~F.lower(x).contains(term.lower())
-        return cond
-
-    kept = F.filter(lines, _keep)
-    clean = F.array_join(kept, "\n")
-    return df.select(
-        F.col(id_col),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(kept).cast("bigint").alias("n_kept"),
-        clean.alias("clean_text"),
-        F.md5(clean).alias("clean_md5"))
+    # r14: one parsed projection instead of a Column-API lambda chain
+    # (py4j round-trip economy; see dedup.sql_str). Same expressions.
+    if isinstance(text_col, str):
+        src = sql_ident(text_col)
+    else:
+        df = df.withColumn("_c4_src", text_col)
+        src = "_c4_src"
+    cond = (f"size(split(trim(x), ' ')) >= {int(min_words)}"
+            " AND x RLIKE '[.!?\"]$'")
+    for term in blocklist:
+        cond += f" AND NOT contains(lower(x), {sql_str(term.lower())})"
+    lines = f"split({src}, '\\n')"
+    kept = f"filter({lines}, x -> {cond})"
+    clean = f"array_join({kept}, '\\n')"
+    return df.selectExpr(
+        sql_ident(id_col),
+        f"CAST(size({lines}) AS BIGINT) AS n_lines",
+        f"CAST(size({kept}) AS BIGINT) AS n_kept",
+        f"{clean} AS clean_text",
+        f"md5({clean}) AS clean_md5")
 
 
 def blocklist_filter(df: DataFrame, blocklist: tuple[str, ...],
@@ -1169,13 +1177,17 @@ def blocklist_filter(df: DataFrame, blocklist: tuple[str, ...],
     beyond that, explode words and broadcast-join the term table
     (exactly ``hashed_classifier_score``'s shape with unit weights).
     """
-    ws = words(text_col)
-    terms = F.array(*[F.lit(t) for t in blocklist])
-    hits = F.filter(ws, lambda w: F.array_contains(terms, w))
-    return df.select(
-        F.col(id_col),
-        F.size(hits).cast("bigint").alias("n_hits"),
-        (F.size(hits) == 0).cast("int").alias("keep"))
+    from clickhouse_datafusion_spark.operators.dedup import (
+        sql_ident, sql_str)
+
+    # r14: one parsed projection (py4j round-trip economy; dedup.sql_str)
+    terms = f"array({', '.join(sql_str(t) for t in blocklist)})"
+    hits = (f"filter(split({sql_ident(text_col)}, ' '), "
+            f"w -> array_contains({terms}, w))")
+    return df.selectExpr(
+        sql_ident(id_col),
+        f"CAST(size({hits}) AS BIGINT) AS n_hits",
+        f"CAST(size({hits}) = 0 AS INT) AS keep")
 
 
 def train_quality_classifier(labeled_df: DataFrame, n_buckets: int = 4096,
