@@ -827,16 +827,20 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # copies of the word array per row) 48 s; this lead-window form
     # 9.0 s including its id-keyed exchange. Short docs (< ngram words)
     # fall out via the trailing-lead NULL filter.
+    # r14: the LEAD projection and every dense select below are parsed
+    # SQL fragments — one py4j round trip per selectExpr instead of one
+    # per Column operator (see sql_str); identical Catalyst trees (the
+    # 19 identical OVER specs still collapse into one Window operator).
     toks = df.select(F.col(id_col).alias("id"),
                      F.posexplode(ws).alias("wpos0", "w"))
-    win = W.partitionBy("id").orderBy("wpos0")
-    lead_cols = [F.col("w").alias("w0")] + [
-        F.lead("w", k).over(win).alias(f"w{k}") for k in range(1, ngram)]
-    g = (toks.select("id", "wpos0", *lead_cols)
+    lead_cols = ["id", "wpos0", "w AS w0"] + [
+        f"lead(w, {k}) OVER (PARTITION BY id ORDER BY wpos0) AS w{k}"
+        for k in range(1, ngram)]
+    g = (toks.selectExpr(*lead_cols)
          .filter(F.col(f"w{ngram-1}").isNotNull())
-         .select("id", (F.col("wpos0") + 1).alias("gpos"),
-                 F.md5(F.concat_ws(
-                     " ", *[f"w{k}" for k in range(ngram)])).alias("gh")))
+         .selectExpr("id", "wpos0 + 1 AS gpos",
+                     "md5(concat_ws(' ', "
+                     f"{', '.join(f'w{k}' for k in range(ngram))})) AS gh"))
     # The gram stream has TWO consumers (keeper election, occurrence
     # join-back) — without a stage cut Spark recomputes the
     # posexplode + LEAD window + md5 pipeline for each. Materialize it
@@ -862,13 +866,11 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # occurrences combine map-side before the shuffle.
     n_salt = df.sparkSession.sparkContext.defaultParallelism
     keepers = (g.groupBy("gh")
-               .agg(F.min(F.struct("id", "gpos")).alias("_k"),
-                    F.count("*").alias("_cnt"))
+               .agg(F.expr("min(struct(id, gpos)) AS _k"),
+                    F.expr("count(*) AS _cnt"))
                .filter(F.col("_cnt") > 1)
-               .select("gh", F.col("_k.id").alias("_kid"),
-                       F.col("_k.gpos").alias("_kpos"),
-                       F.explode(F.sequence(
-                           F.lit(0), F.lit(n_salt - 1))).alias("_salt")))
+               .selectExpr("gh", "_k.id AS _kid", "_k.gpos AS _kpos",
+                           f"explode(sequence(0, {n_salt - 1})) AS _salt"))
     # fold (gh, _salt) into ONE bigint join key (r13): a multi-column
     # hash-join probe walks the generic UnsafeHashedRelation at 5-7x
     # the single-long fast path's cost (BASELINE.md r13, the t11
@@ -876,19 +878,21 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # stream. gh equality already IS the duplicate criterion (the
     # hash-keyed design), so the fold adds one more term of the same
     # accepted collision class, nothing new in kind.
-    removals = (g.withColumn("_salt", F.pmod(F.xxhash64("id", "gpos"),
-                                             F.lit(n_salt)).cast("int"))
-                .withColumn("_ghs", F.xxhash64("gh", "_salt"))
-                .join(keepers.withColumn("_ghs", F.xxhash64("gh", "_salt"))
-                      .drop("gh", "_salt"),
+    removals = (g.selectExpr(
+                    "*",
+                    f"CAST(pmod(xxhash64(id, gpos), {n_salt}) AS INT) "
+                    "AS _salt")
+                .selectExpr("*", "xxhash64(gh, _salt) AS _ghs")
+                .join(keepers
+                      .selectExpr("_kid", "_kpos",
+                                  "xxhash64(gh, _salt) AS _ghs"),
                       "_ghs")
-                .filter((F.col("id") != F.col("_kid"))
-                        | (F.col("gpos") != F.col("_kpos")))
+                .filter(F.expr("id != _kid OR gpos != _kpos"))
                 .select("id", "gpos"))
     rm_pos = (removals
-              .select("id", F.explode(
-                  F.sequence(F.col("gpos"),
-                             F.col("gpos") + ngram - 1)).alias("wpos"))
+              .selectExpr("id",
+                          f"explode(sequence(gpos, gpos + {ngram - 1})) "
+                          "AS wpos")
               .distinct())
     # Rebuild ONLY documents that actually lose a span. The naive shape
     # posexplodes EVERY doc and pushes the whole corpus token stream
@@ -906,13 +910,12 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
                 .join(F.broadcast(rm_docs), "id", "left_semi"))
     toks = affected.select(
         "id", F.posexplode("ws").alias("wpos0", "w")) \
-        .select("id", (F.col("wpos0") + 1).alias("wpos"), "w")
+        .selectExpr("id", "wpos0 + 1 AS wpos", "w")
     kept = toks.join(rm_pos, ["id", "wpos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
-        F.count("*").cast("bigint").alias("n_words_after"),
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(F.struct("wpos", "w"))),
-            lambda s: s.w)).alias(text_col))
+        F.expr("CAST(count(*) AS BIGINT) AS n_words_after"),
+        F.expr("concat_ws(' ', transform(array_sort(collect_list("
+               f"struct(wpos, w))), s -> s.w)) AS {sql_ident(text_col)}"))
     before_aff = (df.select(F.col(id_col).alias("id"),
                             F.size(ws).cast("bigint").alias("n_words_before"))
                   .join(F.broadcast(rm_docs), "id", "left_semi"))

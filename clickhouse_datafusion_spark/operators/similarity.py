@@ -88,6 +88,21 @@ def _fold_dot_np(V, W):
     return acc
 
 
+_QUERY_COS_UDF_CACHE: dict = {}
+
+
+def _session_uid(spark) -> str:
+    """Session-scoped cache key (uuid stamped on the session object, not
+    id() — see queries._session_key for the aliasing hazard)."""
+    key = getattr(spark, "_cdfs_sim_uid", None)
+    if key is None:
+        import uuid
+
+        key = uuid.uuid4().hex
+        spark._cdfs_sim_uid = key
+    return key
+
+
 def _cosine_to_query(col, query_vec: list[float]) -> Column:
     """Cosine of every row against a fixed query vector as a fold-exact
     Arrow kernel — the expression that runs ONCE PER ROW of a full corpus
@@ -113,7 +128,23 @@ def _cosine_to_query(col, query_vec: list[float]) -> Column:
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    # r14: memoize the wrapped UDF per (session, query vector) — creating
+    # a pandas_udf cloudpickles the closure and registers it over py4j
+    # (~0.1 s per plan build, paid on every bench iteration / every
+    # production batch). The closure depends only on query_vec, so reuse
+    # is value-identical; keyed on the session uid so a restarted session
+    # never sees a stale JVM handle.
+    spark = SparkSession.getActiveSession()
+    cache_key = None
+    if spark is not None:
+        cache_key = (_session_uid(spark), tuple(map(float, query_vec)))
+        cached = _QUERY_COS_UDF_CACHE.get(cache_key)
+        if cached is not None:
+            v = F.col(col) if isinstance(col, str) else col
+            return cached(v)
 
     dim = len(query_vec)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -154,8 +185,11 @@ def _cosine_to_query(col, query_vec: list[float]) -> Column:
         return pd.Series(pd.arrays.FloatingArray(out, mask))
 
     cos.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    udf = pandas_udf(cos, "double")
+    if cache_key is not None:
+        _QUERY_COS_UDF_CACHE[cache_key] = udf
     v = F.col(col) if isinstance(col, str) else col
-    return pandas_udf(cos, "double")(v)
+    return udf(v)
 
 
 def _lit_vec(values: list[float]) -> Column:

@@ -438,19 +438,24 @@ def _hashed_sentinel_pairs(df: DataFrame, text_col: str = "text",
     slice(ws, 2, n-1))`` (zip pads the shorter side with NULL — the
     sentinel falls out for free) and the hashes are a plain post-explode
     projection, all inside one codegen span."""
-    ws = words(text_col)
-    n = F.size(ws)
-    z = F.arrays_zip(ws.alias("a"),
-                     F.slice(ws, 2, F.greatest(n - 1, F.lit(0))).alias("b"))
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    # r14: parsed projections (py4j round-trip economy; dedup.sql_str).
+    # The zip needs named fields, so the word array and its tail are
+    # projected (aliased a/b) first — CollapseProject folds it away.
+    qid, qtx = sql_ident(id_col), sql_ident(text_col)
     # explode_outer: a NULL text (NULL split) still emits one all-NULL
     # row, so consumers aggregating per doc see every input doc — the LM
     # scorer depends on this to skip its old base re-join entirely
-    return (df.select(F.col(id_col), F.explode_outer(z).alias("_p"))
-            .select(id_col,
-                    F.when(F.col("_p.a").isNotNull(),
-                           F.xxhash64("_p.a")).alias("h1"),
-                    F.when(F.col("_p.b").isNotNull(),
-                           F.xxhash64("_p.b")).alias("h2")))
+    return (df.selectExpr(
+                qid, f"split({qtx}, ' ') AS a",
+                f"slice(split({qtx}, ' '), 2, "
+                f"greatest(size(split({qtx}, ' ')) - 1, 0)) AS b")
+            .selectExpr(qid, "explode_outer(arrays_zip(a, b)) AS _p")
+            .selectExpr(
+                qid,
+                "CASE WHEN _p.a IS NOT NULL THEN xxhash64(_p.a) END AS h1",
+                "CASE WHEN _p.b IS NOT NULL THEN xxhash64(_p.b) END AS h2"))
 
 
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
@@ -525,7 +530,7 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
     bi_full = (_hashed_sentinel_pairs(lm, text_col, id_col)
                .filter(F.col("h1").isNotNull())
                .groupBy("h1", "h2")
-               .agg(F.count("*").cast("bigint").alias("c2")))
+               .agg(F.expr("CAST(count(*) AS BIGINT) AS c2")))
     # bi_full feeds BOTH the unigram rollup and the seen-bigram join;
     # uni feeds the total, the join, and the backoff table — without a
     # stage cut each consumer recomputes the pair extraction +
@@ -539,15 +544,15 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
     from clickhouse_datafusion_spark.operators.stagecut import stage_cut
     bi_full = stage_cut(bi_full)
     uni = stage_cut(bi_full.groupBy("h1")
-                    .agg(F.sum("c2").cast("bigint").alias("c1")))
-    total = uni.agg(F.sum("c1").cast("bigint").alias("tot"))
+                    .agg(F.expr("CAST(sum(c2) AS BIGINT) AS c1")))
+    total = uni.agg(F.expr("CAST(sum(c1) AS BIGINT) AS tot"))
     bi2 = (bi_full.filter(F.col("h2").isNotNull())
            .join(uni, "h1")
-           .select("h1", "h2", F.expr("(c2 * 1000000) DIV c1").alias("_seen")))
+           .selectExpr("h1", "h2", "(c2 * 1000000) DIV c1 AS _seen"))
     bk = (uni.crossJoin(F.broadcast(total))
-          .select(F.col("h1").alias("h2"),
-                  F.expr(f"({int(alpha_num)} * c1 * 1000000) "
-                         f"DIV ({int(alpha_den)} * tot)").alias("_bo")))
+          .selectExpr("h1 AS h2",
+                      f"({int(alpha_num)} * c1 * 1000000) "
+                      f"DIV ({int(alpha_den)} * tot) AS _bo"))
     return bi2, bk
 
 
@@ -590,24 +595,28 @@ def score_with_bigram_lm(df: DataFrame, bigrams: DataFrame,
     # documented word-hash analysis. The backoff probe (h2) is already
     # single-key; the shuffle path (broadcast_lm=False) shuffles on the
     # one long instead of two — same values, narrower exchange.
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    qid = sql_ident(id_col)
     hp = _hashed_sentinel_pairs(df, text_col, id_col)
-    bi1k = bigrams.select(F.xxhash64("h1", "h2").alias("_h12"), "_seen")
-    scored = (hp.select(F.col(id_col), "h2",
-                        F.when(F.col("h2").isNotNull(),
-                               F.xxhash64("h1", "h2")).alias("_h12"))
+    bi1k = bigrams.selectExpr("xxhash64(h1, h2) AS _h12", "_seen")
+    scored = (hp.selectExpr(
+                  qid, "h2",
+                  "CASE WHEN h2 IS NOT NULL THEN xxhash64(h1, h2) END "
+                  "AS _h12")
               .join(maybe_b(bi1k), "_h12", "left")
               .join(maybe_b(backoff), "h2", "left")
-              .select(F.col(id_col),
-                      F.when(F.col("h2").isNotNull(),
-                             F.coalesce("_seen", "_bo", F.lit(0)))
-                      .alias("_contrib")))
+              .selectExpr(
+                  qid,
+                  "CASE WHEN h2 IS NOT NULL THEN coalesce(_seen, _bo, 0) "
+                  "END AS _contrib"))
     pd = scored.groupBy(id_col).agg(
-        F.sum("_contrib").cast("bigint").alias("_s"),
-        F.count("_contrib").cast("bigint").alias("n_pairs"))
-    return pd.select(
-        id_col, "n_pairs",
-        F.coalesce(F.expr("_s DIV nullif(n_pairs, 0)"),
-                   F.lit(0)).cast("bigint").alias("score_ppm"))
+        F.expr("CAST(sum(_contrib) AS BIGINT) AS _s"),
+        F.expr("CAST(count(_contrib) AS BIGINT) AS n_pairs"))
+    return pd.selectExpr(
+        qid, "n_pairs",
+        "CAST(coalesce(_s DIV nullif(n_pairs, 0), 0) AS BIGINT) "
+        "AS score_ppm")
 
 
 def save_bigram_lm(bigrams: DataFrame, backoff: DataFrame,
