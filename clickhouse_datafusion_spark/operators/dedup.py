@@ -145,7 +145,21 @@ def word_ngrams(col, n: int = 3, bound: bool = True):
     ``bound=False`` keeps the raw inlined expression: required ONLY when
     the result feeds a pandas UDF (Spark cannot extract a PythonUDF whose
     argument contains the bind_once wrapper — INTERNAL_ERROR at exec).
+
+    r14: a STRING column name takes the parsed-SQL path — one py4j round
+    trip instead of ~40 Column-API calls per use (same Catalyst tree; the
+    ``i + 0`` term is kept so the parse matches the Column form exactly).
     """
+    if bound and isinstance(col, str):
+        terms = ", ".join(f"element_at(ws, i + {k})" for k in range(n))
+        g = (f"transform(sequence(1, size(ws) - {n - 1}), "
+             f"i -> concat_ws(' ', {terms}))")
+        body = (f"CASE WHEN size(ws) >= {n} THEN array_distinct({g}) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END")
+        return F.expr(
+            f"element_at(transform(array(split({sql_ident(col)}, ' ')), "
+            f"ws -> {body}), 1)")
+
     def grams(ws):
         g = F.transform(
             F.sequence(F.lit(1), F.size(ws) - (n - 1)),
@@ -155,7 +169,11 @@ def word_ngrams(col, n: int = 3, bound: bool = True):
             .otherwise(F.array().cast("array<string>"))
 
     if not bound:
+        if isinstance(col, str):
+            col = F.col(col)
         return grams(F.split(col, " "))
+    if isinstance(col, str):
+        col = F.col(col)
     return bind_once(F.split(col, " "), grams)
 
 
@@ -757,7 +775,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     would otherwise create a quadratic hot bucket).
     """
     grams = (df.select(F.col(id_col).alias("id"),
-                       word_ngrams(F.col(text_col), n).alias("grams"))
+                       word_ngrams(text_col, n).alias("grams"))
              .select("id", F.size("grams").alias("n_grams"),
                      F.explode("grams").alias("g")))
     if max_shingle_freq:
@@ -1027,7 +1045,7 @@ def exact_jaccard_verify(df: DataFrame, pairs: DataFrame,
     g = stage_cut(
         df.join(F.broadcast(ids), id_col, "left_semi")
           .select(F.col(id_col),
-                  word_ngrams(F.col(text_col), ngram).alias("_g")))
+                  word_ngrams(text_col, ngram).alias("_g")))
     j = (p.join(F.broadcast(g.select(F.col(id_col).alias(id_a),
                                      F.col("_g").alias("_ga"))), id_a)
          .join(F.broadcast(g.select(F.col(id_col).alias(id_b),

@@ -204,7 +204,7 @@ def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
     from clickhouse_datafusion_spark.operators.dedup import word_ngrams
 
     eval_grams = (eval_df
-                  .select(F.explode(word_ngrams(F.col(text_col), ngram))
+                  .select(F.explode(word_ngrams(text_col, ngram))
                           .alias("g"))
                   .distinct())
     from clickhouse_datafusion_spark.operators.dedup import (
@@ -212,7 +212,7 @@ def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
 
     train_grams = (_ensure_parallelism(train_df).select(
         F.col(id_col),
-        word_ngrams(F.col(text_col), ngram).alias("grams"))
+        word_ngrams(text_col, ngram).alias("grams"))
         .select(id_col, F.size("grams").alias("n_grams"),
                 F.explode("grams").alias("g")))
     hits = (train_grams.join(F.broadcast(eval_grams), "g")
@@ -1075,7 +1075,8 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
                             n_buckets: int = 4096,
                             bias_ppm: int = 0, seed: str | int = 0,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            widen: bool = True) -> DataFrame:
     """fastText/CCNet-style LINEAR quality-classifier scoring via the
     hashing trick — the workhorse filter of GPT-3/LLaMA-class corpus
     curation (a logistic model over hashed bag-of-words features, scored
@@ -1104,8 +1105,15 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
     from clickhouse_datafusion_spark.operators.dedup import (
         sql_ident, sql_str)
 
-    # cheap streaming projection: widen only on near-serial scans
-    df = _ensure_parallelism(df, cpu_heavy=False)
+    # cheap streaming projection: widen only on near-serial scans.
+    # ``widen=False`` (r14) is for MID-CHAIN callers whose input already
+    # sits behind a shuffle/materialization (x56: the stage-cut survivors
+    # table): there the file-split probe both misreads the layout (it
+    # sees the base table's 1-2 parquet splits, not the 32 post-shuffle
+    # partitions) and inserts a full-text round-robin repartition that
+    # moves every byte for nothing.
+    if widen:
+        df = _ensure_parallelism(df, cpu_heavy=False)
     # r14: dense expression blocks are parsed SQL fragments — one py4j
     # round trip each instead of one per Column operator (see
     # dedup.sql_str); same Catalyst expressions.

@@ -113,11 +113,14 @@ def dsum(col, nd: int = 2):
     and associative, hence hash-stable across engines at any scale.
     Oracle-side equivalent: ROUND(CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE), nd).
     """
-    c = col if not isinstance(col, str) else F.col(col)
     # round the exact decimal (ties away from zero in both engines), THEN cast:
     # an exact sum of 4dp decimals can land exactly on a 2dp half-way point,
     # which double rounding would resolve differently per engine.
-    return F.round(F.sum(c.cast("decimal(28,4)")), nd).cast("double")
+    if isinstance(col, str):
+        # r14: parsed form — one py4j round trip (same Catalyst tree)
+        return F.expr(f"CAST(round(sum(CAST(`{col}` AS DECIMAL(28,4))), "
+                      f"{int(nd)}) AS DOUBLE)")
+    return F.round(F.sum(col.cast("decimal(28,4)")), nd).cast("double")
 
 
 def davg(col):
@@ -130,9 +133,13 @@ def davg(col):
     IEEE-defined double op on exactly representable inputs, so both engines
     produce identical bits.
     """
-    c = col if not isinstance(col, str) else F.col(col)
-    u = (F.sum(c.cast("decimal(28,4)")) * 10000).cast("bigint").cast("double")
-    cnt = F.count(c)
+    if isinstance(col, str):
+        # r14: parsed form — one py4j round trip (same Catalyst tree)
+        return F.expr(
+            f"floor(CAST(CAST(sum(CAST(`{col}` AS DECIMAL(28,4))) * 10000 "
+            f"AS BIGINT) AS DOUBLE) / count(`{col}`) + 0.5D) / 10000.0D")
+    u = (F.sum(col.cast("decimal(28,4)")) * 10000).cast("bigint").cast("double")
+    cnt = F.count(col)
     return F.floor(u / cnt + F.lit(0.5)) / F.lit(10000.0)
 
 
@@ -2356,8 +2363,11 @@ def x56_web_curation(spark, sf):
             F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
             1, 6), 16, 10).cast("int") % 2001).cast("bigint")
         .alias("w_ppm"))
+    # widen=False (r14): survivors is stage-cut output already in
+    # shuffle-partition layout — the widen probe misread the base file
+    # count and re-shuffled the full surviving text for nothing
     scored = (hashed_classifier_score(survivors, wts, n_buckets=4096,
-                                      bias_ppm=-1000)
+                                      bias_ppm=-1000, widen=False)
               .filter(F.col("keep") == 1)
               .select("doc_id", "score_ppm"))
     final = survivors.join(scored, "doc_id")
