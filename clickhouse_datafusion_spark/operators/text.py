@@ -527,24 +527,29 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
     # test: LM corpus ['a', NULL] scored backoff 200000 vs the
     # reference's 400000). Real sentinel rows (doc-final word, NULL h2)
     # have h1 NOT NULL and stay.
-    bi_full = (_hashed_sentinel_pairs(lm, text_col, id_col)
-               .filter(F.col("h1").isNotNull())
-               .groupBy("h1", "h2")
-               .agg(F.expr("CAST(count(*) AS BIGINT) AS c2")))
-    # bi_full feeds BOTH the unigram rollup and the seen-bigram join;
-    # uni feeds the total, the join, and the backoff table — without a
-    # stage cut each consumer recomputes the pair extraction +
-    # aggregate chain (and the broadcast build runs it once more per
-    # table). Materialize each once; both are count tables (distinct
-    # pairs / distinct words), far smaller than the pair stream they
-    # fold (r11 stage pass). stage_cut defaults to localCheckpoint; on
+    pairs = (_hashed_sentinel_pairs(lm, text_col, id_col)
+             .filter(F.col("h1").isNotNull()))
+    # ONE grouping-sets aggregate builds BOTH count tables (r14): the
+    # (h1,h2) set is the bigram table, the (h1) set is the unigram
+    # marginal — count(*) over the same sentinel-pair rows, so c1 is
+    # exactly the old sum(c2) rollup. One shuffle and ONE stage cut
+    # replace the previous pair-agg shuffle + rollup shuffle + two cuts
+    # (each cut's AQE stages executed serially at plan build). Cost:
+    # Expand doubles the pair stream entering the map-side partial
+    # aggregate; shuffle bytes are unchanged (the same distinct-pair +
+    # distinct-word partial rows move, now in one exchange keyed by
+    # (h1, h2, grouping_id)). grouping_id() separates the sets exactly:
+    # gid=0 ⇒ (h1,h2) group (h2 NULL here IS the real sentinel group),
+    # gid=1 ⇒ h2 grouped out. stage_cut defaults to localCheckpoint; on
     # lossy clusters (dynamic allocation) set the stageCut conf — an
     # executor lost after a localCheckpoint fails the job
     # unrecoverably (see stagecut.py).
     from clickhouse_datafusion_spark.operators.stagecut import stage_cut
-    bi_full = stage_cut(bi_full)
-    uni = stage_cut(bi_full.groupBy("h1")
-                    .agg(F.expr("CAST(sum(c2) AS BIGINT) AS c1")))
+    g = stage_cut(pairs.groupingSets([["h1", "h2"], ["h1"]], "h1", "h2")
+                  .agg(F.expr("CAST(count(*) AS BIGINT) AS _c"),
+                       F.grouping_id().alias("_gid")))
+    bi_full = g.filter("_gid = 0").selectExpr("h1", "h2", "_c AS c2")
+    uni = g.filter("_gid = 1").selectExpr("h1", "_c AS c1")
     total = uni.agg(F.expr("CAST(sum(c1) AS BIGINT) AS tot"))
     bi2 = (bi_full.filter(F.col("h2").isNotNull())
            .join(uni, "h1")
