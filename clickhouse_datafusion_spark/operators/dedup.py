@@ -835,6 +835,77 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     tests/test_operators.py::test_cross_doc_span_skew_guard.
     """
     ws = F.split(F.col(text_col), " ")
+    rm_pos = _span_removal_positions(df, ngram, text_col, id_col)
+    # rm_pos has multiple consumers (the rebuild join below, plus
+    # rm_docs' broadcast builds), so its election + salted-join chain
+    # appears once per consumer in the printed plan. A stage cut here
+    # was A/B-measured and REJECTED (r14, 3 interleaved pairs at
+    # sf0.1): AQE's stage cache already reuses the chain's shuffle
+    # stages across the copies, so the cut only serialized an extra
+    # materialization wave into plan construction (+3 jobs, construct
+    # 0.5 → 1.3 s, total a wash) — the replication is plan TEXT, not
+    # repeated shuffle work.
+    # Rebuild ONLY documents that actually lose a span. The naive shape
+    # posexplodes EVERY doc and pushes the whole corpus token stream
+    # through an anti-join shuffle plus a collect_list shuffle; but in a
+    # deduplicated-ish corpus most docs have no removals, and at 100 TB
+    # "shuffle every word twice to rebuild the 20% of docs that changed"
+    # is the difference between a token-bounded and an affected-bounded
+    # job. rm_pos (and so rm_docs) is small — duplicate spans only —
+    # and broadcasts; untouched docs pass through as a zero-shuffle
+    # projection. Measured at the 500k-doc corpus: 21.3 s → 9.65 s
+    # (with the lead-window grams; BASELINE.md r7b addendum) for
+    # hash-identical output.
+    rm_docs = rm_pos.select("id").distinct()
+    affected = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+                .join(F.broadcast(rm_docs), "id", "left_semi"))
+    toks = affected.select(
+        "id", F.posexplode("ws").alias("wpos0", "w")) \
+        .selectExpr("id", "wpos0 + 1 AS wpos", "w")
+    # One marker join + conditional aggregation (r14). The previous
+    # shape paid three avoidable passes: an un-hinted (id, wpos) LEFT
+    # ANTI join that planned as SortMergeJoin — the whole affected
+    # token stream shuffled AND sorted ahead of the id-keyed rebuild
+    # shuffle — plus a third corpus scan (before_aff) and a final outer
+    # join, which existed only so a doc whose EVERY word is removed
+    # still got its (n_after=0, '') row. Broadcasting rm_pos (the same
+    # sparsity contract as rm_docs above) keeps tokens in their scan
+    # partitions, and aggregating over ALL of an affected doc's tokens
+    # — counting/keeping only unmarked ones — gives the all-removed doc
+    # its row from the same aggregate (every affected doc has ≥ngram
+    # words, so its group exists and count(*) is exactly
+    # size(split(text))). One corpus scan, one shuffle, two fewer joins.
+    marked = toks.join(F.broadcast(rm_pos.withColumn("_rm", F.lit(1))),
+                       ["id", "wpos"], "left")
+    out_aff = marked.groupBy("id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_words_before"),
+        F.expr("CAST(count(CASE WHEN _rm IS NULL THEN 1 END) AS BIGINT) "
+               "AS n_words_after"),
+        F.expr("concat_ws(' ', transform(array_sort(collect_list("
+               "CASE WHEN _rm IS NULL THEN struct(wpos, w) END)), "
+               f"s -> s.w)) AS {sql_ident(text_col)}"))
+    # NULL-text docs are never affected (split(NULL) explodes to nothing)
+    # so they land here — keep the rebuild path's contract for them
+    # (n_words_after 0, text ''), not a NULL passthrough.
+    untouched = (df.select(F.col(id_col).alias("id"),
+                           F.size(ws).cast("bigint").alias("n_words_before"),
+                           F.coalesce(F.size(ws).cast("bigint"), F.lit(0))
+                           .alias("n_words_after"),
+                           F.coalesce(F.col(text_col), F.lit(""))
+                           .alias(text_col))
+                 .join(F.broadcast(rm_docs), "id", "left_anti"))
+    return (untouched.unionByName(out_aff)
+            .withColumnRenamed("id", id_col))
+
+
+def _span_removal_positions(df: DataFrame, ngram: int, text_col: str,
+                            id_col: str) -> DataFrame:
+    """(id, wpos) distinct word positions covered by a non-keeper
+    duplicate span — :func:`drop_cross_doc_spans`'s election +
+    join-back chain, PRE-cut (factored out so the skew-guard test can
+    pin the election plan, which the stage cut otherwise hides behind
+    an ExistingRDD scan)."""
+    ws = F.split(F.col(text_col), " ")
 
     # Gram construction (r7): posexplode the token stream once and read
     # the other 19 gram members with LEAD over (id, wpos) — every
@@ -907,53 +978,11 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
                       "_ghs")
                 .filter(F.expr("id != _kid OR gpos != _kpos"))
                 .select("id", "gpos"))
-    rm_pos = (removals
-              .selectExpr("id",
-                          f"explode(sequence(gpos, gpos + {ngram - 1})) "
-                          "AS wpos")
-              .distinct())
-    # Rebuild ONLY documents that actually lose a span. The naive shape
-    # posexplodes EVERY doc and pushes the whole corpus token stream
-    # through an anti-join shuffle plus a collect_list shuffle; but in a
-    # deduplicated-ish corpus most docs have no removals, and at 100 TB
-    # "shuffle every word twice to rebuild the 20% of docs that changed"
-    # is the difference between a token-bounded and an affected-bounded
-    # job. rm_pos (and so rm_docs) is small — duplicate spans only —
-    # and broadcasts; untouched docs pass through as a zero-shuffle
-    # projection. Measured at the 500k-doc corpus: 21.3 s → 9.65 s
-    # (with the lead-window grams above; BASELINE.md r7b addendum) for
-    # hash-identical output.
-    rm_docs = rm_pos.select("id").distinct()
-    affected = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
-                .join(F.broadcast(rm_docs), "id", "left_semi"))
-    toks = affected.select(
-        "id", F.posexplode("ws").alias("wpos0", "w")) \
-        .selectExpr("id", "wpos0 + 1 AS wpos", "w")
-    kept = toks.join(rm_pos, ["id", "wpos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.expr("CAST(count(*) AS BIGINT) AS n_words_after"),
-        F.expr("concat_ws(' ', transform(array_sort(collect_list("
-               f"struct(wpos, w))), s -> s.w)) AS {sql_ident(text_col)}"))
-    before_aff = (df.select(F.col(id_col).alias("id"),
-                            F.size(ws).cast("bigint").alias("n_words_before"))
-                  .join(F.broadcast(rm_docs), "id", "left_semi"))
-    out_aff = (before_aff.join(rebuilt, "id", "left")
-               .select("id", "n_words_before",
-                       F.coalesce("n_words_after", F.lit(0))
-                       .alias("n_words_after"),
-                       F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
-    # NULL-text docs are never affected (split(NULL) explodes to nothing)
-    # so they land here — keep the rebuild path's contract for them
-    # (n_words_after 0, text ''), not a NULL passthrough.
-    untouched = (df.select(F.col(id_col).alias("id"),
-                           F.size(ws).cast("bigint").alias("n_words_before"),
-                           F.coalesce(F.size(ws).cast("bigint"), F.lit(0))
-                           .alias("n_words_after"),
-                           F.coalesce(F.col(text_col), F.lit(""))
-                           .alias(text_col))
-                 .join(F.broadcast(rm_docs), "id", "left_anti"))
-    return (untouched.unionByName(out_aff)
-            .withColumnRenamed("id", id_col))
+    return (removals
+            .selectExpr("id",
+                        f"explode(sequence(gpos, gpos + {ngram - 1})) "
+                        "AS wpos")
+            .distinct())
 
 
 def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",

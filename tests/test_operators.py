@@ -1995,18 +1995,23 @@ def test_cross_doc_span_skew_guard(spark):
     single-reducer-sort all occurrences of the boilerplate gram at
     corpus scale). The plan is asserted: a partial_min over the gram
     stream exists and no Window operator touches gh."""
-    from clickhouse_datafusion_spark.operators.dedup import drop_cross_doc_spans
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _span_removal_positions, drop_cross_doc_spans)
 
     boiler = "click here to accept cookies and continue to the site"
     rows = [(i, f"doc{i} head words " + boiler) for i in range(1, 10001)]
     rows.append((20000, "no boilerplate in this one at all honestly"))
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    result = drop_cross_doc_spans(df, ngram=10)
-    plan = result._jdf.queryExecution().executedPlan().toString()
+    # the election chain sits behind the rm_pos stage cut in the full
+    # operator's plan (r14), so pin its shape on the pre-cut chain the
+    # operator itself consumes
+    rm = _span_removal_positions(df, 10, "text", "doc_id")
+    plan = rm._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan, plan[:2000]
     for line in plan.splitlines():
         if "Window" in line:
             assert "gh" not in line, line
+    result = drop_cross_doc_spans(df, ngram=10)
     out = {r.doc_id: r.n_words_after for r in result.collect()}
     assert out[1] == 13            # first occurrence keeps the span
     # "head words <boiler...>" grams are corpus-wide dups too, so later
