@@ -781,22 +781,27 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     corpus words; past that, pre-divide TW from num/den (it cancels) or
     take ``ln_idf=True`` doubles.
 
-    The narrow (id, dl, matches) base is persisted so the stats branch
-    and the tf branch share ONE full-text scan (measured 2.5 s → 0.8 s at
-    the 10× scale); Spark's CacheManager dedupes identical plans, and the
-    entry is MEMORY_AND_DISK so an over-budget corpus spills rather than
-    evicting — call ``.unpersist()`` on long-lived sessions that score
-    many different corpora.
+    The narrow (id, dl, matches) base is stage-cut so the stats branch
+    and the tf branch share ONE full-text scan (measured 2.5 s → 0.8 s
+    at the 10× scale). r14: this was ``.persist()`` until the round-14
+    audit — CacheManager registers the canonical plan session-wide, so
+    a SECOND scoring call against the same corpus silently reused the
+    first call's materialized blocks (cross-run result caching, the
+    class the bench rules forbid; verified: one cached RDD after two
+    calls, iteration 2 reading it). ``stage_cut`` materializes once
+    per CALL and shares only within it.
     """
+    from clickhouse_datafusion_spark.operators.stagecut import stage_cut
+
     # One full-text scan total: the corpus stats branch and the tf branch
     # both need the word split — the dominant cost at scale — so split
-    # once into a narrow persisted base of (id, doc length, MATCHING words
+    # once into a narrow cut base of (id, doc length, MATCHING words
     # only; query terms are a few % of a corpus). Everything downstream
     # reads this ~16 B/doc + matches relation, never the text again.
-    base = df.select(
+    base = stage_cut(df.select(
         F.col(id_col), F.size(words(text_col)).alias("dl"),
         F.filter(words(text_col),
-                 lambda x: x.isin(*query_terms)).alias("mws")).persist()
+                 lambda x: x.isin(*query_terms)).alias("mws")))
     w = base.select(F.col(id_col), "dl", F.explode("mws").alias("w"))
     tf = w.groupBy(id_col, "dl", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
