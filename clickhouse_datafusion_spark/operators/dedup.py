@@ -273,14 +273,39 @@ def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
     (cheap streaming projections like the LM scorer: the same shuffle
     COST t11 ~1.4 s net) widens only below target/4 — the 1-2-split
     small-file pathology (t11: 13 s single-split vs 1.5 s at sf1x)
-    stays caught either way."""
-    from clickhouse_datafusion_spark.plans.explain import estimated_scan_partitions
+    stays caught either way.
 
-    target = df.sparkSession.sparkContext.defaultParallelism
+    WIDTH is scale-adaptive (r14, guide §2: derive partitioning from
+    input size, not a constant): widening a sub-MB corpus to the full
+    core count buys nothing and pays ~30 per-task overheads per stage —
+    measured at sf0.1 (0.57 MB compressed), width 32 → 2-4 is t11
+    −55%, t11b −45%, d3 −35%, while width 1 re-creates the single-task
+    pathology for the md5-heavy kernels (d3 2.4 s). So the target is
+    ``ceil(scan_bytes / chunk)`` clamped to [2, defaultParallelism],
+    with chunk = 128 KiB (cpu_heavy) / 256 KiB (cheap projections) of
+    COMPRESSED input per task — sized so any corpus ≥ ~4/8 MB (every
+    at-scale measurement in BASELINE.md: the 100× corpus is 59 MB)
+    saturates the core count and behaves exactly as before. Both
+    chunks are conf-overridable
+    (``spark.clickhouse_datafusion_spark.widenChunkBytes[.light]``)
+    for clusters whose per-core throughput differs."""
+    from clickhouse_datafusion_spark.plans.explain import (
+        estimated_scan_bytes, estimated_scan_partitions)
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     est = estimated_scan_partitions(df)
     floor = target if cpu_heavy else max(1, target // 4)
     if est is None or est < floor:
-        return df.repartition(target)
+        width = target
+        b = estimated_scan_bytes(df)
+        if b is not None:
+            key = ("spark.clickhouse_datafusion_spark.widenChunkBytes"
+                   + ("" if cpu_heavy else ".light"))
+            chunk = int(spark.conf.get(
+                key, str((128 if cpu_heavy else 256) << 10)))
+            width = min(target, max(2, -(-b // chunk), est or 1))
+        return df.repartition(width)
     return df
 
 

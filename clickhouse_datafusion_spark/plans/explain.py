@@ -54,6 +54,28 @@ def estimated_scan_partitions(df: DataFrame) -> int | None:
     file-backed (local relation, memory stream) — callers fall back to
     their own default."""
     import math
+
+    sizes = _scan_file_sizes(df)
+    if sizes is None:
+        return None
+    spark = df.sparkSession
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = sum(sizes)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, total // par + 1))
+    n_chunks = sum(max(1, math.ceil(s / max_split)) for s in sizes)
+    # chunks pack first-fit into bins of capacity max_split, each chunk
+    # padded by open_cost; ceil((bytes + padding) / capacity) slightly
+    # overestimates, which is benign for both callers (skip-repartition /
+    # coalesce decisions tolerate an overestimate, not an RDD conversion)
+    return max(1, math.ceil((total + n_chunks * open_cost) / max_split)
+               if n_chunks > 1 else 1)
+
+
+def _scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """On-disk sizes of the files backing ``df``'s scan, or None when
+    the plan is not file-backed (local relation, memory stream)."""
     import os
 
     try:
@@ -70,19 +92,16 @@ def estimated_scan_partitions(df: DataFrame) -> int | None:
             sizes.append(os.path.getsize(p))
         except OSError:
             return None
-    spark = df.sparkSession
-    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    total = sum(sizes)
-    par = max(1, spark.sparkContext.defaultParallelism)
-    max_split = min(max_part, max(open_cost, total // par + 1))
-    n_chunks = sum(max(1, math.ceil(s / max_split)) for s in sizes)
-    # chunks pack first-fit into bins of capacity max_split, each chunk
-    # padded by open_cost; ceil((bytes + padding) / capacity) slightly
-    # overestimates, which is benign for both callers (skip-repartition /
-    # coalesce decisions tolerate an overestimate, not an RDD conversion)
-    return max(1, math.ceil((total + n_chunks * open_cost) / max_split)
-               if n_chunks > 1 else 1)
+    return sizes
+
+
+def estimated_scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind ``df``'s file scan (the same estimate
+    :func:`estimated_scan_partitions` packs into splits), or None for
+    non-file-backed plans. Used by the widen probe to derive a
+    scale-adaptive repartition width instead of a cluster constant."""
+    sizes = _scan_file_sizes(df)
+    return None if sizes is None else sum(sizes)
 
 
 def plan_report(df: DataFrame, execute: bool = False) -> dict[str, object]:
