@@ -26,31 +26,35 @@ from pyspark.sql import functions as F
 
 
 def sql_str(s: str) -> str:
-    """SQL single-quoted string literal for ``s`` (r14).
+    """SQL string literal expression for ``s``, independent of
+    ``spark.sql.parser.escapedStringLiterals`` (r15, advice fix).
 
     Hot plan-construction paths build parsed SQL fragments
     (``selectExpr`` / ``F.expr``) instead of Column-API chains — one py4j
     round trip per fragment instead of one per operator (~0.3 ms each on
     a warm driver adds up to hundreds of ms per plan build). Literals
-    embedded in those fragments go through here. Escaped for the default
-    parser (``spark.sql.parser.escapedStringLiterals=false``): backslash
-    and quote are escaped, control characters emitted as escapes.
+    embedded in those fragments go through here.
+
+    The r14 form used backslash escapes, which are only correct under
+    the DEFAULT parser mode; on a Hive-compat session
+    (``escapedStringLiterals=true``) ``\\'`` no longer terminates safely
+    and separators/blocklist terms produced corrupted literals. This
+    form parses identically under BOTH modes, with no conf lookup (a
+    per-literal conf read would re-pay the round trips the fragments
+    exist to avoid):
+
+    - plain strings (no quote, backslash, or control character — every
+      hot-path literal): a bare single-quoted literal, which the two
+      modes lex identically;
+    - anything else: ``CAST(X'<utf8-hex>' AS STRING)``, a hex binary
+      literal both modes parse byte-identically (legacy mode keeps
+      ``\\'`` AND ``''`` escapes literal in the value, so no quoted
+      spelling of a quote agrees across modes); constant folding
+      collapses it to the same string literal in the optimized plan.
     """
-    out = []
-    for ch in s:
-        if ch == "\\":
-            out.append("\\\\")
-        elif ch == "'":
-            out.append("\\'")
-        elif ch == "\n":
-            out.append("\\n")
-        elif ch == "\r":
-            out.append("\\r")
-        elif ch == "\t":
-            out.append("\\t")
-        else:
-            out.append(ch)
-    return "'" + "".join(out) + "'"
+    if any(ch in "\\'" or ord(ch) < 0x20 for ch in s):
+        return f"CAST(X'{s.encode('utf-8').hex()}' AS STRING)"
+    return "'" + s + "'"
 
 
 def sql_ident(name: str) -> str:
@@ -900,8 +904,24 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # its row from the same aggregate (every affected doc has ≥ngram
     # words, so its group exists and count(*) is exactly
     # size(split(text))). One corpus scan, one shuffle, two fewer joins.
-    marked = toks.join(F.broadcast(rm_pos.withColumn("_rm", F.lit(1))),
-                       ["id", "wpos"], "left")
+    # r15 (advice fix): the rm_pos broadcast is conf-gated. rm_pos holds
+    # one row per word position covered by a duplicate span — unbounded
+    # in exactly the heavily-duplicated corpora this operator targets,
+    # and a broadcast relation has a hard 8 GB / 512M-row cap, where the
+    # shuffle join degrades gracefully. Default stays broadcast (the r14
+    # A/B-measured win: SMJ 2 → 0, tokens never leave their scan
+    # partitions, −11/−21% at 500k docs); deployments expecting removal
+    # sets near the cap set
+    # spark.clickhouse_datafusion_spark.spanDedup.broadcastRemovals=false
+    # and AQE plans the join from the runtime size instead (it still
+    # converts to broadcast when the removal set turns out small).
+    # rm_docs (one row per AFFECTED DOC, ~20x smaller) keeps its hint.
+    rm_marked = rm_pos.withColumn("_rm", F.lit(1))
+    if (df.sparkSession.conf.get(
+            "spark.clickhouse_datafusion_spark.spanDedup.broadcastRemovals",
+            "true") == "true"):
+        rm_marked = F.broadcast(rm_marked)
+    marked = toks.join(rm_marked, ["id", "wpos"], "left")
     out_aff = marked.groupBy("id").agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_words_before"),
         F.expr("CAST(count(CASE WHEN _rm IS NULL THEN 1 END) AS BIGINT) "

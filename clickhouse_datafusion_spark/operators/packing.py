@@ -30,6 +30,28 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _num(x) -> str:
+    """SQL literal for a numeric bucket bound, preserving F.lit typing:
+    Python int -> integral literal, Python float -> DOUBLE (a bare SQL
+    decimal would change comparison types). r15 advice fixes: bool is an
+    int subclass (render as a BOOLEAN literal, as F.lit did), and
+    non-finite floats have no bare SQL spelling (``infD``/``nanD`` fail
+    to parse) — cast the Java spelling, which constant-folds to the same
+    DOUBLE literal F.lit produced."""
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, int):
+        return str(x)
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
 def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
                       n_buckets: int | None = None,
                       out_col: str = "_cum_before",
@@ -61,11 +83,6 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
     # at 32 buckets); same Catalyst tree after parsing. Float bounds
     # (quantile mode) need the D suffix: a bare SQL float literal parses
     # as DECIMAL, changing comparison typing.
-    def _num(x):
-        # preserve F.lit typing: Python int -> integral literal, Python
-        # float -> DOUBLE (bare SQL decimals would change comparison types)
-        return str(x) if isinstance(x, int) else repr(float(x)) + "D"
-
     qord = "`" + order_col.replace("`", "``") + "`"
     bkt_sql = "0" + "".join(
         f" + (CASE WHEN {qord} > {_num(x)} THEN 1 ELSE 0 END)"
@@ -104,7 +121,10 @@ def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
     # r14: parsed projections (py4j round-trip economy, dedup.sql_str)
     stride = chunk_size - overlap
     qid, qtx = sql_ident(id_col), sql_ident(text_col)
-    n_chunks = (f"greatest(1, (size(split({text_col}, ' ')) - {overlap} "
+    # r15 advice fix: quote the text column here too (the adjacent
+    # projections already use qtx; a name needing quoting parsed in one
+    # place and failed in the other)
+    n_chunks = (f"greatest(1, (size(split({qtx}, ' ')) - {overlap} "
                 f"+ {stride} - 1) DIV {stride})")
     base = df.selectExpr(
         qid, f"split({qtx}, ' ') AS _ws", f"size(split({qtx}, ' ')) AS _n",

@@ -484,8 +484,6 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    if dim is None:
-        dim = _infer_dim(df, vec_col)
     if n_planes is None or n_tables is None:
         if n_rows is None:
             n_rows = df.count()
@@ -495,6 +493,13 @@ def blocked_cosine_dups(df: DataFrame, threshold: float = 0.9,
         n_tables = auto_t if n_tables is None else n_tables
     if n_rows is not None and n_rows <= small_n_exact:
         return pairwise_cosine_dups(df, threshold, vec_col, id_col)
+    # dim inference AFTER the small-N route (r15, advice fix): the exact
+    # plan never reads dim, so probing it there was a pure data-reading
+    # job — and the per-(session, sf) memo of its result was cross-call
+    # caching of data-derived work, the class the bench rules forbid.
+    # LSH callers that know the dim still pass it and skip the probe.
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     if n_groups is None:
         # target ~64k banded rows (~18 MB) per pandas group: the 2M-row
         # A/B read 467.7 s at 256 groups (500k rows/group) vs 358.2 at

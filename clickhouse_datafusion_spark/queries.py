@@ -50,9 +50,9 @@ def qdef(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 # long-lived process, silently handing a dead session's DataFrame to
 # its address-sharing successor).
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-# r14: table-metadata memo (embedding dim etc.) — same session-keyed
-# discipline as _DF_CACHE; never holds results, only schema-class facts
-_META_CACHE: dict[tuple[str, str, str], object] = {}
+# (r15: the r14 _META_CACHE table-metadata memo is gone — its only entry
+# cached a data-derived embedding-dim probe across calls, the class the
+# bench rules forbid; d5 now routes around the probe entirely.)
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -2969,15 +2969,13 @@ def d5_embdup(spark, sf):
     from clickhouse_datafusion_spark.operators.similarity import blocked_cosine_dups
 
     emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    # r14: the dim probe is table METADATA (like the cached reader's
-    # schema) — cache it per (session, sf) so repeat builds skip the
-    # one-row first() job the bench otherwise pays every iteration
-    dim_key = (_session_key(spark), sf, "_emb_dim")
-    dim = _META_CACHE.get(dim_key)
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
-        _META_CACHE[dim_key] = dim
-    return blocked_cosine_dups(emb, threshold=0.4, dim=dim,
+    # r15 (advice fix): no dim probe at all. The r14 form ran a one-row
+    # first() job and memoized its result per (session, sf) — cross-call
+    # caching of data-derived work, the class the bench rules forbid, and
+    # stale if data regenerates in-session. n_rows=200 routes to the
+    # exact plan, which never reads dim; blocked_cosine_dups now defers
+    # dim inference until a plan actually needs it.
+    return blocked_cosine_dups(emb, threshold=0.4,
                                n_planes=1, n_tables=24, n_rows=200)
 
 
