@@ -313,6 +313,55 @@ def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
     return df
 
 
+def _repartition_docs_by_id(df: DataFrame, id_col: str,
+                            chunk_default: int = 16 << 10) -> DataFrame:
+    """Hash-repartition the DOCUMENT stream by its id so that the
+    token-level window/aggregate stages downstream inherit the
+    partitioning and need no exchange of their own (r15, d8 reshape).
+
+    Why this beats the implicit exchange Spark would otherwise insert:
+    the posexplode/LEAD-window chain requires ClusteredDistribution(id),
+    and EnsureRequirements satisfies it by shuffling the EXPLODED token
+    stream — (id, wpos, word) rows, 2-4x the bytes of the text they came
+    from, written by however many splits the scan happened to produce
+    (ONE at sf0.1 — a serial producer), then AQE-coalesced by SIZE
+    (~1 MB targets) into a handful of reduce partitions even though the
+    consumer is the module's most CPU-dense kernel (20-word gram
+    assembly + md5 per position: stage ledger r15, 7.8 s CPU in 4 tasks
+    at sf0.1). Repartitioning the compact doc rows instead moves the
+    text ONCE, lets Project/Generate propagate the hash partitioning
+    through alias and explode (verified: the window plans with zero
+    additional Exchange), and pins a width derived from input size —
+    not whatever the scan layout or a bytes-first coalesce happened to
+    leave (guide §2.2/§2.4: shuffle fewer bytes, remove shuffles
+    outright; §2 scale-adaptive partitioning).
+
+    Width: ``ceil(scan_bytes / chunk)`` clamped to [2, cap] with
+    cap = max(defaultParallelism, spark.sql.shuffle.partitions) — at
+    real scale the clamp saturates to exactly the width the implicit
+    exchange would have had, so the reshape only ever removes bytes and
+    a serial stage, never parallelism. The chunk default (16 KiB of
+    compressed input per task) is deliberately smaller than
+    ``_ensure_parallelism``'s 128 KiB: this feeds a kernel ~4x heavier
+    per byte (measured width sweep at sf0.1: 32 tasks 0.27 s vs 4 tasks
+    0.49 s for the gram stream). Conf-overridable via
+    ``spark.clickhouse_datafusion_spark.spanDedup.chunkBytes``."""
+    from clickhouse_datafusion_spark.plans.explain import (
+        estimated_scan_bytes)
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cap = max(sc.defaultParallelism,
+              int(spark.conf.get("spark.sql.shuffle.partitions",
+                                 str(sc.defaultParallelism))))
+    chunk = int(spark.conf.get(
+        "spark.clickhouse_datafusion_spark.spanDedup.chunkBytes",
+        str(chunk_default)))
+    b = estimated_scan_bytes(df)
+    width = cap if b is None else min(cap, max(2, -(-b // chunk)))
+    return df.repartition(width, F.col(id_col))
+
+
 def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
     """(id, <payload...>, bk) → intra-bucket pairs (id_a < id_b),
     POSSIBLY DUPLICATED — a pair sharing several buckets/tables appears
@@ -886,8 +935,16 @@ def drop_cross_doc_spans(df: DataFrame, ngram: int = 20,
     # (with the lead-window grams; BASELINE.md r7b addendum) for
     # hash-identical output.
     rm_docs = rm_pos.select("id").distinct()
-    affected = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
-                .join(F.broadcast(rm_docs), "id", "left_semi"))
+    # r15: same doc-level repartition as the gram chain — the rebuild's
+    # groupBy(id) then needs no exchange of the marked TOKEN stream
+    # (broadcast joins and Generate preserve the streamed side's
+    # partitioning), so only the affected docs' text moves, once. The
+    # broadcast semi-join filter stays BELOW the repartition: untouched
+    # docs (most of the corpus) must be dropped before any text moves.
+    affected = _repartition_docs_by_id(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+          .join(F.broadcast(rm_docs), "id", "left_semi"),
+        "id").select("id", F.split(F.col("_t"), " ").alias("ws"))
     toks = affected.select(
         "id", F.posexplode("ws").alias("wpos0", "w")) \
         .selectExpr("id", "wpos0 + 1 AS wpos", "w")
@@ -965,8 +1022,12 @@ def _span_removal_positions(df: DataFrame, ngram: int, text_col: str,
     # SQL fragments — one py4j round trip per selectExpr instead of one
     # per Column operator (see sql_str); identical Catalyst trees (the
     # 19 identical OVER specs still collapse into one Window operator).
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.posexplode(ws).alias("wpos0", "w"))
+    # r15: the id partitioning the window needs is established on the
+    # DOC stream, pre-explode (see _repartition_docs_by_id) — the text
+    # moves once and the token stream never shuffles.
+    toks = (_repartition_docs_by_id(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(ws).alias("wpos0", "w")))
     lead_cols = ["id", "wpos0", "w AS w0"] + [
         f"lead(w, {k}) OVER (PARTITION BY id ORDER BY wpos0) AS w{k}"
         for k in range(1, ngram)]
