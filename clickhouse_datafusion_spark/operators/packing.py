@@ -64,13 +64,22 @@ def global_prefix_sum(df: DataFrame, value_col: str, order_col: str,
     distribution for balanced buckets on ANY distribution;
     ``"uniform"`` derives equal-width bounds from a single min/max
     aggregate — one Spark job cheaper, and equally balanced whenever the
-    order key is hash-uniform (the bin-packing layout order is md5, so
-    it uses this). Correctness never depends on the mode: the result is
-    bucketing-invariant by construction.
+    order key is hash-uniform; ``"md5domain"`` (r15) takes equal-width
+    bounds over the FIXED domain of the synthetic md5 order key
+    ([0, 16¹⁵) — top 15 hex digits), which needs NO data pass at all:
+    the min/max probe was a full column scan per call at every scale
+    (plus a plan-build-time driver round trip serializing two jobs ahead
+    of the main query), spent on values that cannot change the output —
+    the result is bucketing-invariant by construction. Correctness never
+    depends on the mode.
     """
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-    if bounds_mode == "uniform":
+    if bounds_mode == "md5domain":
+        dom = 16 ** 15
+        bounds = sorted(set(
+            dom * i // n_buckets for i in range(1, n_buckets)))
+    elif bounds_mode == "uniform":
         lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
         bounds = [] if lo is None or lo == hi else sorted(set(
             lo + (hi - lo) * i // n_buckets for i in range(1, n_buckets)))
@@ -198,14 +207,16 @@ def bin_pack_documents(df: DataFrame, budget: int = 2048,
         # numeric order key (global_prefix_sum range-buckets it; strings
         # can't be bucketed): top 60 bits of md5(id). Uniqueness holds to
         # ~2^30 docs (birthday bound); beyond that pass an explicit
-        # unique order_col. md5 keys are hash-uniform, so equal-width
-        # bucket bounds (one min/max aggregate) are as balanced as
-        # sampled quantiles and one Spark job cheaper.
+        # unique order_col. md5 keys are hash-uniform over a KNOWN
+        # domain ([0, 16^15)), so equal-width bounds over the domain
+        # are as balanced as sampled quantiles and need no data pass
+        # (r15: the previous min/max aggregate was a full column scan
+        # per call whose values could not change the output).
         base = base.withColumn("_ord", F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
             16, 10).cast("bigint"))
         order_col = "_ord"
-        bounds_mode = "uniform"
+        bounds_mode = "md5domain"
     cum = global_prefix_sum(base, "n_tokens", order_col, n_buckets,
                             bounds_mode=bounds_mode)
     return cum.select(

@@ -545,12 +545,22 @@ def build_bigram_lm(lm_df: DataFrame, text_col: str = "text",
     # executor lost after a localCheckpoint fails the job
     # unrecoverably (see stagecut.py).
     from clickhouse_datafusion_spark.operators.stagecut import stage_cut
-    g = stage_cut(pairs.groupingSets([["h1", "h2"], ["h1"]], "h1", "h2")
+    # r15: a THIRD grouping set — the grand total () — folds the
+    # backoff denominator into the SAME aggregate: `tot` was previously
+    # a separate sum(c1) over the cut (two more serial AQE waves per
+    # build; at scale a second pass over the unigram table). gid=3
+    # (both keys grouped out) is exactly sum over all pair rows =
+    # the old sum(c1); gid 0/1 rows are untouched, so bi2/bk values
+    # are bit-identical. Cost: the Expand now makes 3 copies of each
+    # pair row instead of 2 entering the map-side partial aggregate —
+    # the ()-set copies collapse to ONE row per map partition.
+    g = stage_cut(pairs.groupingSets([["h1", "h2"], ["h1"], []],
+                                     "h1", "h2")
                   .agg(F.expr("CAST(count(*) AS BIGINT) AS _c"),
                        F.grouping_id().alias("_gid")))
     bi_full = g.filter("_gid = 0").selectExpr("h1", "h2", "_c AS c2")
     uni = g.filter("_gid = 1").selectExpr("h1", "_c AS c1")
-    total = uni.agg(F.expr("CAST(sum(c1) AS BIGINT) AS tot"))
+    total = g.filter("_gid = 3").selectExpr("_c AS tot")
     bi2 = (bi_full.filter(F.col("h2").isNotNull())
            .join(uni, "h1")
            .selectExpr("h1", "h2", "(c2 * 1000000) DIV c1 AS _seen"))

@@ -119,7 +119,7 @@ def _keyed_values(draw):
 
 @given(_keyed_values(),
        st.sampled_from([1, 2, 5]),
-       st.sampled_from(["quantile", "uniform"]))
+       st.sampled_from(["quantile", "uniform", "md5domain"]))
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_global_prefix_sum_matches_serial_cumsum(spark, rows, n_buckets,
