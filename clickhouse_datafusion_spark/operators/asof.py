@@ -31,33 +31,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
 
+    # r15: parsed fragments (py4j round-trip economy, dedup.sql_str) and
+    # a null-padding unionByName. The r14 form paid ~200 round trips per
+    # call (per-column F.col/alias chatter) plus TWO analysis passes —
+    # `r.schema["_rv"].dataType` / `l_.schema[...]` analyzed each side
+    # just to spell the null literal's type; allowMissingColumns fills
+    # the missing struct with a correctly-typed NULL from the side that
+    # has it, same Union tree. The funnel family builds 2+ as-of joins
+    # per query, so the build cost is the dominant driver-wave gap there
+    # (x45/x46 measured 540-580 round trips per construct).
     rcols = [c for c in right.columns if c != on]
-    payload = F.struct(*[F.col(c) for c in rcols])
-    r = right.select(
-        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"), payload.alias("_rv"))
-    l_ = left.select(
-        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"))
-    r = r.withColumn("_lv", F.lit(None).cast(l_.schema["_lv"].dataType))
+    qon, qlts, qrts = sql_ident(on), sql_ident(left_ts), sql_ident(right_ts)
+    r = right.selectExpr(
+        f"{qon} AS _k", f"{qrts} AS _ts", "0 AS _side",
+        f"struct({', '.join(sql_ident(c) for c in rcols)}) AS _rv")
+    l_ = left.selectExpr(
+        f"{qon} AS _k", f"{qlts} AS _ts", "1 AS _side",
+        f"struct({', '.join(sql_ident(c) for c in left.columns)}) AS _lv")
+    u = l_.unionByName(r, allowMissingColumns=True)
+    order = "_ts ASC, _side ASC" if direction == "backward" \
+        else "_ts DESC, _side ASC"
+    matched = u.selectExpr(
+        "*",
+        f"last(_rv, true) OVER (PARTITION BY _k ORDER BY {order} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m")
 
-    u = l_.unionByName(r.select("_k", "_ts", "_side", "_rv", "_lv"))
-    if direction == "backward":
-        w = (W.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_side").asc())
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    else:
-        w = (W.partitionBy("_k").orderBy(F.col("_ts").desc(), F.col("_side").asc())
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
-
-    out = matched.filter(F.col("_side") == 1)
-    cols = [F.col(f"_lv.{c}").alias(c) for c in left.columns]
-    cols += [F.col(f"_m.{c}").alias(c + (suffix if c in left.columns else ""))
+    out = matched.filter("_side = 1")
+    cols = [f"_lv.{sql_ident(c)} AS {sql_ident(c)}" for c in left.columns]
+    cols += [f"_m.{sql_ident(c)} AS "
+             f"{sql_ident(c + (suffix if c in left.columns else ''))}"
              for c in rcols]
-    return out.select(*cols)
+    return out.selectExpr(*cols)
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str,

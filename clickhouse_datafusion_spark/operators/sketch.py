@@ -51,15 +51,23 @@ def _h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def _positions(key_col, n_hashes: int, n_bits: int):
+def _h60_sql(expr: str) -> str:
+    """Parsed-SQL twin of :func:`_h60` (r15: py4j round-trip economy,
+    see dedup.sql_str — the sketch builders are called once per batch
+    in an ingestion pipeline, and their Column-API chains cost ~200-400
+    round trips per plan build; the fragments parse to the identical
+    Catalyst tree)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _positions_sql(key_expr: str, n_hashes: int, n_bits: int) -> str:
     """array<bigint> of ``n_hashes`` bit positions in [0, n_bits) for a
-    string key. Hash i salts the key with ``i:`` — independent-enough
-    functions from one base hash, and trivially portable SQL."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.pmod(
-            _h60(F.concat(i.cast("string"), F.lit(":"), key_col)),
-            F.lit(n_bits)))
+    string key expression. Hash i salts the key with ``i:`` —
+    independent-enough functions from one base hash, and trivially
+    portable SQL."""
+    h = _h60_sql(f"concat(CAST(i AS STRING), ':', {key_expr})")
+    return (f"transform(sequence(0, {n_hashes - 1}), "
+            f"i -> pmod({h}, {n_bits}))")
 
 
 # ---------------------------------------------------------------------------
@@ -81,12 +89,15 @@ def bloom_build(df: DataFrame, key_col: str = "h",
     One shuffle, keyed by the word index (≤ n_bits/63 distinct keys,
     uniform); only (word, 64-bit block) pairs move, never keys.
     """
-    pos = df.select(
-        F.explode(_positions(F.col(key_col), n_hashes, n_bits)).alias("p"))
-    return (pos.select(F.floor(F.col("p") / 63).alias("word"),
-                       F.pmod(F.col("p"), 63).cast("int").alias("bit"))
-            .select("word",
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("bv"))
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    # r15: parsed fragments — same tree, ~10 round trips instead of ~150
+    pos = df.selectExpr(
+        f"explode({_positions_sql(sql_ident(key_col), n_hashes, n_bits)})"
+        " AS p")
+    return (pos.selectExpr("FLOOR(p / 63) AS word",
+                           "CAST(pmod(p, 63) AS INT) AS bit")
+            .selectExpr("word", "shiftleft(CAST(1 AS BIGINT), bit) AS bv")
             .groupBy("word").agg(F.bit_or("bv").alias("bits")))
 
 
@@ -110,24 +121,26 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, key_col: str = "h",
     self-join attribute dedup), and every key keeps ≥1 expanded row so
     none are lost by the aggregate.
     """
-    expanded = (df.select(
-        F.col(id_col),
-        F.array_distinct(
-            _positions(F.col(key_col), n_hashes, n_bits)).alias("pd"))
-        .select(id_col, F.size("pd").alias("n"), F.explode("pd").alias("p"))
-        .select(id_col, "n",
-                F.floor(F.col("p") / 63).alias("word"),
-                F.pmod(F.col("p"), 63).cast("int").alias("bit")))
-    marked = expanded.join(F.broadcast(bloom), "word", "left").select(
-        id_col, "n",
-        F.when(F.expr("coalesce((bits & shiftleft(CAST(1 AS BIGINT), bit))"
-                      " != 0, false)"), F.lit(1)).otherwise(F.lit(0))
-        .alias("hit"))
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    qid = sql_ident(id_col)
+    expanded = (df.selectExpr(
+        qid,
+        f"array_distinct({_positions_sql(sql_ident(key_col), n_hashes, n_bits)})"
+        " AS pd")
+        .selectExpr(qid, "size(pd) AS n", "explode(pd) AS p")
+        .selectExpr(qid, "n",
+                    "FLOOR(p / 63) AS word",
+                    "CAST(pmod(p, 63) AS INT) AS bit"))
+    marked = expanded.join(F.broadcast(bloom), "word", "left").selectExpr(
+        qid, "n",
+        "CASE WHEN coalesce((bits & shiftleft(CAST(1 AS BIGINT), bit))"
+        " != 0, false) THEN 1 ELSE 0 END AS hit")
     return (marked.groupBy(id_col, "n")
             .agg(F.sum("hit").alias("hits"))
-            .select(id_col,
-                    F.when(F.col("hits") == F.col("n"), F.lit(1))
-                    .otherwise(F.lit(0)).cast("int").alias(out_col)))
+            .selectExpr(qid,
+                        f"CAST(CASE WHEN hits = n THEN 1 ELSE 0 END AS INT)"
+                        f" AS {sql_ident(out_col)}"))
 
 
 def bloom_prefilter(new_df: DataFrame, bloom: DataFrame,
@@ -201,15 +214,15 @@ def cms_build(df: DataFrame, token_col: str = "tok", depth: int = 4,
     the point: the exact frequency table over 10¹² tokens is itself huge;
     the sketch never is.
     """
-    expanded = df.select(
-        F.col(token_col).alias("tok"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
-    return (expanded.select(
-        "r",
-        F.pmod(_h60(F.concat(F.col("r").cast("string"), F.lit(":"),
-                             F.col("tok"))),
-               F.lit(width)).alias("c"))
-        .groupBy("r", "c").agg(F.count("*").cast("bigint").alias("cnt")))
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    # r15: parsed fragments — same tree, a handful of round trips
+    expanded = df.selectExpr(
+        f"{sql_ident(token_col)} AS tok",
+        f"explode(sequence(0, {depth - 1})) AS r")
+    h = _h60_sql("concat(CAST(r AS STRING), ':', tok)")
+    return (expanded.selectExpr("r", f"pmod({h}, {width}) AS c")
+            .groupBy("r", "c").agg(F.count("*").cast("bigint").alias("cnt")))
 
 
 def cms_estimate(tokens: DataFrame, sketch: DataFrame,
@@ -222,24 +235,21 @@ def cms_estimate(tokens: DataFrame, sketch: DataFrame,
     probability 1−δ for width = e/ε, depth = ln 1/δ. The sketch is
     broadcast (constant-size by construction).
     """
-    probe = tokens.select(F.col(token_col).alias("tok")).distinct()
-    expanded = probe.select(
-        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
-    addressed = expanded.select(
-        "tok", "r",
-        F.pmod(_h60(F.concat(F.col("r").cast("string"), F.lit(":"),
-                             F.col("tok"))),
-               F.lit(width)).alias("c"))
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+
+    probe = tokens.selectExpr(f"{sql_ident(token_col)} AS tok").distinct()
+    h = _h60_sql("concat(CAST(r AS STRING), ':', tok)")
+    addressed = (probe.selectExpr(
+        "tok", f"explode(sequence(0, {depth - 1})) AS r")
+        .selectExpr("tok", "r", f"pmod({h}, {width}) AS c"))
     # LOSSLESS single-key fold of (r, c) — r*width + c is a bijection
     # on the sketch's address space, so the probe rides the
     # LongHashedRelation fast path (BASELINE.md r13) with EXACT
     # semantics, no collision term at all
-    cell = (F.col("r").cast("bigint") * width + F.col("c")).alias("_cell")
-    sk1 = sketch.select(
-        (F.col("r").cast("bigint") * width + F.col("c")).alias("_cell"),
-        "cnt")
-    return (addressed.select("tok", cell)
+    cell = f"CAST(r AS BIGINT) * {width} + c AS _cell"
+    sk1 = sketch.selectExpr(cell, "cnt")
+    return (addressed.selectExpr("tok", cell)
             .join(F.broadcast(sk1), "_cell", "left")
             .groupBy("tok")
-            .agg(F.min(F.coalesce("cnt", F.lit(0)))
-                 .cast("bigint").alias("est_count")))
+            .agg(F.expr("CAST(min(coalesce(cnt, 0)) AS BIGINT)")
+                 .alias("est_count")))
