@@ -257,7 +257,8 @@ def minhash_signature(col, n_hashes: int = 32, ngram: int = 3,
     return _sig_from_gram_hashes(gram_hashes(col, ngram, gram_hash), n_hashes)
 
 
-def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True,
+                        by: str | None = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the input
     arrives in fewer partitions (e.g. one small parquet file). Signature
     computation is CPU-bound; without this it runs in a single task. At
@@ -292,7 +293,20 @@ def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
     saturates the core count and behaves exactly as before. Both
     chunks are conf-overridable
     (``spark.clickhouse_datafusion_spark.widenChunkBytes[.light]``)
-    for clusters whose per-core throughput differs."""
+    for clusters whose per-core throughput differs.
+
+    ``by`` (r15): when the caller's downstream reduce is keyed by a
+    column, widen with a HASH repartition on that column instead of
+    round-robin — the same bytes move (one exchange either way), but
+    the downstream keyed aggregate's ENSURE_REQUIREMENTS exchange (and
+    its serial AQE wave) disappears because Project/Generate/broadcast
+    joins propagate the partitioning (the d8-reshape mechanism). Only
+    the tiny-input regime changes — at real scale the scan has enough
+    splits, this function is a no-op, and the downstream exchange
+    exists exactly as before. Bonus: the keyed form skips the
+    ``sortBeforeRepartition`` local sort round-robin pays for retry
+    determinism (guide §2.5) — hash routing is deterministic per row.
+    """
     from clickhouse_datafusion_spark.plans.explain import (
         estimated_scan_bytes, estimated_scan_partitions)
 
@@ -309,8 +323,28 @@ def _ensure_parallelism(df: DataFrame, cpu_heavy: bool = True) -> DataFrame:
             chunk = int(spark.conf.get(
                 key, str((128 if cpu_heavy else 256) << 10)))
             width = min(target, max(2, -(-b // chunk), est or 1))
+        if by is not None:
+            return df.repartition(width, F.col(by))
         return df.repartition(width)
     return df
+
+
+def _doc_width(df: DataFrame, chunk_default: int,
+               conf_key: str) -> int:
+    """Size-derived doc-stream width for :func:`_repartition_docs_by_id`
+    and friends: ``ceil(scan_bytes / chunk)`` clamped to
+    [2, max(defaultParallelism, spark.sql.shuffle.partitions)]."""
+    from clickhouse_datafusion_spark.plans.explain import (
+        estimated_scan_bytes)
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cap = max(sc.defaultParallelism,
+              int(spark.conf.get("spark.sql.shuffle.partitions",
+                                 str(sc.defaultParallelism))))
+    chunk = int(spark.conf.get(conf_key, str(chunk_default)))
+    b = estimated_scan_bytes(df)
+    return cap if b is None else min(cap, max(2, -(-b // chunk)))
 
 
 def _repartition_docs_by_id(df: DataFrame, id_col: str,
@@ -346,19 +380,9 @@ def _repartition_docs_by_id(df: DataFrame, id_col: str,
     per byte (measured width sweep at sf0.1: 32 tasks 0.27 s vs 4 tasks
     0.49 s for the gram stream). Conf-overridable via
     ``spark.clickhouse_datafusion_spark.spanDedup.chunkBytes``."""
-    from clickhouse_datafusion_spark.plans.explain import (
-        estimated_scan_bytes)
-
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    cap = max(sc.defaultParallelism,
-              int(spark.conf.get("spark.sql.shuffle.partitions",
-                                 str(sc.defaultParallelism))))
-    chunk = int(spark.conf.get(
-        "spark.clickhouse_datafusion_spark.spanDedup.chunkBytes",
-        str(chunk_default)))
-    b = estimated_scan_bytes(df)
-    width = cap if b is None else min(cap, max(2, -(-b // chunk)))
+    width = _doc_width(
+        df, chunk_default,
+        "spark.clickhouse_datafusion_spark.spanDedup.chunkBytes")
     return df.repartition(width, F.col(id_col))
 
 
@@ -513,7 +537,10 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         # the bench pays it every iteration, a production driver every
         # batch), the parsed form ~30. Same Catalyst expressions.
         ws = F.split(F.col(text_col), " ")
-        base = (_ensure_parallelism(df)
+        # r15: widen BY the id — the mins aggregate below then needs no
+        # exchange of the 33-column partial-min rows (see
+        # _ensure_parallelism's ``by``); same text bytes move either way
+        base = (_ensure_parallelism(df, by=id_col)
                 .filter(F.size(ws) >= ngram)
                 .select(F.col(id_col).alias("id"), ws.alias("ws")))
         slices = ["ws AS g0"] + [
@@ -1118,15 +1145,35 @@ def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
     """
     # r14: dense expression blocks are parsed SQL fragments (see sql_str)
     # — one py4j round trip each instead of one per Column operator.
+    # r15 (guide §8: decide with small rows, move big rows once): the
+    # r14 shape shuffled PARAGRAPH TEXT twice — once through the _h
+    # ownership join (paras carried _p into the hash exchange) and
+    # again through the id-keyed rebuild aggregate. Now the doc stream
+    # is hash-repartitioned by id ONCE (compact doc rows; explode
+    # preserves the partitioning), the ownership decision flows through
+    # narrow (id, _pos, _h) metadata only, and the keep-list is
+    # repartitioned to the SAME width so the re-attach join and the
+    # rebuild aggregate both plan with zero additional exchange of
+    # text. At 100 TB: heavy bytes cross the network once instead of
+    # twice; the three metadata shuffles carry ~24 B/paragraph.
     qid, qtx, qsep = sql_ident(id_col), sql_ident(text_col), sql_str(sep)
-    paras = (df.select(F.col(id_col),
-                       F.posexplode(F.split(F.col(text_col), sep))
-                       .alias("_pos", "_p"))
+    width = _doc_width(
+        df, 32 << 10,
+        "spark.clickhouse_datafusion_spark.paragraphDedup.chunkBytes")
+    paras = (df.repartition(width, F.col(id_col))
+             .select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("_pos", "_p"))
              .withColumn("_h", F.md5(F.col("_p"))))
-    winners = (paras.groupBy("_h")
-               .agg(F.expr(f"min(struct({qid} AS _i, _pos AS _o)) AS _w")))
-    kept = (paras.join(winners, "_h")
-            .filter(F.expr(f"{qid} = _w._i AND _pos = _w._o")))
+    meta = paras.selectExpr(f"{qid} AS _mi", "_pos AS _mo", "_h")
+    winners = (meta.groupBy("_h")
+               .agg(F.expr("min(struct(_mi AS _i, _mo AS _o)) AS _w")))
+    keep = (meta.join(winners, "_h")
+            .filter(F.expr("_mi = _w._i AND _mo = _w._o"))
+            .select("_mi", "_mo")
+            .repartition(width, F.col("_mi")))
+    kept = paras.join(keep, (F.col(id_col) == F.col("_mi"))
+                      & (F.col("_pos") == F.col("_mo")))
     rebuilt = (kept.groupBy(F.col(id_col))
                .agg(F.expr(
                    "array_join(transform(sort_array(collect_list("

@@ -210,7 +210,7 @@ def contamination_scores(train_df: DataFrame, eval_df: DataFrame,
     from clickhouse_datafusion_spark.operators.dedup import (
         _ensure_parallelism)
 
-    train_grams = (_ensure_parallelism(train_df).select(
+    train_grams = (_ensure_parallelism(train_df, by=id_col).select(
         F.col(id_col),
         word_ngrams(text_col, ngram).alias("grams"))
         .select(id_col, F.size("grams").alias("n_grams"),
@@ -369,7 +369,8 @@ def corpus_frequency_score(df: DataFrame, text_col: str = "text",
         _ensure_parallelism)
 
     # cheap streaming projection: widen only on near-serial scans
-    df = _ensure_parallelism(df, cpu_heavy=False)
+    # (r15: keyed by id so the per-doc reduce inherits the partitioning)
+    df = _ensure_parallelism(df, cpu_heavy=False, by=id_col)
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
     vocab = w.groupBy("w").agg(F.count("*").alias("cnt"))
     if max_vocab is not None:
@@ -588,7 +589,7 @@ def score_with_bigram_lm(df: DataFrame, bigrams: DataFrame,
     # measured 13s single-split vs ~1.5s distributed at sf1x); at real
     # scale the scan already has >= defaultParallelism splits and this
     # is a no-op
-    df = _ensure_parallelism(df, cpu_heavy=False)
+    df = _ensure_parallelism(df, cpu_heavy=False, by=id_col)
     maybe_b = F.broadcast if broadcast_lm else (lambda x: x)
     # the sentinel rows are KEPT in the scoring stream: every doc (even a
     # pairless single-word one) then reaches the per-doc aggregate, so
@@ -1133,7 +1134,7 @@ def hashed_classifier_score(df: DataFrame, weights: DataFrame,
     # partitions) and inserts a full-text round-robin repartition that
     # moves every byte for nothing.
     if widen:
-        df = _ensure_parallelism(df, cpu_heavy=False)
+        df = _ensure_parallelism(df, cpu_heavy=False, by=id_col)
     # r14: dense expression blocks are parsed SQL fragments — one py4j
     # round trip each instead of one per Column operator (see
     # dedup.sql_str); same Catalyst expressions.
@@ -1262,7 +1263,7 @@ def train_quality_classifier(labeled_df: DataFrame, n_buckets: int = 4096,
         _ensure_parallelism)
 
     spark = labeled_df.sparkSession
-    labeled_df = _ensure_parallelism(labeled_df)
+    labeled_df = _ensure_parallelism(labeled_df, by=id_col)
     wd = labeled_df.select(
         F.col(id_col), F.explode(words(text_col)).alias("_w"))
     bkt = (F.conv(F.substring(
