@@ -1148,32 +1148,60 @@ def drop_duplicate_paragraphs(df: DataFrame, text_col: str = "text",
     # r15 (guide §8: decide with small rows, move big rows once): the
     # r14 shape shuffled PARAGRAPH TEXT twice — once through the _h
     # ownership join (paras carried _p into the hash exchange) and
-    # again through the id-keyed rebuild aggregate. Now the doc stream
-    # is hash-repartitioned by id ONCE (compact doc rows; explode
-    # preserves the partitioning), the ownership decision flows through
-    # narrow (id, _pos, _h) metadata only, and the keep-list is
-    # repartitioned to the SAME width so the re-attach join and the
-    # rebuild aggregate both plan with zero additional exchange of
-    # text. At 100 TB: heavy bytes cross the network once instead of
-    # twice; the three metadata shuffles carry ~24 B/paragraph.
+    # again through the id-keyed rebuild aggregate. The META SHAPE
+    # hash-repartitions the doc stream by id ONCE (compact doc rows;
+    # explode preserves the partitioning), flows the ownership decision
+    # through narrow (id, _pos, _h) metadata, and repartitions the
+    # keep-list to the SAME width so the re-attach join and the rebuild
+    # aggregate plan with zero additional exchange of text — heavy
+    # bytes cross the network once instead of twice, and the metadata
+    # shuffles carry ~24 B/paragraph.
+    #
+    # SIZE-GATED (measured, tools/probe_d10_reshape_r15.py, alternating
+    # one-session pairs): at the 500k-doc corpus (59 MB) the meta shape
+    # is 1.21x faster (pairwise median, all pairs 1.14-1.31) — the
+    # avoided double text shuffle; at sf0.1 (0.6 MB) it is 0.86x — the
+    # two extra narrow waves cost more than the trivial text bytes they
+    # save. So the shape follows the input size, like the widen: meta
+    # shape at >= 8 MB (conf `...paragraphDedup.metaShapeMinBytes`),
+    # the single-pipeline r14 shape below. Outputs are identical either
+    # way (oracle-gated; the probe asserts row equality per arm).
     qid, qtx, qsep = sql_ident(id_col), sql_ident(text_col), sql_str(sep)
-    width = _doc_width(
-        df, 32 << 10,
-        "spark.clickhouse_datafusion_spark.paragraphDedup.chunkBytes")
-    paras = (df.repartition(width, F.col(id_col))
-             .select(F.col(id_col),
-                     F.posexplode(F.split(F.col(text_col), sep))
-                     .alias("_pos", "_p"))
-             .withColumn("_h", F.md5(F.col("_p"))))
-    meta = paras.selectExpr(f"{qid} AS _mi", "_pos AS _mo", "_h")
-    winners = (meta.groupBy("_h")
-               .agg(F.expr("min(struct(_mi AS _i, _mo AS _o)) AS _w")))
-    keep = (meta.join(winners, "_h")
-            .filter(F.expr("_mi = _w._i AND _mo = _w._o"))
-            .select("_mi", "_mo")
-            .repartition(width, F.col("_mi")))
-    kept = paras.join(keep, (F.col(id_col) == F.col("_mi"))
-                      & (F.col("_pos") == F.col("_mo")))
+    from clickhouse_datafusion_spark.plans.explain import (
+        estimated_scan_bytes)
+
+    b = estimated_scan_bytes(df)
+    min_bytes = int(df.sparkSession.conf.get(
+        "spark.clickhouse_datafusion_spark.paragraphDedup.metaShapeMinBytes",
+        str(8 << 20)))
+    if b is not None and b < min_bytes:
+        paras = (df.select(F.col(id_col),
+                           F.posexplode(F.split(F.col(text_col), sep))
+                           .alias("_pos", "_p"))
+                 .withColumn("_h", F.md5(F.col("_p"))))
+        winners = (paras.groupBy("_h")
+                   .agg(F.expr(
+                       f"min(struct({qid} AS _i, _pos AS _o)) AS _w")))
+        kept = (paras.join(winners, "_h")
+                .filter(F.expr(f"{qid} = _w._i AND _pos = _w._o")))
+    else:
+        width = _doc_width(
+            df, 32 << 10,
+            "spark.clickhouse_datafusion_spark.paragraphDedup.chunkBytes")
+        paras = (df.repartition(width, F.col(id_col))
+                 .select(F.col(id_col),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("_pos", "_p"))
+                 .withColumn("_h", F.md5(F.col("_p"))))
+        meta = paras.selectExpr(f"{qid} AS _mi", "_pos AS _mo", "_h")
+        winners = (meta.groupBy("_h")
+                   .agg(F.expr("min(struct(_mi AS _i, _mo AS _o)) AS _w")))
+        keep = (meta.join(winners, "_h")
+                .filter(F.expr("_mi = _w._i AND _mo = _w._o"))
+                .select("_mi", "_mo")
+                .repartition(width, F.col("_mi")))
+        kept = paras.join(keep, (F.col(id_col) == F.col("_mi"))
+                          & (F.col("_pos") == F.col("_mo")))
     rebuilt = (kept.groupBy(F.col(id_col))
                .agg(F.expr(
                    "array_join(transform(sort_array(collect_list("
