@@ -162,12 +162,25 @@ def sequence_count(events: DataFrame, conds: list[Column],
     count is unbounded, so the as-of-join trick used by
     ``funnel_depths``/``sequence_match`` (one join per step) would need
     O(answer) rounds. Instead: project each event to (user, ts, flag
-    bitmask), ONE user-keyed shuffle into ``applyInPandas``, linear
-    automaton scan per user on Arrow batches. State is O(1) per user;
+    bitmask), ONE user-keyed collect_list aggregate, and run the
+    automaton as a JVM ``aggregate()`` higher-order function over the
+    time-sorted per-user array (r15, guide §4.1: the previous
+    ``applyInPandas`` form paid the JVM→Python→JVM round trip PER
+    GROUP — one Arrow batch + pandas DataFrame per user — measured
+    3.8 s wall / 0.24 s JVM CPU for 150 users × ~33 events at sf0.1;
+    the HOF form is interpreted per element but never leaves the JVM
+    and needs no Python worker at all). State is O(1) per user;
     per-user data is that user's events only — the 100 TB shape is the
-    same as any groupBy(user), with the usual salting escape hatch if a
-    single user's history is pathological (not possible for bounded
+    same as any groupBy(user), with the usual salting escape hatch if
+    a single user's history is pathological (not possible for bounded
     sessions).
+
+    Tie handling is unchanged and order-independent: an accepted step
+    sets last_t, so every other same-timestamp row is skipped
+    (strictly-later rule), and non-matching rows advance nothing —
+    the count is a pure function of the per-condition timestamp sets
+    (see above), so ``sort_array``'s (t, m) tiebreak and the old
+    stable-scan order yield identical results.
     """
     k = len(conds)
     mask = None
@@ -177,29 +190,25 @@ def sequence_count(events: DataFrame, conds: list[Column],
     slim = events.select(
         F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
         mask.cast("int").alias("m"))
+    per_user = slim.groupBy("u").agg(
+        F.expr("sort_array(collect_list(struct(t, m))) AS _ev"))
+    # acc = (state, last_t, n); one fold over the sorted event array
+    scan = (
+        "aggregate(_ev, "
+        "named_struct('s', 0, 'lt', CAST(NULL AS TIMESTAMP), 'n', 0L), "
+        "(acc, x) -> CASE "
+        "WHEN acc.lt IS NOT NULL AND x.t <= acc.lt THEN acc "
+        f"WHEN (x.m & CAST(shiftleft(1, acc.s) AS INT)) != 0 THEN "
+        f"named_struct('s', IF(acc.s + 1 = {k}, 0, acc.s + 1), "
+        "'lt', x.t, "
+        f"'n', acc.n + IF(acc.s + 1 = {k}, 1L, 0L)) "
+        "ELSE acc END, "
+        "acc -> acc.n)")
+    from clickhouse_datafusion_spark.operators.dedup import sql_ident
 
-    def _scan(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values("t", kind="mergesort")
-        n = 0
-        state = 0
-        last_t = None
-        for t, m in zip(pdf["t"].to_numpy(), pdf["m"].to_numpy()):
-            # strictly-later rule: an event at the same ts as the last
-            # accepted step cannot serve the next step
-            if last_t is not None and t <= last_t:
-                continue
-            if m & (1 << state):
-                state += 1
-                last_t = t
-                if state == k:
-                    n += 1
-                    state = 0
-        return pd.DataFrame({"u": [pdf["u"].iloc[0]], "n": [n]})
-
-    out = slim.groupBy("u").applyInPandas(_scan, schema="u long, n long")
-    return out.select(F.col("u").alias(user_col),
-                      F.col("n").cast("bigint").alias("n_matches"))
+    return per_user.selectExpr(
+        f"u AS {sql_ident(user_col)}",
+        f"CAST({scan} AS BIGINT) AS n_matches")
 
 
 def sum_map(df: DataFrame, key_col: str, value_col: str,
