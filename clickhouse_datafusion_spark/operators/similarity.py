@@ -740,7 +740,16 @@ def with_lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     if dim is None:
         dim = _infer_dim(df, vec_col)
     if kernel == "auto":
-        kernel = "arrow" if n_planes * n_tables > 64 else "jvm"
+        # r15: >= 64, not > 64 — the 8x8 ANN index sat exactly AT the
+        # old threshold and took the interpreted path: measured 6.2 s of
+        # single-task CodegenFallback evals + a 2.7 s driver gap from
+        # the 64-plane literal matrix at sf0.1, vs 1.3 s with the
+        # matmul kernel (bit-identical, 4.6x pairwise median over 5
+        # alternating pairs; s2/s9/st11 oracle-gated). At 24 total
+        # planes (the 1x24 pair-blocking family) the two kernels
+        # measure FLAT (0.97x pairwise, d9/d6), so the boundary moves
+        # only to include 64.
+        kernel = "arrow" if n_planes * n_tables >= 64 else "jvm"
     if kernel == "arrow":
         # The matmul stage is compute-DENSE per task, so a scan that
         # arrives in fewer splits than cores serializes it AND leaves the
