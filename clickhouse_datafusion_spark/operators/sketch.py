@@ -214,9 +214,17 @@ def cms_build(df: DataFrame, token_col: str = "tok", depth: int = 4,
     the point: the exact frequency table over 10¹² tokens is itself huge;
     the sketch never is.
     """
-    from clickhouse_datafusion_spark.operators.dedup import sql_ident
+    from clickhouse_datafusion_spark.operators.dedup import (
+        _ensure_parallelism, sql_ident)
 
-    # r15: parsed fragments — same tree, a handful of round trips
+    # r15: widen the token stream before the depth-way expansion — the
+    # build is depth x one md5 per token, the module's densest kernel,
+    # and a single-split scan ran it in ONE task (stage ledger: 2.3 s
+    # CPU single-threaded at sf0.1). groupBy(r,c) partial-aggregates to
+    # sketch size per partition, so the widen adds no shuffle growth;
+    # at real scale the scan has enough splits and this is a no-op.
+    df = _ensure_parallelism(df)
+    # parsed fragments — same tree, a handful of round trips
     expanded = df.selectExpr(
         f"{sql_ident(token_col)} AS tok",
         f"explode(sequence(0, {depth - 1})) AS r")
