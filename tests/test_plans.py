@@ -343,13 +343,18 @@ def test_r5e_entries_plan_shapes(spark):
     # never a theta/cartesian join over the event table
     rep = plan_report(q("x46_sequence_match", spark))
     assert not rep["cartesian"], rep
-    # x47: the automaton's ONLY exchange is the user-keyed groupBy into
-    # applyInPandas (Arrow-batched), plus nothing else
+    # x47 (r15): the automaton's ONLY exchange is the user-keyed
+    # collect_list aggregate, and the fold runs as a JVM aggregate()
+    # HOF — NO Python node of any kind (the applyInPandas form paid one
+    # Arrow batch + one pandas DataFrame per user: 4.2 s wall / 0.24 s
+    # JVM CPU for 1500 sf0.1 groups; 9.4x pairwise after the rewrite)
     df = q("x47_sequence_count", spark)
     rep = plan_report(df)
     assert rep["shuffles"] <= 1, rep
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, plan[:800]
+    assert "collect_list" in plan  # the per-user event array the fold reads
     # a12: two-level aggregate — (group,key) shuffle then group shuffle
     rep = plan_report(q("a12_summap", spark))
     assert rep["shuffles"] <= 2 and not rep["cartesian"], rep
